@@ -1,0 +1,60 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.functions.call_function
+import graft.functions.{CosineSimilarity, RollingHashFingerprint, SimHash64}
+
+/** Registration of graft's native Catalyst expressions as SQL functions.
+  *
+  * Two paths: [[GraftExtensions]] for `spark.sql.extensions` (the
+  * idiomatic injection point), and [[GraftFunctions.ensureRegistered]]
+  * for sessions we didn't build (registers into the session's
+  * FunctionRegistry at first use — idempotent).
+  */
+object GraftFunctions {
+
+  private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    ("cosine_sim", es => CosineSimilarity(es(0), es(1))),
+    ("doc_fingerprint", es => RollingHashFingerprint(es(0))),
+    ("simhash64", es => SimHash64(es(0))))
+
+  def ensureRegistered(spark: SparkSession): Unit = synchronized {
+    val reg = spark.sessionState.functionRegistry
+    fns.foreach { case (name, builder) =>
+      val id = FunctionIdentifier(name)
+      if (!reg.functionExists(id)) {
+        reg.registerFunction(id,
+          new ExpressionInfo("graft.functions", name), builder)
+      }
+    }
+  }
+
+  // Column-level helpers (register on demand, then call by name so the
+  // same code path works through both the classic and SQL front doors).
+  def cosineSim(spark: SparkSession, a: Column, b: Column): Column = {
+    ensureRegistered(spark); call_function("cosine_sim", a, b)
+  }
+  def docFingerprint(spark: SparkSession, c: Column): Column = {
+    ensureRegistered(spark); call_function("doc_fingerprint", c)
+  }
+  def simhash64(spark: SparkSession, c: Column): Column = {
+    ensureRegistered(spark); call_function("simhash64", c)
+  }
+}
+
+/** `spark.sql.extensions=graft.engine.GraftExtensions` injection. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo("graft.functions", "cosine_sim"),
+      (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("doc_fingerprint"),
+      new ExpressionInfo("graft.functions", "doc_fingerprint"),
+      (es: Seq[Expression]) => RollingHashFingerprint(es(0))))
+    ext.injectFunction((FunctionIdentifier("simhash64"),
+      new ExpressionInfo("graft.functions", "simhash64"),
+      (es: Seq[Expression]) => SimHash64(es(0))))
+  }
+}

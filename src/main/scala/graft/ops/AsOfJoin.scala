@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (backward nearest-key) join — dask `merge_asof` semantics
+  * (SURVEY.md §2.3 [P]), Spark-first design.
+  *
+  * Spark has no native ASOF JOIN, and a naive implementation
+  * (per-left-row range join) is a broadcast-nested-loop — O(n·m) and
+  * hopeless at 100 TB. Instead we use the union+window construction:
+  * tag both sides, union them, and carry the most recent right-side
+  * payload forward with `last(_, ignoreNulls)` over a window
+  * partitioned by the equi-key and ordered by time. Cost = ONE shuffle
+  * on the key (same as any equi-join) + a per-partition sort — scales
+  * exactly like sort-merge join, no matter how skewed the time axis.
+  *
+  * Inclusive match (left.ts >= right.ts): at equal timestamps the
+  * right row is ordered before the left probe via the tag sort key.
+  */
+object AsOfJoin {
+
+  /** @param left       probe side
+    * @param right      reference side (payload carried forward)
+    * @param key        equi-join key column name (same name both sides)
+    * @param ts         event-time column name (same name both sides)
+    * @param rightCols  right-side payload columns to attach to each left row
+    */
+  def backward(left: DataFrame, right: DataFrame, key: String, ts: String,
+               rightCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("__tag", lit(1))
+      .select(leftCols.map(col) ++ rightCols.map(c => lit(null).as(s"__r_$c")) :+ col("__tag"): _*)
+    val r = right
+      .withColumn("__tag", lit(0))
+      .select(leftCols.map(c => if (c == key || c == ts) col(c) else lit(null).as(c)) ++
+        rightCols.map(c => col(c).as(s"__r_$c")) :+ col("__tag"): _*)
+    // tag asc => right (0) sorts before left (1) at equal ts: inclusive match.
+    val w = Window.partitionBy(key).orderBy(col(ts).asc, col("__tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rightCols.foldLeft(l.unionByName(r)) { (df, c) =>
+      df.withColumn(s"__c_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
+    }
+    carried
+      .filter(col("__tag") === 1)
+      .select(leftCols.map(col) ++ rightCols.map(c => col(s"__c_$c").as(c)): _*)
+  }
+}

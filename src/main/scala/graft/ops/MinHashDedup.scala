@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** MinHash + LSH near-duplicate candidate generation (SURVEY.md §2.9).
+  *
+  * The 100 TB story: exact pairwise Jaccard is a shingle self-join
+  * whose output explodes quadratically per shared shingle. MinHash
+  * compresses each doc to `numHashes` mins (one shuffle: explode →
+  * groupBy doc), and LSH banding turns "find similar pairs" into an
+  * equi-join on (band, bandHash) — only near-identical docs collide, so
+  * the join output is ~linear in true duplicates. All hashing is
+  * Spark's codegen'd xxhash64 with literal seeds — deterministic on any
+  * cluster, no RNG at runtime.
+  */
+object MinHashDedup {
+
+  /** Word-bigram shingles, distinct per doc. */
+  def shingles(text: Column): Column =
+    array_distinct(zip_with(
+      slice(split(text, " "), lit(1), size(split(text, " ")) - 1),
+      slice(split(text, " "), lit(2), size(split(text, " ")) - 1),
+      (x, y) => concat(x, lit(" "), y)))
+
+  /** (id, sig: array<long>) MinHash signatures. */
+  def signatures(docs: DataFrame, idCol: String, textCol: String,
+                 numHashes: Int): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+      explode(shingles(col(textCol))).as("s"))
+    val mins = (0 until numHashes).map(j => min(xxhash64(lit(j), col("s"))).as(s"h$j"))
+    sh.groupBy(col("id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until numHashes).map(j => col(s"h$j")): _*).as("sig"))
+  }
+
+  /** Candidate pairs via banding: docs agreeing on ALL rows of any band
+    * collide; pairs are deduped. `estJaccard` = fraction of agreeing
+    * signature components (unbiased MinHash estimate).
+    */
+  def candidatePairs(docs: DataFrame, idCol: String, textCol: String,
+                     numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val r = numHashes / bands
+    val sig = signatures(docs, idCol, textCol, numHashes)
+
+    val banded = sig.select(col("id"), col("sig"),
+        posexplode(expr(
+          s"transform(sequence(0, ${bands - 1}), b -> xxhash64(slice(sig, b * $r + 1, $r)))"))
+          .as(Seq("band", "bh")))
+      .select(col("id"), col("sig"), col("band"), col("bh"))
+
+    val a = banded.select(col("id").as("id_a"), col("sig").as("sig_a"),
+      col("band"), col("bh"))
+    val b = banded.select(col("id").as("id_b"), col("sig").as("sig_b"),
+      col("band"), col("bh"))
+    a.join(b, Seq("band", "bh")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          bool => bool)).cast("double") / numHashes).as("est_jaccard"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("est_jaccard")).as("est_jaccard"))
+  }
+}

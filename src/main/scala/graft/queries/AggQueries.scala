@@ -1,0 +1,205 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.engine.{Det, Tables}
+import graft.ops.WeightedMean
+
+/** §2.4 aggregation. The reference's chunk-partial → concat → re-agg
+  * model [P] is exactly Spark's HashAggregateExec partial/final
+  * pipeline; everything here is declarative groupBy/agg so map-side
+  * combine, spill, and AQE partition coalescing all apply unchanged at
+  * 100 TB. Double sums go through exact decimals (graft.engine.Det).
+  */
+object AggQueries extends QueryGroup {
+
+  def queries: Seq[GQuery] = Seq(
+
+    GQuery("agg_global",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "lineitem").agg(
+          count(lit(1)).as("n_rows"),
+          Det.dsum($"l_quantity").as("sum_qty"),
+          min($"l_extendedprice").as("min_price"),
+          max($"l_extendedprice").as("max_price"),
+          Det.davg($"l_extendedprice").as("avg_price"))
+      },
+      Some(s"""SELECT COUNT(*) AS n_rows,
+              ${Det.sql.dsum("l_quantity")} AS sum_qty,
+              MIN(l_extendedprice) AS min_price,
+              MAX(l_extendedprice) AS max_price,
+              ${Det.sql.davg("l_extendedprice")} AS avg_price
+              FROM lineitem""")),
+
+    GQuery("groupby_agg",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("n"),
+               Det.dsum($"l_extendedprice").as("sum_price"),
+               min($"l_quantity").as("min_qty"),
+               max($"l_quantity").as("max_qty"))
+          .orderBy($"l_returnflag")
+      },
+      Some(s"""SELECT l_returnflag, COUNT(*) AS n,
+              ${Det.sql.dsum("l_extendedprice")} AS sum_price,
+              MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    GQuery("groupby_multi",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "orders")
+          .groupBy($"o_orderstatus", $"o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+               Det.dsum($"o_totalprice").as("sum_price"))
+          .orderBy($"o_orderstatus", $"o_orderpriority")
+      },
+      Some(s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+              ${Det.sql.dsum("o_totalprice")} AS sum_price
+              FROM orders GROUP BY o_orderstatus, o_orderpriority
+              ORDER BY o_orderstatus, o_orderpriority""")),
+
+    GQuery("distinct",
+      (s, dir) => Tables(s, dir, "lineitem")
+        .select("l_returnflag", "l_linestatus").distinct()
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+              ORDER BY l_returnflag, l_linestatus""")),
+
+    GQuery("count_distinct",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "lineitem")
+          .agg(countDistinct($"l_partkey").as("n_parts"),
+               countDistinct($"l_suppkey").as("n_supps"))
+      },
+      Some("""SELECT COUNT(DISTINCT l_partkey) AS n_parts,
+              COUNT(DISTINCT l_suppkey) AS n_supps FROM lineitem""")),
+
+    // HLL++ estimates differ per engine → rows-only check + ScalaTest tolerance.
+    GQuery("approx_distinct",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "lineitem")
+          .agg(approx_count_distinct($"l_partkey").as("approx_parts"))
+      },
+      None),
+
+    GQuery("value_counts",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "events")
+          .groupBy($"event_type").agg(count(lit(1)).as("n"))
+          .orderBy($"n".desc, $"event_type")
+      },
+      Some("""SELECT event_type, COUNT(*) AS n FROM events
+              GROUP BY event_type ORDER BY n DESC, event_type""")),
+
+    // describe(): count/mean/std/min/max; stddev from exact decimal moments
+    // so the result is order-free (see Det): sqrt((s2 - s1^2/n)/(n-1)).
+    GQuery("describe",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "orders")
+          .agg(
+            count($"o_totalprice").as("n"),
+            sum($"o_totalprice".cast(DecimalType(18, 2))).cast("double").as("s1"),
+            sum(($"o_totalprice" * $"o_totalprice").cast(DecimalType(18, 4)))
+              .cast("double").as("s2"),
+            min($"o_totalprice").as("min_price"),
+            max($"o_totalprice").as("max_price"))
+          .select($"n",
+            ($"s1" / $"n").as("mean_price"),
+            sqrt(($"s2" - $"s1" * $"s1" / $"n") / ($"n" - lit(1))).as("std_price"),
+            $"min_price", $"max_price")
+      },
+      Some("""WITH m AS (
+                SELECT COUNT(o_totalprice) AS n,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+                  CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS s2,
+                  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+                FROM orders)
+              SELECT n, s1 / n AS mean_price,
+                sqrt((s2 - s1 * s1 / n) / (n - 1)) AS std_price,
+                min_price, max_price FROM m""")),
+
+    // Exact median via row_number — deterministic in both engines (no
+    // engine-specific quantile interpolation).
+    GQuery("median",
+      (s, dir) => {
+        import s.implicits._
+        val ranked = Tables(s, dir, "orders")
+          .select($"o_totalprice".as("v"), $"o_orderkey")
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window.orderBy($"v", $"o_orderkey")))
+        val n = ranked.count()
+        val mid = Seq((n + 1) / 2, (n + 2) / 2).distinct
+        ranked.filter($"rn".isin(mid: _*))
+          .agg((sum($"v") / count($"v")).as("median_price"))
+      },
+      Some("""WITH r AS (
+                SELECT o_totalprice AS v,
+                  ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+                  COUNT(*) OVER () AS n
+                FROM orders)
+              SELECT SUM(v) / COUNT(v) AS median_price FROM r
+              WHERE rn IN ((n + 1) // 2, (n + 2) // 2)""")),
+
+    GQuery("cube",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "lineitem")
+          .cube($"l_returnflag", $"l_linestatus")
+          .agg(count(lit(1)).as("n"), Det.dsum($"l_quantity").as("sum_qty"))
+          .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+      },
+      Some(s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+              ${Det.sql.dsum("l_quantity")} AS sum_qty
+              FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+              ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
+
+    GQuery("rollup",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "orders")
+          .rollup($"o_orderstatus", $"o_orderpriority")
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+              FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+              ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")),
+
+    GQuery("grouping_sets",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "orders").createOrReplaceTempView("orders_gs")
+        s.sql(s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+                  FROM orders_gs
+                  GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+                  ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+              FROM orders
+              GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+              ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")),
+
+    // dask custom Aggregation(chunk, agg, finalize) analogue: typed
+    // Aggregator with exact-decimal buffer (see graft.ops.WeightedMean).
+    GQuery("agg_custom",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(WeightedMean.udafCol($"l_extendedprice", $"l_quantity").as("wavg_price"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+              CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+              / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS wavg_price
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+  )
+}

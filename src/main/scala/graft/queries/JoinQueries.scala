@@ -1,0 +1,171 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.engine.{Det, Tables}
+import graft.ops.AsOfJoin
+
+/** §2.3 joins. Spark-first choices for 100 TB scale:
+  * - equi-joins are declared and Catalyst/AQE pick broadcast-hash vs
+  *   sort-merge (small dims like nation/region always broadcast);
+  * - `join_broadcast` pins the hint explicitly for the dim-table case;
+  * - as-of is the union+window construction (see [[graft.ops.AsOfJoin]]),
+  *   one key-shuffle instead of a nested loop;
+  * - the range/banding join keeps the band table literal (broadcast
+  *   nested loop over a ~5-row side: trivially scale-safe).
+  */
+object JoinQueries extends QueryGroup {
+
+  def queries: Seq[GQuery] = Seq(
+
+    GQuery("join_inner",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "customer").as("c")
+          .join(Tables(s, dir, "orders").as("o"), $"c_custkey" === $"o_custkey")
+          .filter($"c_custkey" < 100)
+          .select($"c_custkey", $"c_name", $"o_orderkey", $"o_totalprice")
+          .orderBy($"c_custkey", $"o_orderkey")
+      },
+      Some("""SELECT c_custkey, c_name, o_orderkey, o_totalprice
+              FROM customer JOIN orders ON c_custkey = o_custkey
+              WHERE c_custkey < 100
+              ORDER BY c_custkey, o_orderkey""")),
+
+    GQuery("join_left",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "customer")
+          .join(Tables(s, dir, "orders"), $"c_custkey" === $"o_custkey", "left")
+          .groupBy($"c_custkey")
+          .agg(count($"o_orderkey").as("n_orders"))
+          .orderBy($"c_custkey")
+      },
+      Some("""SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+              FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+              GROUP BY c_custkey ORDER BY c_custkey""")),
+
+    GQuery("join_right",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "lineitem")
+          .join(Tables(s, dir, "orders"), $"l_orderkey" === $"o_orderkey", "right")
+          .groupBy($"o_orderkey")
+          .agg(count($"l_orderkey").as("n_items"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey, COUNT(l_orderkey) AS n_items
+              FROM lineitem RIGHT JOIN orders ON l_orderkey = o_orderkey
+              GROUP BY o_orderkey ORDER BY o_orderkey""")),
+
+    GQuery("join_outer",
+      (s, dir) => {
+        import s.implicits._
+        val users = Tables(s, dir, "events").select($"user_id").distinct()
+        Tables(s, dir, "customer").select($"c_custkey")
+          .join(users, $"c_custkey" === $"user_id", "full_outer")
+          .select($"c_custkey", $"user_id")
+          .orderBy(coalesce($"c_custkey", $"user_id").asc_nulls_last,
+                   $"c_custkey".asc_nulls_last)
+      },
+      Some("""SELECT c_custkey, user_id
+              FROM customer FULL OUTER JOIN (SELECT DISTINCT user_id FROM events) e
+                ON c_custkey = user_id
+              ORDER BY COALESCE(c_custkey, user_id) ASC NULLS LAST,
+                       c_custkey ASC NULLS LAST""")),
+
+    GQuery("join_semi",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "customer")
+          .join(Tables(s, dir, "orders"), $"c_custkey" === $"o_custkey", "left_semi")
+          .select($"c_custkey", $"c_name")
+          .orderBy($"c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+              WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+              ORDER BY c_custkey""")),
+
+    GQuery("join_anti",
+      (s, dir) => {
+        import s.implicits._
+        val urgent = Tables(s, dir, "orders").filter($"o_orderpriority" === "1-URGENT")
+        Tables(s, dir, "customer")
+          .join(urgent, $"c_custkey" === $"o_custkey", "left_anti")
+          .select($"c_custkey", $"c_name")
+          .orderBy($"c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+              WHERE NOT EXISTS (SELECT 1 FROM orders
+                                WHERE o_custkey = c_custkey
+                                  AND o_orderpriority = '1-URGENT')
+              ORDER BY c_custkey""")),
+
+    GQuery("join_broadcast",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "customer")
+          .join(broadcast(Tables(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+          .groupBy($"n_name")
+          .agg(count(lit(1)).as("n_customers"),
+               Det.dsum($"c_acctbal").as("sum_acctbal"))
+          .orderBy($"n_name")
+      },
+      Some(s"""SELECT n_name, COUNT(*) AS n_customers,
+              ${Det.sql.dsum("c_acctbal")} AS sum_acctbal
+              FROM customer JOIN nation ON c_nationkey = n_nationkey
+              GROUP BY n_name ORDER BY n_name""")),
+
+    GQuery("join_cross",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "region").crossJoin(Tables(s, dir, "nation"))
+          .select($"r_name", $"n_name")
+          .orderBy($"r_name", $"n_name")
+      },
+      Some("""SELECT r_name, n_name FROM region CROSS JOIN nation
+              ORDER BY r_name, n_name""")),
+
+    // For each purchase event: most recent click by the same user at/before it.
+    GQuery("join_asof",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables(s, dir, "events")
+        val purchases = ev.filter($"event_type" === "purchase")
+          .select($"event_id", $"user_id", $"ts")
+        val clicks = ev.filter($"event_type" === "click")
+          .select($"user_id", $"ts", $"event_id".as("click_id"))
+        AsOfJoin.backward(purchases, clicks, key = "user_id", ts = "ts",
+            rightCols = Seq("click_id"))
+          .select($"event_id", $"user_id", $"click_id")
+          .orderBy($"event_id")
+      },
+      Some("""SELECT p.event_id, p.user_id, c.event_id AS click_id
+              FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+              ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+                ON p.user_id = c.user_id AND p.ts >= c.ts
+              ORDER BY p.event_id""")),
+
+    // Banding join: orders classified into literal price bands (range predicate).
+    GQuery("join_range",
+      (s, dir) => {
+        import s.implicits._
+        val bands = s.createDataFrame(Seq(
+          ("S", 0.0, 100000.0),
+          ("M", 100000.0, 250000.0),
+          ("L", 250000.0, 400000.0),
+          ("XL", 400000.0, 1000000.0))).toDF("band", "lo", "hi")
+        Tables(s, dir, "orders")
+          .join(broadcast(bands), $"o_totalprice" >= $"lo" && $"o_totalprice" < $"hi")
+          .groupBy($"band")
+          .agg(count(lit(1)).as("n_orders"))
+          .orderBy($"band")
+      },
+      Some("""SELECT band, COUNT(*) AS n_orders
+              FROM orders
+              JOIN (VALUES ('S', 0.0, 100000.0), ('M', 100000.0, 250000.0),
+                           ('L', 250000.0, 400000.0), ('XL', 400000.0, 1000000.0))
+                   AS b(band, lo, hi)
+                ON o_totalprice >= lo AND o_totalprice < hi
+              GROUP BY band ORDER BY band"""))
+  )
+}

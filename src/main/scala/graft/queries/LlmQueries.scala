@@ -1,0 +1,323 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.{Det, Tables}
+
+/** §2.9 LLM-training-data pipeline ops over `documents`/`embeddings`.
+  * Exact ops carry DuckDB oracles; sketch/LSH variants (MinHash,
+  * SimHash, ANN) are deterministic but not SQL-expressible → ScalaTest
+  * + rows-only (added in graft.ops.Dedup / graft.ops.Similarity).
+  *
+  * Scale notes: the shingle self-join is the textbook exact-Jaccard
+  * path (explode → co-group by shingle) whose blowup motivates
+  * MinHash+LSH at 100 TB; brute-force cosine is expressed as a
+  * relational matmul (broadcast query side) — the same plan shape an
+  * IVF variant prunes.
+  */
+object LlmQueries extends QueryGroup {
+
+  def queries: Seq[GQuery] = Seq(
+
+    // Exact dedup: canonical keeper (min doc_id) + multiplicity per text.
+    GQuery("dedup_exact",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "documents")
+          .groupBy($"text")
+          .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+          .select($"keep_id", $"n_copies")
+          .orderBy($"keep_id")
+      },
+      Some("""SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+              FROM documents GROUP BY text ORDER BY keep_id""")),
+
+    // Exact word-bigram Jaccard near-dup pairs (the oracle MinHash approximates).
+    GQuery("dedup_ngram_jaccard",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables(s, dir, "documents").filter($"doc_id" < 1000)
+          .withColumn("t", split($"text", " "))
+          .withColumn("sh", array_distinct(expr(
+            "zip_with(slice(t, 1, size(t)-1), slice(t, 2, size(t)-1), (x, y) -> concat(x, ' ', y))")))
+        val sizes = docs.select($"doc_id", size($"sh").as("nsh"))
+        val ex = docs.select($"doc_id", explode($"sh").as("s"))
+        val pairs = ex.as("a").join(ex.as("b"),
+            $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
+          .groupBy($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
+          .agg(count(lit(1)).as("inter"))
+        pairs
+          .join(sizes.select($"doc_id".as("id_a"), $"nsh".as("na")), "id_a")
+          .join(sizes.select($"doc_id".as("id_b"), $"nsh".as("nb")), "id_b")
+          .withColumn("jaccard", $"inter" / ($"na" + $"nb" - $"inter"))
+          .filter($"jaccard" >= 0.5)
+          .select($"id_a", $"id_b", $"jaccard")
+          .orderBy($"id_a", $"id_b")
+      },
+      Some("""WITH d AS (
+                SELECT doc_id, list_distinct(list_transform(
+                  range(1, len(str_split(text, ' '))),
+                  i -> str_split(text, ' ')[i] || ' ' || str_split(text, ' ')[i+1])) AS sh
+                FROM documents WHERE doc_id < 1000),
+              ex AS (SELECT doc_id, unnest(sh) AS s FROM d),
+              sizes AS (SELECT doc_id, len(sh) AS nsh FROM d),
+              pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+                FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+              SELECT id_a, id_b,
+                inter / (sa.nsh + sb.nsh - inter) AS jaccard
+              FROM pairs
+              JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b
+              WHERE inter / (sa.nsh + sb.nsh - inter) >= 0.5
+              ORDER BY id_a, id_b""")),
+
+    // Brute-force cosine top-10 for query vectors (ids-only output: the
+    // ranking is stable under last-ulp float differences between
+    // engines; similarity values themselves are not hash-safe). Uses
+    // the fused codegen CosineSimilarity expression via AnnSearch.
+    GQuery("sim_search",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables(s, dir, "embeddings")
+          .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+        graft.ops.AnnSearch.bruteTopK(s, emb, "vec_id", "e", $"id" < 5, k = 10)
+          .select($"q_id", $"rank", $"neighbor_id")
+          .orderBy($"q_id", $"rank")
+      },
+      Some("""SELECT q_id, rank, neighbor_id FROM (
+                SELECT q.vec_id AS q_id, b.vec_id AS neighbor_id,
+                  ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])) DESC,
+                    b.vec_id) AS rank
+                FROM embeddings q JOIN embeddings b ON q.vec_id <> b.vec_id
+                WHERE q.vec_id < 5) t
+              WHERE rank <= 10 ORDER BY q_id, rank""")),
+
+    // Embedding near-dup pairs above a cosine threshold (ids-only).
+    GQuery("embed_neardup",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables(s, dir, "embeddings")
+          .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+        val a = emb.select($"vec_id".as("id_a"), $"e".as("ea"))
+        val b = emb.select($"vec_id".as("id_b"), $"e".as("eb"))
+        a.crossJoin(b).filter($"id_a" < $"id_b")
+          .withColumn("sim", graft.engine.GraftFunctions.cosineSim(s, $"ea", $"eb"))
+          .filter($"sim" >= 0.45)
+          .select($"id_a", $"id_b")
+          .orderBy($"id_a", $"id_b")
+      },
+      Some("""SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+              WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])) >= 0.45
+              ORDER BY id_a, id_b""")),
+
+    GQuery("text_stats",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "documents")
+          .withColumn("n_tokens", size(split($"text", " ")))
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"n_tokens".cast("long")).as("total_tokens"),
+            (sum($"n_chars").cast("double") / count(lit(1))).as("avg_chars"))
+          .orderBy($"lang")
+      },
+      Some("""SELECT lang, COUNT(*) AS n_docs,
+                CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS total_tokens,
+                CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+              FROM documents GROUP BY lang ORDER BY lang""")),
+
+    GQuery("token_count",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "documents")
+          .groupBy($"source")
+          .agg(sum(size(split($"text", " ")).cast("long")).as("total_tokens"),
+            max(size(split($"text", " "))).as("max_tokens"))
+          .orderBy($"source")
+      },
+      Some("""SELECT source,
+                CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS total_tokens,
+                MAX(len(str_split(text, ' '))) AS max_tokens
+              FROM documents GROUP BY source ORDER BY source""")),
+
+    // Quality scoring: length/punctuation/stopword/short-token ratios.
+    GQuery("quality_score",
+      (s, dir) => {
+        import s.implicits._
+        val stop = Seq("the", "a", "of", "and", "to")
+        Tables(s, dir, "documents")
+          .filter($"doc_id" < 500)
+          .withColumn("toks", split($"text", " "))
+          .withColumn("n_tokens", size($"toks"))
+          .withColumn("stop_hits",
+            size(filter($"toks", t => t.isin(stop.map(lit(_)): _*))))
+          .withColumn("stop_ratio", $"stop_hits" / $"n_tokens")
+          .withColumn("short_ratio",
+            size(filter($"toks", t => length(t) <= 2)) / $"n_tokens")
+          .withColumn("score",
+            lit(1.0) - $"short_ratio" * 0.5 - $"stop_ratio" * 0.25)
+          .select($"doc_id", $"n_tokens", $"stop_ratio", $"short_ratio", $"score")
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id, n_tokens, stop_ratio, short_ratio,
+                1.0 - short_ratio * 0.5 - stop_ratio * 0.25 AS score
+              FROM (
+                SELECT doc_id,
+                  len(str_split(text, ' ')) AS n_tokens,
+                  len(list_filter(str_split(text, ' '),
+                      t -> t IN ('the', 'a', 'of', 'and', 'to')))
+                    / len(str_split(text, ' ')) AS stop_ratio,
+                  len(list_filter(str_split(text, ' '), t -> length(t) <= 2))
+                    / len(str_split(text, ' ')) AS short_ratio
+                FROM documents WHERE doc_id < 500) t
+              ORDER BY doc_id""")),
+
+    // n-gram/stopword language-ID heuristic: argmax of per-language
+    // stopword hits with a fixed precedence for ties.
+    GQuery("lang_id",
+      (s, dir) => {
+        import s.implicits._
+        val lists = Map(
+          "en" -> Seq("the", "a", "of", "and", "to"),
+          "de" -> Seq("der", "die", "das", "und", "ein"),
+          "es" -> Seq("el", "la", "los", "y", "que"),
+          "fr" -> Seq("le", "la", "les", "et", "que"),
+          "zh" -> Seq("的", "是", "了", "在", "我"))
+        val toks = array_distinct(split($"text", " "))
+        val hits = lists.map { case (l, ws) =>
+          l -> size(array_intersect(toks, array(ws.map(lit(_)): _*)))
+        }
+        val best = Seq("en", "de", "es", "fr", "zh").foldRight(lit("und")) {
+          case (l, acc) =>
+            when(hits(l) >= greatest(hits.values.toSeq: _*) && hits(l) > 0, lit(l))
+              .otherwise(acc)
+        }
+        Tables(s, dir, "documents")
+          .filter($"doc_id" < 500)
+          .select($"doc_id", best.as("pred_lang"), $"lang",
+            (best === $"lang").as("correct"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH h AS (
+                SELECT doc_id, lang,
+                  len(list_intersect(list_distinct(str_split(text, ' ')),
+                      ['the', 'a', 'of', 'and', 'to'])) AS h_en,
+                  len(list_intersect(list_distinct(str_split(text, ' ')),
+                      ['der', 'die', 'das', 'und', 'ein'])) AS h_de,
+                  len(list_intersect(list_distinct(str_split(text, ' ')),
+                      ['el', 'la', 'los', 'y', 'que'])) AS h_es,
+                  len(list_intersect(list_distinct(str_split(text, ' ')),
+                      ['le', 'la', 'les', 'et', 'que'])) AS h_fr,
+                  len(list_intersect(list_distinct(str_split(text, ' ')),
+                      ['的', '是', '了', '在', '我'])) AS h_zh
+                FROM documents WHERE doc_id < 500)
+              SELECT doc_id,
+                CASE
+                  WHEN h_en >= greatest(h_en, h_de, h_es, h_fr, h_zh) AND h_en > 0 THEN 'en'
+                  WHEN h_de >= greatest(h_en, h_de, h_es, h_fr, h_zh) AND h_de > 0 THEN 'de'
+                  WHEN h_es >= greatest(h_en, h_de, h_es, h_fr, h_zh) AND h_es > 0 THEN 'es'
+                  WHEN h_fr >= greatest(h_en, h_de, h_es, h_fr, h_zh) AND h_fr > 0 THEN 'fr'
+                  WHEN h_zh >= greatest(h_en, h_de, h_es, h_fr, h_zh) AND h_zh > 0 THEN 'zh'
+                  ELSE 'und' END AS pred_lang,
+                lang,
+                (CASE
+                  WHEN h_en >= greatest(h_en, h_de, h_es, h_fr, h_zh) AND h_en > 0 THEN 'en'
+                  WHEN h_de >= greatest(h_en, h_de, h_es, h_fr, h_zh) AND h_de > 0 THEN 'de'
+                  WHEN h_es >= greatest(h_en, h_de, h_es, h_fr, h_zh) AND h_es > 0 THEN 'es'
+                  WHEN h_fr >= greatest(h_en, h_de, h_es, h_fr, h_zh) AND h_fr > 0 THEN 'fr'
+                  WHEN h_zh >= greatest(h_en, h_de, h_es, h_fr, h_zh) AND h_zh > 0 THEN 'zh'
+                  ELSE 'und' END = lang) AS correct
+              FROM h ORDER BY doc_id""")),
+
+    // MinHash+LSH near-dup candidates (engine-specific hashing → no SQL
+    // oracle; ScalaTest checks candidates ⊇ exact dups and estimator
+    // sanity). The 100 TB-scale replacement for the exact Jaccard join.
+    GQuery("dedup_minhash",
+      (s, dir) => {
+        import s.implicits._
+        graft.ops.MinHashDedup.candidatePairs(
+            Tables(s, dir, "documents"), "doc_id", "text",
+            numHashes = 16, bands = 4)
+          .filter($"est_jaccard" >= 0.5)
+          .orderBy($"id_a", $"id_b")
+      },
+      None),
+
+    // SimHash fingerprints + low-hamming-distance pairs (no SQL oracle).
+    GQuery("dedup_simhash",
+      (s, dir) => {
+        import s.implicits._
+        val fp = Tables(s, dir, "documents")
+          .select($"doc_id",
+            graft.engine.GraftFunctions.simhash64(s, split($"text", " ")).as("fp"))
+        val a = fp.select($"doc_id".as("id_a"), $"fp".as("fp_a"))
+        val b = fp.select($"doc_id".as("id_b"), $"fp".as("fp_b"))
+        a.join(b, $"id_a" < $"id_b")
+          .withColumn("hamming", bit_count($"fp_a".bitwiseXOR($"fp_b")))
+          .filter($"hamming" <= 6)
+          .select($"id_a", $"id_b", $"hamming")
+          .orderBy($"id_a", $"id_b")
+      },
+      None),
+
+    // Rolling-hash document fingerprint (custom codegen expression; the
+    // value itself is engine-specific → rows-only + ScalaTest).
+    GQuery("doc_fingerprint",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "documents")
+          .select($"doc_id",
+            graft.engine.GraftFunctions.docFingerprint(s, $"text").as("fp"))
+          .orderBy($"doc_id")
+      },
+      None),
+
+    // LSH-bucketed ANN (scale path; recall vs brute force is ScalaTest-gated).
+    GQuery("sim_search_ann",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables(s, dir, "embeddings")
+          .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+        graft.ops.AnnSearch.lshTopK(s, emb, "vec_id", "e", $"id" < 5, k = 10)
+          .select($"q_id", $"rank", $"neighbor_id")
+          .orderBy($"q_id", $"rank")
+      },
+      None),
+
+    // Multimodal feature extraction over the binary column via the
+    // partition-batched stub decoder (deterministic fake → rows-only).
+    GQuery("multimodal_features",
+      (s, dir) => {
+        import s.implicits._
+        val media = Tables(s, dir, "documents")
+          .filter($"doc_id" < 500)
+          .select($"doc_id", encode($"text", "UTF-8").as("payload"))
+        graft.multimodal.Multimodal.extractFeaturesDF(media)
+          .orderBy($"doc_id")
+      },
+      None),
+
+    // Multimodal plumbing: opaque binary payload + typed metadata. The
+    // decode/feature step over the binary column is the mapPartitions
+    // pipeline in graft.multimodal (stubbed decoder, ScalaTest-gated).
+    GQuery("multimodal_meta",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "documents")
+          .filter($"doc_id" < 500)
+          .withColumn("payload", encode($"text", "UTF-8"))
+          .select($"doc_id",
+            octet_length($"payload").as("n_bytes"),
+            md5($"payload").as("digest"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id, strlen(text) AS n_bytes, md5(text) AS digest
+              FROM documents WHERE doc_id < 500 ORDER BY doc_id"""))
+  )
+}

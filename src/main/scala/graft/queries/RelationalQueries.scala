@@ -1,0 +1,147 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.engine.{Det, Tables}
+
+/** §2.2 projection / filter / row ops, plus the flagship pricing
+  * summary (TPC-H Q1 shape — the reference's core chunked
+  * filter→groupby→agg loop, SURVEY.md §7 M0).
+  */
+object RelationalQueries extends QueryGroup {
+
+  def queries: Seq[GQuery] = Seq(
+
+    // Flagship: scan → filter → hash-agg (partial/final) → sort.
+    GQuery("q1_pricing_summary",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "lineitem")
+          .filter($"l_shipdate" <= lit("1999-09-02").cast("timestamp"))
+          .groupBy($"l_returnflag", $"l_linestatus")
+          .agg(
+            Det.dsum($"l_quantity").as("sum_qty"),
+            Det.dsum($"l_extendedprice").as("sum_base_price"),
+            // price(2dec) * (1-disc)(2dec) is an exact 4-decimal value:
+            // summing at scale 4 avoids the .xx5 tie-rounding divergence
+            // between Java's exact and DuckDB's binary-double decimal cast.
+            Det.dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4).as("sum_disc_price"),
+            Det.davg($"l_quantity").as("avg_qty"),
+            Det.davg($"l_extendedprice").as("avg_price"),
+            Det.davg($"l_discount", 4).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy($"l_returnflag", $"l_linestatus")
+      },
+      Some(s"""SELECT l_returnflag, l_linestatus,
+              ${Det.sql.dsum("l_quantity")} AS sum_qty,
+              ${Det.sql.dsum("l_extendedprice")} AS sum_base_price,
+              ${Det.sql.dsum("l_extendedprice * (1.0 - l_discount)", 4)} AS sum_disc_price,
+              ${Det.sql.davg("l_quantity")} AS avg_qty,
+              ${Det.sql.davg("l_extendedprice")} AS avg_price,
+              ${Det.sql.davg("l_discount", 4)} AS avg_disc,
+              COUNT(*) AS count_order
+              FROM lineitem
+              WHERE l_shipdate <= TIMESTAMP '1999-09-02 00:00:00'
+              GROUP BY l_returnflag, l_linestatus
+              ORDER BY l_returnflag, l_linestatus""")),
+
+    GQuery("project",
+      (s, dir) => Tables(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey"),
+      Some("SELECT c_custkey, c_name, c_mktsegment FROM customer ORDER BY c_custkey")),
+
+    GQuery("with_column",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "lineitem")
+          .filter($"l_orderkey" < 100)
+          .withColumn("charge",
+            $"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax"))
+          .select("l_orderkey", "l_linenumber", "charge")
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+              l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS charge
+              FROM lineitem WHERE l_orderkey < 100
+              ORDER BY l_orderkey, l_linenumber""")),
+
+    GQuery("filter",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "events")
+          .filter($"event_type" === "purchase" && $"value" > 50.0)
+          .select("event_id", "user_id", "value")
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, value FROM events
+              WHERE event_type = 'purchase' AND value > 50.0
+              ORDER BY event_id""")),
+
+    GQuery("map_rows",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "customer")
+          .select($"c_custkey",
+            concat(upper($"c_name"), lit("#"), $"c_nationkey".cast("string")).as("tag"),
+            (abs($"c_acctbal") + lit(1.0)).as("absbal"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey,
+              upper(c_name) || '#' || CAST(c_nationkey AS VARCHAR) AS tag,
+              abs(c_acctbal) + 1.0 AS absbal
+              FROM customer ORDER BY c_custkey""")),
+
+    GQuery("dropna_fillna",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "events")
+          .withColumn("v", when($"value" < 10.0, lit(null)).otherwise($"value"))
+          .na.fill(Map("v" -> -1.0))
+          .filter($"event_type" =!= "error")
+          .select("event_id", "v")
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id,
+              COALESCE(CASE WHEN value < 10.0 THEN NULL ELSE value END, -1.0) AS v
+              FROM events WHERE event_type <> 'error'
+              ORDER BY event_id""")),
+
+    GQuery("isin",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "orders")
+          .filter($"o_orderpriority".isin("1-URGENT", "2-HIGH"))
+          .select("o_orderkey", "o_orderpriority")
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderpriority FROM orders
+              WHERE o_orderpriority IN ('1-URGENT','2-HIGH')
+              ORDER BY o_orderkey""")),
+
+    GQuery("hash_columns",
+      (s, dir) => {
+        import s.implicits._
+        // dataframe_hash_columns-style anonymization: truncated sha-256.
+        Tables(s, dir, "customer")
+          .select($"c_custkey",
+            substring(sha2($"c_name", 256), 1, 16).as("name_hash"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, substr(sha256(c_name), 1, 16) AS name_hash
+              FROM customer ORDER BY c_custkey""")),
+
+    // Engine-specific RNG → no SQL oracle (rows-only); properties in ScalaTest.
+    GQuery("sample",
+      (s, dir) => Tables(s, dir, "lineitem")
+        .sample(withReplacement = false, fraction = 0.1, seed = 42L)
+        .select("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber"),
+      None),
+
+    GQuery("shuffle_rows",
+      (s, dir) => Tables(s, dir, "customer")
+        .orderBy(rand(42L))
+        .select("c_custkey"),
+      None)
+  )
+}

@@ -1,0 +1,88 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+
+/** §2.6 sort / limit / set ops. Global sort range-partitions by sampled
+  * bounds (what dask sort_values does); limit-after-sort is top-k.
+  * `concat_cols` (pandas concat axis=1) is non-relational: it is
+  * expressed as a deterministic row-number zip — the only scale-safe
+  * reading of positional alignment.
+  */
+object SetQueries extends QueryGroup {
+
+  def queries: Seq[GQuery] = Seq(
+
+    GQuery("sort",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "orders")
+          .select($"o_orderkey", $"o_totalprice")
+          .orderBy($"o_totalprice".desc, $"o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+              ORDER BY o_totalprice DESC, o_orderkey""")),
+
+    GQuery("limit",
+      (s, dir) => Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+        .limit(50),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+              ORDER BY o_orderkey LIMIT 50""")),
+
+    GQuery("union",
+      (s, dir) => {
+        import s.implicits._
+        val c = Tables(s, dir, "customer")
+          .select($"c_custkey".as("key"), lit("cust").as("src"))
+        val sup = Tables(s, dir, "supplier")
+          .select($"s_suppkey".as("key"), lit("supp").as("src"))
+        c.unionByName(sup).orderBy($"key", $"src")
+      },
+      Some("""SELECT * FROM (
+                SELECT c_custkey AS key, 'cust' AS src FROM customer
+                UNION ALL
+                SELECT s_suppkey AS key, 'supp' AS src FROM supplier) t
+              ORDER BY key, src""")),
+
+    GQuery("intersect",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "customer").select($"c_custkey".as("key"))
+          .intersect(Tables(s, dir, "events").select($"user_id".as("key")))
+          .orderBy($"key")
+      },
+      Some("""SELECT c_custkey AS key FROM customer
+              INTERSECT SELECT user_id FROM events ORDER BY key""")),
+
+    GQuery("except",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "customer").select($"c_custkey".as("key"))
+          .except(Tables(s, dir, "events").select($"user_id".as("key")))
+          .orderBy($"key")
+      },
+      Some("""SELECT c_custkey AS key FROM customer
+              EXCEPT SELECT user_id FROM events ORDER BY key""")),
+
+    // pandas concat(axis=1): positional zip via deterministic row ids.
+    GQuery("concat_cols",
+      (s, dir) => {
+        import s.implicits._
+        val r = Tables(s, dir, "region")
+          .withColumn("rn", row_number().over(Window.orderBy($"r_name")))
+          .select($"rn", $"r_name")
+        val n = Tables(s, dir, "nation")
+          .filter($"n_nationkey" < 5)
+          .withColumn("rn", row_number().over(Window.orderBy($"n_name")))
+          .select($"rn", $"n_name")
+        r.join(n, "rn").select($"rn", $"r_name", $"n_name").orderBy($"rn")
+      },
+      Some("""WITH r AS (SELECT ROW_NUMBER() OVER (ORDER BY r_name) AS rn, r_name FROM region),
+                   n AS (SELECT ROW_NUMBER() OVER (ORDER BY n_name) AS rn, n_name
+                         FROM nation WHERE n_nationkey < 5)
+              SELECT r.rn AS rn, r_name, n_name FROM r JOIN n USING (rn) ORDER BY rn"""))
+  )
+}

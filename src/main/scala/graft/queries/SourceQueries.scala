@@ -1,0 +1,101 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.engine.Tables
+
+/** §2.1 sources/sinks: parquet scan, csv/json round-trips, in-memory
+  * frames. Round-trip queries write a derived copy of a test table to a
+  * scratch dir and read it back — proving the sink+source path while
+  * keeping the DuckDB oracle a plain SELECT over the original parquet.
+  * Reference surface: StreamingDataFrame.read_csv/read_json/read_df,
+  * to_csv; dask read_parquet/to_parquet (SURVEY.md §2.1 [P]).
+  */
+object SourceQueries extends QueryGroup {
+
+  private def scratch(name: String): String = {
+    val d = new java.io.File(sys.props("java.io.tmpdir"), s"graft_scratch/$name")
+    d.getAbsolutePath
+  }
+
+  def queries: Seq[GQuery] = Seq(
+
+    GQuery("scan_parquet",
+      (s, dir) => Tables(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 200)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+              FROM lineitem WHERE l_orderkey < 200
+              ORDER BY l_orderkey, l_linenumber""")),
+
+    GQuery("scan_csv",
+      (s, dir) => {
+        val path = scratch("nation_csv")
+        Tables(s, dir, "nation").write.mode("overwrite")
+          .option("header", "true").csv(path)
+        val schema = StructType(Seq(
+          StructField("n_nationkey", IntegerType),
+          StructField("n_name", StringType),
+          StructField("n_regionkey", IntegerType)))
+        s.read.schema(schema).option("header", "true").csv(path)
+          .orderBy("n_nationkey")
+      },
+      Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")),
+
+    GQuery("scan_json",
+      (s, dir) => {
+        val path = scratch("events_json")
+        Tables(s, dir, "events")
+          .filter(col("event_id") < 500)
+          .select("event_id", "user_id", "event_type")
+          .write.mode("overwrite").json(path)
+        val schema = StructType(Seq(
+          StructField("event_id", LongType),
+          StructField("user_id", LongType),
+          StructField("event_type", StringType)))
+        s.read.schema(schema).json(path)
+          .select("event_id", "user_id", "event_type")
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, event_type FROM events
+              WHERE event_id < 500 ORDER BY event_id""")),
+
+    GQuery("from_df",
+      (s, _) => {
+        val rows = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"), (4L, "delta"))
+        s.createDataFrame(rows).toDF("id", "tag").orderBy("id")
+      },
+      Some("""SELECT * FROM (VALUES (CAST(1 AS BIGINT),'alpha'),(2,'beta'),
+              (3,'gamma'),(4,'delta')) AS t(id, tag) ORDER BY id""")),
+
+    GQuery("sink_parquet",
+      (s, dir) => {
+        val path = scratch("orders_parquet")
+        Tables(s, dir, "orders")
+          .filter(col("o_orderkey") < 500)
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+          .write.mode("overwrite").parquet(path)
+        s.read.parquet(path).orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+              FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""")),
+
+    GQuery("sink_csv",
+      (s, dir) => {
+        val path = scratch("customer_csv")
+        Tables(s, dir, "customer").write.mode("overwrite")
+          .option("header", "true").csv(path)
+        val schema = StructType(Seq(
+          StructField("c_custkey", LongType),
+          StructField("c_name", StringType),
+          StructField("c_nationkey", IntegerType),
+          StructField("c_acctbal", DoubleType),
+          StructField("c_mktsegment", StringType)))
+        s.read.schema(schema).option("header", "true").csv(path)
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+              FROM customer ORDER BY c_custkey"""))
+  )
+}

@@ -1,0 +1,157 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.engine.{Det, Tables}
+
+/** §2.8 streaming semantics, graded through their batch-equivalent
+  * plans: `window`/`session_window` are the same Catalyst expressions
+  * Structured Streaming executes incrementally, so the bounded `events`
+  * table doubles as a deterministic replay. The actual streaming
+  * execution path (readStream → watermark → stateful ops → sink) is
+  * exercised in ScalaTest via MemoryStream (see graft.streaming and
+  * its specs), where out-of-order/late data can be injected — that
+  * part has no DuckDB analogue by design (SURVEY.md §5.3).
+  */
+object StreamingQueries extends QueryGroup {
+
+  def queries: Seq[GQuery] = Seq(
+
+    GQuery("stream_tumbling",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "events")
+          .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+          .agg(count(lit(1)).as("n"), Det.dsum($"value").as("sum_value"))
+          .select(unix_millis($"w.start").as("bucket_ms"), $"event_type", $"n", $"sum_value")
+          .orderBy($"bucket_ms", $"event_type")
+      },
+      Some(s"""SELECT epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS bucket_ms,
+              event_type, COUNT(*) AS n, ${Det.sql.dsum("value")} AS sum_value
+              FROM events GROUP BY 1, 2 ORDER BY bucket_ms, event_type""")),
+
+    GQuery("stream_sliding",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "events")
+          .groupBy(window($"ts", "1 hour", "15 minutes").as("w"))
+          .agg(count(lit(1)).as("n"), Det.dsum($"value").as("sum_value"))
+          .select(unix_millis($"w.start").as("bucket_ms"), $"n", $"sum_value")
+          .orderBy($"bucket_ms")
+      },
+      Some(s"""SELECT epoch_ms(time_bucket(INTERVAL '15 minutes', ts)
+                - k * INTERVAL '15 minutes') AS bucket_ms,
+              COUNT(*) AS n, ${Det.sql.dsum("value")} AS sum_value
+              FROM events CROSS JOIN (SELECT unnest(range(4)) AS k) ks
+              GROUP BY 1 ORDER BY bucket_ms""")),
+
+    GQuery("stream_session",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "events")
+          .groupBy($"user_id", session_window($"ts", "30 minutes").as("w"))
+          .agg(count(lit(1)).as("n"))
+          .select($"user_id", unix_millis($"w.start").as("session_start_ms"), $"n")
+          .orderBy($"user_id", $"session_start_ms")
+      },
+      Some("""WITH flagged AS (
+                SELECT user_id, ts,
+                  CASE WHEN LAG(ts) OVER w IS NULL
+                         OR ts - LAG(ts) OVER w >= INTERVAL '30 minutes'
+                       THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+              sess AS (
+                SELECT user_id, ts,
+                  SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+                FROM flagged)
+              SELECT user_id, epoch_ms(MIN(ts)) AS session_start_ms, COUNT(*) AS n
+              FROM sess GROUP BY user_id, sid
+              ORDER BY user_id, session_start_ms""")),
+
+    // Deterministic first-seen-per-key dedup (streaming dropDuplicates
+    // keeps an arbitrary row; the graded variant pins first-by-time).
+    GQuery("stream_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id", $"event_type")
+          .orderBy($"ts", $"event_id")
+        Tables(s, dir, "events")
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" === 1)
+          .select($"event_id", $"user_id", $"event_type")
+          .orderBy($"event_id")
+      },
+      Some("""SELECT event_id, user_id, event_type FROM (
+                SELECT event_id, user_id, event_type,
+                  ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts, event_id) AS rn
+                FROM events) t
+              WHERE rn = 1 ORDER BY event_id""")),
+
+    // Running per-key state via the typed API (mapGroups fold with an
+    // exact-decimal accumulator — order-free, so the final state equals
+    // the batch aggregate). The incremental mapGroupsWithState variant
+    // lives in graft.streaming + its spec.
+    GQuery("stream_stateful",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "events")
+          .select($"user_id", $"value")
+          .as[(Long, Double)]
+          .groupByKey(_._1)
+          .mapGroups { (uid, it) =>
+            var n = 0L
+            var acc = java.math.BigDecimal.ZERO
+            it.foreach { case (_, v) =>
+              n += 1
+              acc = acc.add(java.math.BigDecimal.valueOf(v)
+                .setScale(2, java.math.RoundingMode.HALF_UP))
+            }
+            (uid, n, acc.doubleValue)
+          }
+          .toDF("user_id", "n_events", "total_value")
+          .orderBy($"user_id")
+      },
+      Some(s"""SELECT user_id, COUNT(*) AS n_events,
+              ${Det.sql.dsum("value")} AS total_value
+              FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    GQuery("stream_static_join",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "events")
+          .join(broadcast(Tables(s, dir, "customer")), $"user_id" === $"c_custkey")
+          .groupBy($"c_mktsegment")
+          .agg(count(lit(1)).as("n"), Det.dsum($"value").as("sum_value"))
+          .orderBy($"c_mktsegment")
+      },
+      Some(s"""SELECT c_mktsegment, COUNT(*) AS n, ${Det.sql.dsum("value")} AS sum_value
+              FROM events JOIN customer ON user_id = c_custkey
+              GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // Stream-stream interval join: clicks within the hour before each purchase.
+    GQuery("stream_stream_join",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables(s, dir, "events")
+        val p = ev.filter($"event_type" === "purchase")
+          .select($"user_id", $"ts".as("p_ts"))
+        val c = ev.filter($"event_type" === "click")
+          .select($"user_id".as("c_user"), $"ts".as("c_ts"))
+        p.join(c, $"user_id" === $"c_user" &&
+            $"c_ts" >= $"p_ts" - expr("INTERVAL 1 HOUR") && $"c_ts" <= $"p_ts")
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy($"user_id")
+      },
+      Some("""SELECT p.user_id, COUNT(*) AS n_pairs
+              FROM (SELECT user_id, ts AS p_ts FROM events WHERE event_type = 'purchase') p
+              JOIN (SELECT user_id, ts AS c_ts FROM events WHERE event_type = 'click') c
+                ON p.user_id = c.user_id
+               AND c.c_ts >= p.p_ts - INTERVAL '1 hour' AND c.c_ts <= p.p_ts
+              GROUP BY p.user_id ORDER BY p.user_id"""))
+  )
+}

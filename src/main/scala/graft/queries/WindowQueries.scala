@@ -1,0 +1,127 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.engine.Tables
+
+/** §2.5 window / ordered analytics. All windows partition by a key, so
+  * at scale each state fits one task; rolling/cum sums go through
+  * exact decimals for order-free hash-matching. `top_k` compiles to
+  * TakeOrderedAndProjectExec — per-partition heaps + driver merge, the
+  * same algorithm dask uses for nlargest.
+  */
+object WindowQueries extends QueryGroup {
+
+  def queries: Seq[GQuery] = Seq(
+
+    // Top-3 suppliers by acctbal within each nation (rank keeps ties).
+    GQuery("window_rank",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"s_nationkey").orderBy($"s_acctbal".desc)
+        Tables(s, dir, "supplier")
+          .withColumn("rnk", rank().over(w))
+          .filter($"rnk" <= 3)
+          .select($"s_nationkey", $"rnk", $"s_suppkey", $"s_acctbal")
+          .orderBy($"s_nationkey", $"rnk", $"s_suppkey")
+      },
+      Some("""SELECT s_nationkey, rnk, s_suppkey, s_acctbal FROM (
+                SELECT s_nationkey, s_suppkey, s_acctbal,
+                  RANK() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC) AS rnk
+                FROM supplier) t
+              WHERE rnk <= 3
+              ORDER BY s_nationkey, rnk, s_suppkey""")),
+
+    GQuery("window_lag_lead",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        Tables(s, dir, "events")
+          .filter($"user_id" < 20)
+          .select($"user_id", $"event_id",
+            row_number().over(w).as("rn"),
+            lag($"event_id", 1).over(w).as("prev_id"),
+            lead($"event_id", 1).over(w).as("next_id"))
+          .orderBy($"user_id", $"rn")
+      },
+      Some("""SELECT user_id, event_id,
+                ROW_NUMBER() OVER w AS rn,
+                LAG(event_id, 1) OVER w AS prev_id,
+                LEAD(event_id, 1) OVER w AS next_id
+              FROM events WHERE user_id < 20
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+              ORDER BY user_id, rn""")),
+
+    // Rolling 3-row sum of value per user (dask .rolling via map_overlap).
+    GQuery("window_rolling",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+          .rowsBetween(-2, Window.currentRow)
+        Tables(s, dir, "events")
+          .filter($"user_id" < 20)
+          .select($"user_id", $"event_id",
+            sum($"value".cast(DecimalType(18, 2))).over(w).cast("double").as("roll_sum"))
+          .orderBy($"user_id", $"event_id")
+      },
+      Some("""SELECT user_id, event_id,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS roll_sum
+              FROM events WHERE user_id < 20
+              ORDER BY user_id, event_id""")),
+
+    // Cumulative per-key sum = pandas-streaming groupby_streaming("cum").
+    GQuery("window_cum",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables(s, dir, "events")
+          .filter($"user_id" < 20)
+          .select($"user_id", $"event_id",
+            sum($"value".cast(DecimalType(18, 2))).over(w).cast("double").as("cum_value"))
+          .orderBy($"user_id", $"event_id")
+      },
+      Some("""SELECT user_id, event_id,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_value
+              FROM events WHERE user_id < 20
+              ORDER BY user_id, event_id""")),
+
+    // Time-based rolling window: last-hour sum per user (RANGE frame on
+    // epoch seconds — pandas rolling("1h")).
+    GQuery("window_range",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"epoch_s")
+          .rangeBetween(-3600L, 0L)
+        Tables(s, dir, "events")
+          .filter($"user_id" < 20)
+          .withColumn("epoch_s", unix_timestamp($"ts"))
+          .select($"user_id", $"event_id", $"epoch_s",
+            sum($"value".cast(DecimalType(18, 2))).over(w).cast("double").as("hour_sum"))
+          .orderBy($"user_id", $"event_id")
+      },
+      Some("""SELECT user_id, event_id, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS epoch_s,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+                  PARTITION BY user_id ORDER BY CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+                  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE) AS hour_sum
+              FROM events WHERE user_id < 20
+              ORDER BY user_id, event_id""")),
+
+    GQuery("top_k",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "lineitem")
+          .select($"l_orderkey", $"l_linenumber", $"l_extendedprice")
+          .orderBy($"l_extendedprice".desc, $"l_orderkey", $"l_linenumber")
+          .limit(100)
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+              ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+              LIMIT 100"""))
+  )
+}

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.engine.{GraftFunctions, Tables}
+import graft.ops.{AnnSearch, MinHashDedup}
+
+/** Properties for the non-oracle LLM ops: determinism, containment of
+  * exact duplicates, ANN recall against the brute-force baseline.
+  */
+class LlmOpsSpec extends SparkSpec {
+
+  test("cosine_sim expression matches the HOF formulation bit-for-bit") {
+    import spark.implicits._
+    val emb = Tables(spark, sfDir, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+      .limit(50)
+    val a = emb.select($"vec_id".as("ia"), $"e".as("ea"))
+    val b = emb.select($"vec_id".as("ib"), $"e".as("eb"))
+    val both = a.crossJoin(b).filter($"ia" < $"ib")
+      .withColumn("fused", GraftFunctions.cosineSim(spark, $"ea", $"eb"))
+      .withColumn("hof",
+        expr("aggregate(zip_with(ea, eb, (x, y) -> x * y), 0D, (s, x) -> s + x)") /
+          (sqrt(expr("aggregate(ea, 0D, (s, x) -> s + x * x)")) *
+           sqrt(expr("aggregate(eb, 0D, (s, x) -> s + x * x)"))))
+    val diff = both.filter($"fused" =!= $"hof").count()
+    assert(diff === 0)
+  }
+
+  test("doc_fingerprint is deterministic and separates distinct texts") {
+    import spark.implicits._
+    val fp1 = Tables(spark, sfDir, "documents")
+      .select($"doc_id", GraftFunctions.docFingerprint(spark, $"text").as("fp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val fp2 = Tables(spark, sfDir, "documents").repartition(7)
+      .select($"doc_id", GraftFunctions.docFingerprint(spark, $"text").as("fp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(fp1 === fp2)
+    // distinct texts ↦ distinct fingerprints (no collision on this data)
+    val texts = Tables(spark, sfDir, "documents").select("text").distinct().count()
+    assert(fp1.values.toSet.size === texts)
+  }
+
+  test("simhash64: identical token arrays hash identically; determinism") {
+    import spark.implicits._
+    val fp = Tables(spark, sfDir, "documents")
+      .select($"doc_id", $"text",
+        GraftFunctions.simhash64(spark, split($"text", " ")).as("fp"))
+    val byText = fp.groupBy($"text").agg(countDistinct($"fp").as("n"))
+    assert(byText.filter($"n" > 1).count() === 0)
+  }
+
+  test("minhash candidates contain all exact duplicate pairs") {
+    val docs = Tables(spark, sfDir, "documents")
+    val exactDups = docs.as("a").join(docs.as("b"),
+        col("a.text") === col("b.text") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cands = MinHashDedup.candidatePairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exactDups.subsetOf(cands),
+      s"missing exact dups: ${exactDups.diff(cands)}")
+  }
+
+  test("LSH ANN achieves reasonable recall@10 vs brute force") {
+    import spark.implicits._
+    val emb = Tables(spark, sfDir, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+    val exact = AnnSearch.bruteTopK(spark, emb, "vec_id", "e", col("id") < 5)
+      .select($"q_id", $"neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = AnnSearch.lshTopK(spark, emb, "vec_id", "e", col("id") < 5)
+      .select($"q_id", $"neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    // 4 tables × 4 bits on near-orthogonal random data: must beat chance
+    // (random 25%-candidate sampling would give ~0.25 on average).
+    assert(recall >= 0.3, s"recall@10 = $recall")
+  }
+
+  test("multimodal feature extraction is deterministic and complete") {
+    import spark.implicits._
+    val media = Tables(spark, sfDir, "documents")
+      .select($"doc_id", encode($"text", "UTF-8").as("payload"))
+    val feats = graft.multimodal.Multimodal.extractFeaturesDF(media)
+    assert(feats.count() === media.count())
+    val sameBytes = feats.join(
+      Tables(spark, sfDir, "documents").select($"doc_id", length($"text").as("l")),
+      "doc_id").filter($"n_bytes" =!= $"l").count()
+    assert(sameBytes === 0) // ascii text: bytes == chars
+  }
+}
