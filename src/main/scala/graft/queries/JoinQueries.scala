@@ -145,6 +145,33 @@ object JoinQueries extends QueryGroup {
                 ON p.user_id = c.user_id AND p.ts >= c.ts
               ORDER BY p.event_id""")),
 
+    // TPC-H Q3 shape: 3-way join → group → top-10 (SURVEY.md §7 M1).
+    // Catalyst broadcast-hashes customer (small side) and sort-merges
+    // orders⋈lineitem; TakeOrderedAndProject caps the sort at k=10.
+    GQuery("q3_shipping_priority",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "customer").filter($"c_mktsegment" === "BUILDING")
+          .join(Tables(s, dir, "orders"), $"c_custkey" === $"o_custkey")
+          .join(Tables(s, dir, "lineitem"), $"o_orderkey" === $"l_orderkey")
+          .filter($"o_orderdate" < lit("1998-01-01").cast("timestamp") &&
+                  $"l_shipdate" > lit("1998-01-01").cast("timestamp"))
+          .groupBy($"l_orderkey", $"o_orderpriority")
+          .agg(Det.dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4).as("revenue"))
+          .orderBy($"revenue".desc, $"l_orderkey")
+          .limit(10)
+      },
+      Some(s"""SELECT l_orderkey, o_orderpriority,
+              ${Det.sql.dsum("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue
+              FROM customer
+              JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON o_orderkey = l_orderkey
+              WHERE c_mktsegment = 'BUILDING'
+                AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+                AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+              GROUP BY l_orderkey, o_orderpriority
+              ORDER BY revenue DESC, l_orderkey LIMIT 10""")),
+
     // Banding join: orders classified into literal price bands (range predicate).
     GQuery("join_range",
       (s, dir) => {

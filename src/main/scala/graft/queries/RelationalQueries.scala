@@ -142,6 +142,44 @@ object RelationalQueries extends QueryGroup {
       (s, dir) => Tables(s, dir, "customer")
         .orderBy(rand(42L))
         .select("c_custkey"),
+      None),
+
+    // randomSplit-based train/test split: engine-specific RNG → rows-only;
+    // disjointness/reproducibility are ScalaTest-gated.
+    GQuery("train_test_split",
+      (s, dir) => {
+        import s.implicits._
+        val (train, test) = graft.ops.Sampling.trainTestSplit(
+          Tables(s, dir, "documents"), testFraction = 0.2, seed = 42L)
+        train.select(lit("train").as("split"), $"doc_id")
+          .unionByName(test.select(lit("test").as("split"), $"doc_id"))
+          .groupBy($"split").agg(count(lit(1)).as("n"))
+          .orderBy($"split")
+      },
+      None),
+
+    // Deterministic content-hash sampling + stable split assignment:
+    // a pure function of the data (partitioning/cluster independent),
+    // but xxhash64 has no DuckDB analogue → rows-only.
+    GQuery("sample_exact_n",
+      (s, dir) => {
+        import s.implicits._
+        graft.ops.Sampling.hashSample(
+            Tables(s, dir, "documents").select($"doc_id", $"text"),
+            n = 100, salt = 7L, $"doc_id")
+          .select($"doc_id")
+          .orderBy($"doc_id")
+      },
+      None),
+
+    GQuery("hash_split",
+      (s, dir) => {
+        import s.implicits._
+        graft.ops.Sampling.hashSplit(
+            Tables(s, dir, "documents"), testPermille = 200, salt = 7L, $"doc_id")
+          .groupBy($"split").agg(count(lit(1)).as("n"))
+          .orderBy($"split")
+      },
       None)
   )
 }

@@ -67,6 +67,22 @@ object SetQueries extends QueryGroup {
       Some("""SELECT c_custkey AS key FROM customer
               EXCEPT SELECT user_id FROM events ORDER BY key""")),
 
+    // .tail(n): last-k by a total order = top-k on the reversed order,
+    // re-sorted ascending (pandas tail semantics need an order column).
+    GQuery("tail",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "orders")
+          .select($"o_orderkey", $"o_totalprice")
+          .orderBy($"o_orderkey".desc)
+          .limit(20)
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT * FROM (
+                SELECT o_orderkey, o_totalprice FROM orders
+                ORDER BY o_orderkey DESC LIMIT 20) t
+              ORDER BY o_orderkey""")),
+
     // pandas concat(axis=1): positional zip via deterministic row ids.
     GQuery("concat_cols",
       (s, dir) => {

@@ -1,0 +1,59 @@
+package graft
+
+import graft.queries.Registry
+
+/** Physical-plan assertions: the scale properties the engine is built
+  * around must be visible in `explain` output — filters reaching the
+  * parquet scan, scans pruned to referenced columns, small dims
+  * broadcast, top-k compiled to TakeOrderedAndProject. These are the
+  * checks that keep a 100 TB run from silently degrading into
+  * full-scan/shuffle plans.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(key: String): String = {
+    val df = Registry.byKey(key).build(spark, sfDir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q1: shipdate filter is pushed to the parquet scan") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"no pushed filter in:\n$p")
+  }
+
+  test("q1: scan reads only the referenced columns") {
+    val p = plan("q1_pricing_summary")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_orderkey") && readSchema.contains("l_quantity"),
+      s"column pruning failed: $readSchema")
+  }
+
+  test("join_broadcast uses BroadcastHashJoin") {
+    assert(plan("join_broadcast").contains("BroadcastHashJoin"))
+  }
+
+  test("q3 joins avoid nested-loop; top-10 is TakeOrderedAndProject") {
+    val p = plan("q3_shipping_priority")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop in:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"no top-k operator in:\n$p")
+  }
+
+  test("top_k compiles to TakeOrderedAndProject (no global sort)") {
+    assert(plan("top_k").contains("TakeOrderedAndProject"))
+  }
+
+  test("filter query pushes predicates and prunes columns") {
+    val p = plan("filter")
+    assert(p.contains("PushedFilters: [IsNotNull(event_type), IsNotNull(value)"),
+      s"no pushed filters:\n$p")
+  }
+
+  test("whole-stage codegen covers the q1 aggregation") {
+    // AQE reports codegen spans only in the final (executed) plan.
+    val df = Registry.byKey("q1_pricing_summary").build(spark, sfDir)
+    df.collect()
+    // codegen stages render as "*(n) Operator" in the final AQE plan
+    assert(df.queryExecution.executedPlan.toString.contains("*("))
+  }
+}
