@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.functions.call_function
-import graft.functions.{CosineSimilarity, RollingHashFingerprint, SimHash64}
+import graft.functions.{BottomKSample, CosineSimilarity, RollingHashFingerprint, SimHash64}
 
 /** Registration of graft's native Catalyst expressions as SQL functions.
   *
@@ -18,7 +18,10 @@ object GraftFunctions {
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     ("cosine_sim", es => CosineSimilarity(es(0), es(1))),
     ("doc_fingerprint", es => RollingHashFingerprint(es(0))),
-    ("simhash64", es => SimHash64(es(0))))
+    ("simhash64", es => SimHash64(es(0))),
+    ("bottomk_sample", es => BottomKSample(es(0),
+      es(1).eval().asInstanceOf[Number].intValue(),
+      es(2).eval().asInstanceOf[Number].longValue()).toAggregateExpression()))
 
   def ensureRegistered(spark: SparkSession): Unit = synchronized {
     val reg = spark.sessionState.functionRegistry
@@ -41,6 +44,13 @@ object GraftFunctions {
   }
   def simhash64(spark: SparkSession, c: Column): Column = {
     ensureRegistered(spark); call_function("simhash64", c)
+  }
+  /** Deterministic distributed k-sample (bottom-k hash sketch) of a
+    * bigint column — see [[graft.functions.BottomKSample]]. */
+  def bottomkSample(spark: SparkSession, c: Column, k: Int, salt: Long): Column = {
+    ensureRegistered(spark)
+    call_function("bottomk_sample", c,
+      org.apache.spark.sql.functions.lit(k), org.apache.spark.sql.functions.lit(salt))
   }
 }
 

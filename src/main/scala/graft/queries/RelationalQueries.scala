@@ -172,6 +172,19 @@ object RelationalQueries extends QueryGroup {
       },
       None),
 
+    // Deterministic distributed k-sample via the BottomKSample
+    // TypedImperativeAggregate (order/partitioning-free; custom hash →
+    // rows-only; partition invariance is ScalaTest-gated).
+    GQuery("reservoir_sample",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "orders")
+          .agg(graft.engine.GraftFunctions.bottomkSample(s, $"o_orderkey", 50, 7L).as("sample"))
+          .select(explode($"sample").as("o_orderkey"))
+          .orderBy($"o_orderkey")
+      },
+      None),
+
     GQuery("hash_split",
       (s, dir) => {
         import s.implicits._
