@@ -121,6 +121,30 @@ object FunctionQueries extends QueryGroup {
                 COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n
               FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // Nested-JSON flattening (reference: enumerate_json_items /
+    // read_json nested records → flat columns): build a nested record,
+    // parse with an explicit struct schema, star-expand.
+    GQuery("fn_json_nested",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "events")
+          .filter($"event_id" < 1000)
+          .withColumn("doc", to_json(struct(
+            $"event_id",
+            struct($"user_id", $"event_type").as("who"),
+            struct(get_json_object($"props", "$.k").cast("long").as("k")).as("payload"))))
+          .withColumn("parsed", from_json($"doc", StructType.fromDDL(
+            "event_id BIGINT, who STRUCT<user_id: BIGINT, event_type: STRING>, payload STRUCT<k: BIGINT>")))
+          .select($"parsed.event_id".as("event_id"),
+            $"parsed.who.user_id".as("user_id"),
+            $"parsed.who.event_type".as("event_type"),
+            $"parsed.payload.k".as("k"))
+          .orderBy($"event_id")
+      },
+      Some("""SELECT event_id, user_id, event_type,
+                CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+              FROM events WHERE event_id < 1000 ORDER BY event_id""")),
+
     // Map-typed view of the same JSON (dict-valued columns).
     GQuery("fn_map",
       (s, dir) => {

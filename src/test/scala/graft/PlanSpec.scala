@@ -49,6 +49,27 @@ class PlanSpec extends SparkSpec {
       s"no pushed filters:\n$p")
   }
 
+  test("stream_static_join broadcasts the dimension side") {
+    assert(plan("stream_static_join").contains("BroadcastHashJoin"))
+  }
+
+  test("sim_search is a broadcast product (query side broadcast, no shuffle of base)") {
+    val p = plan("sim_search")
+    assert(p.contains("BroadcastNestedLoopJoin"), s"expected broadcast product:\n$p")
+  }
+
+  test("join_asof plans one key-shuffle window, not a nested loop") {
+    val p = plan("join_asof")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"as-of join degenerated:\n$p")
+    assert(p.contains("Window"), s"no window operator:\n$p")
+  }
+
+  test("partial aggregation is map-side for groupby_agg") {
+    val p = plan("groupby_agg")
+    assert(p.contains("partial_"), s"no partial aggregate:\n$p")
+  }
+
   test("whole-stage codegen covers the q1 aggregation") {
     // AQE reports codegen spans only in the final (executed) plan.
     val df = Registry.byKey("q1_pricing_summary").build(spark, sfDir)
