@@ -148,6 +148,68 @@ object AggQueries extends QueryGroup {
               SELECT SUM(v) / COUNT(v) AS median_price FROM r
               WHERE rn IN ((n + 1) // 2, (n + 2) // 2)""")),
 
+    // Exact quartiles via row_number selection (no engine-specific
+    // quantile interpolation): value at ceil(q·n) of the sorted order.
+    GQuery("quartiles",
+      (s, dir) => {
+        import s.implicits._
+        val ranked = Tables(s, dir, "orders")
+          .select($"o_totalprice".as("v"), $"o_orderkey")
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window.orderBy($"v", $"o_orderkey")))
+        val n = ranked.count()
+        def pick(q: Double): Long = math.ceil(q * n).toLong
+        ranked.filter($"rn".isin(pick(0.25), pick(0.5), pick(0.75)))
+          .withColumn("quartile",
+            when($"rn" === pick(0.25), "p25")
+              .when($"rn" === pick(0.5), "p50").otherwise("p75"))
+          .select($"quartile", $"v".as("price"))
+          .orderBy($"quartile")
+      },
+      Some("""WITH r AS (
+                SELECT o_totalprice AS v,
+                  ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+                  COUNT(*) OVER () AS n
+                FROM orders)
+              SELECT CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT) THEN 'p25'
+                          WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN 'p50'
+                          ELSE 'p75' END AS quartile,
+                     v AS price
+              FROM r
+              WHERE rn IN (CAST(ceil(0.25 * n) AS BIGINT),
+                           CAST(ceil(0.5 * n) AS BIGINT),
+                           CAST(ceil(0.75 * n) AS BIGINT))
+              ORDER BY quartile""")),
+
+    // Pearson correlation from exact decimal moments (dask df.corr):
+    // every sum is order-free; the final formula is pure IEEE double.
+    GQuery("corr",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "lineitem")
+          .agg(
+            count(lit(1)).cast("double").as("n"),
+            sum($"l_quantity".cast(DecimalType(18, 2))).cast("double").as("sx"),
+            sum($"l_extendedprice".cast(DecimalType(18, 2))).cast("double").as("sy"),
+            sum(($"l_quantity" * $"l_quantity").cast(DecimalType(18, 2))).cast("double").as("sxx"),
+            sum(($"l_extendedprice" * $"l_extendedprice").cast(DecimalType(18, 4))).cast("double").as("syy"),
+            sum(($"l_quantity" * $"l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("sxy"))
+          .select((($"n" * $"sxy" - $"sx" * $"sy") /
+            (sqrt($"n" * $"sxx" - $"sx" * $"sx") * sqrt($"n" * $"syy" - $"sy" * $"sy")))
+            .as("corr_qty_price"))
+      },
+      Some("""WITH m AS (
+                SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+                  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+                  CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+                  CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS syy,
+                  CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+                FROM lineitem)
+              SELECT (n * sxy - sx * sy) /
+                     (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price
+              FROM m""")),
+
     GQuery("cube",
       (s, dir) => {
         import s.implicits._
