@@ -42,6 +42,11 @@ for key in sorted(oracle):
         print(f"FAIL {key}: columns oracle={list(dd.columns)} spark={list(sp.columns)}")
         n_fail += 1
         continue
+    # surface dtype divergence (the driver also records a schema match)
+    tdiff = [(c, str(dd[c].dtype), str(sp[c].dtype)) for c in dd.columns
+             if str(dd[c].dtype) != str(sp[c].dtype)]
+    if tdiff:
+        print(f"TYPE {key}: {tdiff}")
     if len(dd) != len(sp):
         print(f"FAIL {key}: rows oracle={len(dd)} spark={len(sp)}")
         n_fail += 1

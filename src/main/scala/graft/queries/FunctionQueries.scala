@@ -20,6 +20,7 @@ object FunctionQueries extends QueryGroup {
         Tables(s, dir, "documents")
           .filter($"doc_id" < 50)
           .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "token")))
+          .select($"doc_id", $"pos".cast("long").as("pos"), $"token")
           .orderBy($"doc_id", $"pos")
       },
       Some("""SELECT doc_id,
@@ -37,7 +38,7 @@ object FunctionQueries extends QueryGroup {
             upper($"p_brand").as("ubrand"),
             substring($"p_name", 1, 5).as("pfx"),
             regexp_replace($"p_name", "a", "@").as("repl"),
-            length($"p_name").as("len"),
+            length($"p_name").cast("long").as("len"),
             $"p_name".contains("er").as("has_er"),
             $"p_type".startsWith("PRO").as("is_promo"))
           .orderBy($"p_partkey")
@@ -55,11 +56,11 @@ object FunctionQueries extends QueryGroup {
         Tables(s, dir, "events")
           .filter($"event_id" < 1000)
           .select($"event_id",
-            year($"ts").as("y"),
-            month($"ts").as("mo"),
-            dayofmonth($"ts").as("d"),
-            hour($"ts").as("h"),
-            (dayofweek($"ts") - 1).as("dow"),
+            year($"ts").cast("long").as("y"),
+            month($"ts").cast("long").as("mo"),
+            dayofmonth($"ts").cast("long").as("d"),
+            hour($"ts").cast("long").as("h"),
+            (dayofweek($"ts") - 1).cast("long").as("dow"),
             unix_millis(date_trunc("hour", $"ts")).as("hour_bucket_ms"))
           .orderBy($"event_id")
       },
@@ -95,7 +96,7 @@ object FunctionQueries extends QueryGroup {
         Tables(s, dir, "embeddings")
           .filter($"vec_id" < 100)
           .select($"vec_id",
-            size($"embedding").as("dim"),
+            size($"embedding").cast("long").as("dim"),
             element_at($"embedding", 1).cast("double").as("first_e"),
             element_at($"embedding", size($"embedding")).cast("double").as("last_e"))
           .orderBy($"vec_id")

@@ -83,7 +83,7 @@ object LlmQueries extends QueryGroup {
         val emb = Tables(s, dir, "embeddings")
           .select($"vec_id", $"embedding".cast("array<double>").as("e"))
         graft.ops.AnnSearch.bruteTopK(s, emb, "vec_id", "e", $"id" < 5, k = 10)
-          .select($"q_id", $"rank", $"neighbor_id")
+          .select($"q_id", $"rank".cast("long").as("rank"), $"neighbor_id")
           .orderBy($"q_id", $"rank")
       },
       Some("""SELECT q_id, rank, neighbor_id FROM (
@@ -138,7 +138,7 @@ object LlmQueries extends QueryGroup {
         Tables(s, dir, "documents")
           .groupBy($"source")
           .agg(sum(size(split($"text", " ")).cast("long")).as("total_tokens"),
-            max(size(split($"text", " "))).as("max_tokens"))
+            max(size(split($"text", " ")).cast("long")).as("max_tokens"))
           .orderBy($"source")
       },
       Some("""SELECT source,
@@ -154,7 +154,7 @@ object LlmQueries extends QueryGroup {
         Tables(s, dir, "documents")
           .filter($"doc_id" < 500)
           .withColumn("toks", split($"text", " "))
-          .withColumn("n_tokens", size($"toks"))
+          .withColumn("n_tokens", size($"toks").cast("long"))
           .withColumn("stop_hits",
             size(filter($"toks", t => t.isin(stop.map(lit(_)): _*))))
           .withColumn("stop_ratio", $"stop_hits" / $"n_tokens")
@@ -313,7 +313,7 @@ object LlmQueries extends QueryGroup {
           .filter($"doc_id" < 500)
           .withColumn("payload", encode($"text", "UTF-8"))
           .select($"doc_id",
-            octet_length($"payload").as("n_bytes"),
+            octet_length($"payload").cast("long").as("n_bytes"),
             md5($"payload").as("digest"))
           .orderBy($"doc_id")
       },

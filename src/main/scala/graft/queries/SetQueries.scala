@@ -88,11 +88,11 @@ object SetQueries extends QueryGroup {
       (s, dir) => {
         import s.implicits._
         val r = Tables(s, dir, "region")
-          .withColumn("rn", row_number().over(Window.orderBy($"r_name")))
+          .withColumn("rn", row_number().over(Window.orderBy($"r_name")).cast("long"))
           .select($"rn", $"r_name")
         val n = Tables(s, dir, "nation")
           .filter($"n_nationkey" < 5)
-          .withColumn("rn", row_number().over(Window.orderBy($"n_name")))
+          .withColumn("rn", row_number().over(Window.orderBy($"n_name")).cast("long"))
           .select($"rn", $"n_name")
         r.join(n, "rn").select($"rn", $"r_name", $"n_name").orderBy($"rn")
       },

@@ -81,6 +81,37 @@ object SourceQueries extends QueryGroup {
       Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
               FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""")),
 
+    // Compressed csv round-trip (reference zip/gzip io surface).
+    GQuery("scan_csv_gzip",
+      (s, dir) => {
+        val path = scratch("region_csv_gz")
+        Tables(s, dir, "region").write.mode("overwrite")
+          .option("header", "true").option("compression", "gzip").csv(path)
+        val schema = StructType(Seq(
+          StructField("r_regionkey", IntegerType),
+          StructField("r_name", StringType)))
+        s.read.schema(schema).option("header", "true").csv(path)
+          .orderBy("r_regionkey")
+      },
+      Some("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey")),
+
+    // Hive-partitioned parquet sink + pruned scan-back: the layout a
+    // 100 TB table actually uses; the read applies partition pruning
+    // (only the o_orderstatus=F directory is listed).
+    GQuery("sink_parquet_partitioned",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        val path = scratch("orders_part")
+        Tables(s, dir, "orders")
+          .write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+        s.read.parquet(path)
+          .filter(col("o_orderstatus") === "F")
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+              WHERE o_orderstatus = 'F' ORDER BY o_orderkey""")),
+
     GQuery("sink_csv",
       (s, dir) => {
         val path = scratch("customer_csv")

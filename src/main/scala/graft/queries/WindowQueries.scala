@@ -23,7 +23,7 @@ object WindowQueries extends QueryGroup {
         Tables(s, dir, "supplier")
           .withColumn("rnk", rank().over(w))
           .filter($"rnk" <= 3)
-          .select($"s_nationkey", $"rnk", $"s_suppkey", $"s_acctbal")
+          .select($"s_nationkey", $"rnk".cast("long").as("rnk"), $"s_suppkey", $"s_acctbal")
           .orderBy($"s_nationkey", $"rnk", $"s_suppkey")
       },
       Some("""SELECT s_nationkey, rnk, s_suppkey, s_acctbal FROM (
@@ -40,7 +40,7 @@ object WindowQueries extends QueryGroup {
         Tables(s, dir, "events")
           .filter($"user_id" < 20)
           .select($"user_id", $"event_id",
-            row_number().over(w).as("rn"),
+            row_number().over(w).cast("long").as("rn"),
             lag($"event_id", 1).over(w).as("prev_id"),
             lead($"event_id", 1).over(w).as("next_id"))
           .orderBy($"user_id", $"rn")

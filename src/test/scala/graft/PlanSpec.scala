@@ -70,6 +70,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), s"no partial aggregate:\n$p")
   }
 
+  test("partitioned parquet readback prunes to the matching partition") {
+    val df = Registry.byKey("sink_parquet_partitioned").build(spark, sfDir)
+    val scan = df.queryExecution.executedPlan.toString
+    // the partition filter must be applied at file-listing time, not as a row filter
+    assert(scan.contains("PartitionFilters: [isnotnull(o_orderstatus"),
+      s"no partition pruning:\n$scan")
+  }
+
   test("whole-stage codegen covers the q1 aggregation") {
     // AQE reports codegen spans only in the final (executed) plan.
     val df = Registry.byKey("q1_pricing_summary").build(spark, sfDir)
