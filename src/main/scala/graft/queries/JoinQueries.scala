@@ -172,6 +172,55 @@ object JoinQueries extends QueryGroup {
               GROUP BY l_orderkey, o_orderpriority
               ORDER BY revenue DESC, l_orderkey LIMIT 10""")),
 
+    // Skew-safe salted join (deterministic salt → same result as the
+    // plain join, oracle included; the mechanism for keys hotter than
+    // AQE's skew-split thresholds).
+    GQuery("join_skew_salted",
+      (s, dir) => {
+        import s.implicits._
+        val joined = graft.ops.SkewJoin.saltedInner(
+          Tables(s, dir, "events"), Tables(s, dir, "customer"),
+          "user_id", "c_custkey", col("event_id"), salts = 8)
+        joined.groupBy($"c_mktsegment")
+          .agg(count(lit(1)).as("n"), Det.dsum($"value").as("sum_value"))
+          .orderBy($"c_mktsegment")
+      },
+      Some(s"""SELECT c_mktsegment, COUNT(*) AS n, ${Det.sql.dsum("value")} AS sum_value
+              FROM events JOIN customer ON user_id = c_custkey
+              GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // Co-located join via bucketing: both tables bucketed+sorted on the
+    // join key, so the join needs NO shuffle of either side (the
+    // bucketed scan already provides the required hash partitioning).
+    // At 100 TB this is the difference between an exabyte of network
+    // and none — the write-side cost is paid once, every join reuses it.
+    GQuery("join_bucketed",
+      (s, dir) => {
+        import s.implicits._
+        val scratch = new java.io.File(
+          sys.props("java.io.tmpdir"), "graft_scratch/bucketed").getAbsolutePath
+        s.sql("DROP TABLE IF EXISTS g_orders_b")
+        s.sql("DROP TABLE IF EXISTS g_lineitem_b")
+        Tables(s, dir, "orders")
+          .write.mode("overwrite").option("path", s"$scratch/orders")
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .saveAsTable("g_orders_b")
+        Tables(s, dir, "lineitem")
+          .write.mode("overwrite").option("path", s"$scratch/lineitem")
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .saveAsTable("g_lineitem_b")
+        s.table("g_orders_b")
+          .join(s.table("g_lineitem_b"), $"o_orderkey" === $"l_orderkey")
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("n_items"),
+               Det.dsum($"l_quantity").as("sum_qty"))
+          .orderBy($"o_orderpriority")
+      },
+      Some(s"""SELECT o_orderpriority, COUNT(*) AS n_items,
+              ${Det.sql.dsum("l_quantity")} AS sum_qty
+              FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+              GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
     // Banding join: orders classified into literal price bands (range predicate).
     GQuery("join_range",
       (s, dir) => {

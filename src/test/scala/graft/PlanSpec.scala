@@ -70,6 +70,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), s"no partial aggregate:\n$p")
   }
 
+  test("bucketed join shuffles NEITHER side") {
+    val df = Registry.byKey("join_bucketed").build(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    // the only exchanges allowed are AFTER the join (final agg/sort);
+    // between the two bucketed scans and the join there must be none.
+    val joinIdx = p.indexOf("Join")
+    assert(joinIdx >= 0, s"no join in plan:\n$p")
+    val belowJoin = p.substring(joinIdx)
+    assert(!belowJoin.contains("Exchange hashpartitioning"),
+      s"bucketed join still shuffles:\n$p")
+    assert(p.contains("SelectedBucketsCount") || belowJoin.contains("Bucketed: true"),
+      s"scan not bucketed:\n$p")
+  }
+
   test("partitioned parquet readback prunes to the matching partition") {
     val df = Registry.byKey("sink_parquet_partitioned").build(spark, sfDir)
     val scan = df.queryExecution.executedPlan.toString
