@@ -148,6 +148,37 @@ object AggQueries extends QueryGroup {
               SELECT SUM(v) / COUNT(v) AS median_price FROM r
               WHERE rn IN ((n + 1) // 2, (n + 2) // 2)""")),
 
+    // Per-group describe (dask groupby().describe()): decimal moments
+    // per key, std from exact sums.
+    GQuery("groupby_describe",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "orders")
+          .groupBy($"o_orderstatus")
+          .agg(
+            count($"o_totalprice").as("n"),
+            sum($"o_totalprice".cast(DecimalType(18, 2))).cast("double").as("s1"),
+            sum(($"o_totalprice" * $"o_totalprice").cast(DecimalType(18, 4)))
+              .cast("double").as("s2"),
+            min($"o_totalprice").as("min_price"),
+            max($"o_totalprice").as("max_price"))
+          .select($"o_orderstatus", $"n",
+            ($"s1" / $"n").as("mean_price"),
+            sqrt(($"s2" - $"s1" * $"s1" / $"n") / ($"n" - lit(1))).as("std_price"),
+            $"min_price", $"max_price")
+          .orderBy($"o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, n, s1 / n AS mean_price,
+                sqrt((s2 - s1 * s1 / n) / (n - 1)) AS std_price,
+                min_price, max_price
+              FROM (
+                SELECT o_orderstatus, COUNT(o_totalprice) AS n,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+                  CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS s2,
+                  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+                FROM orders GROUP BY o_orderstatus) t
+              ORDER BY o_orderstatus""")),
+
     // Exact quartiles via row_number selection (no engine-specific
     // quantile interpolation): value at ceil(q·n) of the sorted order.
     GQuery("quartiles",

@@ -50,6 +50,24 @@ object FunctionQueries extends QueryGroup {
                 starts_with(p_type, 'PRO') AS is_promo
               FROM part ORDER BY p_partkey""")),
 
+    // Regex family: extraction/matching with dialect-neutral patterns.
+    GQuery("fn_regex",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "orders")
+          .filter($"o_orderkey" < 1000)
+          .select($"o_orderkey",
+            regexp_extract($"o_orderpriority", "([0-9]+)", 1).as("prio_digit"),
+            $"o_orderpriority".rlike("URGENT|HIGH").as("is_hot"),
+            regexp_replace($"o_orderpriority", "[0-9]-", "").as("prio_name"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+                regexp_extract(o_orderpriority, '([0-9]+)', 1) AS prio_digit,
+                regexp_matches(o_orderpriority, 'URGENT|HIGH') AS is_hot,
+                regexp_replace(o_orderpriority, '[0-9]-', '') AS prio_name
+              FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey""")),
+
     GQuery("fn_date",
       (s, dir) => {
         import s.implicits._

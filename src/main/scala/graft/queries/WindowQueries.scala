@@ -112,6 +112,27 @@ object WindowQueries extends QueryGroup {
               FROM events WHERE user_id < 20
               ORDER BY user_id, event_id""")),
 
+    // ntile + percent_rank: quantile bucketing / relative ranking.
+    // percent_rank = (rank-1)/(n-1) is an exact int ratio → the double
+    // is bit-identical in both engines.
+    GQuery("window_ntile",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.orderBy($"o_totalprice", $"o_orderkey")
+        Tables(s, dir, "orders")
+          .filter($"o_orderkey" < 2000)
+          .select($"o_orderkey",
+            ntile(4).over(w).cast("long").as("quartile_bucket"),
+            percent_rank().over(w).as("pct_rank"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+                NTILE(4) OVER w AS quartile_bucket,
+                PERCENT_RANK() OVER w AS pct_rank
+              FROM orders WHERE o_orderkey < 2000
+              WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+              ORDER BY o_orderkey""")),
+
     GQuery("top_k",
       (s, dir) => {
         import s.implicits._
