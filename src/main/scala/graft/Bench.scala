@@ -1,12 +1,36 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Benchmark main. Times `count()` on every declared query at
+  * SPARK_GRAFT_SF_DIR (default sf0.1), n iterations each (best-of-n so a
+  * one-off GC pause or compile stall can't masquerade as a regression).
+  *
+  * Output contract: the FINAL stdout line is one SHORT JSON object
+  * (total + headline queries only, well under 1 kB) so the driver's
+  * tail-capture can always parse it; the full per-query map is written
+  * to bench_details.json next to the working dir and also printed line
+  * by line above the summary for human eyes. Failed queries are listed
+  * in `failed` (and excluded from the total) instead of being silently
+  * timed as fast successes.
+  */
 object Bench {
+  // Queries the summary line carries explicitly (≈BASELINE.md headliners).
+  private val headline = Seq(
+    "q1_pricing_summary", "q3_shipping_priority", "top_k", "window_rank",
+    "stream_tumbling", "sim_search", "median", "join_bucketed",
+    "dedup_exact", "groupby_agg")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "3").toInt
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -17,15 +41,35 @@ object Bench {
       spark.read.parquet(s"$sfDir/lineitem.parquet")
         .groupBy("l_returnflag").count().collect()
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    val keys = SparkEntry.queries.keys.toSeq.sorted
+      .filter(k => only.forall(_.contains(k)))
+    var failed = List.empty[String]
+    val timed = keys.flatMap { name =>
+      val fn = SparkEntry.queries(name)
+      val runs = (1 to iters).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case _: Throwable => None }
+      }
+      val ok = runs.flatten
+      if (ok.isEmpty) { failed ::= name; None }
+      else Some(name -> ok.min)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val total = timed.map(_._2).sum
+    def jnum(d: Double): String = f"$d%.4f"
+    val detailJson = timed.map { case (k, v) => s"\"$k\":${jnum(v)}" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val full =
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","n":$iters,"cpus":$cpus,"sf":"$sfDir","failed":$failedJson,"queries":$detailJson}"""
+    Files.writeString(Paths.get("bench_details.json"), full)
+    println(full)  // full map for humans / logs (may be long)
+    val hq = timed.filter(t => headline.contains(t._1))
+      .map { case (k, v) => s"\"$k\":${jnum(v)}" }.mkString("{", ",", "}")
     spark.stop()
+    // Short parse-safe summary as the very last stdout line.
+    println(
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","n":$iters,"n_queries":${timed.size},"failed":$failedJson,"queries":$hq,"sf":"$sfDir"}""")
   }
 }

@@ -17,11 +17,13 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
-      // default. Read it as raw nanos and truncate to µs with integer
-      // division — bit-identical to DuckDB 1.0.0's ns→µs truncation
-      // (verified, SURVEY.md §1), so oracles stay hash-exact.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects
+      // unless spark.sql.legacy.parquet.nanosAsLong=true is set AT
+      // SESSION BUILD (Verify/Bench/tools/SparkSpec all set it — a
+      // loader must not mutate session conf). Read the raw nanos and
+      // truncate to µs with integer division — bit-identical to DuckDB
+      // 1.0.0's ns→µs truncation (verified, SURVEY.md §1), so oracles
+      // stay hash-exact.
       val raw = spark.read.parquet(s"$dir/$name.parquet")
       if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
         raw.withColumn("ts",

@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed order-statistic selection (exact median / quantiles by
+  * rank) without a single-task global sort.
+  *
+  * The naive construction — `row_number().over(Window.orderBy(v))` —
+  * funnels EVERY row through one task: a scale-killer at 100 TB. This
+  * is the classic distributed-selection shape instead, all in ONE
+  * declarative plan (no driver-side actions):
+  *
+  *  1. bucket boundaries from `approx_percentile` (a mergeable sketch —
+  *     one distributed agg), broadcast to every row;
+  *  2. per-bucket counts (distributed hash agg, ≤ `buckets` rows) →
+  *     cumulative offsets + total n via a window over that TINY frame;
+  *  3. rows join (broadcast) their bucket's [offset, offset+count]
+  *     range; only buckets containing a requested rank survive the
+  *     filter — ~n/buckets rows instead of n;
+  *  4. a per-bucket sort window assigns local row numbers; global rank
+  *     = bucket offset + local rank. Select the requested ranks.
+  *
+  * Selection BY VALUE is robust to boundary placement: rows with equal
+  * v are contiguous within a bucket regardless of tie-breaks, so the
+  * value at any global rank is exactly the value of the true sorted
+  * order even if equal keys straddle a boundary.
+  */
+object DistributedSelect {
+
+  /** Rows of `df` at the given 1-based global ranks of ORDER BY (v, key).
+    *
+    * @param ranksOfN  builds the wanted rank expressions from the total
+    *                  row count column `n` (LongType); e.g.
+    *                  `n => Seq(floor((n + 1) / 2))` for the lower median.
+    * @param labelsOfN optional (rankExpr -> label) pairs; each selected
+    *                  row gets the FIRST label whose rank matches (the
+    *                  CASE-precedence an oracle's rank→name mapping uses).
+    * @return one row per matched rank: columns `rank`, `v` (+ `label`).
+    */
+  def atRanks(df: DataFrame, vCol: String, keyCol: String,
+              ranksOfN: Column => Seq[Column], buckets: Int = 32,
+              labelsOfN: Option[Column => Seq[(Column, Column)]] = None): DataFrame = {
+    val v = col(vCol)
+    // 1. boundary sketch (31 inner cut points for 32 buckets).
+    val ps = (1 until buckets).map(i => i.toDouble / buckets)
+    val bounds = df.agg(
+      percentile_approx(v, typedLit(ps), lit(1000)).as("__bnds"))
+    // 2. assign each row its bucket: count of boundaries strictly below v.
+    val bucketed = df.select(v.as("__v"), col(keyCol).as("__k"))
+      .crossJoin(broadcast(bounds))
+      .withColumn("__b",
+        aggregate(col("__bnds"), lit(0),
+          (acc, b) => acc + when(col("__v") > b, 1).otherwise(0)))
+      .drop("__bnds")
+    // 3. per-bucket counts → offsets and n (window over ≤ `buckets` rows).
+    val wcum = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    val wall = Window.partitionBy()
+    val info = bucketed.groupBy(col("__b")).agg(count(lit(1)).as("__c"))
+      .withColumn("__off", coalesce(sum(col("__c")).over(wcum), lit(0L)))
+      .withColumn("__n", sum(col("__c")).over(wall))
+    val ranks = ranksOfN(col("__n"))
+    val wanted = array_distinct(array(ranks: _*))
+    val hit = info
+      .withColumn("__want", filter(wanted,
+        r => r > col("__off") && r <= col("__off") + col("__c")))
+      .filter(size(col("__want")) > 0)
+      .select(col("__b"), col("__off"), col("__want"), col("__n"))
+    // 4. local sort inside surviving buckets only; emit requested ranks.
+    val wloc = Window.partitionBy(col("__b")).orderBy(col("__v"), col("__k"))
+    val selected = bucketed.join(broadcast(hit), "__b")
+      .withColumn("__rank", col("__off") + row_number().over(wloc))
+      .filter(array_contains(col("__want"), col("__rank")))
+    labelsOfN match {
+      case None => selected.select(col("__rank").as("rank"), col("__v").as("v"))
+      case Some(mk) =>
+        val label = mk(col("__n")).foldRight(lit(null).cast("string")) {
+          case ((r, l), acc) => when(col("__rank") === r, l).otherwise(acc)
+        }
+        selected.select(col("__rank").as("rank"), col("__v").as("v"),
+          label.as("label"))
+    }
+  }
+}

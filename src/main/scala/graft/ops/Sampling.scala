@@ -28,7 +28,7 @@ object Sampling {
     * One TakeOrderedAndProject — no full sort materialization.
     */
   def hashSample(df: DataFrame, n: Int, salt: Long, keyCols: Column*): DataFrame =
-    df.orderBy(xxhash64(lit(salt) +: keyCols: _*).asc, keyCols.head.asc)
+    df.orderBy(xxhash64(lit(salt) +: keyCols: _*).asc +: keyCols.map(_.asc): _*)
       .limit(n)
 
   /** Deterministic hash split: stable train/test assignment per row key

@@ -126,18 +126,19 @@ object AggQueries extends QueryGroup {
                 sqrt((s2 - s1 * s1 / n) / (n - 1)) AS std_price,
                 min_price, max_price FROM m""")),
 
-    // Exact median via row_number — deterministic in both engines (no
-    // engine-specific quantile interpolation).
+    // Exact median via rank selection — deterministic in both engines
+    // (no engine-specific quantile interpolation). Spark side is the
+    // distributed-selection plan (graft.ops.DistributedSelect): range
+    // buckets + per-bucket offsets, local sort only in the bucket(s)
+    // holding the middle ranks — no driver action, no single-task
+    // global window.
     GQuery("median",
       (s, dir) => {
         import s.implicits._
-        val ranked = Tables(s, dir, "orders")
-          .select($"o_totalprice".as("v"), $"o_orderkey")
-          .withColumn("rn", row_number().over(
-            org.apache.spark.sql.expressions.Window.orderBy($"v", $"o_orderkey")))
-        val n = ranked.count()
-        val mid = Seq((n + 1) / 2, (n + 2) / 2).distinct
-        ranked.filter($"rn".isin(mid: _*))
+        graft.ops.DistributedSelect.atRanks(
+            Tables(s, dir, "orders").select($"o_totalprice", $"o_orderkey"),
+            "o_totalprice", "o_orderkey",
+            n => Seq(floor((n + lit(1)) / lit(2)), floor((n + lit(2)) / lit(2))))
           .agg((sum($"v") / count($"v")).as("median_price"))
       },
       Some("""WITH r AS (
@@ -179,22 +180,25 @@ object AggQueries extends QueryGroup {
                 FROM orders GROUP BY o_orderstatus) t
               ORDER BY o_orderstatus""")),
 
-    // Exact quartiles via row_number selection (no engine-specific
-    // quantile interpolation): value at ceil(q·n) of the sorted order.
+    // Exact quartiles via rank selection (no engine-specific quantile
+    // interpolation): value at ceil(q·n) of the sorted order, same
+    // distributed-selection plan as `median`. The rank→label mapping
+    // needs n, so it is re-derived in-plan from the returned ranks
+    // (count window over the ≤3 selected rows — trivial).
     GQuery("quartiles",
       (s, dir) => {
         import s.implicits._
-        val ranked = Tables(s, dir, "orders")
-          .select($"o_totalprice".as("v"), $"o_orderkey")
-          .withColumn("rn", row_number().over(
-            org.apache.spark.sql.expressions.Window.orderBy($"v", $"o_orderkey")))
-        val n = ranked.count()
-        def pick(q: Double): Long = math.ceil(q * n).toLong
-        ranked.filter($"rn".isin(pick(0.25), pick(0.5), pick(0.75)))
-          .withColumn("quartile",
-            when($"rn" === pick(0.25), "p25")
-              .when($"rn" === pick(0.5), "p50").otherwise("p75"))
-          .select($"quartile", $"v".as("price"))
+        def pick(q: Double)(n: org.apache.spark.sql.Column) =
+          ceil(lit(q) * n).cast("long")
+        val sel = graft.ops.DistributedSelect.atRanks(
+          Tables(s, dir, "orders").select($"o_totalprice", $"o_orderkey"),
+          "o_totalprice", "o_orderkey",
+          n => Seq(pick(0.25)(n), pick(0.5)(n), pick(0.75)(n)),
+          labelsOfN = Some((n: org.apache.spark.sql.Column) => Seq(
+            pick(0.25)(n) -> lit("p25"),
+            pick(0.5)(n) -> lit("p50"),
+            pick(0.75)(n) -> lit("p75"))))
+        sel.select($"label".as("quartile"), $"v".as("price"))
           .orderBy($"quartile")
       },
       Some("""WITH r AS (
