@@ -77,6 +77,41 @@ class LlmOpsSpec extends SparkSpec {
     assert(recall >= 0.3, s"recall@10 = $recall")
   }
 
+  test("banded simhash pairs equal the quadratic all-pairs scan") {
+    import spark.implicits._
+    val fp = Tables(spark, sfDir, "documents")
+      .select($"doc_id", GraftFunctions.simhash64(spark, split($"text", " ")).as("fp"))
+    val a = fp.select($"doc_id".as("id_a"), $"fp".as("fp_a"))
+    val b = fp.select($"doc_id".as("id_b"), $"fp".as("fp_b"))
+    val brute = a.join(b, $"id_a" < $"id_b")
+      .withColumn("hamming", bit_count($"fp_a".bitwiseXOR($"fp_b")))
+      .filter($"hamming" <= 6)
+      .select($"id_a", $"id_b", $"hamming")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val banded = graft.ops.HammingJoin.pairsWithin(fp, "doc_id", "fp", 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded === brute,
+      s"missed: ${brute.diff(banded)}; spurious: ${banded.diff(brute)}")
+  }
+
+  test("LSH neardup pairs equal the quadratic cosine scan on graded data") {
+    import spark.implicits._
+    val emb = Tables(spark, sfDir, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+    val a = emb.select($"vec_id".as("id_a"), $"e".as("ea"))
+    val b = emb.select($"vec_id".as("id_b"), $"e".as("eb"))
+    val brute = a.crossJoin(b).filter($"id_a" < $"id_b")
+      .withColumn("sim", GraftFunctions.cosineSim(spark, $"ea", $"eb"))
+      .filter($"sim" >= 0.45)
+      .select($"id_a", $"id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bucketed = AnnSearch.neardupPairs(spark, emb, "vec_id", "e", 0.45)
+      .select($"id_a", $"id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bucketed === brute,
+      s"missed: ${brute.diff(bucketed)}; spurious: ${bucketed.diff(brute)}")
+  }
+
   test("multimodal feature extraction is deterministic and complete") {
     import spark.implicits._
     val media = Tables(spark, sfDir, "documents")

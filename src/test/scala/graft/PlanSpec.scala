@@ -84,6 +84,30 @@ class PlanSpec extends SparkSpec {
       s"scan not bucketed:\n$p")
   }
 
+  test("dedup_simhash plans band equi-joins, not an all-pairs nested loop") {
+    val p = plan("dedup_simhash")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"all-pairs scan in:\n$p")
+  }
+
+  test("embed_neardup plans bucket equi-joins, not a cartesian product") {
+    val p = plan("embed_neardup")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"cartesian in:\n$p")
+  }
+
+  test("median plans no driver action and no full-input global window") {
+    val df = Registry.byKey("median").build(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    // the only window operators allowed sort the tiny bucket-stats frame
+    // or the surviving buckets — never a single-partition sort of the
+    // full input (the round-1 scale-killer); the scan side must feed a
+    // hash aggregate, not a global Sort.
+    assert(p.contains("HashAggregate"), s"no hash agg in:\n$p")
+    assert(!p.contains("rangepartitioning(o_totalprice"),
+      s"global sort of the full input:\n$p")
+  }
+
   test("partitioned parquet readback prunes to the matching partition") {
     val df = Registry.byKey("sink_parquet_partitioned").build(spark, sfDir)
     val scan = df.queryExecution.executedPlan.toString
