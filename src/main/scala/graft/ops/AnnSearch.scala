@@ -52,19 +52,22 @@ object AnnSearch {
     */
   def lshTopK(spark: SparkSession, emb: DataFrame, idCol: String, eCol: String,
               queryPred: Column, k: Int = 10, tables: Int = 4, bits: Int = 4): DataFrame = {
-    val base = withBuckets(emb.select(col(idCol).as("id"), col(eCol).as("e")), "e",
-      tables, bits)
-    val qCols = Seq(col("id").as("q_id"), col("e").as("qe")) ++
-      (0 until tables).map(t => col(s"bucket_$t").as(s"qb_$t"))
-    val q = base.filter(queryPred).select(qCols: _*)
-    val cand = (0 until tables).map { t =>
-        base.join(broadcast(q), col(s"bucket_$t") === col(s"qb_$t"))
-          .filter(col("id") =!= col("q_id"))
-          .select(col("q_id"), col("id"), col("qe"), col("e"))
-      }.reduce(_ unionByName _)
+    val base = emb.select(col(idCol).as("id"), col(eCol).as("e"))
+    // One (table, bucket) equi-join against the broadcast query index —
+    // id-only candidates (see neardupPairs for why), embeddings fetched
+    // back after dedup.
+    val indexed = bucketIndex(base, "e", tables, bits).select("id", "t", "bk")
+    val qIdx = indexed.filter(queryPred)
+      .select(col("id").as("q_id"), col("t"), col("bk"))
+    val cand = indexed.join(broadcast(qIdx), Seq("t", "bk"))
+      .filter(col("id") =!= col("q_id"))
+      .select(col("q_id"), col("id"))
       .dropDuplicates("q_id", "id")
-    val sim = cand.withColumn("sim",
-      GraftFunctions.cosineSim(spark, col("qe"), col("e")))
+    val sim = cand
+      .join(base.select(col("id"), col("e")), "id")
+      .join(broadcast(base.filter(queryPred)
+        .select(col("id").as("q_id"), col("e").as("qe"))), "q_id")
+      .withColumn("sim", GraftFunctions.cosineSim(spark, col("qe"), col("e")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("id"))
     sim.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -87,20 +90,37 @@ object AnnSearch {
     */
   def neardupPairs(spark: SparkSession, emb: DataFrame, idCol: String, eCol: String,
                    minCosine: Double, tables: Int = 20, bits: Int = 3): DataFrame = {
-    val base = withBuckets(emb.select(col(idCol).as("id"), col(eCol).as("e")), "e",
-      tables, bits)
-    val cand = (0 until tables).map { t =>
-        val a = base.select(col("id").as("id_a"), col("e").as("ea"),
-          col(s"bucket_$t").as("bk"))
-        val b = base.select(col("id").as("id_b"), col("e").as("eb"),
-          col(s"bucket_$t").as("bk"))
-        a.join(b, "bk").filter(col("id_a") < col("id_b"))
-          .select(col("id_a"), col("id_b"), col("ea"), col("eb"))
-      }.reduce(_ unionByName _)
+    val base = emb.select(col(idCol).as("id"), col(eCol).as("e"))
+    // Candidates carry ONLY ids: one (table, bucket) equi-join over the
+    // exploded index — never the embedding vectors. Shuffling the
+    // vectors through candidate generation would multiply shuffle bytes
+    // by `tables` × vector width; instead dedup the id pairs first and
+    // fetch both embeddings back with two plain joins.
+    val indexed = bucketIndex(base, "e", tables, bits).select("id", "t", "bk")
+    val cand = indexed.as("a")
+      .join(indexed.as("b"),
+        col("a.t") === col("b.t") && col("a.bk") === col("b.bk") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    cand.withColumn("sim", GraftFunctions.cosineSim(spark, col("ea"), col("eb")))
+    cand
+      .join(base.select(col("id").as("id_a"), col("e").as("ea")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("e").as("eb")), "id_b")
+      .withColumn("sim", GraftFunctions.cosineSim(spark, col("ea"), col("eb")))
       .filter(col("sim") >= minCosine)
       .select(col("id_a"), col("id_b"), col("sim"))
+  }
+
+  /** One row per (id, table): the point's bucket in each hash table —
+    * the exploded LSH index every bucketed op joins on. Buckets are
+    * computed once per row (single projection), not once per branch.
+    */
+  def bucketIndex(df: DataFrame, eCol: String, tables: Int, bits: Int,
+                  dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val withB = withBuckets(df, eCol, tables, bits, dim, seed)
+    withB.select(withB.columns.filterNot(_.startsWith("bucket_")).map(col) :+
+      posexplode(array((0 until tables).map(t => col(s"bucket_$t")): _*))
+        .as(Seq("t", "bk")): _*)
   }
 
   /** Exact brute-force top-k with the fused cosine expression. */

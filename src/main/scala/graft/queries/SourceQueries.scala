@@ -13,10 +13,7 @@ import graft.engine.Tables
   */
 object SourceQueries extends QueryGroup {
 
-  private def scratch(name: String): String = {
-    val d = new java.io.File(sys.props("java.io.tmpdir"), s"graft_scratch/$name")
-    d.getAbsolutePath
-  }
+  private def scratch(name: String): String = graft.engine.Scratch.dir(name)
 
   def queries: Seq[GQuery] = Seq(
 
