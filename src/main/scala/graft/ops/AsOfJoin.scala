@@ -18,6 +18,12 @@ import org.apache.spark.sql.functions._
   *
   * Inclusive match (left.ts >= right.ts): at equal timestamps the
   * right row is ordered before the left probe via the tag sort key.
+  *
+  * Ties among right rows at equal (key, ts) are broken deterministically:
+  * the window is additionally ordered by the payload columns ascending,
+  * so `last(ignoreNulls)` picks the max-payload row — the same row a
+  * `ORDER BY ts DESC, payload DESC LIMIT 1` correlated lookup selects.
+  * (A plain ASOF JOIN leaves this unspecified in both engines.)
   */
 object AsOfJoin {
 
@@ -37,8 +43,11 @@ object AsOfJoin {
       .withColumn("__tag", lit(0))
       .select(leftCols.map(c => if (c == key || c == ts) col(c) else lit(null).as(c)) ++
         rightCols.map(c => col(c).as(s"__r_$c")) :+ col("__tag"): _*)
-    // tag asc => right (0) sorts before left (1) at equal ts: inclusive match.
-    val w = Window.partitionBy(key).orderBy(col(ts).asc, col("__tag").asc)
+    // tag asc => right (0) sorts before left (1) at equal ts: inclusive
+    // match; payload asc => last() is deterministic under right-side ties.
+    val w = Window.partitionBy(key)
+      .orderBy(col(ts).asc +: col("__tag").asc +:
+        rightCols.map(c => col(s"__r_$c").asc): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = rightCols.foldLeft(l.unionByName(r)) { (df, c) =>
       df.withColumn(s"__c_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))

@@ -79,6 +79,21 @@ object AggQueries extends QueryGroup {
       Some("""SELECT COUNT(DISTINCT l_partkey) AS n_parts,
               COUNT(DISTINCT l_suppkey) AS n_supps FROM lineitem""")),
 
+    // groups ≈ rows (event_id is unique-grade): dask split_out shape —
+    // pre-clustered single complete aggregate, no useless partial pass
+    // (see graft.ops.HighCardAgg; plan asserted in PlanSpec).
+    GQuery("groupby_highcard",
+      (s, dir) => {
+        import s.implicits._
+        graft.ops.HighCardAgg.groupAgg(
+            Tables(s, dir, "events").select($"event_id", $"value"),
+            splitOut = 64, Seq("event_id"),
+            Seq(count(lit(1)).as("n"), Det.dsum($"value").as("sum_value")))
+          .orderBy($"event_id")
+      },
+      Some(s"""SELECT event_id, COUNT(*) AS n, ${Det.sql.dsum("value")} AS sum_value
+              FROM events GROUP BY event_id ORDER BY event_id""")),
+
     // HLL++ estimates differ per engine → rows-only check + ScalaTest tolerance.
     GQuery("approx_distinct",
       (s, dir) => {

@@ -139,10 +139,15 @@ object JoinQueries extends QueryGroup {
           .select($"event_id", $"user_id", $"click_id")
           .orderBy($"event_id")
       },
-      Some("""SELECT p.event_id, p.user_id, c.event_id AS click_id
-              FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-              ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
-                ON p.user_id = c.user_id AND p.ts >= c.ts
+      // Not ASOF JOIN: ties at equal (user_id, ts) are unspecified there;
+      // this correlated lookup pins the same max-(ts, click_id) choice
+      // the Spark window makes.
+      Some("""SELECT p.event_id, p.user_id,
+                (SELECT c.event_id FROM events c
+                 WHERE c.event_type = 'click' AND c.user_id = p.user_id
+                   AND c.ts <= p.ts
+                 ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS click_id
+              FROM events p WHERE p.event_type = 'purchase'
               ORDER BY p.event_id""")),
 
     // TPC-H Q3 shape: 3-way join → group → top-10 (SURVEY.md §7 M1).

@@ -56,7 +56,7 @@ object StreamingQueries extends QueryGroup {
           .orderBy($"user_id", $"session_start_ms")
       },
       Some("""WITH flagged AS (
-                SELECT user_id, ts,
+                SELECT user_id, ts, event_id,
                   CASE WHEN LAG(ts) OVER w IS NULL
                          OR ts - LAG(ts) OVER w >= INTERVAL '30 minutes'
                        THEN 1 ELSE 0 END AS new_s
@@ -64,7 +64,7 @@ object StreamingQueries extends QueryGroup {
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
               sess AS (
                 SELECT user_id, ts,
-                  SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                  SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                    ROWS UNBOUNDED PRECEDING) AS sid
                 FROM flagged)
               SELECT user_id, epoch_ms(MIN(ts)) AS session_start_ms, COUNT(*) AS n
@@ -91,33 +91,47 @@ object StreamingQueries extends QueryGroup {
                 FROM events) t
               WHERE rn = 1 ORDER BY event_id""")),
 
-    // Running per-key state via the typed API (mapGroups fold with an
-    // exact-decimal accumulator — order-free, so the final state equals
-    // the batch aggregate). The incremental mapGroupsWithState variant
-    // lives in graft.streaming + its spec.
+    // Running per-key state, graded through the DECLARATIVE aggregate —
+    // count + exact-decimal sum are what HashAggregateExec maintains
+    // incrementally (partial/final), so map-side combine and codegen
+    // apply; a typed fold here would disable both. The genuinely
+    // stateful incremental variant (GroupState across micro-batches)
+    // lives in graft.streaming.Stateful + its MemoryStream spec.
     GQuery("stream_stateful",
       (s, dir) => {
         import s.implicits._
         Tables(s, dir, "events")
-          .select($"user_id", $"value")
-          .as[(Long, Double)]
-          .groupByKey(_._1)
-          .mapGroups { (uid, it) =>
-            var n = 0L
-            var acc = java.math.BigDecimal.ZERO
-            it.foreach { case (_, v) =>
-              n += 1
-              acc = acc.add(java.math.BigDecimal.valueOf(v)
-                .setScale(2, java.math.RoundingMode.HALF_UP))
-            }
-            (uid, n, acc.doubleValue)
-          }
-          .toDF("user_id", "n_events", "total_value")
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n_events"),
+               Det.dsum($"value").as("total_value"))
           .orderBy($"user_id")
       },
       Some(s"""SELECT user_id, COUNT(*) AS n_events,
               ${Det.sql.dsum("value")} AS total_value
               FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    // Watermarked tumbling aggregate, graded on its batch-equivalent
+    // plan: on an in-order replay nothing is late, so the watermarked
+    // result equals the plain windowed aggregate (SURVEY §2.8 — the
+    // EventTimeWatermark node is eliminated in batch; the late-drop
+    // behavior itself is MemoryStream-tested in StreamingSpec). Routed
+    // through the StreamFrame veneer to exercise the reference-shaped
+    // withWatermark → tumbling call path.
+    GQuery("stream_watermark",
+      (s, dir) => {
+        import s.implicits._
+        new graft.engine.StreamFrame(Tables(s, dir, "events"))
+          .withWatermark("ts", "10 minutes")
+          .tumbling("ts", "30 minutes", Seq("event_type"),
+            Seq(count(lit(1)).as("n"), Det.dsum($"value").as("sum_value")))
+          .toDF()
+          .select(unix_millis($"window.start").as("bucket_ms"),
+            $"event_type", $"n", $"sum_value")
+          .orderBy($"bucket_ms", $"event_type")
+      },
+      Some(s"""SELECT epoch_ms(time_bucket(INTERVAL '30 minutes', ts)) AS bucket_ms,
+              event_type, COUNT(*) AS n, ${Det.sql.dsum("value")} AS sum_value
+              FROM events GROUP BY 1, 2 ORDER BY bucket_ms, event_type""")),
 
     GQuery("stream_static_join",
       (s, dir) => {

@@ -70,6 +70,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), s"no partial aggregate:\n$p")
   }
 
+  test("groupby_highcard: the only hash exchange is the explicit split_out one") {
+    val p = plan("groupby_highcard")
+    // split_out shape: ONE explicit cluster-by-key exchange
+    // (REPARTITION_BY_NUM); the aggregate must not add its own
+    // ENSURE_REQUIREMENTS hash shuffle on top. (Spark still emits an
+    // in-stage partial/final HashAggregate pair, but with no exchange
+    // between them — no cross-network combine pass.)
+    assert(p.contains("REPARTITION_BY_NUM"), s"no explicit repartition:\n$p")
+    val ensures = "Exchange hashpartitioning[^\\n]*ENSURE_REQUIREMENTS".r
+      .findAllIn(p).length
+    assert(ensures === 0, s"aggregate added its own hash shuffle:\n$p")
+  }
+
   test("bucketed join shuffles NEITHER side") {
     val df = Registry.byKey("join_bucketed").build(spark, sfDir)
     val p = df.queryExecution.executedPlan.toString
