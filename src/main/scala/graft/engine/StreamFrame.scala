@@ -26,6 +26,9 @@ final class StreamFrame(val df: DataFrame) {
   private def wrap(d: DataFrame) = new StreamFrame(d)
 
   // ---- projection / row ops (reference: __getitem__, assign, where, apply)
+  /** reference `sdf["x"]`: single-column series view (see [[SeriesFrame]]). */
+  def apply(colName: String): SeriesFrame = new SeriesFrame(df, colName)
+  def series(colName: String): SeriesFrame = apply(colName)
   def select(cols: String*): StreamFrame = wrap(df.select(cols.map(col): _*))
   def selectCols(cols: Column*): StreamFrame = wrap(df.select(cols: _*))
   def where(cond: Column): StreamFrame = wrap(df.filter(cond))
@@ -73,6 +76,8 @@ final class StreamFrame(val df: DataFrame) {
   def toParquet(path: String): Unit = df.write.mode("overwrite").parquet(path)
   def toCsv(path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
+  /** reference to_zip: csv parts packed into one archive (see [[ZipIo]]). */
+  def toZip(path: String): Unit = ZipIo.writeZip(df, path)
 
   /** Streaming terminal: foreachBatch ≙ the reference's chunk callback. */
   def foreachChunk(f: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
@@ -87,6 +92,9 @@ object StreamFrame {
     new StreamFrame(spark.read.schema(schema).option("header", "true").csv(path))
   def readJson(spark: SparkSession, path: String, schema: StructType): StreamFrame =
     new StreamFrame(spark.read.schema(schema).json(path))
+  /** reference read_zip: parallel csv scan over the unpacked entries. */
+  def readZip(spark: SparkSession, path: String, schema: StructType): StreamFrame =
+    new StreamFrame(ZipIo.readZip(spark, path, schema))
 
   /** reference: read_df(df, chunksize) — chunk an in-memory frame. */
   def fromDF(df: DataFrame, nChunks: Int): StreamFrame =

@@ -130,6 +130,27 @@ object RelationalQueries extends QueryGroup {
       Some("""SELECT c_custkey, substr(sha256(c_name), 1, 16) AS name_hash
               FROM customer ORDER BY c_custkey""")),
 
+    // Single-column series veneer (reference sdf["x"].sum() idiom):
+    // astype→sum chain through graft.engine.SeriesFrame; decimal cast
+    // makes the sum order-free (Det rule), double cast matches the
+    // oracle's output type.
+    GQuery("series_agg",
+      (s, dir) => {
+        import s.implicits._
+        new graft.engine.StreamFrame(Tables(s, dir, "events"))("value")
+          .astype("decimal(18,2)").sum()
+          .select($"value_sum".cast("double").as("sum_value"))
+      },
+      Some(s"""SELECT ${Det.sql.dsum("value")} AS sum_value FROM events""")),
+
+    GQuery("series_value_counts",
+      (s, dir) => {
+        new graft.engine.StreamFrame(Tables(s, dir, "events"))("event_type")
+          .valueCounts()
+      },
+      Some("""SELECT event_type, COUNT(*) AS n FROM events
+              GROUP BY event_type ORDER BY n DESC, event_type""")),
+
     // Engine-specific RNG → no SQL oracle (rows-only); properties in ScalaTest.
     GQuery("sample",
       (s, dir) => Tables(s, dir, "lineitem")

@@ -109,6 +109,25 @@ object SourceQueries extends QueryGroup {
       Some("""SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
               WHERE o_orderstatus = 'F' ORDER BY o_orderkey""")),
 
+    // Zip-archive round-trip (reference to_zip/read_zip): cluster-written
+    // csv parts packed into one archive, read back via a parallel csv
+    // scan over the unpacked entries (graft.engine.ZipIo).
+    GQuery("zip_roundtrip",
+      (s, dir) => {
+        val path = scratch("customer_zip") + "/customer.zip"
+        graft.engine.ZipIo.writeZip(Tables(s, dir, "customer"), path)
+        val schema = StructType(Seq(
+          StructField("c_custkey", LongType),
+          StructField("c_name", StringType),
+          StructField("c_nationkey", IntegerType),
+          StructField("c_acctbal", DoubleType),
+          StructField("c_mktsegment", StringType)))
+        graft.engine.ZipIo.readZip(s, path, schema)
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+              FROM customer ORDER BY c_custkey""")),
+
     GQuery("sink_csv",
       (s, dir) => {
         val path = scratch("customer_csv")
