@@ -206,6 +206,42 @@ object RelationalQueries extends QueryGroup {
       },
       None),
 
+    // Leakage-free split: rows sharing a user stay in one split —
+    // component-hash assignment is engine-specific → rows-only; the
+    // no-leakage property itself is ScalaTest-gated (ConnexSplitSpec).
+    GQuery("connex_split",
+      (s, dir) => {
+        import s.implicits._
+        graft.ops.ConnexSplit.connexSplit(
+            Tables(s, dir, "events").select($"event_id", $"user_id"),
+            "event_id", Seq("user_id"), testPermille = 200, salt = 7L)
+          .groupBy($"split").agg(count(lit(1)).as("n"))
+          .orderBy($"split")
+      },
+      None),
+
+    // Exact stratified split: per-(label, split) counts are a pure
+    // function of the data — ceil(f·n_label) test rows per label — so
+    // the aggregate IS oracle-checkable.
+    GQuery("stratified_split",
+      (s, dir) => {
+        import s.implicits._
+        graft.ops.ConnexSplit.stratifiedSplit(
+            Tables(s, dir, "documents"), "lang", testFraction = 0.2,
+            salt = 7L, $"doc_id")
+          .groupBy($"lang", $"split").agg(count(lit(1)).as("n"))
+          .orderBy($"lang", $"split")
+      },
+      Some("""SELECT lang, split, n FROM (
+                SELECT lang, 'test' AS split,
+                  CAST(ceil(0.2 * COUNT(*)) AS BIGINT) AS n
+                FROM documents GROUP BY lang
+                UNION ALL
+                SELECT lang, 'train' AS split,
+                  COUNT(*) - CAST(ceil(0.2 * COUNT(*)) AS BIGINT) AS n
+                FROM documents GROUP BY lang) t
+              ORDER BY lang, split""")),
+
     GQuery("hash_split",
       (s, dir) => {
         import s.implicits._

@@ -32,6 +32,20 @@ object SetQueries extends QueryGroup {
       Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
               ORDER BY o_orderkey LIMIT 50""")),
 
+    // reference `head` short-circuit: NO sort — a bare limit compiles to
+    // CollectLimit, which stops the scan after n rows instead of
+    // reading the table (PlanSpec-asserted). Determinism for the oracle
+    // comes from bounding n by the filtered row count (all 5 region
+    // rows), not from ordering; the re-sort after head is only for the
+    // hash compare.
+    GQuery("head",
+      (s, dir) => {
+        new graft.engine.StreamFrame(Tables(s, dir, "region"))
+          .head(5).toDF().orderBy("r_regionkey")
+      },
+      Some("""SELECT * FROM (SELECT * FROM region LIMIT 5) t
+              ORDER BY r_regionkey""")),
+
     GQuery("union",
       (s, dir) => {
         import s.implicits._

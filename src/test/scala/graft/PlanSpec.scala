@@ -43,6 +43,16 @@ class PlanSpec extends SparkSpec {
     assert(plan("top_k").contains("TakeOrderedAndProject"))
   }
 
+  test("head short-circuits: bare limit scans at most n rows, no sort below it") {
+    import org.apache.spark.sql.functions.col
+    val df = new graft.engine.StreamFrame(
+      graft.engine.Tables(spark, sfDir, "lineitem")).head(5).toDF()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("CollectLimit") || p.contains("GlobalLimit"),
+      s"no limit operator:\n$p")
+    assert(!p.contains("Sort "), s"head must not sort:\n$p")
+  }
+
   test("filter query pushes predicates and prunes columns") {
     val p = plan("filter")
     assert(p.contains("PushedFilters: [IsNotNull(event_type), IsNotNull(value)"),
