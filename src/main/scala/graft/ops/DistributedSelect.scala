@@ -43,10 +43,12 @@ object DistributedSelect {
               ranksOfN: Column => Seq[Column], buckets: Int = 32,
               labelsOfN: Option[Column => Seq[(Column, Column)]] = None): DataFrame = {
     val v = col(vCol)
-    // 1. boundary sketch (31 inner cut points for 32 buckets).
+    // 1. boundary sketch (31 inner cut points for 32 buckets) + total n
+    //    in the SAME distributed agg — one pass, one broadcast.
     val ps = (1 until buckets).map(i => i.toDouble / buckets)
     val bounds = df.agg(
-      percentile_approx(v, typedLit(ps), lit(1000)).as("__bnds"))
+      percentile_approx(v, typedLit(ps), lit(1000)).as("__bnds"),
+      count(lit(1)).as("__n"))
     // 2. assign each row its bucket: count of boundaries strictly below v.
     val bucketed = df.select(v.as("__v"), col(keyCol).as("__k"))
       .crossJoin(broadcast(bounds))
@@ -54,13 +56,11 @@ object DistributedSelect {
         aggregate(col("__bnds"), lit(0),
           (acc, b) => acc + when(col("__v") > b, 1).otherwise(0)))
       .drop("__bnds")
-    // 3. per-bucket counts → offsets and n (window over ≤ `buckets` rows).
+    // 3. per-bucket counts → offsets (window over ≤ `buckets` rows).
     val wcum = Window.orderBy(col("__b"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
-    val wall = Window.partitionBy()
-    val info = bucketed.groupBy(col("__b")).agg(count(lit(1)).as("__c"))
+    val info = bucketed.groupBy(col("__b"), col("__n")).agg(count(lit(1)).as("__c"))
       .withColumn("__off", coalesce(sum(col("__c")).over(wcum), lit(0L)))
-      .withColumn("__n", sum(col("__c")).over(wall))
     val ranks = ranksOfN(col("__n"))
     val wanted = array_distinct(array(ranks: _*))
     val hit = info
@@ -70,7 +70,7 @@ object DistributedSelect {
       .select(col("__b"), col("__off"), col("__want"), col("__n"))
     // 4. local sort inside surviving buckets only; emit requested ranks.
     val wloc = Window.partitionBy(col("__b")).orderBy(col("__v"), col("__k"))
-    val selected = bucketed.join(broadcast(hit), "__b")
+    val selected = bucketed.drop("__n").join(broadcast(hit), "__b")
       .withColumn("__rank", col("__off") + row_number().over(wloc))
       .filter(array_contains(col("__want"), col("__rank")))
     labelsOfN match {
