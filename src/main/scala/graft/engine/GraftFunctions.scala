@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.functions.call_function
-import graft.functions.{BottomKSample, CosineSimilarity, RollingHashFingerprint, SimHash64}
+import graft.functions.{BottomKSample, CosineSimilarity, HyperplaneBuckets, RollingHashFingerprint, SimHash64}
 
 /** Registration of graft's native Catalyst expressions as SQL functions.
   *
@@ -21,7 +21,12 @@ object GraftFunctions {
     ("simhash64", es => SimHash64(es(0))),
     ("bottomk_sample", es => BottomKSample(es(0),
       es(1).eval().asInstanceOf[Number].intValue(),
-      es(2).eval().asInstanceOf[Number].longValue()).toAggregateExpression()))
+      es(2).eval().asInstanceOf[Number].longValue()).toAggregateExpression()),
+    ("hyperplane_buckets", es => HyperplaneBuckets(es(0),
+      es(1).eval().asInstanceOf[Number].intValue(),
+      es(2).eval().asInstanceOf[Number].intValue(),
+      es(3).eval().asInstanceOf[Number].intValue(),
+      es(4).eval().asInstanceOf[Number].longValue())))
 
   def ensureRegistered(spark: SparkSession): Unit = synchronized {
     val reg = spark.sessionState.functionRegistry
@@ -44,6 +49,14 @@ object GraftFunctions {
   }
   def simhash64(spark: SparkSession, c: Column): Column = {
     ensureRegistered(spark); call_function("simhash64", c)
+  }
+  /** All LSH bucket ids of an embedding in one codegen'd pass — see
+    * [[graft.functions.HyperplaneBuckets]]. */
+  def hyperplaneBuckets(spark: SparkSession, e: Column, tables: Int, bits: Int,
+                        dim: Int, seed: Long): Column = {
+    ensureRegistered(spark)
+    import org.apache.spark.sql.functions.lit
+    call_function("hyperplane_buckets", e, lit(tables), lit(bits), lit(dim), lit(seed))
   }
   /** Deterministic distributed k-sample (bottom-k hash sketch) of a
     * bigint column — see [[graft.functions.BottomKSample]]. */

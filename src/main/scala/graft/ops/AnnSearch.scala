@@ -18,25 +18,18 @@ import graft.engine.GraftFunctions
   */
 object AnnSearch {
 
-  /** Deterministic ±1 hyperplanes (seeded LCG per spec — JVM-stable). */
-  private def planes(tables: Int, bits: Int, dim: Int, seed: Long): Array[Array[Array[Double]]] = {
-    val rnd = new java.util.Random(seed)
-    Array.fill(tables, bits, dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
-  }
-
-  private def dotLit(e: Column, plane: Array[Double]): Column =
-    aggregate(zip_with(e, lit(plane), (x, y) => x * y), lit(0.0), (s, x) => s + x)
-
-  /** Adds `bucket_t` columns (one per hash table) to (id, e) rows. */
+  /** Adds `bucket_t` columns (one per hash table) to (id, e) rows.
+    * All buckets come from ONE fused codegen pass over the plane matrix
+    * ([[graft.functions.HyperplaneBuckets]]); the per-plane HOF chain
+    * this replaces evaluated tables×bits interpreted loops per row.
+    */
   def withBuckets(df: DataFrame, eCol: String, tables: Int = 4, bits: Int = 4,
                   dim: Int = 64, seed: Long = 42L): DataFrame = {
-    val ps = planes(tables, bits, dim, seed)
-    (0 until tables).foldLeft(df) { (d, t) =>
-      val bucket = (0 until bits).map { b =>
-        when(dotLit(col(eCol), ps(t)(b)) > 0, lit(1 << b)).otherwise(lit(0))
-      }.reduce(_ + _)
-      d.withColumn(s"bucket_$t", bucket)
-    }
+    val arr = GraftFunctions.hyperplaneBuckets(
+      df.sparkSession, col(eCol), tables, bits, dim, seed)
+    (0 until tables).foldLeft(df.withColumn("__bkts", arr)) { (d, t) =>
+        d.withColumn(s"bucket_$t", element_at(col("__bkts"), t + 1))
+      }.drop("__bkts")
   }
 
   /** LSH top-k: candidates share a bucket in ≥1 table, then exact
@@ -113,14 +106,13 @@ object AnnSearch {
 
   /** One row per (id, table): the point's bucket in each hash table —
     * the exploded LSH index every bucketed op joins on. Buckets are
-    * computed once per row (single projection), not once per branch.
+    * computed once per row in one fused pass, then posexploded.
     */
   def bucketIndex(df: DataFrame, eCol: String, tables: Int, bits: Int,
                   dim: Int = 64, seed: Long = 42L): DataFrame = {
-    val withB = withBuckets(df, eCol, tables, bits, dim, seed)
-    withB.select(withB.columns.filterNot(_.startsWith("bucket_")).map(col) :+
-      posexplode(array((0 until tables).map(t => col(s"bucket_$t")): _*))
-        .as(Seq("t", "bk")): _*)
+    val arr = GraftFunctions.hyperplaneBuckets(
+      df.sparkSession, col(eCol), tables, bits, dim, seed)
+    df.select(df.columns.map(col) :+ posexplode(arr).as(Seq("t", "bk")): _*)
   }
 
   /** Exact brute-force top-k with the fused cosine expression. */

@@ -77,6 +77,26 @@ class LlmOpsSpec extends SparkSpec {
     assert(recall >= 0.3, s"recall@10 = $recall")
   }
 
+  test("hyperplane_buckets expression matches the HOF formulation bit-for-bit") {
+    import spark.implicits._
+    val tables = 5; val bits = 3; val dim = 64; val seed = 42L
+    val rnd = new java.util.Random(seed)
+    val planes = Array.fill(tables, bits, dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
+    def dotLit(e: org.apache.spark.sql.Column, p: Array[Double]) =
+      expr(s"aggregate(zip_with(e, array(${p.mkString(",")}), (x, y) -> x * y), 0D, (s, x) -> s + x)")
+    val emb = Tables(spark, sfDir, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+    val hof = (0 until tables).map { t =>
+      (0 until bits).map { b =>
+        when(dotLit($"e", planes(t)(b)) > 0, lit(1 << b)).otherwise(lit(0))
+      }.reduce(_ + _)
+    }
+    val both = emb.withColumn("fused",
+        GraftFunctions.hyperplaneBuckets(spark, $"e", tables, bits, dim, seed))
+      .withColumn("hof", array(hof: _*))
+    assert(both.filter(not($"fused" <=> $"hof")).count() === 0)
+  }
+
   test("banded simhash pairs equal the quadratic all-pairs scan") {
     import spark.implicits._
     val fp = Tables(spark, sfDir, "documents")
