@@ -260,6 +260,105 @@ object AggQueries extends QueryGroup {
                      (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price
               FROM m""")),
 
+    // pandas/dask pivot_table: long→wide with an explicit value list
+    // (plan-time columns — REQUIRED at scale: an unpinned pivot runs a
+    // distinct-scan job first and breaks on unbounded cardinality).
+    GQuery("pivot",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "events")
+          .filter($"user_id" < 50)
+          .groupBy($"user_id")
+          .pivot("event_type", Seq("click", "view", "purchase"))
+          .agg(Det.dsum($"value"))
+          .orderBy($"user_id")
+      },
+      Some(s"""SELECT user_id,
+              CAST(SUM(CASE WHEN event_type = 'click'
+                THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS click,
+              CAST(SUM(CASE WHEN event_type = 'view'
+                THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS view,
+              CAST(SUM(CASE WHEN event_type = 'purchase'
+                THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase
+              FROM events WHERE user_id < 50
+              GROUP BY user_id ORDER BY user_id""")),
+
+    // pandas melt / dask melt: wide→long via Spark's native unpivot
+    // (a Generator — per-row expansion, no shuffle).
+    GQuery("melt",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "orders")
+          .filter($"o_orderkey" < 100)
+          .select($"o_orderkey", $"o_custkey".cast("double").as("o_custkey"),
+            $"o_totalprice")
+          .unpivot(Array($"o_orderkey"),
+            Array($"o_custkey", $"o_totalprice"), "var", "val")
+          .orderBy($"o_orderkey", $"var")
+      },
+      Some("""SELECT o_orderkey, var, val FROM (
+                SELECT o_orderkey, 'o_custkey' AS var,
+                  CAST(o_custkey AS DOUBLE) AS val
+                FROM orders WHERE o_orderkey < 100
+                UNION ALL
+                SELECT o_orderkey, 'o_totalprice' AS var, o_totalprice AS val
+                FROM orders WHERE o_orderkey < 100) t
+              ORDER BY o_orderkey, var""")),
+
+    // Full pandas describe() parity: moments + exact p25/p50/p75, the
+    // quantiles via the same distributed rank selection as `quartiles`
+    // (composes in one plan — no driver action).
+    GQuery("describe_quantiles",
+      (s, dir) => {
+        import s.implicits._
+        def pick(q: Double)(n: org.apache.spark.sql.Column) =
+          ceil(lit(q) * n).cast("long")
+        val quart = graft.ops.DistributedSelect.atRanks(
+            Tables(s, dir, "orders").select($"o_totalprice", $"o_orderkey"),
+            "o_totalprice", "o_orderkey",
+            n => Seq(pick(0.25)(n), pick(0.5)(n), pick(0.75)(n)),
+            labelsOfN = Some((n: org.apache.spark.sql.Column) => Seq(
+              pick(0.25)(n) -> lit("p25"),
+              pick(0.5)(n) -> lit("p50"),
+              pick(0.75)(n) -> lit("p75"))))
+          .agg(max(when($"label" === "p25", $"v")).as("p25"),
+               max(when($"label" === "p50", $"v")).as("p50"),
+               max(when($"label" === "p75", $"v")).as("p75"))
+        val m = Tables(s, dir, "orders")
+          .agg(
+            count($"o_totalprice").as("n"),
+            sum($"o_totalprice".cast(DecimalType(18, 2))).cast("double").as("s1"),
+            sum(($"o_totalprice" * $"o_totalprice").cast(DecimalType(18, 4)))
+              .cast("double").as("s2"),
+            min($"o_totalprice").as("min_price"),
+            max($"o_totalprice").as("max_price"))
+        m.crossJoin(quart)
+          .select($"n", ($"s1" / $"n").as("mean_price"),
+            sqrt(($"s2" - $"s1" * $"s1" / $"n") / ($"n" - lit(1))).as("std_price"),
+            $"min_price", $"p25", $"p50", $"p75", $"max_price")
+      },
+      Some("""WITH r AS (
+                SELECT o_totalprice AS v,
+                  ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+                  COUNT(*) OVER () AS n
+                FROM orders),
+              q AS (
+                SELECT
+                  MAX(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT) THEN v END) AS p25,
+                  MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN v END) AS p50,
+                  MAX(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT) THEN v END) AS p75
+                FROM r),
+              m AS (
+                SELECT COUNT(o_totalprice) AS n,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+                  CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS s2,
+                  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+                FROM orders)
+              SELECT n, s1 / n AS mean_price,
+                sqrt((s2 - s1 * s1 / n) / (n - 1)) AS std_price,
+                min_price, p25, p50, p75, max_price
+              FROM m, q""")),
+
     GQuery("cube",
       (s, dir) => {
         import s.implicits._

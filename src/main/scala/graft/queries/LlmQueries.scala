@@ -131,6 +131,29 @@ object LlmQueries extends QueryGroup {
                 CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
               FROM documents GROUP BY lang ORDER BY lang""")),
 
+    // BPE-ish sub-word token counting: the regex splits letter runs,
+    // single digits, and punctuation the way byte-pair pre-tokenizers
+    // segment input (letters|digit|other — close to the GPT-2 pattern's
+    // ASCII effect). Codegen regexp, identical RE2/Java semantics on
+    // this char class.
+    GQuery("token_count_bpe",
+      (s, dir) => {
+        import s.implicits._
+        val pat = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+        Tables(s, dir, "documents")
+          .filter($"doc_id" < 500)
+          .select($"doc_id",
+            size(split($"text", " ")).cast("long").as("n_ws_tokens"),
+            size(regexp_extract_all($"text", lit(pat), lit(0)))
+              .cast("long").as("n_bpe_tokens"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+                CAST(len(str_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+                CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))
+                  AS BIGINT) AS n_bpe_tokens
+              FROM documents WHERE doc_id < 500 ORDER BY doc_id""")),
+
     GQuery("token_count",
       (s, dir) => {
         import s.implicits._

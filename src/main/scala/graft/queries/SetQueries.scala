@@ -98,6 +98,12 @@ object SetQueries extends QueryGroup {
               ORDER BY o_orderkey""")),
 
     // pandas concat(axis=1): positional zip via deterministic row ids.
+    // SCALE BOUND (explicit): positional alignment needs a total row
+    // order, so each side goes through a no-partition row_number window
+    // — only offered over dimension-scale frames (region = 5 rows,
+    // nation filtered to < 5). Large-frame positional zip has no
+    // scale-safe relational reading; key-based joins are the 100 TB
+    // answer (pandas itself aligns on index, i.e. a key).
     GQuery("concat_cols",
       (s, dir) => {
         import s.implicits._

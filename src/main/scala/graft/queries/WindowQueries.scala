@@ -115,6 +115,12 @@ object WindowQueries extends QueryGroup {
     // ntile + percent_rank: quantile bucketing / relative ranking.
     // percent_rank = (rank-1)/(n-1) is an exact int ratio → the double
     // is bit-identical in both engines.
+    // SCALE BOUND (explicit, not incidental): a no-partition window
+    // funnels its input through one task, so this op is only offered
+    // over small/pre-filtered frames — here hard-bounded by the
+    // o_orderkey < 2000 pushdown filter (≤2k rows at any sf). Unbounded
+    // global quantile assignment is what ops/DistributedSelect's
+    // range-bucket construction is for (see `median`/`quartiles`).
     GQuery("window_ntile",
       (s, dir) => {
         import s.implicits._
