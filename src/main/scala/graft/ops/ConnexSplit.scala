@@ -56,6 +56,35 @@ object ConnexSplit {
           lit("test")).otherwise(lit("train")))
   }
 
+  /** Weight-balanced k-fold assignment of connected components — the
+    * reference family's third member (train_test_split weighted by
+    * group size). True greedy bin-packing is sequential; the scalable
+    * deterministic approximation is sorted SERPENTINE assignment:
+    * components ordered by (size desc, id), dealt k-at-a-time
+    * alternating direction (0,1,..,k-1,k-1,..,1,0,...) — the
+    * boustrophedon deal cancels the "fold 0 always takes the largest of
+    * each stride" bias plain round-robin has. The only narrow spot is a
+    * rank over the COMPONENT frame (one row per entity group, not per
+    * row) — orders-of-magnitude smaller than the data.
+    *
+    * @return input columns + `component` + `fold` (0..k-1)
+    */
+  def weightedFolds(df: DataFrame, idCol: String, keyCols: Seq[String],
+                    k: Int, salt: Long): DataFrame = {
+    val withComp = connexSplit(df, idCol, keyCols, testPermille = 0, salt = salt)
+      .drop("split")
+    val sizes = withComp.groupBy(col("component"))
+      .agg(count(lit(1)).as("__sz"))
+    val order = Window.orderBy(col("__sz").desc, col("component"))
+    val folds = sizes
+      .withColumn("__rn0", row_number().over(order) - 1)
+      .withColumn("fold", expr(
+        s"CASE WHEN (__rn0 div $k) % 2 = 0 THEN __rn0 % $k " +
+          s"ELSE ${k - 1} - (__rn0 % $k) END"))
+      .select(col("component"), col("fold"))
+    withComp.join(folds, "component")
+  }
+
   /** Exact per-label split: first ceil(f·n) of the hash order per label. */
   def stratifiedSplit(df: DataFrame, labelCol: String, testFraction: Double,
                       salt: Long, idCols: Column*): DataFrame = {

@@ -220,6 +220,20 @@ object RelationalQueries extends QueryGroup {
       },
       None),
 
+    // Weight-balanced folds over user components (sorted round-robin);
+    // fold assignment depends on the component hash → rows-only, the
+    // balance property is ScalaTest-gated.
+    GQuery("weighted_folds",
+      (s, dir) => {
+        import s.implicits._
+        graft.ops.ConnexSplit.weightedFolds(
+            Tables(s, dir, "events").select($"event_id", $"user_id"),
+            "event_id", Seq("user_id"), k = 4, salt = 7L)
+          .groupBy($"fold").agg(count(lit(1)).as("n"))
+          .orderBy($"fold")
+      },
+      None),
+
     // Exact stratified split: per-(label, split) counts are a pure
     // function of the data — ceil(f·n_label) test rows per label — so
     // the aggregate IS oracle-checkable.

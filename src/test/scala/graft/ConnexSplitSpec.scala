@@ -44,6 +44,23 @@ class ConnexSplitSpec extends SparkSpec {
     assert(run(3) === run(11))
   }
 
+  test("weighted folds balance row counts and never split a component") {
+    import spark.implicits._
+    val out = ConnexSplit.weightedFolds(
+      Tables(spark, sfDir, "events").select($"event_id", $"user_id"),
+      "event_id", Seq("user_id"), k = 4, salt = 7L)
+    val leaked = out.groupBy($"user_id")
+      .agg(countDistinct($"fold").as("f")).filter($"f" > 1).count()
+    assert(leaked === 0)
+    val loads = out.groupBy($"fold").count().collect()
+      .map(r => r.getLong(1)).sorted
+    assert(loads.length === 4)
+    // sorted round-robin: folds within the largest component's size of
+    // each other; this data's users are small, so demand tight balance.
+    assert(loads.last - loads.head <= loads.last / 5,
+      s"unbalanced folds: ${loads.mkString(",")}")
+  }
+
   test("stratified split hits exact per-label proportions") {
     import spark.implicits._
     val out = ConnexSplit.stratifiedSplit(
