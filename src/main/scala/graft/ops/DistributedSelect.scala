@@ -29,6 +29,40 @@ import org.apache.spark.sql.functions._
   */
 object DistributedSelect {
 
+  /** `df` + a 1-based global row number by ORDER BY (v, key) + the total
+    * count — with EVERY bucket numbered by a parallel per-bucket window
+    * (rn = bucket offset + local row number), never a single-task global
+    * sort. Bucket id is a pure function of v, so equal values can never
+    * straddle a boundary and the concatenated order is exactly the
+    * total (v, key) order. Skew caveat: one value with huge multiplicity
+    * makes one bucket large (same hazard as any hot window key).
+    *
+    * @return original columns + `rnCol` (LongType) + `nCol` (total rows)
+    */
+  def withGlobalRowNumber(df: DataFrame, vCol: String, keyCol: String,
+                          buckets: Int = 32, rnCol: String = "rn",
+                          nCol: String = "n_total"): DataFrame = {
+    val v = col(vCol)
+    val ps = (1 until buckets).map(i => i.toDouble / buckets)
+    val bounds = df.agg(
+      percentile_approx(v, typedLit(ps), lit(1000)).as("__bnds"),
+      count(lit(1)).as(nCol))
+    val bucketed = df.crossJoin(broadcast(bounds))
+      .withColumn("__b",
+        aggregate(col("__bnds"), lit(0),
+          (acc, b) => acc + when(v > b, 1).otherwise(0)))
+      .drop("__bnds")
+    val wcum = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    val offs = bucketed.groupBy(col("__b")).agg(count(lit(1)).as("__c"))
+      .withColumn("__off", coalesce(sum(col("__c")).over(wcum), lit(0L)))
+      .select(col("__b"), col("__off"))
+    val wloc = Window.partitionBy(col("__b")).orderBy(v, col(keyCol))
+    bucketed.join(broadcast(offs), "__b")
+      .withColumn(rnCol, col("__off") + row_number().over(wloc))
+      .drop("__b", "__off")
+  }
+
   /** Rows of `df` at the given 1-based global ranks of ORDER BY (v, key).
     *
     * @param ranksOfN  builds the wanted rank expressions from the total

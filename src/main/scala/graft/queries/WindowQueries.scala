@@ -139,6 +139,32 @@ object WindowQueries extends QueryGroup {
               WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
               ORDER BY o_orderkey""")),
 
+    // UNBOUNDED global ranking + quantile bucketing — the scale-safe
+    // answer to window_ntile's bounded no-partition window: the global
+    // row number comes from ops/DistributedSelect.withGlobalRowNumber
+    // (range buckets + parallel per-bucket windows + offsets; no
+    // single-task sort), and NTILE's rank arithmetic is applied to it.
+    GQuery("ntile_global",
+      (s, dir) => {
+        import s.implicits._
+        graft.ops.DistributedSelect.withGlobalRowNumber(
+            Tables(s, dir, "orders").select($"o_orderkey", $"o_totalprice"),
+            "o_totalprice", "o_orderkey")
+          .withColumn("q", expr("n_total div 4"))
+          .withColumn("r", $"n_total" % 4)
+          .withColumn("quartile_bucket", expr(
+            """CASE WHEN rn <= r * (q + 1) THEN (rn + q) div (q + 1)
+                    ELSE r + ((rn - r * (q + 1) + q - 1) div q) END"""))
+          .select($"o_orderkey", $"rn", $"quartile_bucket")
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+                ROW_NUMBER() OVER w AS rn,
+                NTILE(4) OVER w AS quartile_bucket
+              FROM orders
+              WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+              ORDER BY o_orderkey""")),
+
     GQuery("top_k",
       (s, dir) => {
         import s.implicits._

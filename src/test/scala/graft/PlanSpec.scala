@@ -131,6 +131,15 @@ class PlanSpec extends SparkSpec {
       s"global sort of the full input:\n$p")
   }
 
+  test("ntile_global ranks without a single-task global sort") {
+    val p = plan("ntile_global")
+    // the rank windows are per-bucket (hash-partitioned); a global sort
+    // on the VALUE column would appear as rangepartitioning(o_totalprice…)
+    assert(!p.contains("rangepartitioning(o_totalprice"),
+      s"global value sort crept in:\n$p")
+    assert(p.contains("Window"), s"no window:\n$p")
+  }
+
   test("partitioned parquet readback prunes to the matching partition") {
     val df = Registry.byKey("sink_parquet_partitioned").build(spark, sfDir)
     val scan = df.queryExecution.executedPlan.toString
