@@ -150,6 +150,32 @@ object JoinQueries extends QueryGroup {
               FROM events p WHERE p.event_type = 'purchase'
               ORDER BY p.event_id""")),
 
+    // Same as-of semantics through the NATIVE physical operator
+    // (graft.plans.AsOfJoinNative: custom LogicalPlan + Strategy +
+    // merge-join SparkPlan — one hash-clustered shuffle per side, one
+    // forward merge, constant memory; no union padding, no window
+    // state). Same oracle as join_asof.
+    GQuery("join_asof_native",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables(s, dir, "events")
+        val purchases = ev.filter($"event_type" === "purchase")
+          .select($"event_id", $"user_id", $"ts")
+        val clicks = ev.filter($"event_type" === "click")
+          .select($"user_id", $"ts", $"event_id".as("click_id"))
+        graft.plans.AsOfJoinNative.backward(purchases, clicks,
+            key = "user_id", ts = "ts", rightCols = Seq("click_id"))
+          .select($"event_id", $"user_id", $"click_id")
+          .orderBy($"event_id")
+      },
+      Some("""SELECT p.event_id, p.user_id,
+                (SELECT c.event_id FROM events c
+                 WHERE c.event_type = 'click' AND c.user_id = p.user_id
+                   AND c.ts <= p.ts
+                 ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS click_id
+              FROM events p WHERE p.event_type = 'purchase'
+              ORDER BY p.event_id""")),
+
     // TPC-H Q3 shape: 3-way join → group → top-10 (SURVEY.md §7 M1).
     // Catalyst broadcast-hashes customer (small side) and sort-merges
     // orders⋈lineitem; TakeOrderedAndProject caps the sort at k=10.

@@ -133,6 +133,34 @@ object StreamingQueries extends QueryGroup {
               event_type, COUNT(*) AS n, ${Det.sql.dsum("value")} AS sum_value
               FROM events GROUP BY 1, 2 ORDER BY bucket_ms, event_type""")),
 
+    // Windowed top-k: the highest-value event per hour — window bucket
+    // + per-bucket rank, the batch-equivalent of a streaming "top
+    // sellers this hour" query (rank partitions by the window bucket,
+    // so state stays per-window — scale-safe).
+    GQuery("stream_topk",
+      (s, dir) => {
+        import s.implicits._
+        val bucketed = Tables(s, dir, "events")
+          .withColumn("bucket_ms",
+            unix_millis(window($"ts", "1 hour")("start")))
+        val w = Window.partitionBy($"bucket_ms")
+          .orderBy($"value".desc, $"event_id")
+        bucketed
+          .withColumn("rnk", row_number().over(w))
+          .filter($"rnk" <= 3)
+          .select($"bucket_ms", $"rnk".cast("long").as("rnk"),
+            $"event_id", $"value")
+          .orderBy($"bucket_ms", $"rnk")
+      },
+      Some("""SELECT bucket_ms, rnk, event_id, value FROM (
+                SELECT epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS bucket_ms,
+                  event_id, value,
+                  ROW_NUMBER() OVER (
+                    PARTITION BY time_bucket(INTERVAL '1 hour', ts)
+                    ORDER BY value DESC, event_id) AS rnk
+                FROM events) t
+              WHERE rnk <= 3 ORDER BY bucket_ms, rnk""")),
+
     GQuery("stream_static_join",
       (s, dir) => {
         import s.implicits._

@@ -139,6 +139,37 @@ object WindowQueries extends QueryGroup {
               WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
               ORDER BY o_orderkey""")),
 
+    // dask map_overlap: imperative trailing-window function via the
+    // typed halo iterator (graft.ops.MapOverlap) — same 3-row rolling
+    // mean the declarative frame computes, proving the typed path gives
+    // identical results (exact-decimal accumulation keeps it
+    // order-free and oracle-safe).
+    GQuery("map_overlap",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables(s, dir, "events")
+          .filter($"user_id" < 20)
+          .select($"user_id", $"event_id", $"ts", $"value")
+        graft.ops.MapOverlap.trailing(
+            ev, "user_id", Seq("ts", "event_id"), overlap = 2) { (r, win) =>
+          var acc = java.math.BigDecimal.ZERO
+          win.foreach { w =>
+            acc = acc.add(java.math.BigDecimal.valueOf(w.getDouble(3))
+              .setScale(2, java.math.RoundingMode.HALF_UP))
+          }
+          (r.getLong(0), r.getLong(1),
+            acc.doubleValue / win.size)
+        }.toDF("user_id", "event_id", "roll_mean")
+          .orderBy($"user_id", $"event_id")
+      },
+      Some("""SELECT user_id, event_id,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                  / COUNT(*) OVER w AS roll_mean
+              FROM events WHERE user_id < 20
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+              ORDER BY user_id, event_id""")),
+
     // UNBOUNDED global ranking + quantile bucketing — the scale-safe
     // answer to window_ntile's bounded no-partition window: the global
     // row number comes from ops/DistributedSelect.withGlobalRowNumber
