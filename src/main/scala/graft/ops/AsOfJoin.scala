@@ -34,7 +34,20 @@ object AsOfJoin {
     * @param rightCols  right-side payload columns to attach to each left row
     */
   def backward(left: DataFrame, right: DataFrame, key: String, ts: String,
-               rightCols: Seq[String]): DataFrame = {
+               rightCols: Seq[String]): DataFrame =
+    merged(left, right, key, ts, rightCols, fwd = false)
+
+  /** Forward as-of (dask `merge_asof(direction="forward")`): for each
+    * left row, the FIRST right row with right.ts >= left.ts — the exact
+    * time-mirror of [[backward]] (ts ordering reversed; ties at equal
+    * (key, ts) resolve to the min payload, mirroring backward's max).
+    */
+  def forward(left: DataFrame, right: DataFrame, key: String, ts: String,
+              rightCols: Seq[String]): DataFrame =
+    merged(left, right, key, ts, rightCols, fwd = true)
+
+  private def merged(left: DataFrame, right: DataFrame, key: String, ts: String,
+                     rightCols: Seq[String], fwd: Boolean): DataFrame = {
     val leftCols = left.columns.toSeq
     val l = left
       .withColumn("__tag", lit(1))
@@ -44,10 +57,13 @@ object AsOfJoin {
       .select(leftCols.map(c => if (c == key || c == ts) col(c) else lit(null).as(c)) ++
         rightCols.map(c => col(c).as(s"__r_$c")) :+ col("__tag"): _*)
     // tag asc => right (0) sorts before left (1) at equal ts: inclusive
-    // match; payload asc => last() is deterministic under right-side ties.
+    // match; payload ordering => last() is deterministic under ties.
+    // Forward direction = the same scan over reversed time.
+    val tsOrd = if (fwd) col(ts).desc else col(ts).asc
+    val payOrd = rightCols.map(c =>
+      if (fwd) col(s"__r_$c").desc else col(s"__r_$c").asc)
     val w = Window.partitionBy(key)
-      .orderBy(col(ts).asc +: col("__tag").asc +:
-        rightCols.map(c => col(s"__r_$c").asc): _*)
+      .orderBy(tsOrd +: col("__tag").asc +: payOrd: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = rightCols.foldLeft(l.unionByName(r)) { (df, c) =>
       df.withColumn(s"__c_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))

@@ -150,6 +150,29 @@ object JoinQueries extends QueryGroup {
               FROM events p WHERE p.event_type = 'purchase'
               ORDER BY p.event_id""")),
 
+    // Forward direction (dask merge_asof direction="forward"): the next
+    // click at/after each purchase; ties pinned to min (ts, click_id).
+    GQuery("join_asof_forward",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables(s, dir, "events")
+        val purchases = ev.filter($"event_type" === "purchase")
+          .select($"event_id", $"user_id", $"ts")
+        val clicks = ev.filter($"event_type" === "click")
+          .select($"user_id", $"ts", $"event_id".as("click_id"))
+        AsOfJoin.forward(purchases, clicks, key = "user_id", ts = "ts",
+            rightCols = Seq("click_id"))
+          .select($"event_id", $"user_id", $"click_id")
+          .orderBy($"event_id")
+      },
+      Some("""SELECT p.event_id, p.user_id,
+                (SELECT c.event_id FROM events c
+                 WHERE c.event_type = 'click' AND c.user_id = p.user_id
+                   AND c.ts >= p.ts
+                 ORDER BY c.ts ASC, c.event_id ASC LIMIT 1) AS click_id
+              FROM events p WHERE p.event_type = 'purchase'
+              ORDER BY p.event_id""")),
+
     // Same as-of semantics through the NATIVE physical operator
     // (graft.plans.AsOfJoinNative: custom LogicalPlan + Strategy +
     // merge-join SparkPlan — one hash-clustered shuffle per side, one

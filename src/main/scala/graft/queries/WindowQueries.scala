@@ -139,6 +139,50 @@ object WindowQueries extends QueryGroup {
               WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
               ORDER BY o_orderkey""")),
 
+    // pandas groupby().transform: per-group statistic broadcast back to
+    // every row (mean-centering) — an unbounded window aggregate, NOT a
+    // join-back; one shuffle, decimal-exact mean for the hash gate.
+    GQuery("groupby_transform",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id")
+        Tables(s, dir, "events")
+          .filter($"user_id" < 20)
+          .withColumn("grp_mean",
+            sum($"value".cast(DecimalType(18, 2))).over(w).cast("double") /
+              count(lit(1)).over(w))
+          .select($"event_id", $"user_id",
+            ($"value" - $"grp_mean").as("centered"))
+          .orderBy($"event_id")
+      },
+      Some("""SELECT event_id, user_id,
+                value - (CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                         / COUNT(*) OVER w) AS centered
+              FROM events WHERE user_id < 20
+              WINDOW w AS (PARTITION BY user_id)
+              ORDER BY event_id""")),
+
+    // pandas ffill per key: carry the last non-null observation forward
+    // (same last(ignoreNulls) machinery the as-of join uses).
+    GQuery("ffill",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables(s, dir, "events")
+          .filter($"user_id" < 20)
+          .withColumn("v", when($"value" < 10.0, lit(null)).otherwise($"value"))
+          .select($"event_id", $"user_id",
+            last($"v", ignoreNulls = true).over(w).as("v_filled"))
+          .orderBy($"event_id")
+      },
+      Some("""SELECT event_id, user_id,
+                LAST_VALUE(CASE WHEN value < 10.0 THEN NULL ELSE value END IGNORE NULLS)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS v_filled
+              FROM events WHERE user_id < 20
+              ORDER BY event_id""")),
+
     // dask map_overlap: imperative trailing-window function via the
     // typed halo iterator (graft.ops.MapOverlap) — same 3-row rolling
     // mean the declarative frame computes, proving the typed path gives
