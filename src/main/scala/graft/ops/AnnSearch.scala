@@ -115,6 +115,57 @@ object AnnSearch {
     df.select(df.columns.map(col) :+ posexplode(arr).as(Seq("t", "bk")): _*)
   }
 
+  /** IVF (inverted-file) ANN — the second scale path next to LSH:
+    * a k-means coarse quantizer splits the corpus into `nlist` cells;
+    * each query probes only the `nprobe` nearest cells, so the exact
+    * cosine ranking runs over ~nprobe/nlist of the data. Cells are a
+    * broadcast join on cell id (tiny centroid table); the model fit is
+    * one pass of distributed Lloyd iterations (MLlib, fixed seed — the
+    * centroids are engine-specific, hence rows-only grading + recall
+    * gate in ScalaTest, same policy as every sketch op).
+    */
+  def ivfTopK(spark: SparkSession, emb: DataFrame, idCol: String, eCol: String,
+              queryPred: Column, k: Int = 10, nlist: Int = 16,
+              nprobe: Int = 4, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val base = emb.select(col(idCol).as("id"), col(eCol).as("e"))
+      .withColumn("fv", array_to_vector(col("e")))
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
+      .setFeaturesCol("fv").setPredictionCol("cell")
+      .fit(base.select(col("fv")))
+    val centroids = model.clusterCenters.map(_.toArray)
+    val assigned = model.transform(base).select(col("id"), col("e"), col("cell"))
+    // nprobe nearest cells per query, via a literal centroid matrix —
+    // evaluated per query row only (queries are the small side).
+    val centLit = typedLit(centroids.map(_.toSeq).toSeq)
+    val q = assigned.filter(queryPred)
+      .select(col("id").as("q_id"), col("e").as("qe"))
+      .withColumn("__dists", transform(centLit, c =>
+        aggregate(zip_with(col("qe"), c, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (s, x) => s + x)))
+      .withColumn("cell", explode(sortByDist(nprobe)))
+      .drop("__dists")
+    val cand = assigned.join(broadcast(q), Seq("cell"))
+      .filter(col("id") =!= col("q_id"))
+      .dropDuplicates("q_id", "id")
+      .withColumn("sim", GraftFunctions.cosineSim(spark, col("qe"), col("e")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("id"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("id").as("neighbor_id"), col("sim"))
+  }
+
+  /** indices of the `nprobe` smallest entries of `__dists` (asc). */
+  private def sortByDist(nprobe: Int): Column =
+    slice(
+      transform(
+        array_sort(zip_with(col("__dists"),
+          sequence(lit(0), size(col("__dists")) - 1),
+          (d, i) => struct(d.as("d"), i.as("i")))),
+        s => s.getField("i")),
+      1, nprobe)
+
   /** Exact brute-force top-k with the fused cosine expression. */
   def bruteTopK(spark: SparkSession, emb: DataFrame, idCol: String, eCol: String,
                 queryPred: Column, k: Int = 10): DataFrame = {

@@ -312,6 +312,20 @@ object LlmQueries extends QueryGroup {
       },
       None),
 
+    // IVF ANN (k-means coarse quantizer, nprobe cells per query) — the
+    // second scale path next to hyperplane LSH; centroids are
+    // engine-specific → rows-only, recall gated in LlmOpsSpec.
+    GQuery("sim_search_ivf",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables(s, dir, "embeddings")
+          .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+        graft.ops.AnnSearch.ivfTopK(s, emb, "vec_id", "e", $"id" < 5, k = 10)
+          .select($"q_id", $"rank", $"neighbor_id")
+          .orderBy($"q_id", $"rank")
+      },
+      None),
+
     // Multimodal feature extraction over the binary column via the
     // partition-batched stub decoder (deterministic fake → rows-only).
     GQuery("multimodal_features",

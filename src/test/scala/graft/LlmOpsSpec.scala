@@ -132,6 +132,22 @@ class LlmOpsSpec extends SparkSpec {
       s"missed: ${brute.diff(bucketed)}; spurious: ${bucketed.diff(brute)}")
   }
 
+  test("IVF ANN achieves reasonable recall@10 vs brute force") {
+    import spark.implicits._
+    val emb = Tables(spark, sfDir, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+    val exact = AnnSearch.bruteTopK(spark, emb, "vec_id", "e", col("id") < 5)
+      .select($"q_id", $"neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = AnnSearch.ivfTopK(spark, emb, "vec_id", "e", col("id") < 5)
+      .select($"q_id", $"neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    // probing 4/16 cells scans ~25% of the corpus; recall must beat
+    // random 25% sampling by a clear margin
+    assert(recall >= 0.3, s"IVF recall@10 = $recall")
+  }
+
   test("multimodal feature extraction is deterministic and complete") {
     import spark.implicits._
     val media = Tables(spark, sfDir, "documents")
