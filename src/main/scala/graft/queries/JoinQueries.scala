@@ -173,6 +173,61 @@ object JoinQueries extends QueryGroup {
               FROM events p WHERE p.event_type = 'purchase'
               ORDER BY p.event_id""")),
 
+    // Nearest direction (dask merge_asof direction="nearest"): closer
+    // of the backward/forward matches by |Δts|, ties to backward —
+    // composed from the two directional passes joined on the probe id.
+    GQuery("join_asof_nearest",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables(s, dir, "events")
+        val purchases = ev.filter($"event_type" === "purchase")
+          .select($"event_id", $"user_id", $"ts")
+        val clicks = ev.filter($"event_type" === "click")
+          .select($"user_id", $"ts", $"event_id".as("click_id"),
+            $"ts".as("click_ts"))
+        val bwd = AsOfJoin.backward(purchases, clicks, "user_id", "ts",
+            Seq("click_id", "click_ts"))
+          .select($"event_id", $"user_id", $"ts",
+            $"click_id".as("b_id"), unix_micros($"click_ts").as("b_us"))
+        val fwd = AsOfJoin.forward(purchases, clicks, "user_id", "ts",
+            Seq("click_id", "click_ts"))
+          .select($"event_id".as("f_event_id"),
+            $"click_id".as("f_id"), unix_micros($"click_ts").as("f_us"))
+        bwd.join(fwd, $"event_id" === $"f_event_id")
+          .withColumn("l_us", unix_micros($"ts"))
+          .select($"event_id", $"user_id",
+            when($"b_us".isNull, $"f_id")
+              .when($"f_us".isNull, $"b_id")
+              .when($"l_us" - $"b_us" <= $"f_us" - $"l_us", $"b_id")
+              .otherwise($"f_id").as("click_id"))
+          .orderBy($"event_id")
+      },
+      Some("""SELECT event_id, user_id,
+                CASE WHEN b_us IS NULL THEN f_id
+                     WHEN f_us IS NULL THEN b_id
+                     WHEN l_us - b_us <= f_us - l_us THEN b_id
+                     ELSE f_id END AS click_id
+              FROM (
+                SELECT p.event_id, p.user_id, epoch_us(p.ts) AS l_us,
+                  (SELECT epoch_us(c.ts) FROM events c
+                   WHERE c.event_type = 'click' AND c.user_id = p.user_id
+                     AND c.ts <= p.ts
+                   ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS b_us,
+                  (SELECT c.event_id FROM events c
+                   WHERE c.event_type = 'click' AND c.user_id = p.user_id
+                     AND c.ts <= p.ts
+                   ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS b_id,
+                  (SELECT epoch_us(c.ts) FROM events c
+                   WHERE c.event_type = 'click' AND c.user_id = p.user_id
+                     AND c.ts >= p.ts
+                   ORDER BY c.ts ASC, c.event_id ASC LIMIT 1) AS f_us,
+                  (SELECT c.event_id FROM events c
+                   WHERE c.event_type = 'click' AND c.user_id = p.user_id
+                     AND c.ts >= p.ts
+                   ORDER BY c.ts ASC, c.event_id ASC LIMIT 1) AS f_id
+                FROM events p WHERE p.event_type = 'purchase') t
+              ORDER BY event_id""")),
+
     // Same as-of semantics through the NATIVE physical operator
     // (graft.plans.AsOfJoinNative: custom LogicalPlan + Strategy +
     // merge-join SparkPlan — one hash-clustered shuffle per side, one
