@@ -359,6 +359,29 @@ object AggQueries extends QueryGroup {
                 min_price, p25, p50, p75, max_price
               FROM m, q""")),
 
+    // Sample covariance from exact decimal moments (pandas df.cov),
+    // same order-free construction as corr.
+    GQuery("cov",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "lineitem")
+          .agg(
+            count(lit(1)).cast("double").as("n"),
+            sum($"l_quantity".cast(DecimalType(18, 2))).cast("double").as("sx"),
+            sum($"l_extendedprice".cast(DecimalType(18, 2))).cast("double").as("sy"),
+            sum(($"l_quantity" * $"l_extendedprice").cast(DecimalType(18, 2)))
+              .cast("double").as("sxy"))
+          .select((($"sxy" - $"sx" * $"sy" / $"n") / ($"n" - lit(1.0)))
+            .as("cov_qty_price"))
+      },
+      Some("""WITH m AS (
+                SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+                  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+                  CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+                FROM lineitem)
+              SELECT (sxy - sx * sy / n) / (n - 1.0) AS cov_qty_price FROM m""")),
+
     GQuery("cube",
       (s, dir) => {
         import s.implicits._

@@ -139,6 +139,29 @@ object WindowQueries extends QueryGroup {
               WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
               ORDER BY o_orderkey""")),
 
+    // pandas groupby().first()/.last() by event time: first/last value
+    // per key over the full ordered frame (both window functions over
+    // ONE key shuffle; deterministic via the event_id tie-break).
+    GQuery("window_first_last",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables(s, dir, "events")
+          .select($"user_id",
+            first($"event_id").over(w).as("first_event"),
+            last($"event_id").over(w).as("last_event"))
+          .distinct()
+          .orderBy($"user_id")
+      },
+      Some("""SELECT DISTINCT user_id,
+                FIRST_VALUE(event_id) OVER w AS first_event,
+                LAST_VALUE(event_id) OVER w AS last_event
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+              ORDER BY user_id""")),
+
     // pandas groupby().transform: per-group statistic broadcast back to
     // every row (mean-centering) — an unbounded window aggregate, NOT a
     // join-back; one shuffle, decimal-exact mean for the hash gate.
