@@ -50,6 +50,15 @@ final class StreamFrame(val df: DataFrame) {
   def sortValues(cols: Column*): StreamFrame = wrap(df.orderBy(cols: _*))
   def head(n: Int): StreamFrame = wrap(df.limit(n))
 
+  // ---- chunking / materialization control (reference: chunksize knob,
+  // dask repartition/persist)
+  def repartition(n: Int): StreamFrame = wrap(df.repartition(n))
+  def repartitionBy(n: Int, cols: Column*): StreamFrame =
+    wrap(df.repartition(n, cols: _*))
+  def coalescePartitions(n: Int): StreamFrame = wrap(df.coalesce(n))
+  def cache(): StreamFrame = wrap(df.cache())
+  def unpersist(): StreamFrame = wrap(df.unpersist())
+
   // ---- aggregation (reference: groupby(by, agg) — partial per chunk + re-agg,
   // which is exactly HashAggregateExec partial/final)
   def groupby(keys: Seq[String], aggs: Seq[Column]): StreamFrame =

@@ -109,6 +109,33 @@ object SourceQueries extends QueryGroup {
       Some("""SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
               WHERE o_orderstatus = 'F' ORDER BY o_orderkey""")),
 
+    // Schema evolution across parquet generations (the 100 TB reality:
+    // a long-lived table gains columns): two generations written with
+    // different schemas, read back in ONE mergeSchema scan — old files
+    // surface the new column as null, no rewrite of old data.
+    GQuery("scan_parquet_evolved",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        val path = scratch("orders_evolved")
+        val orders = Tables(s, dir, "orders")
+        orders.filter(col("o_orderkey") < 200)
+          .select("o_orderkey", "o_totalprice")
+          .write.mode("overwrite").parquet(s"$path/g1")
+        orders.filter(col("o_orderkey") >= 200 && col("o_orderkey") < 400)
+          .select("o_orderkey", "o_totalprice", "o_orderstatus")
+          .write.mode("overwrite").parquet(s"$path/g2")
+        s.read.option("mergeSchema", "true")
+          .parquet(s"$path/g1", s"$path/g2")
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT * FROM (
+                SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderstatus
+                FROM orders WHERE o_orderkey < 200
+                UNION ALL
+                SELECT o_orderkey, o_totalprice, o_orderstatus
+                FROM orders WHERE o_orderkey >= 200 AND o_orderkey < 400) t
+              ORDER BY o_orderkey""")),
+
     // Zip-archive round-trip (reference to_zip/read_zip): cluster-written
     // csv parts packed into one archive, read back via a parallel csv
     // scan over the unpacked entries (graft.engine.ZipIo).
