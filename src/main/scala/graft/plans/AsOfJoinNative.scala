@@ -4,7 +4,9 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
-import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.expressions.{And, PredicateHelper}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.functions.col
@@ -58,6 +60,31 @@ object AsOfJoinNative {
     val strategies = spark.experimental.extraStrategies
     if (!strategies.exists(_.isInstanceOf[AsOfJoinStrategy.type]))
       spark.experimental.extraStrategies = strategies :+ AsOfJoinStrategy
+    val opts = spark.experimental.extraOptimizations
+    if (!opts.exists(_.isInstanceOf[AsOfJoinPushdown.type]))
+      spark.experimental.extraOptimizations = opts :+ AsOfJoinPushdown
+  }
+}
+
+/** Optimizer rule: predicate pushdown THROUGH the custom node. Catalyst
+  * cannot push filters past operators it doesn't know, so a filter on
+  * as-of output would otherwise run after the join's shuffle; every
+  * left row appears exactly once in the output with its left columns
+  * unchanged, so any conjunct touching only left columns commutes with
+  * the join and can run before the shuffle instead (payload conjuncts
+  * must stay — they see nulls the left side doesn't have).
+  */
+object AsOfJoinPushdown extends Rule[LogicalPlan] with PredicateHelper {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
+    case f @ Filter(cond, a: AsOfJoinNode) =>
+      val leftRefs = a.left.outputSet
+      val (push, keep) = splitConjunctivePredicates(cond)
+        .partition(_.references.subsetOf(leftRefs))
+      if (push.isEmpty) f
+      else {
+        val pushed = a.copy(left = Filter(push.reduce(And), a.left))
+        keep.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
   }
 }
 

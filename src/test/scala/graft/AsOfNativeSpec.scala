@@ -42,6 +42,23 @@ class AsOfNativeSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
   }
 
+  test("left-only filters push through the custom node (run pre-shuffle)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    import graft.plans.AsOfJoinNode
+    val (p, c) = sides
+    val df = AsOfJoinNative.backward(p, c, "user_id", "ts", Seq("click_id"))
+      .filter(col("event_id") > 100) // references only left columns
+    val opt = df.queryExecution.optimizedPlan
+    val node = opt.collectFirst { case a: AsOfJoinNode => a }
+    assert(node.isDefined, s"node eliminated?\n$opt")
+    val filterBelow = node.get.left.collectFirst { case f: LFilter => f }
+    assert(filterBelow.isDefined, s"filter not pushed below the as-of node:\n$opt")
+    // and nothing is lost: result equals filter-after-join semantics
+    val after = AsOfJoinNative.backward(p, c, "user_id", "ts", Seq("click_id"))
+      .collect().filter(_.getLong(0) > 100).length
+    assert(df.count() === after)
+  }
+
   test("left rows with no earlier right row get null payload") {
     import spark.implicits._
     val l = Seq((1L, 10L, 100L), (2L, 10L, 50L)).toDF("id", "k", "t")
