@@ -359,6 +359,36 @@ object AggQueries extends QueryGroup {
                 min_price, p25, p50, p75, max_price
               FROM m, q""")),
 
+    // pandas groupby().agg(list): per-group value collection. Collection
+    // order is execution-dependent, so the graded form sorts the array —
+    // the only deterministic reading of "the group's values as a list".
+    GQuery("agg_collect",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "orders")
+          .filter($"o_custkey" < 30)
+          .groupBy($"o_custkey")
+          .agg(sort_array(collect_list($"o_orderkey")).as("orderkeys"))
+          .orderBy($"o_custkey")
+      },
+      Some("""SELECT o_custkey, list_sort(list(o_orderkey)) AS orderkeys
+              FROM orders WHERE o_custkey < 30
+              GROUP BY o_custkey ORDER BY o_custkey""")),
+
+    // pandas groupby().nunique(): distinct counts per group.
+    GQuery("groupby_nunique",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "events")
+          .groupBy($"user_id")
+          .agg(countDistinct($"event_type").as("n_types"),
+               count(lit(1)).as("n_events"))
+          .orderBy($"user_id")
+      },
+      Some("""SELECT user_id, COUNT(DISTINCT event_type) AS n_types,
+                COUNT(*) AS n_events
+              FROM events GROUP BY user_id ORDER BY user_id""")),
+
     // Sample covariance from exact decimal moments (pandas df.cov),
     // same order-free construction as corr.
     GQuery("cov",
