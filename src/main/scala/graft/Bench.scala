@@ -57,7 +57,9 @@ object Bench {
       else Some(name -> ok.min)
     }
     val total = timed.map(_._2).sum
-    def jnum(d: Double): String = f"$d%.4f"
+    // Locale-pinned: a comma-decimal default locale would emit invalid JSON.
+    def jnum(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(d))
     val detailJson = timed.map { case (k, v) => s"\"$k\":${jnum(v)}" }
       .mkString("{", ",", "}")
     val failedJson = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -68,8 +70,12 @@ object Bench {
     val hq = timed.filter(t => headline.contains(t._1))
       .map { case (k, v) => s"\"$k\":${jnum(v)}" }.mkString("{", ",", "}")
     spark.stop()
-    // Short parse-safe summary as the very last stdout line.
-    println(
-      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","n":$iters,"n_queries":${timed.size},"failed":$failedJson,"queries":$hq,"sf":"$sfDir"}""")
+    // Short parse-safe summary: printed as the very last stdout line AND
+    // written to bench_summary.json, so the driver has a machine-readable
+    // total even when an sbt wrapper frames stdout with [info]/[success].
+    val short =
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","n":$iters,"n_queries":${timed.size},"failed":$failedJson,"queries":$hq,"sf":"$sfDir"}"""
+    Files.writeString(Paths.get("bench_summary.json"), short)
+    println(short)
   }
 }

@@ -48,8 +48,14 @@ object ConnexSplit {
     val edgeRdd = edges.as[(Long, Long)].rdd.map { case (s, d) => Edge(s, d, ()) }
     val cc = Graph.fromEdges(edgeRdd, ()).connectedComponents().vertices
     val comp = spark.createDataFrame(cc).toDF("node", "component")
+    // LEFT join: a row whose key columns are all NULL contributes no
+    // edge and is absent from the vertex set — it must still be
+    // assigned (a split op may not drop rows), as its own singleton
+    // component (= its row-node hash; row-space ids are salted apart
+    // from value-space, so no clash with real component ids).
     df.withColumn("__node", rowNode)
-      .join(comp, col("__node") === col("node"))
+      .join(comp, col("__node") === col("node"), "left")
+      .withColumn("component", coalesce(col("component"), col("__node")))
       .drop("__node", "node")
       .withColumn("split",
         when(pmod(xxhash64(lit(salt), col("component")), lit(1000)) < testPermille,
@@ -63,9 +69,11 @@ object ConnexSplit {
     * components ordered by (size desc, id), dealt k-at-a-time
     * alternating direction (0,1,..,k-1,k-1,..,1,0,...) — the
     * boustrophedon deal cancels the "fold 0 always takes the largest of
-    * each stride" bias plain round-robin has. The only narrow spot is a
-    * rank over the COMPONENT frame (one row per entity group, not per
-    * row) — orders-of-magnitude smaller than the data.
+    * each stride" bias plain round-robin has. The component frame is one
+    * row per entity group — but in the common mostly-singleton case
+    * (post-dedup splits) that is ≈ the row count, so the rank runs
+    * through [[DistributedSelect.withGlobalRowNumber]] (range-bucketed,
+    * parallel), never a single-task no-partition window.
     *
     * @return input columns + `component` + `fold` (0..k-1)
     */
@@ -75,9 +83,13 @@ object ConnexSplit {
       .drop("split")
     val sizes = withComp.groupBy(col("component"))
       .agg(count(lit(1)).as("__sz"))
-    val order = Window.orderBy(col("__sz").desc, col("component"))
-    val folds = sizes
-      .withColumn("__rn0", row_number().over(order) - 1)
+    // ORDER BY (__sz desc, component asc) ≡ (-__sz asc, component asc):
+    // a distributed global row number, no single-task funnel.
+    val ranked = DistributedSelect.withGlobalRowNumber(
+      sizes.withColumn("__negsz", -col("__sz")), "__negsz", "component",
+      rnCol = "__rn", nCol = "__nt")
+    val folds = ranked
+      .withColumn("__rn0", col("__rn") - 1)
       .withColumn("fold", expr(
         s"CASE WHEN (__rn0 div $k) % 2 = 0 THEN __rn0 % $k " +
           s"ELSE ${k - 1} - (__rn0 % $k) END"))

@@ -360,18 +360,21 @@ object AggQueries extends QueryGroup {
               FROM m, q""")),
 
     // pandas groupby().agg(list): per-group value collection. Collection
-    // order is execution-dependent, so the graded form sorts the array —
-    // the only deterministic reading of "the group's values as a list".
+    // order is execution-dependent, so the graded form sorts the array and
+    // serializes it to a comma-joined STRING — the grading comparator can't
+    // hash ARRAY cells, and a canonical string is the same information.
     GQuery("agg_collect",
       (s, dir) => {
         import s.implicits._
         Tables(s, dir, "orders")
           .filter($"o_custkey" < 30)
           .groupBy($"o_custkey")
-          .agg(sort_array(collect_list($"o_orderkey")).as("orderkeys"))
+          .agg(concat_ws(",", sort_array(collect_list($"o_orderkey"))
+            .cast("array<string>")).as("orderkeys"))
           .orderBy($"o_custkey")
       },
-      Some("""SELECT o_custkey, list_sort(list(o_orderkey)) AS orderkeys
+      Some("""SELECT o_custkey,
+                array_to_string(list_sort(list(o_orderkey)), ',') AS orderkeys
               FROM orders WHERE o_custkey < 30
               GROUP BY o_custkey ORDER BY o_custkey""")),
 
