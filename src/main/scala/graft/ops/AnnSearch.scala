@@ -36,26 +36,52 @@ object AnnSearch {
     * cosine ranks them. Union-of-tables raises recall; each join is a
     * plain shuffle/broadcast equi-join.
     *
+    * Multi-probe: each query probes its own bucket PLUS every 1-bit-XOR
+    * neighbor bucket per table (the classic multi-probe LSH trick —
+    * a near neighbor that lands just across ONE hyperplane is still
+    * found). Probing is query-side only: the INDEX does not grow, the
+    * join stays (table, bucket) equi, and the candidate set scales by
+    * ~(bits+1)× the single-probe set — still sub-linear, vs the
+    * tables× blowup of adding hash tables for the same recall.
+    *
     * Parameter note: more bits/table prunes harder but only finds
     * genuinely near-identical pairs; on corpora whose "neighbors" are merely
     * the least-distant of near-orthogonal vectors (this synthetic
-    * data), recall comes from MORE TABLES at FEWER bits. 4×4 keeps the
-    * candidate set ~25% of n while recalling ~half of true top-10 —
-    * tune per corpus at deployment.
+    * data), recall comes from MORE TABLES at FEWER bits. 4×4 with
+    * 1-bit multi-probe recalls ≥0.8 of true top-10 (ScalaTest-gated)
+    * at a sub-linear candidate set — tune per corpus at deployment.
     */
-  def lshTopK(spark: SparkSession, emb: DataFrame, idCol: String, eCol: String,
-              queryPred: Column, k: Int = 10, tables: Int = 4, bits: Int = 4): DataFrame = {
+  /** Deduped (q_id, id) LSH candidates — the set the exact ranking then
+    * scores. Exposed so the recall/sub-linearity gates can measure the
+    * candidate fraction directly.
+    */
+  def lshCandidates(emb: DataFrame, idCol: String, eCol: String,
+                    queryPred: Column, tables: Int = 4, bits: Int = 4,
+                    multiProbe: Boolean = true): DataFrame = {
     val base = emb.select(col(idCol).as("id"), col(eCol).as("e"))
     // One (table, bucket) equi-join against the broadcast query index —
     // id-only candidates (see neardupPairs for why), embeddings fetched
     // back after dedup.
     val indexed = bucketIndex(base, "e", tables, bits).select("id", "t", "bk")
-    val qIdx = indexed.filter(queryPred)
+    val qOwn = indexed.filter(queryPred)
       .select(col("id").as("q_id"), col("t"), col("bk"))
-    val cand = indexed.join(broadcast(qIdx), Seq("t", "bk"))
+    val qIdx =
+      if (!multiProbe) qOwn
+      else qOwn.select(col("q_id"), col("t"),
+        explode(array(col("bk") +:
+          (0 until bits).map(i => col("bk").bitwiseXOR(lit(1 << i))): _*))
+          .as("bk"))
+    indexed.join(broadcast(qIdx), Seq("t", "bk"))
       .filter(col("id") =!= col("q_id"))
       .select(col("q_id"), col("id"))
       .dropDuplicates("q_id", "id")
+  }
+
+  def lshTopK(spark: SparkSession, emb: DataFrame, idCol: String, eCol: String,
+              queryPred: Column, k: Int = 10, tables: Int = 4, bits: Int = 4,
+              multiProbe: Boolean = true): DataFrame = {
+    val base = emb.select(col(idCol).as("id"), col(eCol).as("e"))
+    val cand = lshCandidates(emb, idCol, eCol, queryPred, tables, bits, multiProbe)
     val sim = cand
       .join(base.select(col("id"), col("e")), "id")
       .join(broadcast(base.filter(queryPred)
@@ -124,16 +150,27 @@ object AnnSearch {
     * centroids are engine-specific, hence rows-only grading + recall
     * gate in ScalaTest, same policy as every sketch op).
     */
+  // Fitted coarse quantizers, memoized per logical corpus (same policy
+  // as Scratch.bucketedTable: the fit is pay-once-read-forever within a
+  // JVM — Lloyd iterations must not rerun on every query).
+  private val ivfModels = scala.collection.concurrent.TrieMap
+    .empty[String, org.apache.spark.ml.clustering.KMeansModel]
+
   def ivfTopK(spark: SparkSession, emb: DataFrame, idCol: String, eCol: String,
               queryPred: Column, k: Int = 10, nlist: Int = 16,
-              nprobe: Int = 4, seed: Long = 42L): DataFrame = {
+              nprobe: Int = 4, seed: Long = 42L,
+              cacheKey: Option[String] = None): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val base = emb.select(col(idCol).as("id"), col(eCol).as("e"))
       .withColumn("fv", array_to_vector(col("e")))
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
+    def fit() = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
       .setFeaturesCol("fv").setPredictionCol("cell")
       .fit(base.select(col("fv")))
+    val model = cacheKey match {
+      case Some(ck) => ivfModels.getOrElseUpdate(s"$ck:$nlist:$seed", fit())
+      case None => fit()
+    }
     val centroids = model.clusterCenters.map(_.toArray)
     val assigned = model.transform(base).select(col("id"), col("e"), col("cell"))
     // nprobe nearest cells per query, via a literal centroid matrix —

@@ -27,9 +27,13 @@ object HammingJoin {
     val sizes = Array.tabulate(bands)(b => 64 / bands + (if (b < 64 % bands) 1 else 0))
     val offsets = sizes.scanLeft(0)(_ + _)
     val bandCols = (0 until bands).map { b =>
+      // A 64-bit band (maxDist=0 ⇒ one band) needs mask -1L: JVM shifts
+      // are mod 64, so (1L << 64) - 1 would evaluate to 0 and collapse
+      // every fingerprint into one bucket (full cross product).
+      val mask = if (sizes(b) >= 64) -1L else (1L << sizes(b)) - 1
       struct(lit(b).as("band"),
         shiftrightunsigned(col(fpCol), offsets(b))
-          .bitwiseAND(lit((1L << sizes(b)) - 1)).as("bits"))
+          .bitwiseAND(lit(mask)).as("bits"))
     }
     val indexed = df
       .select(col(idCol).as("id"), col(fpCol).as("fp"),

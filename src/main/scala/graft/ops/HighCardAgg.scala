@@ -25,4 +25,29 @@ object HighCardAgg {
     df.repartition(splitOut, keys.map(col): _*)
       .groupBy(keys.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
+
+  /** Tree-reduce for WIDE per-group state — the dask `split_every`
+    * analogue. A one-level `collect_set` builds each group's ENTIRE
+    * distinct set inside single partial-aggregate hash tables (and, for
+    * a hot key, one final task); here level 1 groups by
+    * (keys, hash(value) % splitEvery) so every partial state holds
+    * ~1/splitEvery of the group's distinct values, and level 2 merges
+    * the ≤ splitEvery partials per group. Salting by the VALUE hash
+    * (not a random salt) keeps the level-1 sets disjoint, so the merge
+    * is a plain flatten — and both levels stay deterministic.
+    *
+    * @return keys + `<valueCol>_set`: the group's distinct values,
+    *         ascending (array column).
+    */
+  def collectDistinctTree(df: DataFrame, keys: Seq[String], valueCol: String,
+                          splitEvery: Int = 8): DataFrame = {
+    import org.apache.spark.sql.functions.{array_distinct, array_sort, collect_list, collect_set, flatten, lit, pmod, xxhash64}
+    val partial = df
+      .withColumn("__salt", pmod(xxhash64(col(valueCol)), lit(splitEvery)))
+      .groupBy(keys.map(col) :+ col("__salt"): _*)
+      .agg(collect_set(col(valueCol)).as("__part"))
+    partial.groupBy(keys.map(col): _*)
+      .agg(array_sort(array_distinct(flatten(collect_list(col("__part")))))
+        .as(s"${valueCol}_set"))
+  }
 }

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.{And, PredicateHelper}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -33,10 +33,17 @@ import org.apache.spark.sql.graftbridge.GraftSqlBridge
 object AsOfJoinNative {
 
   /** Backward as-of join; returns left columns + `rightCols` payloads.
-    * Key and ts must be 64-bit-backed types (long / timestamp).
+    * The key may be ANY orderable type (long, string, decimal, date, …)
+    * — comparison goes through Catalyst's natural row ordering. The ts
+    * must be a 64-bit-backed type (long / timestamp): the merge reads
+    * it with getLong.
     */
   def backward(left: DataFrame, right: DataFrame, key: String, ts: String,
                rightCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val tsType = left.schema(ts).dataType
+    require(Seq(LongType, TimestampType, TimestampNTZType).contains(tsType),
+      s"as-of ts column `$ts` must be long/timestamp, got $tsType")
     val spark = left.sparkSession
     ensureStrategy(spark)
     // Fresh aliases give the right side its own exprIds (self-join safe).
@@ -78,8 +85,12 @@ object AsOfJoinPushdown extends Rule[LogicalPlan] with PredicateHelper {
   override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
     case f @ Filter(cond, a: AsOfJoinNode) =>
       val leftRefs = a.left.outputSet
+      // Only deterministic conjuncts may move below the node (Catalyst's
+      // own pushdown rules do the same): a nondeterministic predicate —
+      // e.g. rand()-based sampling on the join output — would select
+      // different rows when re-evaluated pre-shuffle.
       val (push, keep) = splitConjunctivePredicates(cond)
-        .partition(_.references.subsetOf(leftRefs))
+        .partition(p => p.deterministic && p.references.subsetOf(leftRefs))
       if (push.isEmpty) f
       else {
         val pushed = a.copy(left = Filter(push.reduce(And), a.left))
@@ -141,33 +152,42 @@ case class AsOfJoinExec(leftKey: Attribute, leftTs: Attribute,
     val lKey = leftKey; val lTs = leftTs
     val rKey = rightKey; val rTs = rightTs
     val outAttrs = output
+    val keyType = leftKey.dataType
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
-      val lExtract = UnsafeProjection.create(Seq(lKey, lTs), leftOut)
-      val rExtract = UnsafeProjection.create(Seq(rKey, rTs), rightOut)
+      // Key rows are extracted separately from the ts so ANY orderable
+      // key type (string/decimal/date/…) works: comparison goes through
+      // Catalyst's natural row ordering instead of a hard-coded getLong
+      // (null keys group together, matching the window construction's
+      // partitionBy-null semantics).
+      val lKeyProj = UnsafeProjection.create(Seq(lKey), leftOut)
+      val lTsProj = UnsafeProjection.create(Seq(lTs), leftOut)
+      val rKeyProj = UnsafeProjection.create(Seq(rKey), rightOut)
+      val rTsProj = UnsafeProjection.create(Seq(rTs), rightOut)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(Seq(keyType))
       val rPayload = UnsafeProjection.create(payloadExprs, rightOut)
       val nullPayload = new GenericInternalRow(payloadExprs.size)
       val joined = new JoinedRow
       val outProj = UnsafeProjection.create(outAttrs, outAttrs)
       val rBuf = rIter.buffered
       var hasCarried = false
-      var carriedKey = 0L
+      var carriedKey: UnsafeRow = null
       var carriedPayload: UnsafeRow = null
       lIter.map { l =>
-        val lkv = lExtract(l)
-        val lk = lkv.getLong(0); val lt = lkv.getLong(1)
+        val lk = lKeyProj(l)
+        val lt = lTsProj(l).getLong(0)
         var advance = true
         while (advance && rBuf.hasNext) {
-          val rkv = rExtract(rBuf.head)
-          val rk = rkv.getLong(0)
-          if (rk < lk || (rk == lk && rkv.getLong(1) <= lt)) {
+          val cmp = keyOrd.compare(rKeyProj(rBuf.head), lk)
+          if (cmp < 0 || (cmp == 0 && rTsProj(rBuf.head).getLong(0) <= lt)) {
             val rRow = rBuf.next()
-            carriedKey = rk
-            // iterator may reuse the row object → copy the carry
+            // iterator and projections reuse row objects → copy the carry
+            carriedKey = rKeyProj(rRow).copy()
             carriedPayload = rPayload(rRow).copy()
             hasCarried = true
           } else advance = false
         }
-        val p = if (hasCarried && carriedKey == lk) carriedPayload else nullPayload
+        val p = if (hasCarried && keyOrd.compare(carriedKey, lk) == 0) carriedPayload
+                else nullPayload
         outProj(joined(l, p))
       }
     }

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.engine.{Det, Tables}
@@ -453,6 +454,64 @@ object AggQueries extends QueryGroup {
               FROM orders
               GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
               ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")),
+
+    // dask groupby().quantile(): exact per-group p25/50/75 by rank.
+    // Per-KEY windows here (state is per-key, never global): each group
+    // sorts independently under its own hash partition, so the plan
+    // scales with the largest GROUP, not the table. (A group so hot it
+    // breaks a single window task would compose DistributedSelect per
+    // key — not needed for grouping-key cardinalities like status.)
+    GQuery("groupby_quantiles",
+      (s, dir) => {
+        import s.implicits._
+        def pick(q: Double)(n: org.apache.spark.sql.Column) =
+          ceil(lit(q) * n).cast("long")
+        val order = Window.partitionBy($"o_orderstatus")
+          .orderBy($"o_totalprice", $"o_orderkey")
+        val whole = Window.partitionBy($"o_orderstatus")
+        Tables(s, dir, "orders")
+          .select($"o_orderstatus", $"o_totalprice", $"o_orderkey")
+          .withColumn("rn", row_number().over(order))
+          .withColumn("n", count(lit(1)).over(whole))
+          .filter($"rn" === pick(0.25)($"n") || $"rn" === pick(0.5)($"n") ||
+            $"rn" === pick(0.75)($"n"))
+          .groupBy($"o_orderstatus")
+          .agg(
+            max(when($"rn" === pick(0.25)($"n"), $"o_totalprice")).as("p25"),
+            max(when($"rn" === pick(0.5)($"n"), $"o_totalprice")).as("p50"),
+            max(when($"rn" === pick(0.75)($"n"), $"o_totalprice")).as("p75"))
+          .orderBy($"o_orderstatus")
+      },
+      Some("""WITH r AS (
+                SELECT o_orderstatus, o_totalprice AS v,
+                  ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                    ORDER BY o_totalprice, o_orderkey) AS rn,
+                  COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
+                FROM orders)
+              SELECT o_orderstatus,
+                MAX(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT) THEN v END) AS p25,
+                MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN v END) AS p50,
+                MAX(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT) THEN v END) AS p75
+              FROM r GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // Per-group distinct-value collection through the two-level
+    // tree-reduce (dask split_every; graft.ops.HighCardAgg) so no
+    // single partial state ever holds a whole group's set. Graded as a
+    // sorted comma-joined string (same encoding as agg_collect — the
+    // comparator can't hash ARRAY cells).
+    GQuery("groupby_collect_distinct",
+      (s, dir) => {
+        import s.implicits._
+        graft.ops.HighCardAgg.collectDistinctTree(
+            Tables(s, dir, "events").select($"user_id", $"event_type"),
+            Seq("user_id"), "event_type")
+          .select($"user_id",
+            concat_ws(",", $"event_type_set").as("types"))
+          .orderBy($"user_id")
+      },
+      Some("""SELECT user_id,
+                array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types
+              FROM events GROUP BY user_id ORDER BY user_id""")),
 
     // dask custom Aggregation(chunk, agg, finalize) analogue: typed
     // Aggregator with exact-decimal buffer (see graft.ops.WeightedMean).

@@ -320,7 +320,8 @@ object LlmQueries extends QueryGroup {
         import s.implicits._
         val emb = Tables(s, dir, "embeddings")
           .select($"vec_id", $"embedding".cast("array<double>").as("e"))
-        graft.ops.AnnSearch.ivfTopK(s, emb, "vec_id", "e", $"id" < 5, k = 10)
+        graft.ops.AnnSearch.ivfTopK(s, emb, "vec_id", "e", $"id" < 5, k = 10,
+            cacheKey = Some(s"embeddings:$dir"))
           .select($"q_id", $"rank", $"neighbor_id")
           .orderBy($"q_id", $"rank")
       },

@@ -136,6 +136,30 @@ object SourceQueries extends QueryGroup {
                 FROM orders WHERE o_orderkey >= 200 AND o_orderkey < 400) t
               ORDER BY o_orderkey""")),
 
+    // dask set_index/divisions analogue (graft.ops.RangeLayout): orders
+    // persisted range-partitioned on o_orderdate, read back with a tight
+    // date window. The reader computes the overlapping partition ids
+    // from the divisions CLIENT-SIDE (dask's interval arithmetic) and
+    // Spark prunes directories at listing time — PlanSpec asserts the
+    // PartitionFilters on __rp.
+    GQuery("scan_range_pruned",
+      (s, dir) => {
+        val path = scratch("orders_range")
+        val divisions = (1996 to 2001).map(y => s"$y-01-01")
+        graft.ops.RangeLayout.write(
+          Tables(s, dir, "orders")
+            .select("o_orderkey", "o_orderdate", "o_totalprice"),
+          path, "o_orderdate", divisions)
+        graft.ops.RangeLayout.read(s, path, "o_orderdate", divisions,
+            "1997-03-01", "1997-06-01")
+          .select("o_orderkey", "o_orderdate", "o_totalprice")
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+              WHERE o_orderdate >= TIMESTAMP '1997-03-01'
+                AND o_orderdate < TIMESTAMP '1997-06-01'
+              ORDER BY o_orderkey""")),
+
     // Zip-archive round-trip (reference to_zip/read_zip): cluster-written
     // csv parts packed into one archive, read back via a parallel csv
     // scan over the unpacked entries (graft.engine.ZipIo).

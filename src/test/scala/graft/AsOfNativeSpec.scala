@@ -59,6 +59,26 @@ class AsOfNativeSpec extends SparkSpec {
     assert(df.count() === after)
   }
 
+  test("string keys take the native path and match the window construction") {
+    import spark.implicits._
+    val ev = Tables(spark, sfDir, "events")
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"event_id", concat(lit("u"), $"user_id").as("k"), $"ts")
+    val c = ev.filter($"event_type" === "click")
+      .select(concat(lit("u"), $"user_id").as("k"), $"ts",
+        $"event_id".as("click_id"))
+    val viaWindow = AsOfJoin.backward(p, c, "k", "ts", Seq("click_id"))
+      .select("event_id", "click_id")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    val df = AsOfJoinNative.backward(p, c, "k", "ts", Seq("click_id"))
+    val native = df.select("event_id", "click_id")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(native === viaWindow)
+    assert(native.nonEmpty)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), s"string key fell off the native path:\n$plan")
+  }
+
   test("left rows with no earlier right row get null payload") {
     import spark.implicits._
     val l = Seq((1L, 10L, 100L), (2L, 10L, 50L)).toDF("id", "k", "t")

@@ -61,20 +61,47 @@ class LlmOpsSpec extends SparkSpec {
       s"missing exact dups: ${exactDups.diff(cands)}")
   }
 
-  test("LSH ANN achieves reasonable recall@10 vs brute force") {
+  test("multi-probe LSH ANN: recall@10 >= 0.8 at 4x4, candidates sub-linear") {
     import spark.implicits._
     val emb = Tables(spark, sfDir, "embeddings")
       .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+    val n = emb.count(); val nq = emb.filter($"vec_id" < 5).count()
     val exact = AnnSearch.bruteTopK(spark, emb, "vec_id", "e", col("id") < 5)
       .select($"q_id", $"neighbor_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val approx = AnnSearch.lshTopK(spark, emb, "vec_id", "e", col("id") < 5)
+    def run(mp: Boolean) = AnnSearch.lshTopK(spark, emb, "vec_id", "e",
+        col("id") < 5, multiProbe = mp)
       .select($"q_id", $"neighbor_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val recall = exact.intersect(approx).size.toDouble / exact.size
-    // 4 tables × 4 bits on near-orthogonal random data: must beat chance
-    // (random 25%-candidate sampling would give ~0.25 on average).
-    assert(recall >= 0.3, s"recall@10 = $recall")
+    // single-probe floor: must beat chance (random 25%-candidate
+    // sampling would give ~0.25 on average)
+    val single = exact.intersect(run(mp = false)).size.toDouble / exact.size
+    assert(single >= 0.3, s"single-probe recall@10 = $single")
+    // multi-probe (1-bit-XOR neighbor buckets per table): measured 0.90
+    // at sf0.01 (tools/LshTune sweep) — gate at the round-4 ask's 0.8.
+    val multi = exact.intersect(run(mp = true)).size.toDouble / exact.size
+    assert(multi >= 0.8, s"multi-probe recall@10 = $multi")
+    // and the candidate set must stay a strict subset of brute force's
+    // n-per-query scan (0.77·n measured at sf0.01)
+    val cand = AnnSearch.lshCandidates(emb, "vec_id", "e", col("id") < 5).count()
+    assert(cand.toDouble / (n * nq) <= 0.9,
+      s"candidate fraction ${cand.toDouble / (n * nq)} not sub-linear")
+  }
+
+  test("hamming join at maxDist=0 (single 64-bit band) equals exact fp equality") {
+    import spark.implicits._
+    val fp = Tables(spark, sfDir, "documents")
+      .select($"doc_id", GraftFunctions.simhash64(spark, split($"text", " ")).as("fp"))
+    val a = fp.select($"doc_id".as("id_a"), $"fp".as("fp_a"))
+    val b = fp.select($"doc_id".as("id_b"), $"fp".as("fp_b"))
+    val exact = a.join(b, $"fp_a" === $"fp_b" && $"id_a" < $"id_b")
+      .select($"id_a", $"id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = graft.ops.HammingJoin.pairsWithin(fp, "doc_id", "fp", 0)
+      .select($"id_a", $"id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded === exact,
+      s"missed: ${exact.diff(banded)}; spurious: ${banded.diff(exact)}")
   }
 
   test("hyperplane_buckets expression matches the HOF formulation bit-for-bit") {

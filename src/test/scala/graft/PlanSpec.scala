@@ -148,6 +148,50 @@ class PlanSpec extends SparkSpec {
       s"no partition pruning:\n$scan")
   }
 
+  test("range layout readback prunes partitions via divisions arithmetic") {
+    val df = Registry.byKey("scan_range_pruned").build(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("__rp"), s"no partition filter on __rp:\n$p")
+    // the id-range filter must carry BOTH bounds (lo and hi partition)
+    assert(pf.contains(">=") && pf.contains("<="), s"unbounded partition filter: $pf")
+  }
+
+  test("no-partition windows only ever sort bucket-stat frames (<= buckets rows)") {
+    // The DistributedSelect construction runs ONE window with no
+    // partitionSpec — the cumulative-offset scan over the per-bucket
+    // counts (<= 32 rows, ordered by the bucket id __b). Any other
+    // no-partition window in a graded plan is a single-task funnel over
+    // real data and must fail here loudly (e.g. ntile_global regressing
+    // to row_number().over(Window.orderBy(value))).
+    import org.apache.spark.sql.execution.window.WindowExec
+    val keys = Seq("median", "quartiles", "describe_quantiles",
+      "ntile_global", "groupby_quantiles", "weighted_folds")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      for (k <- keys) {
+        val plan = Registry.byKey(k).build(spark, sfDir).queryExecution.executedPlan
+        val noPart = plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+        noPart.foreach { w =>
+          val ord = w.orderSpec.map(_.child.toString).mkString(",")
+          assert(ord.contains("__b"),
+            s"$k: no-partition window NOT over the bucket-stats frame (order: $ord)")
+        }
+        if (k == "groupby_quantiles")
+          assert(noPart.isEmpty, s"$k must use only per-key windows")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("groupby_collect_distinct tree-reduces through two bounded levels") {
+    val p = plan("groupby_collect_distinct")
+    assert(p.contains("__salt"), s"no salt column (level-1 split missing):\n$p")
+    // exactly two hash exchanges: cluster by (key, salt), then by key —
+    // the final sort's range exchange is separate.
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx === 2, s"expected 2 hash exchanges, got $hashEx:\n$p")
+  }
+
   test("whole-stage codegen covers the q1 aggregation") {
     // AQE reports codegen spans only in the final (executed) plan.
     val df = Registry.byKey("q1_pricing_summary").build(spark, sfDir)
