@@ -1,0 +1,35 @@
+#!/bin/bash
+# Quiet-box bench launcher: runs graft.Bench via bare `java -cp` so the
+# LAST stdout line is the unframed JSON summary (no sbt [info] wrapper —
+# the driver's tail-capture parses it directly).
+#
+# Contention guard (two rounds of perf signal were lost to loaded-box
+# numbers): refuses to run if the 1-min load average exceeds
+# SPARK_GRAFT_MAX_LOAD (default 4) or sibling JVMs are burning CPU.
+# Override with SPARK_GRAFT_BENCH_FORCE=1.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+LOAD=$(cut -d' ' -f1 /proc/loadavg)
+MAX=${SPARK_GRAFT_MAX_LOAD:-4}
+SIBLINGS=$( (pgrep -fl java || true) | (grep -cv " $$ " || true) )
+if [ "${SPARK_GRAFT_BENCH_FORCE:-0}" != "1" ]; then
+  if awk "BEGIN{exit !($LOAD > $MAX)}"; then
+    echo "REFUSING: load $LOAD > $MAX (siblings: $( (pgrep -fl java || true) | tr '\n' ';'))" >&2
+    exit 3
+  fi
+fi
+echo "bench starting: load=$LOAD sibling_jvms=$SIBLINGS" >&2
+
+ADD_OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
+         java.util java.util.concurrent java.util.concurrent.atomic \
+         sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+exec java $ADD_OPENS \
+  -Dspark.ui.enabled=false \
+  -Dspark.sql.session.timeZone=UTC \
+  -Xmx${SPARK_DRIVER_MEM:-48g} \
+  -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
+  graft.Bench
