@@ -32,10 +32,21 @@ object AsOfJoin {
     * @param key        equi-join key column name (same name both sides)
     * @param ts         event-time column name (same name both sides)
     * @param rightCols  right-side payload columns to attach to each left row
+    * @param allowExactMatches  pandas/dask `allow_exact_matches`: false
+    *                   makes the match strict (right.ts < left.ts) —
+    *                   implemented purely in the tie-break sort (left
+    *                   probes order BEFORE right rows at equal ts, so
+    *                   the carry hasn't seen them yet); no extra pass.
+    * @param toleranceUs  pandas/dask `tolerance`: max left.ts − right.ts
+    *                   in microseconds; a carried match older than the
+    *                   tolerance is nulled out post-window (the carry
+    *                   additionally tracks the matched right ts).
     */
   def backward(left: DataFrame, right: DataFrame, key: String, ts: String,
-               rightCols: Seq[String]): DataFrame =
-    merged(left, right, key, ts, rightCols, fwd = false)
+               rightCols: Seq[String], allowExactMatches: Boolean = true,
+               toleranceUs: Option[Long] = None): DataFrame =
+    merged(left, right, key, ts, rightCols, fwd = false,
+      allowExact = allowExactMatches, toleranceUs = toleranceUs)
 
   /** Forward as-of (dask `merge_asof(direction="forward")`): for each
     * left row, the FIRST right row with right.ts >= left.ts — the exact
@@ -43,33 +54,57 @@ object AsOfJoin {
     * (key, ts) resolve to the min payload, mirroring backward's max).
     */
   def forward(left: DataFrame, right: DataFrame, key: String, ts: String,
-              rightCols: Seq[String]): DataFrame =
-    merged(left, right, key, ts, rightCols, fwd = true)
+              rightCols: Seq[String], allowExactMatches: Boolean = true,
+              toleranceUs: Option[Long] = None): DataFrame =
+    merged(left, right, key, ts, rightCols, fwd = true,
+      allowExact = allowExactMatches, toleranceUs = toleranceUs)
 
   private def merged(left: DataFrame, right: DataFrame, key: String, ts: String,
-                     rightCols: Seq[String], fwd: Boolean): DataFrame = {
+                     rightCols: Seq[String], fwd: Boolean,
+                     allowExact: Boolean = true,
+                     toleranceUs: Option[Long] = None): DataFrame = {
     val leftCols = left.columns.toSeq
+    // With a tolerance the carry must also remember WHEN the match
+    // happened, so the matched right ts rides along as an extra payload.
+    val carryCols = if (toleranceUs.isDefined) rightCols :+ ts else rightCols
     val l = left
       .withColumn("__tag", lit(1))
-      .select(leftCols.map(col) ++ rightCols.map(c => lit(null).as(s"__r_$c")) :+ col("__tag"): _*)
+      .select(leftCols.map(col) ++ carryCols.map(c => lit(null).as(s"__r_$c")) :+ col("__tag"): _*)
     val r = right
       .withColumn("__tag", lit(0))
       .select(leftCols.map(c => if (c == key || c == ts) col(c) else lit(null).as(c)) ++
-        rightCols.map(c => col(c).as(s"__r_$c")) :+ col("__tag"): _*)
+        carryCols.map(c => col(c).as(s"__r_$c")) :+ col("__tag"): _*)
     // tag asc => right (0) sorts before left (1) at equal ts: inclusive
-    // match; payload ordering => last() is deterministic under ties.
+    // match (allow_exact_matches=false flips the tag order, so the left
+    // probe runs before same-ts right rows and never sees them);
+    // payload ordering => last() is deterministic under ties.
     // Forward direction = the same scan over reversed time.
     val tsOrd = if (fwd) col(ts).desc else col(ts).asc
+    val tagOrd = if (allowExact) col("__tag").asc else col("__tag").desc
     val payOrd = rightCols.map(c =>
       if (fwd) col(s"__r_$c").desc else col(s"__r_$c").asc)
     val w = Window.partitionBy(key)
-      .orderBy(tsOrd +: col("__tag").asc +: payOrd: _*)
+      .orderBy(tsOrd +: tagOrd +: payOrd: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightCols.foldLeft(l.unionByName(r)) { (df, c) =>
+    val carried = carryCols.foldLeft(l.unionByName(r)) { (df, c) =>
       df.withColumn(s"__c_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
     }
-    carried
-      .filter(col("__tag") === 1)
+    val matched = carried.filter(col("__tag") === 1)
+    val withinTol = toleranceUs match {
+      case None => matched
+      case Some(tol) =>
+        // |left.ts − matched right ts| must be within the tolerance;
+        // outside it the match (ALL payloads) nulls out, matching
+        // pandas merge_asof(tolerance=...).
+        val delta =
+          if (fwd) unix_micros(col(s"__c_$ts")) - unix_micros(col(ts))
+          else unix_micros(col(ts)) - unix_micros(col(s"__c_$ts"))
+        rightCols.foldLeft(matched) { (df, c) =>
+          df.withColumn(s"__c_$c",
+            when(delta <= tol, col(s"__c_$c")))
+        }
+    }
+    withinTol
       .select(leftCols.map(col) ++ rightCols.map(c => col(s"__c_$c").as(c)): _*)
   }
 }

@@ -173,6 +173,58 @@ object JoinQueries extends QueryGroup {
               FROM events p WHERE p.event_type = 'purchase'
               ORDER BY p.event_id""")),
 
+    // dask merge_asof(tolerance=...): the backward match is kept only
+    // when it is at most 24h old, else NULL. Same single-shuffle
+    // union+window plan — the matched right ts rides the carry and the
+    // tolerance is a post-window column predicate (no extra join).
+    GQuery("join_asof_tolerance",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables(s, dir, "events")
+        val purchases = ev.filter($"event_type" === "purchase")
+          .select($"event_id", $"user_id", $"ts")
+        val clicks = ev.filter($"event_type" === "click")
+          .select($"user_id", $"ts", $"event_id".as("click_id"))
+        AsOfJoin.backward(purchases, clicks, key = "user_id", ts = "ts",
+            rightCols = Seq("click_id"),
+            toleranceUs = Some(24L * 3600 * 1000000))
+          .select($"event_id", $"user_id", $"click_id")
+          .orderBy($"event_id")
+      },
+      // Tolerance inside the lookup is equivalent: if the LATEST prior
+      // click is out of tolerance, every earlier one is too.
+      Some("""SELECT p.event_id, p.user_id,
+                (SELECT c.event_id FROM events c
+                 WHERE c.event_type = 'click' AND c.user_id = p.user_id
+                   AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 24 HOUR
+                 ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS click_id
+              FROM events p WHERE p.event_type = 'purchase'
+              ORDER BY p.event_id""")),
+
+    // dask merge_asof(allow_exact_matches=False): strictly-before match
+    // (right.ts < left.ts). Implemented purely in the window tie-break
+    // (left probes sort before same-ts right rows), zero extra cost.
+    GQuery("join_asof_strict",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables(s, dir, "events")
+        val purchases = ev.filter($"event_type" === "purchase")
+          .select($"event_id", $"user_id", $"ts")
+        val clicks = ev.filter($"event_type" === "click")
+          .select($"user_id", $"ts", $"event_id".as("click_id"))
+        AsOfJoin.backward(purchases, clicks, key = "user_id", ts = "ts",
+            rightCols = Seq("click_id"), allowExactMatches = false)
+          .select($"event_id", $"user_id", $"click_id")
+          .orderBy($"event_id")
+      },
+      Some("""SELECT p.event_id, p.user_id,
+                (SELECT c.event_id FROM events c
+                 WHERE c.event_type = 'click' AND c.user_id = p.user_id
+                   AND c.ts < p.ts
+                 ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS click_id
+              FROM events p WHERE p.event_type = 'purchase'
+              ORDER BY p.event_id""")),
+
     // Nearest direction (dask merge_asof direction="nearest"): closer
     // of the backward/forward matches by |Δts|, ties to backward —
     // composed from the two directional passes joined on the probe id.

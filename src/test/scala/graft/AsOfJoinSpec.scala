@@ -33,4 +33,68 @@ class AsOfJoinSpec extends SparkSpec {
       3L -> -1L,  // only later clicks exist
       4L -> -1L)) // key has no right rows at all
   }
+
+  private def run(df: org.apache.spark.sql.DataFrame) =
+    df.select("event_id", "click_id")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+
+  test("allow_exact_matches=false skips the equal-ts row (both directions)") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, t("00:10:00")),  // strict backward -> 101 (not the equal-ts 102)
+      (2L, 10L, t("00:01:00"))). // strict backward -> none (only row IS equal-ts)
+      toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, t("00:01:00"), 101L),
+      (10L, t("00:10:00"), 102L))
+      .toDF("user_id", "ts", "click_id")
+
+    val bwd = run(AsOfJoin.backward(left, right, "user_id", "ts",
+      Seq("click_id"), allowExactMatches = false))
+    assert(bwd === Map(1L -> 101L, 2L -> -1L))
+
+    val fwd = run(AsOfJoin.forward(left, right, "user_id", "ts",
+      Seq("click_id"), allowExactMatches = false))
+    // strictly-after: probe@00:10 has nothing later; probe@00:01 -> 102
+    assert(fwd === Map(1L -> -1L, 2L -> 102L))
+  }
+
+  test("tolerance nulls matches older than the bound, keeps fresh ones") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, t("00:10:00")),  // gap 9m  > 5m tolerance -> null
+      (2L, 10L, t("00:04:00")),  // gap 3m <= 5m          -> 101
+      (3L, 20L, t("00:05:00"))). // no right rows at all   -> null
+      toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, t("00:01:00"), 101L))
+      .toDF("user_id", "ts", "click_id")
+
+    val out = run(AsOfJoin.backward(left, right, "user_id", "ts",
+      Seq("click_id"), toleranceUs = Some(5L * 60 * 1000000)))
+    assert(out === Map(1L -> -1L, 2L -> 101L, 3L -> -1L))
+
+    // forward mirror: tolerance bounds right.ts - left.ts
+    val fwd = run(AsOfJoin.forward(left, right, "user_id", "ts",
+      Seq("click_id"), toleranceUs = Some(5L * 60 * 1000000)))
+    // probe@00:10 & @00:05: nothing later; probe@00:04: 101 is EARLIER, not forward
+    assert(fwd === Map(1L -> -1L, 2L -> -1L, 3L -> -1L))
+  }
+
+  test("strict + tolerance compose (pandas merge_asof parity)") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, t("00:06:00"))). // equal-ts 106 excluded; 101@00:03 within 5m
+      toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, t("00:03:00"), 101L),
+      (10L, t("00:06:00"), 106L))
+      .toDF("user_id", "ts", "click_id")
+
+    val out = run(AsOfJoin.backward(left, right, "user_id", "ts",
+      Seq("click_id"), allowExactMatches = false,
+      toleranceUs = Some(5L * 60 * 1000000)))
+    assert(out === Map(1L -> 101L))
+  }
 }
