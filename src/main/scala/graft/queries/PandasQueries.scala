@@ -1,0 +1,248 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.{Det, Tables}
+
+/** pandas/dask DataFrame-surface parity ops beyond the core relational
+  * set (SURVEY.md §2.2/§2.5 long tail): binning, diff/pct_change,
+  * ordered dedup, rank methods, time resample, interpolation, one-hot,
+  * crosstab, merge indicator. Each is a declarative single-pass plan —
+  * per-key windows (state bounded by the key) or plain aggregations —
+  * so all of them scale exactly like the core groupby/window ops.
+  */
+object PandasQueries extends QueryGroup {
+
+  def queries: Seq[GQuery] = Seq(
+
+    // pandas.cut: fixed-width binning (100k bands of o_totalprice) +
+    // per-bin stats. Pure column arithmetic, embarrassingly parallel.
+    GQuery("cut",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "orders")
+          .withColumn("bin", floor($"o_totalprice" / 100000.0).cast("long"))
+          .groupBy($"bin")
+          .agg(count(lit(1)).as("n"), Det.dsum($"o_totalprice").as("sum_price"))
+          .orderBy($"bin")
+      },
+      Some(s"""SELECT CAST(FLOOR(o_totalprice / 100000.0) AS BIGINT) AS bin,
+              COUNT(*) AS n, ${Det.sql.dsum("o_totalprice")} AS sum_price
+              FROM orders GROUP BY 1 ORDER BY bin""")),
+
+    // pandas diff/pct_change per key over event time: lag arithmetic on
+    // the same IEEE doubles both engines read from parquet — exact.
+    GQuery("diff_pct_change",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        Tables(s, dir, "events")
+          .filter($"user_id" < 20)
+          .select($"user_id", $"event_id",
+            ($"value" - lag($"value", 1).over(w)).as("diff"),
+            ($"value" / lag($"value", 1).over(w) - 1.0).as("pct_change"))
+          .orderBy($"user_id", $"event_id")
+      },
+      Some("""SELECT user_id, event_id,
+                value - LAG(value, 1) OVER w AS diff,
+                value / LAG(value, 1) OVER w - 1.0 AS pct_change
+              FROM events WHERE user_id < 20
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+              ORDER BY user_id, event_id""")),
+
+    // pandas drop_duplicates(keep='last') with an explicit time order:
+    // latest event per user via a per-key row_number — unlike Spark's
+    // dropDuplicates, the KEPT row is deterministic.
+    GQuery("dedup_keep_last",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+        Tables(s, dir, "events")
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" === 1)
+          .select($"user_id", $"event_id", $"event_type", $"value")
+          .orderBy($"user_id")
+      },
+      Some("""SELECT user_id, event_id, event_type, value FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events) t
+              WHERE rn = 1 ORDER BY user_id""")),
+
+    // pandas rank(method=min|dense|pct|average) in one pass. The
+    // 'average' method = min_rank + (ties-1)/2 — an exact int ratio, so
+    // the double is bit-identical across engines.
+    GQuery("rank_methods",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"s_nationkey").orderBy($"s_acctbal")
+        val ties = Window.partitionBy($"s_nationkey", $"s_acctbal")
+        Tables(s, dir, "supplier")
+          .select($"s_nationkey", $"s_suppkey", $"s_acctbal",
+            rank().over(w).cast("long").as("rnk_min"),
+            dense_rank().over(w).cast("long").as("rnk_dense"),
+            percent_rank().over(w).as("rnk_pct"),
+            (rank().over(w) + (count(lit(1)).over(ties) - 1) / 2.0).as("rnk_avg"))
+          .orderBy($"s_nationkey", $"s_suppkey")
+      },
+      Some("""SELECT s_nationkey, s_suppkey, s_acctbal,
+                RANK() OVER w AS rnk_min,
+                DENSE_RANK() OVER w AS rnk_dense,
+                PERCENT_RANK() OVER w AS rnk_pct,
+                RANK() OVER w + (COUNT(*) OVER (PARTITION BY s_nationkey, s_acctbal) - 1) / 2.0 AS rnk_avg
+              FROM supplier
+              WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal)
+              ORDER BY s_nationkey, s_suppkey""")),
+
+    // pandas resample('1D').ohlc(): daily open/high/low/close of the
+    // event value. first/last over a totally-ordered full-frame window
+    // per day — per-key state, no global sort.
+    GQuery("resample_ohlc",
+      (s, dir) => {
+        import s.implicits._
+        val day = to_date(date_trunc("DAY", $"ts")).as("day")
+        val w = Window.partitionBy($"day").orderBy($"ts", $"event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables(s, dir, "events")
+          .select(day, $"ts", $"event_id", $"value")
+          .select($"day",
+            first($"value").over(w).as("open"),
+            max($"value").over(w).as("high"),
+            min($"value").over(w).as("low"),
+            last($"value").over(w).as("close"))
+          .distinct()
+          .orderBy($"day")
+      },
+      Some("""SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day,
+                first_value(value) OVER w AS open,
+                max(value) OVER w AS high,
+                min(value) OVER w AS low,
+                last_value(value) OVER w AS close
+              FROM events
+              WINDOW w AS (PARTITION BY CAST(date_trunc('day', ts) AS DATE)
+                           ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+              ORDER BY day""")),
+
+    // pandas interpolate(method='linear') per key: 'error' rows are
+    // nulled and re-filled by linear interpolation between the
+    // surrounding non-null values at their row positions (head stays
+    // null, tail forward-fills — pandas default). Two bounded-frame
+    // window scans, per-key state only.
+    GQuery("interpolate",
+      (s, dir) => {
+        import s.implicits._
+        val base = Tables(s, dir, "events")
+          .filter($"user_id" < 20)
+          .withColumn("v0", when($"event_type" =!= "error", $"value"))
+        val ord = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        val withRn = base.withColumn("rn", row_number().over(ord))
+        val wb = ord.rowsBetween(Window.unboundedPreceding, -1)
+        val wf = ord.rowsBetween(1, Window.unboundedFollowing)
+        withRn
+          .withColumn("pv", last($"v0", ignoreNulls = true).over(wb))
+          .withColumn("pr", last(when($"v0".isNotNull, $"rn"), ignoreNulls = true).over(wb))
+          .withColumn("nv", first($"v0", ignoreNulls = true).over(wf))
+          .withColumn("nr", first(when($"v0".isNotNull, $"rn"), ignoreNulls = true).over(wf))
+          .select($"user_id", $"event_id",
+            when($"v0".isNotNull, $"v0")
+              .when($"pv".isNull, lit(null))
+              .when($"nv".isNull, $"pv")
+              .otherwise($"pv" + ($"nv" - $"pv") * ($"rn" - $"pr") / ($"nr" - $"pr"))
+              .as("value_interp"))
+          .orderBy($"user_id", $"event_id")
+      },
+      Some("""WITH e AS (
+                SELECT user_id, event_id, ts,
+                  CASE WHEN event_type <> 'error' THEN value END AS v0
+                FROM events WHERE user_id < 20),
+              r AS (
+                SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id) AS rn
+                FROM e),
+              f AS (
+                SELECT user_id, event_id, v0, rn,
+                  last_value(v0 IGNORE NULLS) OVER wb AS pv,
+                  last_value(CASE WHEN v0 IS NOT NULL THEN rn END IGNORE NULLS) OVER wb AS pr,
+                  first_value(v0 IGNORE NULLS) OVER wf AS nv,
+                  first_value(CASE WHEN v0 IS NOT NULL THEN rn END IGNORE NULLS) OVER wf AS nr
+                FROM r
+                WINDOW wb AS (PARTITION BY user_id ORDER BY rn
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       wf AS (PARTITION BY user_id ORDER BY rn
+                              ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+              SELECT user_id, event_id,
+                CASE WHEN v0 IS NOT NULL THEN v0
+                     WHEN pv IS NULL THEN NULL
+                     WHEN nv IS NULL THEN pv
+                     ELSE pv + (nv - pv) * (rn - pr) / (nr - pr) END AS value_interp
+              FROM f ORDER BY user_id, event_id""")),
+
+    // pandas get_dummies: one-hot encode the market segment. Pure
+    // projection — the fixed category set keeps the schema static,
+    // exactly like pandas with categorical dtype.
+    GQuery("get_dummies",
+      (s, dir) => {
+        import s.implicits._
+        val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+        val dummies = segs.map(g =>
+          ($"c_mktsegment" === g).cast("long").as(s"seg_${g.toLowerCase}"))
+        Tables(s, dir, "customer")
+          .select($"c_custkey" +: dummies: _*)
+          .orderBy($"c_custkey")
+      },
+      Some("""SELECT c_custkey,
+                CAST(c_mktsegment = 'AUTOMOBILE' AS BIGINT) AS seg_automobile,
+                CAST(c_mktsegment = 'BUILDING'   AS BIGINT) AS seg_building,
+                CAST(c_mktsegment = 'FURNITURE'  AS BIGINT) AS seg_furniture,
+                CAST(c_mktsegment = 'HOUSEHOLD'  AS BIGINT) AS seg_household,
+                CAST(c_mktsegment = 'MACHINERY'  AS BIGINT) AS seg_machinery
+              FROM customer ORDER BY c_custkey""")),
+
+    // pandas.crosstab(nation, segment): contingency counts via
+    // groupBy+pivot over the fixed category set — one shuffle on the
+    // row key, map-side partials for the counts.
+    GQuery("crosstab",
+      (s, dir) => {
+        import s.implicits._
+        val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+        val ct = Tables(s, dir, "customer")
+          .join(broadcast(Tables(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+          .groupBy($"n_name")
+          .pivot("c_mktsegment", segs)
+          .agg(count(lit(1)))
+          .na.fill(0L)
+        segs.foldLeft(ct)((df, g) => df.withColumnRenamed(g, g.toLowerCase))
+          .orderBy($"n_name")
+      },
+      Some("""SELECT n_name,
+                COUNT(*) FILTER (c_mktsegment = 'AUTOMOBILE') AS automobile,
+                COUNT(*) FILTER (c_mktsegment = 'BUILDING')   AS building,
+                COUNT(*) FILTER (c_mktsegment = 'FURNITURE')  AS furniture,
+                COUNT(*) FILTER (c_mktsegment = 'HOUSEHOLD')  AS household,
+                COUNT(*) FILTER (c_mktsegment = 'MACHINERY')  AS machinery
+              FROM customer JOIN nation ON c_nationkey = n_nationkey
+              GROUP BY n_name ORDER BY n_name""")),
+
+    // pandas merge(indicator=True): full outer join + provenance column.
+    GQuery("merge_indicator",
+      (s, dir) => {
+        import s.implicits._
+        val users = Tables(s, dir, "events").select($"user_id").distinct()
+        Tables(s, dir, "customer").select($"c_custkey")
+          .join(users, $"c_custkey" === $"user_id", "full_outer")
+          .select(coalesce($"c_custkey", $"user_id").as("id"),
+            when($"user_id".isNull, "left_only")
+              .when($"c_custkey".isNull, "right_only")
+              .otherwise("both").as("merge_ind"))
+          .orderBy($"id")
+      },
+      Some("""SELECT COALESCE(c_custkey, user_id) AS id,
+                CASE WHEN user_id IS NULL THEN 'left_only'
+                     WHEN c_custkey IS NULL THEN 'right_only'
+                     ELSE 'both' END AS merge_ind
+              FROM customer FULL OUTER JOIN (SELECT DISTINCT user_id FROM events) e
+                ON c_custkey = user_id
+              ORDER BY id"""))
+  )
+}
