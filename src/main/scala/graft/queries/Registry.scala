@@ -31,6 +31,7 @@ object Registry {
     SetQueries,
     FunctionQueries,
     StreamingQueries,
+    PandasQueries,
     LlmQueries)
 
   lazy val all: Seq[GQuery] = {
