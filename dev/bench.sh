@@ -12,10 +12,16 @@ cd "$(dirname "$0")/.."
 
 LOAD=$(cut -d' ' -f1 /proc/loadavg)
 MAX=${SPARK_GRAFT_MAX_LOAD:-4}
-SIBLINGS=$( (pgrep -fl java || true) | (grep -cv " $$ " || true) )
+# This script is bash, not java, so a plain count needs no self-exclusion;
+# the benched JVM only starts at the exec below.
+SIBLINGS=$(pgrep -c java || true)
 if [ "${SPARK_GRAFT_BENCH_FORCE:-0}" != "1" ]; then
   if awk "BEGIN{exit !($LOAD > $MAX)}"; then
     echo "REFUSING: load $LOAD > $MAX (siblings: $( (pgrep -fl java || true) | tr '\n' ';'))" >&2
+    exit 3
+  fi
+  if [ "${SIBLINGS:-0}" -gt 0 ]; then
+    echo "REFUSING: $SIBLINGS sibling JVM(s) running: $( (pgrep -fl java || true) | tr '\n' ';')" >&2
     exit 3
   fi
 fi

@@ -6,13 +6,14 @@ import java.nio.file.{Files, Paths}
   * SPARK_GRAFT_SF_DIR (default sf0.1), n iterations each (best-of-n so a
   * one-off GC pause or compile stall can't masquerade as a regression).
   *
-  * Output contract: the FINAL stdout line is one SHORT JSON object
-  * (total + headline queries only, well under 1 kB) so the driver's
-  * tail-capture can always parse it; the full per-query map is written
-  * to bench_details.json next to the working dir and also printed line
-  * by line above the summary for human eyes. Failed queries are listed
-  * in `failed` (and excluded from the total) instead of being silently
-  * timed as fast successes.
+  * Output contract: stdout carries ONE short JSON line (total +
+  * headline queries only, well under 1 kB) and nothing else — the
+  * round-4 driver capture was byte-truncated mid-stream, so any extra
+  * stdout (the old full per-query println) can push the summary past
+  * the capture limit and null the round's perf signal. The full
+  * per-query map goes to bench_details.json only. Failed queries are
+  * listed in `failed` (and excluded from the total) instead of being
+  * silently timed as fast successes.
   */
 object Bench {
   // Queries the summary line carries explicitly (≈BASELINE.md headliners).
@@ -33,7 +34,7 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR")
     // Warm up the JVM/codegen/parquet-reader paths once so per-query
     // timings measure the queries, not first-touch initialization.
     try {
@@ -66,7 +67,6 @@ object Bench {
     val full =
       s"""{"metric":"total","value":${jnum(total)},"unit":"sec","n":$iters,"cpus":$cpus,"sf":"$sfDir","failed":$failedJson,"queries":$detailJson}"""
     Files.writeString(Paths.get("bench_details.json"), full)
-    println(full)  // full map for humans / logs (may be long)
     val hq = timed.filter(t => headline.contains(t._1))
       .map { case (k, v) => s"\"$k\":${jnum(v)}" }.mkString("{", ",", "}")
     spark.stop()

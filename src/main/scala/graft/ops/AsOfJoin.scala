@@ -63,17 +63,16 @@ object AsOfJoin {
                      rightCols: Seq[String], fwd: Boolean,
                      allowExact: Boolean = true,
                      toleranceUs: Option[Long] = None): DataFrame = {
+    require(!rightCols.contains(ts),
+      s"rightCols must not contain the as-of ts column '$ts' (it is carried automatically)")
     val leftCols = left.columns.toSeq
-    // With a tolerance the carry must also remember WHEN the match
-    // happened, so the matched right ts rides along as an extra payload.
-    val carryCols = if (toleranceUs.isDefined) rightCols :+ ts else rightCols
     val l = left
       .withColumn("__tag", lit(1))
-      .select(leftCols.map(col) ++ carryCols.map(c => lit(null).as(s"__r_$c")) :+ col("__tag"): _*)
+      .select(leftCols.map(col) ++ rightCols.map(c => lit(null).as(s"__r_$c")) :+ col("__tag"): _*)
     val r = right
       .withColumn("__tag", lit(0))
       .select(leftCols.map(c => if (c == key || c == ts) col(c) else lit(null).as(c)) ++
-        carryCols.map(c => col(c).as(s"__r_$c")) :+ col("__tag"): _*)
+        rightCols.map(c => col(c).as(s"__r_$c")) :+ col("__tag"): _*)
     // tag asc => right (0) sorts before left (1) at equal ts: inclusive
     // match (allow_exact_matches=false flips the tag order, so the left
     // probe runs before same-ts right rows and never sees them);
@@ -86,25 +85,30 @@ object AsOfJoin {
     val w = Window.partitionBy(key)
       .orderBy(tsOrd +: tagOrd +: payOrd: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = carryCols.foldLeft(l.unionByName(r)) { (df, c) =>
-      df.withColumn(s"__c_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
-    }
+    // Single-struct carry: the matched ts and ALL payloads ride in one
+    // struct behind one last(ignoreNulls), so they always come from the
+    // same right row — a right row with a null payload value advances
+    // the match (pandas row semantics) instead of desyncing the
+    // tolerance timestamp from an older payload. The struct is null for
+    // left probes (ignoreNulls skips them) and non-null for every right
+    // row, even one whose payload fields are all null.
+    val carryFields = col(ts).as("__m_ts") +: rightCols.map(c => col(s"__r_$c").as(c))
+    val carried = l.unionByName(r)
+      .withColumn("__c",
+        last(when(col("__tag") === 0, struct(carryFields: _*)), ignoreNulls = true).over(w))
     val matched = carried.filter(col("__tag") === 1)
     val withinTol = toleranceUs match {
       case None => matched
       case Some(tol) =>
         // |left.ts − matched right ts| must be within the tolerance;
-        // outside it the match (ALL payloads) nulls out, matching
+        // outside it the whole match nulls out, matching
         // pandas merge_asof(tolerance=...).
         val delta =
-          if (fwd) unix_micros(col(s"__c_$ts")) - unix_micros(col(ts))
-          else unix_micros(col(ts)) - unix_micros(col(s"__c_$ts"))
-        rightCols.foldLeft(matched) { (df, c) =>
-          df.withColumn(s"__c_$c",
-            when(delta <= tol, col(s"__c_$c")))
-        }
+          if (fwd) unix_micros(col("__c.__m_ts")) - unix_micros(col(ts))
+          else unix_micros(col(ts)) - unix_micros(col("__c.__m_ts"))
+        matched.withColumn("__c", when(delta <= tol, col("__c")))
     }
     withinTol
-      .select(leftCols.map(col) ++ rightCols.map(c => col(s"__c_$c").as(c)): _*)
+      .select(leftCols.map(col) ++ rightCols.map(c => col(s"__c.$c").as(c)): _*)
   }
 }

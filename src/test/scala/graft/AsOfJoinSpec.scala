@@ -82,6 +82,38 @@ class AsOfJoinSpec extends SparkSpec {
     assert(fwd === Map(1L -> -1L, 2L -> -1L, 3L -> -1L))
   }
 
+  test("null-payload right row advances the match (no ts/payload desync)") {
+    import spark.implicits._
+    // The latest right row before the probe has a NULL payload. Pandas
+    // merge_asof matches ROWS, so the result is that row's null payload —
+    // not the older row's 101. With a tolerance, the matched ts must be
+    // the null-payload row's ts (fresh => match kept, as null).
+    val left = Seq(
+      (1L, 10L, t("00:10:00"))).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, t("00:01:00"), Some(101L)),
+      (10L, t("00:09:00"), None: Option[Long])) // latest match, null payload
+      .toDF("user_id", "ts", "click_id")
+
+    val plain = run(AsOfJoin.backward(left, right, "user_id", "ts", Seq("click_id")))
+    assert(plain === Map(1L -> -1L))
+
+    // 2-minute tolerance: the 00:09 row is within bound; if the carry
+    // desynced (ts from 00:09, payload from 00:01) the old code kept
+    // 101 here even though the row that matched has a null payload.
+    val tol = run(AsOfJoin.backward(left, right, "user_id", "ts",
+      Seq("click_id"), toleranceUs = Some(2L * 60 * 1000000)))
+    assert(tol === Map(1L -> -1L))
+  }
+
+  test("ts in rightCols is rejected") {
+    import spark.implicits._
+    val df = Seq((10L, t("00:01:00"), 1L)).toDF("user_id", "ts", "click_id")
+    intercept[IllegalArgumentException] {
+      AsOfJoin.backward(df, df, "user_id", "ts", Seq("ts", "click_id"))
+    }
+  }
+
   test("strict + tolerance compose (pandas merge_asof parity)") {
     import spark.implicits._
     val left = Seq(
