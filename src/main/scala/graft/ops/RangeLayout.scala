@@ -27,10 +27,22 @@ import org.apache.spark.sql.functions._
   */
 object RangeLayout {
 
+  /** Sidecar file holding the write-time divisions. Underscore-prefixed
+    * so Spark's file index treats it as hidden and never feeds it to the
+    * parquet reader.
+    */
+  val SidecarName = "_divisions.json"
+
   /** Write `df` under `path` partitioned into ranges of `colName` by
     * `divisions` (sorted ISO-string boundaries, cast to the column's
     * type in-plan). One cluster-by-partition shuffle, then a sorted
     * write — the pay-once layout cost `set_index` charges.
+    *
+    * The divisions are persisted in a `_divisions.json` sidecar next to
+    * the data (dask persists divisions with the collection for the same
+    * reason): a later read that guessed different boundaries would prune
+    * directories that actually hold matching rows — silently wrong
+    * results. With the sidecar, `read` validates or self-loads.
     */
   def write(df: DataFrame, path: String, colName: String,
             divisions: Seq[String]): Unit = {
@@ -43,6 +55,7 @@ object RangeLayout {
       .repartition(col("__rp"))
       .sortWithinPartitions(colName)
       .write.mode("overwrite").partitionBy("__rp").parquet(path)
+    writeSidecar(df.sparkSession, path, colName, divisions)
   }
 
   /** Partition id covering value `v` under `divisions` (ISO-string order). */
@@ -51,10 +64,42 @@ object RangeLayout {
 
   /** Rows with lower <= colName < upperExclusive, listing ONLY the
     * partition directories whose division range intersects the bounds.
+    * Column and divisions come from the layout's own sidecar — the
+    * caller cannot desync from the write-time boundaries.
+    */
+  def read(spark: SparkSession, path: String, lower: String,
+           upperExclusive: String): DataFrame = {
+    val (colName, divisions) = readSidecar(spark, path).getOrElse(
+      throw new IllegalStateException(
+        s"$path has no $SidecarName sidecar — not a RangeLayout " +
+          "(or written before divisions were persisted); use the " +
+          "explicit-divisions read overload only for legacy layouts"))
+    readWith(spark, path, colName, divisions, lower, upperExclusive)
+  }
+
+  /** Explicit-divisions read. If the layout carries a sidecar, the
+    * caller's column/divisions MUST match it exactly — a mismatch
+    * throws instead of silently pruning matching rows. Only a legacy
+    * layout with no sidecar trusts the caller.
     */
   def read(spark: SparkSession, path: String, colName: String,
            divisions: Seq[String], lower: String,
            upperExclusive: String): DataFrame = {
+    readSidecar(spark, path).foreach { case (c, d) =>
+      if (c != colName || d != divisions)
+        throw new IllegalArgumentException(
+          s"divisions mismatch for $path: caller gave column=$colName " +
+            s"divisions=${divisions.mkString("[", ",", "]")} but the " +
+            s"layout was written with column=$c " +
+            s"divisions=${d.mkString("[", ",", "]")} — pruning with the " +
+            "caller's boundaries would silently drop matching rows")
+    }
+    readWith(spark, path, colName, divisions, lower, upperExclusive)
+  }
+
+  private def readWith(spark: SparkSession, path: String, colName: String,
+                       divisions: Seq[String], lower: String,
+                       upperExclusive: String): DataFrame = {
     val lo = partitionId(divisions, lower)
     // values strictly below `upper` can reach at most the partition
     // holding upper's immediate predecessor: count of divisions < upper.
@@ -65,5 +110,80 @@ object RangeLayout {
       .filter(col(colName) >= lit(lower).cast(dt) &&
         col(colName) < lit(upperExclusive).cast(dt))
       .drop("__rp")
+  }
+
+  // --- sidecar I/O (Hadoop FS so HDFS/S3 layouts work, not just file://) ---
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private def writeSidecar(spark: SparkSession, path: String,
+                           colName: String, divisions: Seq[String]): Unit = {
+    val json = s"""{"column":${jsonStr(colName)},"divisions":[""" +
+      divisions.map(jsonStr).mkString(",") + "]}"
+    val p = new org.apache.hadoop.fs.Path(path, SidecarName)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Load (column, divisions) from the sidecar, if present. */
+  def readSidecar(spark: SparkSession,
+                  path: String): Option[(String, Seq[String])] = {
+    val p = new org.apache.hadoop.fs.Path(path, SidecarName)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val json = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](8192)
+        var n = in.read(chunk)
+        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+        buf.toString(java.nio.charset.StandardCharsets.UTF_8)
+      } finally in.close()
+      val strs = parseStrings(json)
+      // Literal order is fixed by writeSidecar: "column", <col>,
+      // "divisions", <d0>, <d1>, ... — positional, so a column literally
+      // named "divisions" cannot confuse the key scan.
+      require(strs.length >= 3 && strs(0) == "column" && strs(2) == "divisions",
+        s"malformed $SidecarName at $path")
+      Some((strs(1), strs.drop(3)))
+    }
+  }
+
+  /** All JSON string literals in `json`, in order, unescaped. */
+  private def parseStrings(json: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var i = 0
+    while (i < json.length) {
+      if (json(i) == '"') {
+        val sb = new StringBuilder
+        i += 1
+        while (json(i) != '"') {
+          if (json(i) == '\\') {
+            i += 1
+            json(i) match {
+              case 'u' => sb += Integer.parseInt(
+                json.substring(i + 1, i + 5), 16).toChar; i += 4
+              case 'n' => sb += '\n'
+              case 't' => sb += '\t'
+              case 'r' => sb += '\r'
+              case c => sb += c
+            }
+          } else sb += json(i)
+          i += 1
+        }
+        out += sb.result()
+      }
+      i += 1
+    }
+    out.result()
   }
 }

@@ -138,9 +138,11 @@ object SourceQueries extends QueryGroup {
 
     // dask set_index/divisions analogue (graft.ops.RangeLayout): orders
     // persisted range-partitioned on o_orderdate, read back with a tight
-    // date window. The reader computes the overlapping partition ids
-    // from the divisions CLIENT-SIDE (dask's interval arithmetic) and
-    // Spark prunes directories at listing time — PlanSpec asserts the
+    // date window. The divisions travel in the layout's _divisions.json
+    // sidecar (dask persists divisions with the collection), so the
+    // reader self-loads the boundaries, computes the overlapping
+    // partition ids CLIENT-SIDE (dask's interval arithmetic) and Spark
+    // prunes directories at listing time — PlanSpec asserts the
     // PartitionFilters on __rp.
     GQuery("scan_range_pruned",
       (s, dir) => {
@@ -150,8 +152,7 @@ object SourceQueries extends QueryGroup {
           Tables(s, dir, "orders")
             .select("o_orderkey", "o_orderdate", "o_totalprice"),
           path, "o_orderdate", divisions)
-        graft.ops.RangeLayout.read(s, path, "o_orderdate", divisions,
-            "1997-03-01", "1997-06-01")
+        graft.ops.RangeLayout.read(s, path, "1997-03-01", "1997-06-01")
           .select("o_orderkey", "o_orderdate", "o_totalprice")
           .orderBy("o_orderkey")
       },
