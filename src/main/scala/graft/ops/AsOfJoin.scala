@@ -65,6 +65,15 @@ object AsOfJoin {
                      toleranceUs: Option[Long] = None): DataFrame = {
     require(!rightCols.contains(ts),
       s"rightCols must not contain the as-of ts column '$ts' (it is carried automatically)")
+    // "__m_ts" is the carry struct's reserved match-ts field — a payload
+    // column of that name would make the struct field ambiguous and
+    // silently corrupt the tolerance check; dotted names would parse as
+    // nested-field paths in the internal column references.
+    require(!rightCols.contains("__m_ts"),
+      "rightCols must not contain the reserved name '__m_ts'")
+    (rightCols :+ key :+ ts).foreach(c => require(!c.contains("."),
+      s"column name '$c' contains '.' — unsupported in as-of join " +
+        "(rename the column first)"))
     val leftCols = left.columns.toSeq
     val l = left
       .withColumn("__tag", lit(1))
@@ -104,11 +113,12 @@ object AsOfJoin {
         // outside it the whole match nulls out, matching
         // pandas merge_asof(tolerance=...).
         val delta =
-          if (fwd) unix_micros(col("__c.__m_ts")) - unix_micros(col(ts))
-          else unix_micros(col(ts)) - unix_micros(col("__c.__m_ts"))
+          if (fwd) unix_micros(col("__c").getField("__m_ts")) - unix_micros(col(ts))
+          else unix_micros(col(ts)) - unix_micros(col("__c").getField("__m_ts"))
         matched.withColumn("__c", when(delta <= tol, col("__c")))
     }
     withinTol
-      .select(leftCols.map(col) ++ rightCols.map(c => col(s"__c.$c").as(c)): _*)
+      .select(leftCols.map(col) ++
+        rightCols.map(c => col("__c").getField(c).as(c)): _*)
   }
 }

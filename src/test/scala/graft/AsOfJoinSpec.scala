@@ -114,6 +114,20 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("reserved __m_ts and dotted payload names are rejected") {
+    import spark.implicits._
+    // A payload literally named __m_ts would collide with the carry
+    // struct's match-ts field and silently corrupt the tolerance check.
+    val clash = Seq((10L, t("00:01:00"), 1L)).toDF("user_id", "ts", "__m_ts")
+    intercept[IllegalArgumentException] {
+      AsOfJoin.backward(clash, clash, "user_id", "ts", Seq("__m_ts"))
+    }
+    val dotted = Seq((10L, t("00:01:00"), 1L)).toDF("user_id", "ts", "click.id")
+    intercept[IllegalArgumentException] {
+      AsOfJoin.backward(dotted, dotted, "user_id", "ts", Seq("click.id"))
+    }
+  }
+
   test("strict + tolerance compose (pandas merge_asof parity)") {
     import spark.implicits._
     val left = Seq(

@@ -93,6 +93,36 @@ class StreamingSpec extends SparkSpec {
     assert(rows.get(w0).contains(1L))
   }
 
+  test("stateful counts run unchanged on the RocksDB state store") {
+    // The 100 TB state path: the default HDFS-backed store holds every
+    // key's state on-heap per executor; RocksDB spills to local disk and
+    // is the provider you'd run with TB-scale streaming state. Prove the
+    // operator is provider-agnostic by running the same stateful query
+    // on a RocksDB-backed session (isolated via newSession so the
+    // shared-suite session keeps the default provider).
+    import spark.implicits._
+    val rocks = spark.newSession()
+    rocks.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val sqlCtx = rocks.sqlContext
+    val input = MemoryStream[EventIn]
+    val q = Stateful.runningUserStats(input.toDS())
+      .toDF().writeStream.format("memory")
+      .queryName("stateful_rocks_t").outputMode("update").start()
+    input.addData(batch1); q.processAllAvailable()
+    input.addData(batch2); q.processAllAvailable()
+    q.stop()
+
+    val finalState = rocks.table("stateful_rocks_t")
+      .groupBy($"user_id")
+      .agg(max($"n_events").as("n"), max($"total_cents").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = (batch1 ++ batch2).groupBy(_.user_id).map { case (u, es) =>
+      (u, es.size.toLong, es.map(e => math.round(e.value * 100)).sum)
+    }.toSet
+    assert(finalState === batch)
+  }
+
   test("streaming dropDuplicates dedups across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
