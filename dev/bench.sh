@@ -16,7 +16,10 @@ MAX=${SPARK_GRAFT_MAX_LOAD:-4}
 # benched JVM only starts at the exec below. Count only java processes
 # actually burning CPU (>5% of a core since start): a parked sbt server
 # or IDE daemon is not contention and must not permanently block benches.
-SIBLINGS=$(ps -o %cpu= -C java 2>/dev/null | awk '$1>5{n++} END{print n+0}')
+# `ps -C java` exits 1 when no java process exists; under pipefail that
+# would abort the whole script on exactly the quiet box the gate must
+# allow — swallow the status and let awk count zero lines as zero.
+SIBLINGS=$({ ps -o %cpu= -C java 2>/dev/null || true; } | awk '$1>5{n++} END{print n+0}')
 if [ "${SPARK_GRAFT_BENCH_FORCE:-0}" != "1" ]; then
   if awk "BEGIN{exit !($LOAD > $MAX)}"; then
     echo "REFUSING: load $LOAD > $MAX (siblings: $( (pgrep -fl java || true) | tr '\n' ';'))" >&2

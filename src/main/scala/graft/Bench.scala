@@ -57,6 +57,9 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val loadStart = loadAvg()
+    // Sampled at BOTH ends: a sibling that contended mid-run but exited
+    // before the end stamp would otherwise read as siblings=0.
+    val (sibsStart, sibsStartBusy) = siblingJvms()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "3").toInt
@@ -100,7 +103,7 @@ object Bench {
     def jnum(d: Double): String =
       String.format(java.util.Locale.ROOT, "%.4f", Double.box(d))
     val validity =
-      s""""load":${jnum(loadStart)},"load_end":${jnum(loadEnd)},"siblings":$sibs,"siblings_busy":$sibsBusy"""
+      s""""load":${jnum(loadStart)},"load_end":${jnum(loadEnd)},"siblings_start":$sibsStart,"siblings_start_busy":$sibsStartBusy,"siblings":$sibs,"siblings_busy":$sibsBusy"""
     val detailJson = timed.map { case (k, v) => s"\"$k\":${jnum(v)}" }
       .mkString("{", ",", "}")
     val failedJson = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")

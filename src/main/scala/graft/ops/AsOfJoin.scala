@@ -71,10 +71,20 @@ object AsOfJoin {
     // nested-field paths in the internal column references.
     require(!rightCols.contains("__m_ts"),
       "rightCols must not contain the reserved name '__m_ts'")
-    (rightCols :+ key :+ ts).foreach(c => require(!c.contains("."),
-      s"column name '$c' contains '.' — unsupported in as-of join " +
-        "(rename the column first)"))
     val leftCols = left.columns.toSeq
+    // Left payload columns are resolved via col(c) below exactly like the
+    // key/ts/right columns, so the same hazards apply: '.' parses as a
+    // nested-field path, and the internal working names (__tag, __c,
+    // __r_<payload>) would collide with real columns and corrupt the carry.
+    val internal = Set("__tag", "__c") ++ rightCols.map(c => s"__r_$c")
+    (rightCols ++ leftCols :+ key :+ ts).foreach { c =>
+      require(!c.contains("."),
+        s"column name '$c' contains '.' — unsupported in as-of join " +
+          "(rename the column first)")
+      require(!internal.contains(c),
+        s"column name '$c' collides with an as-of join internal column " +
+          "(rename the column first)")
+    }
     val l = left
       .withColumn("__tag", lit(1))
       .select(leftCols.map(col) ++ rightCols.map(c => lit(null).as(s"__r_$c")) :+ col("__tag"): _*)

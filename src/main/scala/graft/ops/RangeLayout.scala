@@ -148,6 +148,11 @@ object RangeLayout {
         while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
         buf.toString(java.nio.charset.StandardCharsets.UTF_8)
       } finally in.close()
+      // A partially-written sidecar truncated after a complete literal
+      // would still parse its prefix; the trailing "]}"-check rejects ANY
+      // truncation, including one that only drops the last division.
+      require(json.trim.endsWith("]}"),
+        s"malformed $SidecarName at $path (truncated)")
       val strs = parseStrings(json)
       // Literal order is fixed by writeSidecar: "column", <col>,
       // "divisions", <d0>, <d1>, ... — positional, so a column literally
@@ -166,12 +171,20 @@ object RangeLayout {
       if (json(i) == '"') {
         val sb = new StringBuilder
         i += 1
-        while (json(i) != '"') {
-          if (json(i) == '\\') {
+        // Bounds-checked: a truncated/corrupt sidecar with an unterminated
+        // string must fall through to the caller's malformed-sidecar
+        // require (by yielding no closing literal), not throw
+        // StringIndexOutOfBoundsException here.
+        var closed = false
+        while (!closed && i < json.length) {
+          if (json(i) == '"') closed = true
+          else if (json(i) == '\\' && i + 1 < json.length) {
             i += 1
             json(i) match {
-              case 'u' => sb += Integer.parseInt(
-                json.substring(i + 1, i + 5), 16).toChar; i += 4
+              case 'u' if i + 5 <= json.length =>
+                sb += Integer.parseInt(json.substring(i + 1, i + 5), 16).toChar
+                i += 4
+              case 'u' => i = json.length // truncated \u escape: abort literal
               case 'n' => sb += '\n'
               case 't' => sb += '\t'
               case 'r' => sb += '\r'
@@ -180,7 +193,8 @@ object RangeLayout {
           } else sb += json(i)
           i += 1
         }
-        out += sb.result()
+        if (closed) out += sb.result()
+        i -= 1 // outer loop re-advances past the closing quote
       }
       i += 1
     }

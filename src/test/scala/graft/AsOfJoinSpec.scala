@@ -128,6 +128,27 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("dotted and internal-name LEFT payload columns are rejected too") {
+    import spark.implicits._
+    val right = Seq((10L, t("00:01:00"), 1L)).toDF("user_id", "ts", "click_id")
+    // A left payload column containing '.' mis-parses as a nested-field
+    // path in the internal col(c) references (left is never validated by
+    // the rightCols checks above).
+    val dottedLeft = Seq((1L, 10L, t("00:10:00")))
+      .toDF("event.id", "user_id", "ts")
+    intercept[IllegalArgumentException] {
+      AsOfJoin.backward(dottedLeft, right, "user_id", "ts", Seq("click_id"))
+    }
+    // Internal working names on the left collide with the tag/carry
+    // columns added during the union+window pass.
+    for (bad <- Seq("__tag", "__c", "__r_click_id")) {
+      val clashLeft = Seq((1L, 10L, t("00:10:00"))).toDF(bad, "user_id", "ts")
+      intercept[IllegalArgumentException] {
+        AsOfJoin.backward(clashLeft, right, "user_id", "ts", Seq("click_id"))
+      }
+    }
+  }
+
   test("strict + tolerance compose (pandas merge_asof parity)") {
     import spark.implicits._
     val left = Seq(

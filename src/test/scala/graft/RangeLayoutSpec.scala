@@ -58,6 +58,27 @@ class RangeLayoutSpec extends SparkSpec {
     }
   }
 
+  test("truncated sidecar fails with the malformed message, not an index error") {
+    val (path, _) = layout()
+    val p = new org.apache.hadoop.fs.Path(path, RangeLayout.SidecarName)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val full = {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    }
+    // Cut mid-string-literal: the parser must fall through to the
+    // malformed-sidecar require, not throw StringIndexOutOfBoundsException.
+    val cut = full.substring(0, full.lastIndexOf('"'))
+    val out = fs.create(p, true)
+    try out.write(cut.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val e = intercept[IllegalArgumentException] {
+      RangeLayout.readSidecar(spark, path)
+    }
+    assert(e.getMessage.contains("malformed"))
+  }
+
   test("sidecar-less path refuses the self-loading read") {
     val (path, _) = layout()
     val fs = new org.apache.hadoop.fs.Path(path)
