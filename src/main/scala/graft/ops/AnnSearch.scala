@@ -162,8 +162,13 @@ object AnnSearch {
     neardupPairs(spark, emb, idCol, eCol, minCosine, tables, bits)
   }
 
-  def neardupPairs(spark: SparkSession, emb: DataFrame, idCol: String, eCol: String,
-                   minCosine: Double, tables: Int = 20, bits: Int = 3): DataFrame = {
+  /** Deduped (id_a, id_b) bucket-collision candidates for
+    * [[neardupPairs]] — exposed so the sub-linearity gate can assert the
+    * candidate fraction directly (the 100 TB cost driver is THIS count,
+    * not the final filtered pairs).
+    */
+  def neardupCandidates(emb: DataFrame, idCol: String, eCol: String,
+                        tables: Int, bits: Int): DataFrame = {
     val base = emb.select(col(idCol).as("id"), col(eCol).as("e"))
     // Candidates carry ONLY ids: one (table, bucket) equi-join over the
     // exploded index — never the embedding vectors. Shuffling the
@@ -171,12 +176,18 @@ object AnnSearch {
     // by `tables` × vector width; instead dedup the id pairs first and
     // fetch both embeddings back with two plain joins.
     val indexed = bucketIndex(base, "e", tables, bits).select("id", "t", "bk")
-    val cand = indexed.as("a")
+    indexed.as("a")
       .join(indexed.as("b"),
         col("a.t") === col("b.t") && col("a.bk") === col("b.bk") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+  }
+
+  def neardupPairs(spark: SparkSession, emb: DataFrame, idCol: String, eCol: String,
+                   minCosine: Double, tables: Int = 20, bits: Int = 3): DataFrame = {
+    val base = emb.select(col(idCol).as("id"), col(eCol).as("e"))
+    val cand = neardupCandidates(emb, idCol, eCol, tables, bits)
     cand
       .join(base.select(col("id").as("id_a"), col("e").as("ea")), "id_a")
       .join(base.select(col("id").as("id_b"), col("e").as("eb")), "id_b")

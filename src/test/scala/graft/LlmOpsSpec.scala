@@ -159,6 +159,63 @@ class LlmOpsSpec extends SparkSpec {
       s"missed: ${brute.diff(bucketed)}; spurious: ${bucketed.diff(brute)}")
   }
 
+  test("provisionLsh: sub-linear for near-dup thresholds, refuses degenerate ones") {
+    // cos >= 0.45 admits barely-correlated pairs (theta ~ 63 deg, near
+    // LSH's worst case): no (tables, bits) under the caps keeps the
+    // candidate join sub-linear — must refuse at plan time, not melt a
+    // 100 TB cluster with an effectively all-pairs join.
+    val e = intercept[IllegalArgumentException] {
+      AnnSearch.provisionLsh(0.45)
+    }
+    assert(e.getMessage.contains("sub-linear"))
+    // True near-dup thresholds provision comfortably: the returned
+    // (L, b) must meet the recall target with a small predicted
+    // candidate fraction under the documented collision model.
+    for (c <- Seq(0.9, 0.95, 0.99)) {
+      val (l, b) = AnnSearch.provisionLsh(c)
+      val p = 1.0 - math.acos(c) / math.Pi
+      val recall = 1.0 - math.pow(1.0 - math.pow(p, b), l)
+      val frac = 1.0 - math.pow(1.0 - math.pow(2.0, -b), l)
+      assert(recall >= 0.999, s"cos=$c -> ($l,$b): recall $recall")
+      assert(frac <= 0.05, s"cos=$c -> ($l,$b): candidate fraction $frac")
+    }
+  }
+
+  test("auto-provisioned neardup finds planted near-dups; candidates sub-linear") {
+    import spark.implicits._
+    // The synthetic corpus is near-orthogonal (max pairwise cos ~ 0.51),
+    // so plant genuine near-duplicates: a slightly-shifted clone of every
+    // vector (cos ~ 1), ids offset by 100000. Deterministic — no RNG.
+    val orig = Tables(spark, sfDir, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+    val clones = orig.select(($"vec_id" + 100000L).as("vec_id"),
+      transform($"e", x => x + lit(0.001)).as("e"))
+    val emb = orig.unionByName(clones)
+    val n = emb.count()
+    val a = emb.select($"vec_id".as("id_a"), $"e".as("ea"))
+    val bb = emb.select($"vec_id".as("id_b"), $"e".as("eb"))
+    val brute = a.crossJoin(bb).filter($"id_a" < $"id_b")
+      .withColumn("sim", GraftFunctions.cosineSim(spark, $"ea", $"eb"))
+      .filter($"sim" >= 0.9)
+      .select($"id_a", $"id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "planted clones must create pairs above 0.9")
+    val auto = AnnSearch.neardupPairsAuto(spark, emb, "vec_id", "e", 0.9)
+      .select($"id_a", $"id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Exact-cosine post-filter makes spurious pairs impossible; the
+    // provisioned (L, b) targets >= 0.999 per-pair recall, and planted
+    // clones sit far above the threshold, so equality must hold.
+    assert(auto === brute,
+      s"missed: ${brute.diff(auto)}; spurious: ${auto.diff(brute)}")
+    // The 100 TB cost driver: the bucket-collision candidate count must
+    // stay a small fraction of all pairs.
+    val (l, b2) = AnnSearch.provisionLsh(0.9)
+    val cand = AnnSearch.neardupCandidates(emb, "vec_id", "e", l, b2).count()
+    val frac = cand.toDouble / (n.toDouble * (n - 1) / 2)
+    assert(frac <= 0.05, s"empirical candidate fraction $frac at ($l,$b2)")
+  }
+
   test("IVF ANN achieves reasonable recall@10 vs brute force") {
     import spark.implicits._
     val emb = Tables(spark, sfDir, "embeddings")
