@@ -355,6 +355,155 @@ object LlmQueries extends QueryGroup {
           .orderBy($"doc_id")
       },
       Some("""SELECT doc_id, strlen(text) AS n_bytes, md5(text) AS digest
-              FROM documents WHERE doc_id < 500 ORDER BY doc_id"""))
+              FROM documents WHERE doc_id < 500 ORDER BY doc_id""")),
+
+    // Canonical text normalization (the first stage of every training
+    // pipeline): lowercase, collapse whitespace runs, trim. Pure
+    // codegen'd string expressions, embarrassingly parallel.
+    GQuery("text_normalize",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "documents")
+          .filter($"doc_id" < 500)
+          .select($"doc_id",
+            trim(regexp_replace(lower($"text"), "\\s+", " ")).as("norm_text"))
+          .withColumn("norm_chars", length($"norm_text").cast("long"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+                trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text,
+                CAST(length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS BIGINT)
+                  AS norm_chars
+              FROM documents WHERE doc_id < 500 ORDER BY doc_id""")),
+
+    // PII scrubbing: redact identifier digit-runs (>=4 digits) from a
+    // structured name column — the regexp_replace shape used for
+    // emails/phones/SSNs at corpus scale. The char-class pattern means
+    // Java and RE2 regex semantics agree exactly.
+    GQuery("pii_redact",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "customer")
+          .select($"c_custkey",
+            regexp_replace($"c_name", "[0-9]{4,}", "<ID>").as("name_redacted"),
+            ($"c_name" =!= regexp_replace($"c_name", "[0-9]{4,}", "<ID>"))
+              .as("was_redacted"))
+          .orderBy($"c_custkey")
+      },
+      Some("""SELECT c_custkey,
+                regexp_replace(c_name, '[0-9]{4,}', '<ID>', 'g') AS name_redacted,
+                c_name <> regexp_replace(c_name, '[0-9]{4,}', '<ID>', 'g')
+                  AS was_redacted
+              FROM customer ORDER BY c_custkey""")),
+
+    // Gopher-style repetition statistics: distinct-word ratio and
+    // top-word fraction per document. Deliberately the distributed
+    // shape (explode → two keyed aggregations) rather than a per-row
+    // O(n·distinct) lambda: at 100 TB the word-count shuffle is
+    // map-side-combined and each stage is a plain hash aggregate.
+    GQuery("repetition_stats",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "documents")
+          .filter($"doc_id" < 500)
+          .select($"doc_id", explode(split($"text", " ")).as("w"))
+          .groupBy($"doc_id", $"w").agg(count(lit(1)).as("c"))
+          .groupBy($"doc_id")
+          .agg(sum($"c").as("n_tokens"),
+            count(lit(1)).as("n_distinct"),
+            max($"c").as("top_cnt"))
+          .select($"doc_id", $"n_tokens", $"n_distinct",
+            ($"n_distinct" / $"n_tokens").as("distinct_ratio"),
+            ($"top_cnt" / $"n_tokens").as("top_frac"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH wc AS (
+                SELECT doc_id, w, COUNT(*) AS c FROM (
+                  SELECT doc_id, unnest(str_split(text, ' ')) AS w
+                  FROM documents WHERE doc_id < 500) t
+                GROUP BY doc_id, w)
+              SELECT doc_id,
+                CAST(SUM(c) AS BIGINT) AS n_tokens,
+                COUNT(*) AS n_distinct,
+                COUNT(*) / CAST(SUM(c) AS BIGINT) AS distinct_ratio,
+                CAST(MAX(c) AS BIGINT) / CAST(SUM(c) AS BIGINT) AS top_frac
+              FROM wc GROUP BY doc_id ORDER BY doc_id""")),
+
+    // Benchmark decontamination: flag corpus documents sharing any word
+    // 3-gram with the benchmark set (doc_id < 10 stands in for the
+    // held-out eval suite; real pipelines use 8-13-grams — the n is a
+    // parameter, 3 fits this corpus's ~30-word vocabulary). The
+    // benchmark gram set is tiny by nature → broadcast; the corpus side
+    // streams through one explode + hash join + aggregate, never
+    // materializing all-pairs.
+    GQuery("contamination_ngram",
+      (s, dir) => {
+        import s.implicits._
+        val grams = Tables(s, dir, "documents")
+          .withColumn("t", split($"text", " "))
+          .filter(size($"t") >= 3)
+          .withColumn("grams", array_distinct(expr(
+            "transform(sequence(1, size(t)-2), i -> array_join(slice(t, i, 3), ' '))")))
+        val bench = grams.filter($"doc_id" < 10)
+          .select(explode($"grams").as("g")).distinct()
+        grams.filter($"doc_id" >= 10)
+          .select($"doc_id", size($"grams").cast("long").as("n_grams"),
+            explode($"grams").as("g"))
+          .join(broadcast(bench), "g")
+          .groupBy($"doc_id", $"n_grams")
+          .agg(count(lit(1)).as("n_contaminated"))
+          .select($"doc_id", $"n_grams", $"n_contaminated",
+            ($"n_contaminated" / $"n_grams").as("contam_frac"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH d AS (
+                SELECT doc_id, list_distinct(list_transform(
+                  range(1, len(str_split(text, ' ')) - 1),
+                  i -> array_to_string((str_split(text, ' '))[i:i+2], ' '))) AS grams
+                FROM documents WHERE len(str_split(text, ' ')) >= 3),
+              bench AS (
+                SELECT DISTINCT unnest(grams) AS g FROM d WHERE doc_id < 10),
+              corp AS (
+                SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+                       unnest(grams) AS g
+                FROM d WHERE doc_id >= 10)
+              SELECT corp.doc_id, n_grams, COUNT(*) AS n_contaminated,
+                COUNT(*) / n_grams AS contam_frac
+              FROM corp JOIN bench USING (g)
+              GROUP BY corp.doc_id, n_grams ORDER BY doc_id""")),
+
+    // Composite quality gate (Gopher-style document filter): token
+    // count in range, mean word length in range, short-token fraction
+    // bounded. Integer arithmetic + one exact division per ratio —
+    // verdict booleans are deterministic. Pure projection, no shuffle.
+    GQuery("quality_filter",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "documents")
+          .withColumn("toks", split($"text", " "))
+          .withColumn("n_tokens", size($"toks").cast("long"))
+          .withColumn("avg_word_len",
+            ($"n_chars" - ($"n_tokens" - 1)).cast("double") / $"n_tokens")
+          .withColumn("short_frac",
+            size(filter($"toks", t => length(t) <= 2)).cast("long") / $"n_tokens")
+          .select($"doc_id", $"n_tokens", $"avg_word_len", $"short_frac",
+            ($"n_tokens".between(10L, 5000L)
+              && $"avg_word_len".between(2.0, 12.0)
+              && $"short_frac" < 0.4).as("passes"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id, n_tokens, avg_word_len, short_frac,
+                (n_tokens BETWEEN 10 AND 5000
+                 AND avg_word_len BETWEEN 2.0 AND 12.0
+                 AND short_frac < 0.4) AS passes
+              FROM (
+                SELECT doc_id,
+                  CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+                  CAST(n_chars - (len(str_split(text, ' ')) - 1) AS DOUBLE)
+                    / len(str_split(text, ' ')) AS avg_word_len,
+                  CAST(len(list_filter(str_split(text, ' '), t -> length(t) <= 2)) AS BIGINT)
+                    / len(str_split(text, ' ')) AS short_frac
+                FROM documents) t
+              ORDER BY doc_id"""))
   )
 }

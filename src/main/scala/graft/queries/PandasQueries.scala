@@ -243,6 +243,166 @@ object PandasQueries extends QueryGroup {
                      ELSE 'both' END AS merge_ind
               FROM customer FULL OUTER JOIN (SELECT DISTINCT user_id FROM events) e
                 ON c_custkey = user_id
-              ORDER BY id"""))
+              ORDER BY id""")),
+
+    // pandas ewm(alpha=0.5).mean() with a bounded 32-observation
+    // lookback — the state-bounded form a streaming engine actually
+    // keeps (with α=0.5 the dropped tail weighs < 2^-32 ≈ 2e-10 of the
+    // result). Hash-exactness: every weight is a power of two (x·2^-k
+    // is EXACT in IEEE — just an exponent shift), and both engines
+    // evaluate the same explicit left-associated addition tree, so the
+    // rounding sequence is bit-identical — no Det decimal cast needed.
+    // One window pass, 32 frame offsets, per-key state only.
+    GQuery("ewm_mean",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        def lagK(k: Int) = if (k == 0) $"value" else lag($"value", k).over(w)
+        val num = (0 until EwmK).map(k => coalesce(lagK(k), lit(0.0)) * lit(pow2(-k)))
+          .reduceLeft(_ + _)
+        val den = (0 until EwmK).map(k =>
+            when(lagK(k).isNotNull, lit(pow2(-k))).otherwise(lit(0.0)))
+          .reduceLeft(_ + _)
+        Tables(s, dir, "events")
+          .filter($"user_id" < 20)
+          .select($"user_id", $"event_id", (num / den).as("ewm"))
+          .orderBy($"user_id", $"event_id")
+      },
+      Some {
+        def lagK(k: Int) = if (k == 0) "value" else s"LAG(value, $k) OVER w"
+        val num = (0 until EwmK)
+          .map(k => s"COALESCE(${lagK(k)}, 0.0) * ${pow2(-k)}").mkString(" + ")
+        val den = (0 until EwmK)
+          .map(k => s"CASE WHEN ${lagK(k)} IS NOT NULL THEN ${pow2(-k)} ELSE 0.0 END")
+          .mkString(" + ")
+        s"""SELECT user_id, event_id, ($num) / ($den) AS ewm
+            FROM events WHERE user_id < 20
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ORDER BY user_id, event_id"""
+      }),
+
+    // pandas rolling(7).median(): exact per-key rolling median. Both
+    // sides sort the explicit 7-element frame list and pick/average the
+    // middle — element selection plus at most one (a+b)/2, identical
+    // IEEE ops, so no interpolation-formula mismatch (quantile_cont's
+    // a+(b-a)·q rounds differently). Frame state is 7 rows per key.
+    GQuery("rolling_median",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+          .rowsBetween(-6, Window.currentRow)
+        Tables(s, dir, "events")
+          .filter($"user_id" < 20)
+          .withColumn("arr", sort_array(collect_list($"value").over(w)))
+          .withColumn("n", size($"arr"))
+          .select($"user_id", $"event_id",
+            when($"n" % 2 === 1, expr("element_at(arr, cast((n+1) div 2 as int))"))
+              .otherwise((expr("element_at(arr, cast(n div 2 as int))")
+                + expr("element_at(arr, cast(n div 2 + 1 as int))")) / 2.0)
+              .as("roll_median"))
+          .orderBy($"user_id", $"event_id")
+      },
+      Some("""SELECT user_id, event_id,
+                CASE WHEN len(arr) % 2 = 1 THEN arr[(len(arr)+1)//2]
+                     ELSE (arr[len(arr)//2] + arr[len(arr)//2 + 1]) / 2.0 END
+                  AS roll_median
+              FROM (
+                SELECT user_id, event_id, list_sort(list(value) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS arr
+                FROM events WHERE user_id < 20) t
+              ORDER BY user_id, event_id""")),
+
+    // pandas groupby(...).nlargest(k): top-3 suppliers by balance per
+    // nation via a per-key row_number — one shuffle on the group key,
+    // k rows of state per key (vs a global sort).
+    GQuery("groupby_topk",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"s_nationkey")
+          .orderBy($"s_acctbal".desc, $"s_suppkey")
+        Tables(s, dir, "supplier")
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" <= 3)
+          .select($"s_nationkey", $"rn".cast("long").as("rn"), $"s_suppkey", $"s_acctbal")
+          .orderBy($"s_nationkey", $"rn")
+      },
+      Some("""SELECT s_nationkey, CAST(rn AS BIGINT) AS rn, s_suppkey, s_acctbal
+              FROM (SELECT *, ROW_NUMBER() OVER (
+                      PARTITION BY s_nationkey
+                      ORDER BY s_acctbal DESC, s_suppkey) AS rn
+                    FROM supplier) t
+              WHERE rn <= 3 ORDER BY s_nationkey, rn""")),
+
+    // pandas combine_first: the latest order total per customer,
+    // falling back to the account balance where a side is missing —
+    // full outer join + coalesce, null-provenance preserved.
+    GQuery("combine_first",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"o_custkey")
+          .orderBy($"o_orderdate".desc, $"o_orderkey".desc)
+        val latest = Tables(s, dir, "orders")
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" === 1)
+          .select($"o_custkey", $"o_totalprice")
+        Tables(s, dir, "customer").select($"c_custkey", $"c_acctbal")
+          .join(latest, $"c_custkey" === $"o_custkey", "full_outer")
+          .select(coalesce($"c_custkey", $"o_custkey").as("id"),
+            coalesce($"o_totalprice", $"c_acctbal").as("combined"),
+            $"o_totalprice".isNotNull.as("from_orders"))
+          .orderBy($"id")
+      },
+      Some("""WITH latest AS (
+                SELECT o_custkey, o_totalprice FROM (
+                  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+                  FROM orders) t WHERE rn = 1)
+              SELECT COALESCE(c_custkey, o_custkey) AS id,
+                COALESCE(o_totalprice, c_acctbal) AS combined,
+                o_totalprice IS NOT NULL AS from_orders
+              FROM customer FULL OUTER JOIN latest ON c_custkey = o_custkey
+              ORDER BY id""")),
+
+    // Gap-based sessionization (the classic event-pipeline op): a new
+    // session starts after a >30 min silence; session ids are a per-key
+    // running sum of boundary flags. Integer time arithmetic only —
+    // exact. One shuffle on user_id, O(1) state per row.
+    GQuery("sessionize",
+      (s, dir) => {
+        import s.implicits._
+        val ord = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables(s, dir, "events")
+          .filter($"user_id" < 20)
+          .withColumn("ep", unix_micros($"ts"))
+          .withColumn("boundary",
+            when(lag($"ep", 1).over(ord).isNull
+              || $"ep" - lag($"ep", 1).over(ord) > 1800L * 1000000L, 1L)
+              .otherwise(0L))
+          .select($"user_id", $"event_id",
+            sum($"boundary").over(cum).as("session_id"))
+          .orderBy($"user_id", $"event_id")
+      },
+      Some("""SELECT user_id, event_id,
+                CAST(SUM(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+              FROM (
+                SELECT user_id, event_id, ts,
+                  CASE WHEN LAG(epoch_us(CAST(ts AS TIMESTAMP)), 1) OVER w IS NULL
+                         OR epoch_us(CAST(ts AS TIMESTAMP))
+                            - LAG(epoch_us(CAST(ts AS TIMESTAMP)), 1) OVER w > 1800000000
+                       THEN 1 ELSE 0 END AS boundary
+                FROM events WHERE user_id < 20
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) t
+              ORDER BY user_id, event_id"""))
   )
+
+  /** ewm lookback depth (bounded state; tail weight 2^-32 ≈ 2e-10). */
+  private val EwmK = 32
+
+  /** Exact power of two as its shortest round-trip double literal —
+    * parses to the identical IEEE value in both Scala and DuckDB.
+    */
+  private def pow2(k: Int): Double = math.pow(2.0, k)
 }

@@ -1,0 +1,102 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-evidence generator: replicates the driver's sf0.1 tables ×N
+  * into a scratch directory shaped like a real larger scale factor
+  * (SURVEY.md §2 bench evidence; VERDICT round-5 item 5).
+  *
+  * Naive row duplication would be dishonest: identical keys on both
+  * sides of a join multiply matches ×N² (not ×N), and identical
+  * text/embeddings turn every LSH bucket into an N× clump whose
+  * candidate-pair term grows ×N². So each copy i is decorrelated:
+  *
+  *   - every join key gets a per-copy offset of i·1e8, so copy i of
+  *     lineitem joins copy i of orders/part/supplier only — join
+  *     output scales ×N exactly like a real bigger SF;
+  *   - region/nation stay fixed (TPC-H dims don't scale);
+  *   - documents.text is circularly word-rotated by a copy-dependent
+  *     amount — same length/vocab distribution, different shingles,
+  *     so MinHash/SimHash see N independent corpora;
+  *   - embeddings are circularly element-shifted — identical norm and
+  *     coordinate distribution, near-zero cosine to the original, so
+  *     ANN/near-dup candidate sets scale linearly;
+  *   - events keep their timestamps (a bigger SF means more events in
+  *     the same window — throughput scaling, the streaming-real case).
+  *
+  * Copy 0 is byte-identical to sf0.1. Deterministic throughout — no
+  * RNG, every transform is a pure column expression.
+  */
+object ScaleGen {
+  private val Off = 100000000L // > any sf0.1 key; copies never collide
+
+  private def withOffsets(df: DataFrame, i: Int, cols: Seq[String]): DataFrame =
+    cols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(i * Off)))
+
+  /** Circular word rotation: deterministic, length-preserving, shingle-breaking. */
+  private def rotateText(c: String, i: Int): org.apache.spark.sql.Column = {
+    val w = split(col(c), " ")
+    val n = size(w)
+    val s = pmod(lit(i * 17), greatest(n, lit(1)))
+    when(n < 2, col(c)).otherwise(
+      array_join(concat(slice(w, s + 1, n - s), slice(w, lit(1), s)), " "))
+  }
+
+  /** Circular element shift of the 64-dim embedding: norm-preserving,
+    * distribution-preserving, decorrelating (random-ish vectors have
+    * ~0 cosine to their rotations).
+    */
+  private def rotateVec(c: String, i: Int): org.apache.spark.sql.Column = {
+    val v = col(c)
+    val n = size(v)
+    val s = pmod(lit(i * 7), greatest(n, lit(1)))
+    when(n < 2, v).otherwise(concat(slice(v, s + 1, n - s), slice(v, lit(1), s)))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_SRC", "/root/testdata/sf0.1")
+    val outDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT",
+      "/root/repo/target/scratch/sf1")
+    val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "10").toInt
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events raw ns
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // table -> (join-key columns to offset, text col, vec col)
+    val plan: Seq[(String, Seq[String], Option[String], Option[String])] = Seq(
+      ("region", Nil, None, None), // fixed dim: single copy
+      ("nation", Nil, None, None), // fixed dim: single copy
+      ("customer", Seq("c_custkey"), None, None),
+      ("supplier", Seq("s_suppkey"), None, None),
+      ("part", Seq("p_partkey"), None, None),
+      ("orders", Seq("o_orderkey", "o_custkey"), None, None),
+      ("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"), None, None),
+      ("events", Seq("event_id", "user_id"), None, None),
+      ("documents", Seq("doc_id"), Some("text"), None),
+      ("embeddings", Seq("vec_id"), None, Some("embedding")))
+
+    plan.foreach { case (name, keys, textCol, vecCol) =>
+      val base = spark.read.parquet(s"$srcDir/$name.parquet")
+      val scaled =
+        if (keys.isEmpty) base // fixed dims are not replicated
+        else (0 until copies).map { i =>
+          val keyed = withOffsets(base, i, keys)
+          val t = textCol.fold(keyed)(c => keyed.withColumn(c, rotateText(c, i)))
+          vecCol.fold(t)(c => t.withColumn(c, rotateVec(c, i)))
+        }.reduce(_ unionAll _)
+      // ~32 output files for fact tables: the same small-file/partition
+      // hygiene a real ingest would use; tiny dims stay single-file.
+      val out =
+        if (keys.isEmpty) scaled.coalesce(1) else scaled.repartition(32)
+      out.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+      println(s"scalegen: $name -> $outDir/$name.parquet")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,104 @@
+package graft
+
+import graft.queries.Registry
+import org.apache.spark.sql.Row
+
+/** Semantic gates for the round-7 pandas-surface ops beyond what the
+  * DuckDB oracle proves (the oracle pins Spark==DuckDB on the same
+  * formula; these pin the formula itself against an independent
+  * reference implementation).
+  */
+class PandasOpsSpec extends SparkSpec {
+
+  test("ewm_mean matches the exact unbounded recurrence to ~2^-32") {
+    // Reference: pandas ewm(alpha=0.5, adjust=True).mean() — the
+    // textbook weighted form, computed sequentially per key in exact
+    // order. The graded op truncates the lookback at 32 observations;
+    // with alpha=0.5 the dropped tail carries < 2^-32 of the weight, so
+    // relative error must stay below ~1e-9 on positive inputs.
+    val events = graft.engine.Tables(spark, sfDir, "events")
+      .filter("user_id < 20")
+      .select("user_id", "event_id", "ts", "value")
+      .collect()
+      .groupBy(_.getLong(0))
+    val expect = events.toSeq.flatMap { case (uid, rows) =>
+      val sorted = rows.sortBy { r =>
+        val t = r.getTimestamp(2).toInstant
+        (t.getEpochSecond, t.getNano, r.getLong(1))
+      }
+      var num = 0.0
+      var den = 0.0
+      sorted.map { r =>
+        num = num / 2.0 + r.getDouble(3)
+        den = den / 2.0 + 1.0
+        (uid, r.getLong(1)) -> num / den
+      }
+    }.toMap
+    val got = Registry.byKey("ewm_mean").build(spark, sfDir).collect()
+    assert(got.length === expect.size)
+    got.foreach { case Row(uid: Long, eid: Long, ewm: Double) =>
+      val ref = expect((uid, eid))
+      assert(math.abs(ewm - ref) <= math.abs(ref) * 1e-8 + 1e-12,
+        s"user $uid event $eid: got $ewm want $ref")
+    }
+  }
+
+  test("rolling_median matches a scala reference on the 7-row frame") {
+    val events = graft.engine.Tables(spark, sfDir, "events")
+      .filter("user_id < 20")
+      .select("user_id", "event_id", "ts", "value")
+      .collect()
+      .groupBy(_.getLong(0))
+    val expect = events.toSeq.flatMap { case (uid, rows) =>
+      val sorted = rows.sortBy { r =>
+        val t = r.getTimestamp(2).toInstant
+        (t.getEpochSecond, t.getNano, r.getLong(1))
+      }
+      sorted.zipWithIndex.map { case (r, i) =>
+        val frame = sorted.slice(math.max(0, i - 6), i + 1).map(_.getDouble(3)).sorted
+        val n = frame.length
+        val med =
+          if (n % 2 == 1) frame(n / 2)
+          else (frame(n / 2 - 1) + frame(n / 2)) / 2.0
+        (uid, r.getLong(1)) -> med
+      }
+    }.toMap
+    val got = Registry.byKey("rolling_median").build(spark, sfDir).collect()
+    assert(got.length === expect.size)
+    got.foreach { case Row(uid: Long, eid: Long, med: Double) =>
+      assert(med === expect((uid, eid)), s"user $uid event $eid")
+    }
+  }
+
+  test("sessionize: same-session gaps <= 30min, cross-session gaps > 30min") {
+    val rows = Registry.byKey("sessionize").build(spark, sfDir)
+      .join(graft.engine.Tables(spark, sfDir, "events").select("event_id", "ts"),
+        "event_id")
+      .select("user_id", "event_id", "session_id", "ts")
+      .collect()
+      .groupBy(_.getLong(0))
+    rows.foreach { case (_, rs) =>
+      val sorted = rs.sortBy { r =>
+        val t = r.getTimestamp(3).toInstant
+        (t.getEpochSecond, t.getNano, r.getLong(1))
+      }
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          val gapMs = b.getTimestamp(3).getTime - a.getTimestamp(3).getTime
+          val sameSession = a.getLong(2) == b.getLong(2)
+          // 1ms slack on the boundary: getTime truncates sub-ms
+          if (gapMs > 30 * 60 * 1000 + 1) assert(!sameSession)
+          if (gapMs + 1 < 30 * 60 * 1000) assert(sameSession)
+        case _ => ()
+      }
+      // session ids are 1..k dense in time order
+      assert(sorted.head.getLong(2) === 1L)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getLong(2) - a.getLong(2) === 0L
+            || b.getLong(2) - a.getLong(2) === 1L)
+        case _ => ()
+      }
+    }
+  }
+}

@@ -199,4 +199,39 @@ class PlanSpec extends SparkSpec {
     // codegen stages render as "*(n) Operator" in the final AQE plan
     assert(df.queryExecution.executedPlan.toString.contains("*("))
   }
+
+  test("contamination_ngram broadcasts the benchmark gram set") {
+    // The eval-suite side is tiny by nature; the corpus side must
+    // stream through a broadcast hash join, never a shuffle of grams.
+    assert(plan("contamination_ngram").contains("BroadcastHashJoin"))
+  }
+
+  test("ewm_mean evaluates all lag terms in a single window pass") {
+    val n = "Window".r.findAllIn(plan("ewm_mean")).length
+    assert(n === 1, s"expected one WindowExec, got $n")
+  }
+
+  test("rolling_median uses one per-key window, no global sort below it") {
+    val p = plan("rolling_median")
+    val n = "Window".r.findAllIn(p).length
+    assert(n === 1, s"expected one WindowExec, got $n")
+  }
+
+  test("pii_redact scan is pruned to the referenced columns") {
+    val readSchema = plan("pii_redact").linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("c_name") && !readSchema.contains("c_acctbal"),
+      s"column pruning failed: $readSchema")
+  }
+
+  test("repetition_stats keeps map-side partial aggregation before each exchange") {
+    // explode → partial count → exchange on (doc_id, w) → final →
+    // partial → exchange on doc_id → final. The partial combines are
+    // what bound the shuffle to distinct pairs at corpus scale.
+    val p = plan("repetition_stats")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx === 2, s"expected 2 hash exchanges, got $hashEx:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"no partial aggregation:\n$p")
+  }
 }
