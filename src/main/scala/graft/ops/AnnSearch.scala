@@ -127,13 +127,15 @@ object AnnSearch {
     * explicit 20×3 override; true near-dup thresholds θ → 0 provision
     * comfortably sub-linearly here.)
     */
-  def provisionLsh(minCosine: Double, targetRecall: Double = 0.999,
-                   maxCandidateFraction: Double = 0.05,
-                   maxTables: Int = 64, maxBits: Int = 24): (Int, Int) = {
+  /** All (candidateFraction, tables, bits) meeting the recall target
+    * under the caps, per the collision model above.
+    */
+  private def lshOptions(minCosine: Double, targetRecall: Double,
+                         maxTables: Int, maxBits: Int): Seq[(Double, Int, Int)] = {
     require(minCosine > -1.0 && minCosine < 1.0 && targetRecall < 1.0,
       s"unsatisfiable: minCosine=$minCosine targetRecall=$targetRecall")
     val p = 1.0 - math.acos(minCosine) / math.Pi
-    val options = for {
+    for {
       b <- (1 to maxBits).toSeq
       pb = math.pow(p, b)
       lReal = math.log1p(-targetRecall) / math.log1p(-pb)
@@ -141,25 +143,121 @@ object AnnSearch {
       l = math.max(1, math.ceil(lReal).toInt)
       frac = 1.0 - math.pow(1.0 - math.pow(2.0, -b), l)
     } yield (frac, l, b)
+  }
+
+  private def requireSubLinear(options: Seq[(Double, Int, Int)],
+                               minCosine: Double, targetRecall: Double,
+                               maxCandidateFraction: Double,
+                               maxTables: Int): Unit =
     require(options.nonEmpty && options.map(_._1).min <= maxCandidateFraction,
       f"LSH cannot be provisioned sub-linearly for cos >= $minCosine%.3f at " +
         f"recall $targetRecall (best candidate fraction " +
-        f"${if (options.isEmpty) 1.0 else options.map(_._1).min}%.3f > " +
-        f"$maxCandidateFraction%.3f under <= $maxTables tables) — the " +
+        f"${if (options.isEmpty) 1.0 else options.map(_._1).min}%.6f > " +
+        f"$maxCandidateFraction%.6f under <= $maxTables tables) — the " +
         "threshold admits near-random pairs; raise it, or knowingly pass " +
         "explicit (tables, bits) to neardupPairs")
+
+  def provisionLsh(minCosine: Double, targetRecall: Double = 0.999,
+                   maxCandidateFraction: Double = 0.05,
+                   maxTables: Int = 64, maxBits: Int = 24): (Int, Int) = {
+    val options = lshOptions(minCosine, targetRecall, maxTables, maxBits)
+    requireSubLinear(options, minCosine, targetRecall, maxCandidateFraction, maxTables)
     val best = options.minBy(_._1)
     (best._2, best._3)
   }
 
+  /** Corpus-size-aware provisioning. A candidate FRACTION cap alone is
+    * not sub-linearity: candidate pairs ≈ frac·n²/2 grow quadratically
+    * in the corpus for any fixed (L, b) — the sf1 scale run proved it
+    * (20×3 at n=20 k ⇒ ~5·10⁸ bucket pairs, GC death). The scale-true
+    * invariant is WORK PER VECTOR: per-vector candidates ≈ frac·(n−1)/2
+    * must stay bounded as n grows, which forces bits ≈ log₂(n) — i.e.
+    * the bucket count must track the corpus, exactly like IVF's nlist.
+    * This derives the fraction cap from `n` and the per-vector budget
+    * and solves as before; true near-dup thresholds (p → 1) afford the
+    * extra bits at almost no recall cost, degenerate thresholds refuse.
+    */
+  def provisionLshForCorpus(minCosine: Double, n: Long,
+                            targetRecall: Double = 0.999,
+                            maxAvgCandidatesPerVector: Double = 64.0,
+                            maxTables: Int = 64, maxBits: Int = 30): (Int, Int) = {
+    require(n > 1, s"corpus size must be > 1, got $n")
+    val maxFrac = math.min(1.0,
+      2.0 * maxAvgCandidatesPerVector / (n - 1).toDouble)
+    val options = lshOptions(minCosine, targetRecall, maxTables, maxBits)
+    requireSubLinear(options, minCosine, targetRecall, maxFrac, maxTables)
+    // Candidate volume is already capped by the constraint, so optimize
+    // the OTHER cost: the index/shuffle is L·n rows — prefer the fewest
+    // tables (and the fewest bits among those). Fewer tables at a loose
+    // cap for small corpora, forced-up bits as n (and so the cap)
+    // tightens: bits ≈ log₂(n) emerges from the constraint itself.
+    val best = options.filter(_._1 <= maxFrac).minBy(o => (o._2, o._3))
+    (best._2, best._3)
+  }
+
   /** [[neardupPairs]] with (tables, bits) derived from the threshold by
-    * [[provisionLsh]] — refuses super-linear regimes at plan time.
+    * [[provisionLsh]] — refuses super-linear regimes at plan time. Pass
+    * `corpusSize` (known or pre-counted) to provision bits against the
+    * actual corpus via [[provisionLshForCorpus]]; without it only the
+    * candidate fraction is bounded, which is safe for fixed-size
+    * corpora but quadratic across corpus growth.
     */
   def neardupPairsAuto(spark: SparkSession, emb: DataFrame, idCol: String,
                        eCol: String, minCosine: Double,
-                       targetRecall: Double = 0.999): DataFrame = {
-    val (tables, bits) = provisionLsh(minCosine, targetRecall)
+                       targetRecall: Double = 0.999,
+                       corpusSize: Option[Long] = None): DataFrame = {
+    val (tables, bits) = corpusSize match {
+      case Some(n) => provisionLshForCorpus(minCosine, n, targetRecall)
+      case None => provisionLsh(minCosine, targetRecall)
+    }
     neardupPairs(spark, emb, idCol, eCol, minCosine, tables, bits)
+  }
+
+  /** Exact near-dup pairs by blocked brute force: broadcast one side
+    * (ids + vectors — tiny next to any corpus this is allowed for) and
+    * stream the other through the fused codegen cosine. O(n²) cosines
+    * but ZERO index/shuffle overhead — for degenerate thresholds on
+    * bounded corpora this beats LSH outright (no 20× exploded index,
+    * no 10⁸-row candidate dedup).
+    */
+  def bruteNeardupPairs(spark: SparkSession, emb: DataFrame, idCol: String,
+                        eCol: String, minCosine: Double): DataFrame = {
+    val base = emb.select(col(idCol).as("id"), col(eCol).as("e"))
+    base.select(col("id").as("id_a"), col("e").as("ea"))
+      .crossJoin(broadcast(base.select(col("id").as("id_b"), col("e").as("eb"))))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", GraftFunctions.cosineSim(spark, col("ea"), col("eb")))
+      .filter(col("sim") >= minCosine)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+
+  /** Regime-adaptive near-dup: the dispatcher the engine actually wants
+    * at 100 TB. Tries corpus-aware LSH provisioning first (sub-linear
+    * candidates, bits ≈ log₂ n); where the threshold is degenerate for
+    * hyperplane LSH (the sf1 scale run: cos ≥ 0.45 at n = 20 k ⇒
+    * ~5·10⁸ bucket-pair candidates, DNF) it falls back to the exact
+    * blocked brute-force join IF the n² cosine budget allows, and
+    * otherwise refuses loudly at plan time — never silently quadratic.
+    */
+  def neardupPairsAdaptive(spark: SparkSession, emb: DataFrame, idCol: String,
+                           eCol: String, minCosine: Double,
+                           targetRecall: Double = 0.999,
+                           corpusSize: Option[Long] = None,
+                           maxBruteCosines: Double = 1e9): DataFrame = {
+    val n = corpusSize.getOrElse(emb.count())
+    val provisioned =
+      try Some(provisionLshForCorpus(minCosine, n, targetRecall))
+      catch { case _: IllegalArgumentException => None }
+    provisioned match {
+      case Some((tables, bits)) =>
+        neardupPairs(spark, emb, idCol, eCol, minCosine, tables, bits)
+      case None =>
+        require(n.toDouble * n / 2 <= maxBruteCosines,
+          f"near-dup at cos >= $minCosine%.3f: LSH degenerates AND the " +
+            f"exact fallback needs ${n.toDouble * n / 2}%.2g cosines > " +
+            f"budget $maxBruteCosines%.2g — raise the threshold or the budget")
+        bruteNeardupPairs(spark, emb, idCol, eCol, minCosine)
+    }
   }
 
   /** Deduped (id_a, id_b) bucket-collision candidates for

@@ -96,16 +96,23 @@ object LlmQueries extends QueryGroup {
                 WHERE q.vec_id < 5) t
               WHERE rank <= 10 ORDER BY q_id, rank""")),
 
-    // Embedding near-dup pairs above a cosine threshold (ids-only).
-    // Candidates via LSH bucket equi-joins (graft.ops.AnnSearch), exact
-    // cosine filter after — no cartesian product. Equality vs the
-    // quadratic scan on graded data is ScalaTest-gated (LlmOpsSpec).
+    // Embedding near-dup pairs above a cosine threshold (ids-only),
+    // via the regime-adaptive dispatcher (graft.ops.AnnSearch): LSH
+    // bucket equi-joins when corpus-aware provisioning is sub-linear;
+    // here cos >= 0.45 (θ ≈ 63°, hyperplane LSH's worst case) is
+    // refused at plan time, so the dispatcher takes the exact blocked
+    // brute-force path — broadcast ids+vectors, fused codegen cosine —
+    // which at bounded n beats the 20-table LSH override this key used
+    // to pin (sf1 scale run: LSH DNF'd on ~5·10⁸ bucket pairs; brute
+    // is n²/2 = 2·10⁸ streamed cosines, no index, no candidate dedup).
+    // LSH-vs-quadratic equality stays ScalaTest-gated (LlmOpsSpec).
     GQuery("embed_neardup",
       (s, dir) => {
         import s.implicits._
         val emb = Tables(s, dir, "embeddings")
           .select($"vec_id", $"embedding".cast("array<double>").as("e"))
-        graft.ops.AnnSearch.neardupPairs(s, emb, "vec_id", "e", minCosine = 0.45)
+        graft.ops.AnnSearch.neardupPairsAdaptive(s, emb, "vec_id", "e",
+            minCosine = 0.45)
           .select($"id_a", $"id_b")
           .orderBy($"id_a", $"id_b")
       },

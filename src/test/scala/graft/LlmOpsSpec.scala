@@ -181,6 +181,41 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("provisionLshForCorpus: bits track corpus size, per-vector work bounded") {
+    // A fixed candidate FRACTION is quadratic in absolute pairs
+    // (frac·n²/2); the corpus-aware solver must instead hold per-vector
+    // candidates ≈ frac·(n−1)/2 under the budget, which forces the
+    // bucket count (2^bits) to grow with n.
+    val budget = 64.0
+    val sizes = Seq(10000L, 1000000L, 100000000L)
+    val provisioned = sizes.map { n =>
+      val (l, b) = AnnSearch.provisionLshForCorpus(0.99, n,
+        maxAvgCandidatesPerVector = budget)
+      val p = 1.0 - math.acos(0.99) / math.Pi
+      val recall = 1.0 - math.pow(1.0 - math.pow(p, b), l)
+      val frac = 1.0 - math.pow(1.0 - math.pow(2.0, -b), l)
+      assert(recall >= 0.999, s"n=$n -> ($l,$b): recall $recall")
+      assert(frac * (n - 1) / 2 <= budget,
+        s"n=$n -> ($l,$b): predicted per-vector candidates ${frac * (n - 1) / 2}")
+      (l, b)
+    }
+    assert(provisioned.map(_._2) === provisioned.map(_._2).sorted,
+      s"bits must be monotone in corpus size: $provisioned")
+    assert(provisioned.last._2 > provisioned.head._2,
+      s"bits must actually grow x10000 corpus: $provisioned")
+    // Honest refusals: the degenerate threshold refuses at any size, and
+    // even a respectable cos >= 0.9 refuses at n=1e8 — hyperplane bits
+    // are weak (p ~ 0.86/bit), so recall 0.999 there needs more tables
+    // than the cap allows once the per-vector budget bites. Better to
+    // say so at plan time than melt the cluster.
+    intercept[IllegalArgumentException] {
+      AnnSearch.provisionLshForCorpus(0.45, 100000000L)
+    }
+    intercept[IllegalArgumentException] {
+      AnnSearch.provisionLshForCorpus(0.9, 100000000L)
+    }
+  }
+
   test("auto-provisioned neardup finds planted near-dups; candidates sub-linear") {
     import spark.implicits._
     // The synthetic corpus is near-orthogonal (max pairwise cos ~ 0.51),
@@ -214,6 +249,38 @@ class LlmOpsSpec extends SparkSpec {
     val cand = AnnSearch.neardupCandidates(emb, "vec_id", "e", l, b2).count()
     val frac = cand.toDouble / (n.toDouble * (n - 1) / 2)
     assert(frac <= 0.05, s"empirical candidate fraction $frac at ($l,$b2)")
+  }
+
+  test("adaptive neardup: brute fallback on degenerate thresholds, refusal past budget") {
+    import spark.implicits._
+    val emb = Tables(spark, sfDir, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+    // cos >= 0.45 refuses LSH provisioning -> exact blocked fallback;
+    // output must equal the quadratic reference exactly.
+    val a = emb.select($"vec_id".as("id_a"), $"e".as("ea"))
+    val bb = emb.select($"vec_id".as("id_b"), $"e".as("eb"))
+    val brute = a.crossJoin(bb).filter($"id_a" < $"id_b")
+      .withColumn("sim", GraftFunctions.cosineSim(spark, $"ea", $"eb"))
+      .filter($"sim" >= 0.45)
+      .select($"id_a", $"id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adaptive = AnnSearch.neardupPairsAdaptive(spark, emb, "vec_id", "e", 0.45)
+      .select($"id_a", $"id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(adaptive === brute)
+    // Degenerate threshold AND a corpus too big for the n² budget must
+    // refuse at plan time — never a silent quadratic melt.
+    val e = intercept[IllegalArgumentException] {
+      AnnSearch.neardupPairsAdaptive(spark, emb, "vec_id", "e", 0.45,
+        corpusSize = Some(10000000L))
+    }
+    assert(e.getMessage.contains("budget"))
+    // A sane threshold with a known corpus size provisions LSH (no n²):
+    // the plan must contain the bucket join, not a cartesian product.
+    val lshPlan = AnnSearch.neardupPairsAdaptive(spark, emb, "vec_id", "e", 0.99,
+      corpusSize = Some(100000L)).queryExecution.optimizedPlan.toString
+    assert(!lshPlan.toLowerCase.contains("cartesian")
+      || lshPlan.contains("bk"), s"expected LSH plan:\n$lshPlan")
   }
 
   test("IVF ANN achieves reasonable recall@10 vs brute force") {
