@@ -64,6 +64,21 @@ final class StreamFrame(val df: DataFrame) {
   def groupby(keys: Seq[String], aggs: Seq[Column]): StreamFrame =
     wrap(df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*))
 
+  // ---- per-key ordered-window ops (pandas ewm / rolling / sessionize
+  // surface; shared expressions with the graded queries via ops/RollingOps)
+  def ewmMean(valueCol: String, keys: Seq[Column], order: Seq[Column],
+              lookback: Int = 32): StreamFrame =
+    wrap(graft.ops.RollingOps.ewmMean(df, valueCol, keys, order, lookback = lookback))
+  def rollingMedian(valueCol: String, n: Int, keys: Seq[Column],
+                    order: Seq[Column]): StreamFrame =
+    wrap(graft.ops.RollingOps.rollingMedian(df, valueCol, n, keys, order))
+  def rollingTrendCorr(valueCol: String, keys: Seq[Column], order: Seq[Column],
+                       window: Int = 10): StreamFrame =
+    wrap(graft.ops.RollingOps.rollingTrendCorr(df, valueCol, keys, order, window))
+  def sessionize(tsCol: String, gapSeconds: Long, keys: Seq[Column],
+                 order: Seq[Column]): StreamFrame =
+    wrap(graft.ops.RollingOps.sessionize(df, tsCol, gapSeconds, keys, order))
+
   // ---- event-time ops (streaming upgrade of the chunk loop)
   def withWatermark(tsCol: String, delay: String): StreamFrame =
     wrap(df.withWatermark(tsCol, delay))

@@ -446,19 +446,26 @@ object LlmQueries extends QueryGroup {
     GQuery("contamination_ngram",
       (s, dir) => {
         import s.implicits._
-        val grams = Tables(s, dir, "documents")
+        // One generator pass: explode trigrams once, dedup (doc, gram)
+        // rows with a single aggregate — the naive array_distinct-in-a-
+        // column variant re-evaluated the whole gram expression in every
+        // pushed filter/projection that referenced it (~6× per row) and
+        // benched 3.6 s at sf0.1; this shape is one explode + two small
+        // keyed aggregates + a broadcast semi-style join.
+        val g = Tables(s, dir, "documents")
           .withColumn("t", split($"text", " "))
           .filter(size($"t") >= 3)
-          .withColumn("grams", array_distinct(expr(
-            "transform(sequence(1, size(t)-2), i -> array_join(slice(t, i, 3), ' '))")))
-        val bench = grams.filter($"doc_id" < 10)
-          .select(explode($"grams").as("g")).distinct()
-        grams.filter($"doc_id" >= 10)
-          .select($"doc_id", size($"grams").cast("long").as("n_grams"),
-            explode($"grams").as("g"))
-          .join(broadcast(bench), "g")
-          .groupBy($"doc_id", $"n_grams")
+          .select($"doc_id", explode(expr(
+            "transform(sequence(1, size(t)-2), i -> array_join(slice(t, i, 3), ' '))"))
+            .as("g"))
+          .distinct()
+        val bench = g.filter($"doc_id" < 10).select($"g").distinct()
+        val corp = g.filter($"doc_id" >= 10)
+        val nGrams = corp.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
+        corp.join(broadcast(bench), "g")
+          .groupBy($"doc_id")
           .agg(count(lit(1)).as("n_contaminated"))
+          .join(nGrams, "doc_id")
           .select($"doc_id", $"n_grams", $"n_contaminated",
             ($"n_contaminated" / $"n_grams").as("contam_frac"))
           .orderBy($"doc_id")

