@@ -396,6 +396,47 @@ object JoinQueries extends QueryGroup {
                            ('L', 250000.0, 400000.0), ('XL', 400000.0, 1000000.0))
                    AS b(band, lo, hi)
                 ON o_totalprice >= lo AND o_totalprice < hi
-              GROUP BY band ORDER BY band"""))
+              GROUP BY band ORDER BY band""")),
+
+    // TPC-H Q5-shaped flagship: 6-table local-supplier revenue. The
+    // plan the optimizer should (and does) pick at any scale: the three
+    // dimension sides (region→nation, supplier) broadcast, lineitem —
+    // the only big table — streams through ONE shuffle to meet orders;
+    // the date filter pushes to the orders scan and the region filter
+    // prunes nation before anything joins it. Revenue uses the q1
+    // Det pattern (exact 4-decimal sums) so the double hash-matches.
+    GQuery("q5_local_supplier",
+      (s, dir) => {
+        import s.implicits._
+        val asia = Tables(s, dir, "nation")
+          .join(broadcast(Tables(s, dir, "region")
+            .filter($"r_name" === "ASIA")), $"n_regionkey" === $"r_regionkey")
+        val ord = Tables(s, dir, "orders")
+          .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp")
+            && $"o_orderdate" < lit("1997-01-01").cast("timestamp"))
+        Tables(s, dir, "customer")
+          .join(broadcast(asia), $"c_nationkey" === $"n_nationkey")
+          .join(ord, $"c_custkey" === $"o_custkey")
+          .join(Tables(s, dir, "lineitem"), $"o_orderkey" === $"l_orderkey")
+          .join(broadcast(Tables(s, dir, "supplier")),
+            $"l_suppkey" === $"s_suppkey" && $"s_nationkey" === $"c_nationkey")
+          .groupBy($"n_name")
+          .agg(Det.dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4)
+            .as("revenue"))
+          .orderBy($"revenue".desc, $"n_name")
+      },
+      Some(s"""SELECT n_name,
+              ${Det.sql.dsum("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue
+              FROM customer
+              JOIN nation   ON c_nationkey = n_nationkey
+              JOIN region   ON n_regionkey = r_regionkey
+              JOIN orders   ON c_custkey = o_custkey
+              JOIN lineitem ON o_orderkey = l_orderkey
+              JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+              WHERE r_name = 'ASIA'
+                AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+              GROUP BY n_name
+              ORDER BY revenue DESC, n_name"""))
   )
 }

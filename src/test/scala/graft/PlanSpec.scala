@@ -214,6 +214,17 @@ class PlanSpec extends SparkSpec {
     assert(df.queryExecution.executedPlan.toString.contains("*("))
   }
 
+  test("q5: dims broadcast, date filter pushed, no product joins") {
+    val p = plan("q5_local_supplier")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"product join in:\n$p")
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(nBroadcast >= 2, s"expected >=2 broadcast joins, got $nBroadcast:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate")
+      || p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"date filter not pushed to orders scan:\n$p")
+  }
+
   test("contamination_ngram broadcasts the benchmark gram set") {
     // The eval-suite side is tiny by nature; the corpus side must
     // stream through a broadcast hash join, never a shuffle of grams.
