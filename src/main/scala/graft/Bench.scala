@@ -27,6 +27,20 @@ object Bench {
     try Files.readString(Paths.get("/proc/loadavg")).split(" ")(0).toDouble
     catch { case _: Throwable => -1.0 }
 
+  /** Cumulative CPU-steal jiffies (/proc/stat cpu col 8), or -1. A VM
+    * host that steals cycles inflates wall-clock with loadavg low and
+    * zero sibling JVMs — the one contention mode the other stamps can't
+    * see (observed: keys at 30× with siblings=0, load<2, while the
+    * steal counter jumped). The start/end delta lets any reader rule
+    * host noise in or out without re-running.
+    */
+  private def stealJiffies(): Long =
+    try {
+      val cpu = Files.readString(Paths.get("/proc/stat")).linesIterator
+        .find(_.startsWith("cpu ")).get.trim.split("\\s+")
+      cpu(8).toLong
+    } catch { case _: Throwable => -1L }
+
   /** (other java processes, of which actively burning CPU over a 250 ms
     * window). Three rounds of driver-captured bench signal were lost to
     * box contention that only a later quiet re-run could prove — so the
@@ -57,6 +71,7 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val loadStart = loadAvg()
+    val stealStart = stealJiffies()
     // Sampled at BOTH ends: a sibling that contended mid-run but exited
     // before the end stamp would otherwise read as siblings=0.
     val (sibsStart, sibsStartBusy) = siblingJvms()
@@ -102,8 +117,10 @@ object Bench {
     // Locale-pinned: a comma-decimal default locale would emit invalid JSON.
     def jnum(d: Double): String =
       String.format(java.util.Locale.ROOT, "%.4f", Double.box(d))
+    val stealDelta =
+      if (stealStart < 0) -1L else math.max(-1L, stealJiffies() - stealStart)
     val validity =
-      s""""load":${jnum(loadStart)},"load_end":${jnum(loadEnd)},"siblings_start":$sibsStart,"siblings_start_busy":$sibsStartBusy,"siblings":$sibs,"siblings_busy":$sibsBusy"""
+      s""""load":${jnum(loadStart)},"load_end":${jnum(loadEnd)},"siblings_start":$sibsStart,"siblings_start_busy":$sibsStartBusy,"siblings":$sibs,"siblings_busy":$sibsBusy,"steal_jiffies":$stealDelta"""
     val detailJson = timed.map { case (k, v) => s"\"$k\":${jnum(v)}" }
       .mkString("{", ",", "}")
     val failedJson = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")

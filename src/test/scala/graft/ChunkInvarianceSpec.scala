@@ -54,6 +54,28 @@ class ChunkInvarianceSpec extends SparkSpec {
     partitionings.foreach(n => assert(asof(n) === ref, s"asof changed at n=$n"))
   }
 
+  test("per-key ordered-window ops (RollingOps) are partition-invariant") {
+    // ewm is the most rounding-sensitive of the family (32-term double
+    // addition chain): the window shuffle re-clusters per key and the
+    // expression tree is fixed, so results must be BIT-exact under any
+    // input partitioning.
+    val e = Tables(spark, sfDir, "events").filter("user_id < 20")
+    def run(df: DataFrame): Seq[String] = canon(
+      graft.ops.RollingOps.ewmMean(df, "value",
+          Seq(col("user_id")), Seq(col("ts"), col("event_id")))
+        .select("user_id", "event_id", "ewm"))
+    val ref = run(e.coalesce(1))
+    partitionings.foreach(n => assert(run(e.repartition(n)) === ref,
+      s"ewm changed at repartition($n)"))
+    def sess(df: DataFrame): Seq[String] = canon(
+      graft.ops.RollingOps.sessionize(df, "ts", 1800L,
+          Seq(col("user_id")), Seq(col("ts"), col("event_id")))
+        .select("user_id", "event_id", "session_id"))
+    val sref = sess(e.coalesce(1))
+    partitionings.foreach(n => assert(sess(e.repartition(n)) === sref,
+      s"sessionize changed at repartition($n)"))
+  }
+
   test("raw double sum is NOT partition-stable but decimal sum is") {
     // Documents the hazard the decimal path exists for: with enough
     // partitionings, a raw double sum will drift in the last ulp at
