@@ -63,6 +63,41 @@ object DistributedSelect {
       .drop("__b", "__off")
   }
 
+  /** `df` + a 1-based global row number by ORDER BY (orderCols…) for ANY
+    * orderable column types — strings included, which the
+    * percentile-bucket variant above cannot handle (`percentile_approx`
+    * is numeric-only). Same no-funnel shape, different bucketing:
+    *
+    *  1. `repartitionByRange(numParts, orderCols…)` — sampled range
+    *     boundaries, each partition holds a disjoint ordered slice;
+    *  2. per-partition counts → cumulative offsets via a window over
+    *     ≤ `numParts` rows (the one no-partition window, tiny frame);
+    *  3. offsets broadcast back; global rn = offset + per-partition
+    *     `row_number` (parallel windows keyed by partition id).
+    *
+    * The range exchange appears in two subplans (counts + data); they
+    * are byte-identical, so Spark's ReuseExchange executes the shuffle
+    * once — both sides observe the SAME boundaries and the offsets
+    * always match the partition sizes. Determinism does not depend on
+    * boundary placement: for a tie-free order the concatenated
+    * per-partition orders are exactly the total order wherever the cut
+    * points land.
+    */
+  def withRangeRowNumber(df: DataFrame, orderCols: Seq[Column],
+                         numParts: Int = 32, rnCol: String = "rn"): DataFrame = {
+    val parted = df.repartitionByRange(numParts, orderCols: _*)
+      .withColumn("__pid", spark_partition_id())
+    val wcum = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    val offs = parted.groupBy(col("__pid")).agg(count(lit(1)).as("__c"))
+      .withColumn("__off", coalesce(sum(col("__c")).over(wcum), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    val wloc = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
+    parted.join(broadcast(offs), "__pid")
+      .withColumn(rnCol, col("__off") + row_number().over(wloc))
+      .drop("__pid", "__off")
+  }
+
   /** Rows of `df` at the given 1-based global ranks of ORDER BY (v, key).
     *
     * @param ranksOfN  builds the wanted rank expressions from the total

@@ -1,6 +1,5 @@
 package graft.queries
 
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.Tables
 
@@ -98,21 +97,23 @@ object SetQueries extends QueryGroup {
               ORDER BY o_orderkey""")),
 
     // pandas concat(axis=1): positional zip via deterministic row ids.
-    // SCALE BOUND (explicit): positional alignment needs a total row
-    // order, so each side goes through a no-partition row_number window
-    // — only offered over dimension-scale frames (region = 5 rows,
-    // nation filtered to < 5). Large-frame positional zip has no
-    // scale-safe relational reading; key-based joins are the 100 TB
-    // answer (pandas itself aligns on index, i.e. a key).
+    // Each side gets its global row number from
+    // DistributedSelect.withRangeRowNumber — range-repartition on the
+    // order column, per-partition counts → broadcast offsets, parallel
+    // per-partition windows — NEVER a no-partition row_number window
+    // over the data (the single-task funnel that dies at 100 TB; the
+    // only no-partition window in the plan sorts the ≤32-row
+    // partition-counts frame, PlanSpec-asserted). The zip itself is an
+    // equi-join on rn, which shuffles on the row id like any join key.
     GQuery("concat_cols",
       (s, dir) => {
         import s.implicits._
-        val r = Tables(s, dir, "region")
-          .withColumn("rn", row_number().over(Window.orderBy($"r_name")).cast("long"))
+        val r = graft.ops.DistributedSelect.withRangeRowNumber(
+            Tables(s, dir, "region").select($"r_name"), Seq($"r_name"))
           .select($"rn", $"r_name")
-        val n = Tables(s, dir, "nation")
-          .filter($"n_nationkey" < 5)
-          .withColumn("rn", row_number().over(Window.orderBy($"n_name")).cast("long"))
+        val n = graft.ops.DistributedSelect.withRangeRowNumber(
+            Tables(s, dir, "nation").filter($"n_nationkey" < 5).select($"n_name"),
+            Seq($"n_name"))
           .select($"rn", $"n_name")
         r.join(n, "rn").select($"rn", $"r_name", $"n_name").orderBy($"rn")
       },

@@ -180,7 +180,7 @@ class PlanSpec extends SparkSpec {
     // to row_number().over(Window.orderBy(value))).
     import org.apache.spark.sql.execution.window.WindowExec
     val keys = Seq("median", "quartiles", "describe_quantiles",
-      "ntile_global", "groupby_quantiles", "weighted_folds")
+      "ntile_global", "groupby_quantiles", "weighted_folds", "concat_cols")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       for (k <- keys) {
@@ -188,12 +188,32 @@ class PlanSpec extends SparkSpec {
         val noPart = plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
         noPart.foreach { w =>
           val ord = w.orderSpec.map(_.child.toString).mkString(",")
-          assert(ord.contains("__b"),
-            s"$k: no-partition window NOT over the bucket-stats frame (order: $ord)")
+          assert(ord.contains("__b") || ord.contains("__pid"),
+            s"$k: no-partition window NOT over a bucket/partition-stats frame (order: $ord)")
         }
         if (k == "groupby_quantiles")
           assert(noPart.isEmpty, s"$k must use only per-key windows")
       }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("concat_cols: row-number zip has no single-task window over the data") {
+    // The round-7 verdict's last scale-killer shape: a positional zip
+    // built on row_number().over(Window.orderBy(name)) — one task sorts
+    // the whole frame. The rebased zip (withRangeRowNumber) may only run
+    // no-partition windows over the <= numParts partition-counts frame
+    // (ordered by __pid); the data-bearing windows must be keyed.
+    import org.apache.spark.sql.execution.window.WindowExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = Registry.byKey("concat_cols").build(spark, sfDir)
+        .queryExecution.executedPlan
+      val wins = plan.collect { case w: WindowExec => w }
+      assert(wins.nonEmpty, "expected window operators in the zip plan")
+      val bad = wins.filter(w => w.partitionSpec.isEmpty &&
+        !w.orderSpec.map(_.child.toString).mkString(",").contains("__pid"))
+      assert(bad.isEmpty,
+        s"single-task window over data columns: ${bad.map(_.orderSpec).mkString}")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
