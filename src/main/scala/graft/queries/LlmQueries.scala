@@ -334,18 +334,43 @@ object LlmQueries extends QueryGroup {
       },
       None),
 
-    // Multimodal feature extraction over the binary column via the
-    // partition-batched stub decoder (deterministic fake → rows-only).
+    // Multimodal feature extraction over the binary column — REAL
+    // decode: each row carries genuine PNG / JPEG / GIF bytes (written
+    // by the deterministic in-repo encoders; dimensions are a pure
+    // function of doc_id) and the mapPartitions pipeline parses the
+    // actual binary formats back (magic bytes, IHDR CRC, JPEG marker
+    // scan). The DuckDB oracle recomputes the expected dimensions from
+    // the same doc_id arithmetic — agreement proves the encode→binary→
+    // parse round-trip, not just the plumbing. Writer and parser are
+    // additionally cross-validated against the JDK's independent
+    // javax.imageio codecs in MultimodalSpec.
     GQuery("multimodal_features",
       (s, dir) => {
         import s.implicits._
+        import graft.multimodal.{MediaRow, Multimodal}
         val media = Tables(s, dir, "documents")
           .filter($"doc_id" < 500)
-          .select($"doc_id", encode($"text", "UTF-8").as("payload"))
-        graft.multimodal.Multimodal.extractFeaturesDF(media)
+          .select($"doc_id").as[Long]
+          .map { id =>
+            val w = (1 + (id * 7) % 120).toInt
+            val h = (1 + (id * 13) % 90).toInt
+            val payload = (id % 3) match {
+              case 0 => Multimodal.pngBytes(w, h, (id & 0x7f).toByte)
+              case 1 => Multimodal.jpegBytes(w, h)
+              case _ => Multimodal.gifBytes(w, h)
+            }
+            MediaRow(id, payload)
+          }
+        Multimodal.extractFeatures(media).toDF()
+          .select($"doc_id", $"format", $"width", $"height")
           .orderBy($"doc_id")
       },
-      None),
+      Some("""SELECT doc_id,
+                CASE CAST(doc_id % 3 AS INTEGER)
+                  WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END AS format,
+                CAST(1 + (doc_id * 7) % 120 AS INTEGER) AS width,
+                CAST(1 + (doc_id * 13) % 90 AS INTEGER) AS height
+              FROM documents WHERE doc_id < 500 ORDER BY doc_id""")),
 
     // Multimodal plumbing: opaque binary payload + typed metadata. The
     // decode/feature step over the binary column is the mapPartitions

@@ -309,5 +309,8 @@ class LlmOpsSpec extends SparkSpec {
       Tables(spark, sfDir, "documents").select($"doc_id", length($"text").as("l")),
       "doc_id").filter($"n_bytes" =!= $"l").count()
     assert(sameBytes === 0) // ascii text: bytes == chars
+    // text bytes are not an image: the real parser must refuse them,
+    // not hallucinate dimensions
+    assert(feats.filter($"format" =!= "unknown" || $"width".isNotNull).count() === 0)
   }
 }

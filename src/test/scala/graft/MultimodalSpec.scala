@@ -1,0 +1,91 @@
+package graft
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+
+import graft.multimodal.{ImageHeader, MediaRow, Multimodal}
+
+/** The multimodal decode step must be REAL: the writers emit
+  * spec-conformant PNG/JPEG/GIF bytes and the parser reads the actual
+  * binary structures back. Symmetric bugs (writer and parser sharing a
+  * wrong offset) are ruled out by cross-validating BOTH directions
+  * against the JDK's independent `javax.imageio` codecs:
+  * ImageIO must decode our PNGs, and our parser must decode ImageIO's
+  * PNGs/JPEGs/GIFs.
+  */
+class MultimodalSpec extends SparkSpec {
+
+  private val dims = Seq((1, 1), (1, 97), (97, 1), (48, 33), (640, 480), (1023, 7))
+
+  test("round-trip: own writers -> own parser, all formats and dims") {
+    for ((w, h) <- dims) {
+      assert(Multimodal.parseHeader(Multimodal.pngBytes(w, h, 42)) ===
+        Some(ImageHeader("png", w, h)))
+      assert(Multimodal.parseHeader(Multimodal.jpegBytes(w, h)) ===
+        Some(ImageHeader("jpeg", w, h)))
+      assert(Multimodal.parseHeader(Multimodal.gifBytes(w, h)) ===
+        Some(ImageHeader("gif", w, h)))
+    }
+  }
+
+  test("our PNG bytes are decodable by the JDK codec (independent reader)") {
+    for ((w, h) <- dims) {
+      val img = ImageIO.read(new ByteArrayInputStream(Multimodal.pngBytes(w, h, 7)))
+      assert(img != null, s"ImageIO rejected our ${w}x$h PNG")
+      assert(img.getWidth === w && img.getHeight === h)
+    }
+  }
+
+  test("JDK-encoded images are decodable by our parser (independent writer)") {
+    for ((w, h) <- dims; fmt <- Seq("png", "jpg", "gif")) {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val bos = new ByteArrayOutputStream()
+      assert(ImageIO.write(img, fmt, bos), s"no JDK writer for $fmt")
+      val parsed = Multimodal.parseHeader(bos.toByteArray)
+      val expected = if (fmt == "jpg") "jpeg" else fmt
+      assert(parsed === Some(ImageHeader(expected, w, h)),
+        s"failed on JDK-written $fmt ${w}x$h: $parsed")
+    }
+  }
+
+  test("parser refuses corrupt and non-image bytes") {
+    assert(Multimodal.parseHeader(Array.emptyByteArray) === None)
+    assert(Multimodal.parseHeader("plain text, no image".getBytes) === None)
+    // PNG with a flipped IHDR byte: CRC check must catch it
+    val png = Multimodal.pngBytes(10, 10, 0)
+    png(17) = (png(17) ^ 0x01).toByte // corrupt the width field
+    assert(Multimodal.parseHeader(png) === None, "corrupt IHDR CRC accepted")
+    // truncated JPEG: SOI then nothing
+    assert(Multimodal.parseHeader(Array(0xff.toByte, 0xd8.toByte)) === None)
+    // JPEG whose marker stream ends (EOI) before any frame header
+    assert(Multimodal.parseHeader(
+      Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte)) === None)
+  }
+
+  test("distributed extraction parses each format to its true dimensions") {
+    import spark.implicits._
+    val media = spark.range(0, 300).as[Long].map { id =>
+      val w = (1 + (id * 7) % 120).toInt
+      val h = (1 + (id * 13) % 90).toInt
+      val payload = (id % 3) match {
+        case 0 => Multimodal.pngBytes(w, h, (id & 0x7f).toByte)
+        case 1 => Multimodal.jpegBytes(w, h)
+        case _ => Multimodal.gifBytes(w, h)
+      }
+      MediaRow(id, payload)
+    }
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.length === 300)
+    feats.foreach { f =>
+      val expFmt = (f.doc_id % 3) match {
+        case 0 => "png"; case 1 => "jpeg"; case _ => "gif"
+      }
+      assert(f.format === expFmt, s"doc ${f.doc_id}")
+      assert(f.width === Some((1 + (f.doc_id * 7) % 120).toInt), s"doc ${f.doc_id}")
+      assert(f.height === Some((1 + (f.doc_id * 13) % 90).toInt), s"doc ${f.doc_id}")
+      assert(f.n_bytes > 0 && f.mean_byte > 0.0)
+    }
+  }
+}
