@@ -5,6 +5,17 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.GraftFunctions
 
+/** Thrown when LSH provisioning REFUSES a regime — no (tables, bits)
+  * under the caps keeps the candidate set sub-linear for the requested
+  * threshold/recall. Distinct from plain argument validation
+  * (`IllegalArgumentException`) so dispatchers can fall back on refusal
+  * without swallowing genuine usage errors (a bad `targetRecall` or an
+  * out-of-range cosine must still fail loudly, never silently reroute
+  * to an O(n²) path). Subclasses IllegalArgumentException so existing
+  * callers that treat refusal as an argument problem keep working.
+  */
+class LshDegenerateException(msg: String) extends IllegalArgumentException(msg)
+
 /** Approximate nearest neighbour search over embedding columns.
   *
   * Baseline: brute-force cosine top-k (relational matmul — broadcast
@@ -149,13 +160,14 @@ object AnnSearch {
                                minCosine: Double, targetRecall: Double,
                                maxCandidateFraction: Double,
                                maxTables: Int): Unit =
-    require(options.nonEmpty && options.map(_._1).min <= maxCandidateFraction,
-      f"LSH cannot be provisioned sub-linearly for cos >= $minCosine%.3f at " +
-        f"recall $targetRecall (best candidate fraction " +
-        f"${if (options.isEmpty) 1.0 else options.map(_._1).min}%.6f > " +
-        f"$maxCandidateFraction%.6f under <= $maxTables tables) — the " +
-        "threshold admits near-random pairs; raise it, or knowingly pass " +
-        "explicit (tables, bits) to neardupPairs")
+    if (!(options.nonEmpty && options.map(_._1).min <= maxCandidateFraction))
+      throw new LshDegenerateException(
+        f"LSH cannot be provisioned sub-linearly for cos >= $minCosine%.3f at " +
+          f"recall $targetRecall (best candidate fraction " +
+          f"${if (options.isEmpty) 1.0 else options.map(_._1).min}%.6f > " +
+          f"$maxCandidateFraction%.6f under <= $maxTables tables) — the " +
+          "threshold admits near-random pairs; raise it, or knowingly pass " +
+          "explicit (tables, bits) to neardupPairs")
 
   def provisionLsh(minCosine: Double, targetRecall: Double = 0.999,
                    maxCandidateFraction: Double = 0.05,
@@ -239,15 +251,49 @@ object AnnSearch {
     * blocked brute-force join IF the n² cosine budget allows, and
     * otherwise refuses loudly at plan time — never silently quadratic.
     */
+  // Corpus row counts, memoized per logical corpus (same policy as the
+  // IVF model cache below). Counting is the ONE statistic adaptive
+  // planning needs; at 100 TB it must come from metadata, not a scan
+  // job — see [[parquetRowCount]].
+  private val corpusCounts = scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  /** Corpus size from parquet FOOTER metadata — summed per-file record
+    * counts read driver-side, zero Spark jobs (the dask known-divisions
+    * answer to "how big is the corpus before planning"). Accepts a
+    * single file or a directory of part files; memoized per path.
+    */
+  def parquetRowCount(spark: SparkSession, path: String): Long =
+    corpusCounts.getOrElseUpdate(s"pq:$path", {
+      val conf = spark.sessionState.newHadoopConf()
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(conf)
+      val files = fs.listStatus(p)
+        .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+      files.map { f =>
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf))
+        try rd.getRecordCount finally rd.close()
+      }.sum
+    })
+
   def neardupPairsAdaptive(spark: SparkSession, emb: DataFrame, idCol: String,
                            eCol: String, minCosine: Double,
                            targetRecall: Double = 0.999,
                            corpusSize: Option[Long] = None,
-                           maxBruteCosines: Double = 1e9): DataFrame = {
-    val n = corpusSize.getOrElse(emb.count())
+                           maxBruteCosines: Double = 1e9,
+                           cacheKey: Option[String] = None): DataFrame = {
+    // Size resolution order: caller-known (table stats / sidecar /
+    // parquetRowCount) > memoized count per logical corpus > eager
+    // count — the last is an intentional planning ACTION, acceptable
+    // only for ad-hoc frames with no identity; graded paths pass one of
+    // the first two so plan construction stays job-free.
+    val n = corpusSize.getOrElse(cacheKey match {
+      case Some(ck) => corpusCounts.getOrElseUpdate(ck, emb.count())
+      case None => emb.count()
+    })
     val provisioned =
       try Some(provisionLshForCorpus(minCosine, n, targetRecall))
-      catch { case _: IllegalArgumentException => None }
+      catch { case _: LshDegenerateException => None }
     provisioned match {
       case Some((tables, bits)) =>
         neardupPairs(spark, emb, idCol, eCol, minCosine, tables, bits)

@@ -111,8 +111,12 @@ object LlmQueries extends QueryGroup {
         import s.implicits._
         val emb = Tables(s, dir, "embeddings")
           .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+        // Corpus size from parquet footer metadata (driver-side, zero
+        // Spark jobs) — adaptive planning must not run a scan job.
+        val n = graft.ops.AnnSearch.parquetRowCount(s, s"$dir/embeddings.parquet")
         graft.ops.AnnSearch.neardupPairsAdaptive(s, emb, "vec_id", "e",
-            minCosine = 0.45)
+            minCosine = 0.45, corpusSize = Some(n),
+            cacheKey = Some(s"embeddings:$dir"))
           .select($"id_a", $"id_b")
           .orderBy($"id_a", $"id_b")
       },

@@ -283,6 +283,56 @@ class LlmOpsSpec extends SparkSpec {
       || lshPlan.contains("bk"), s"expected LSH plan:\n$lshPlan")
   }
 
+  test("adaptive neardup: graded planning is job-free; usage errors propagate") {
+    import spark.implicits._
+    val emb = Tables(spark, sfDir, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+    // Genuine argument errors must PROPAGATE, not be silently treated as
+    // "LSH degenerate" and rerouted to the O(n²) brute path (n=1000 is
+    // well inside the brute budget, so a swallowed error would succeed).
+    val e1 = intercept[IllegalArgumentException] {
+      AnnSearch.neardupPairsAdaptive(spark, emb, "vec_id", "e", 0.9,
+        targetRecall = 1.5, corpusSize = Some(1000L))
+    }
+    assert(e1.getMessage.contains("unsatisfiable"))
+    val e2 = intercept[IllegalArgumentException] {
+      AnnSearch.neardupPairsAdaptive(spark, emb, "vec_id", "e", 1.5,
+        corpusSize = Some(1000L))
+    }
+    assert(e2.getMessage.contains("unsatisfiable"))
+    // The refusal case is a dedicated type — that is what the
+    // dispatcher's fallback keys on.
+    intercept[graft.ops.LshDegenerateException] {
+      AnnSearch.provisionLshForCorpus(0.45, 100000000L)
+    }
+    // Footer-metadata row count equals the scan count.
+    val meta = AnnSearch.parquetRowCount(spark, s"$sfDir/embeddings.parquet")
+    assert(meta === Tables(spark, sfDir, "embeddings").count())
+    // Building the graded embed_neardup plan — twice — must trigger NO
+    // count/collect action: the corpus size comes from footer metadata,
+    // never a scan job. (spark.read.parquet itself runs a 1-task
+    // schema-inference job per read; that is the datasource, not the
+    // dispatcher, so assert on job call sites rather than job count.)
+    val sites = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        sites.add(Option(js.properties)
+          .map(_.getProperty("callSite.short", "")).getOrElse("")); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      graft.queries.Registry.byKey("embed_neardup").build(spark, sfDir)
+      graft.queries.Registry.byKey("embed_neardup").build(spark, sfDir)
+      Thread.sleep(500) // let listener events drain
+      val actions = sites.toArray.map(_.toString)
+        .filter(s => s.startsWith("count") || s.startsWith("collect"))
+      assert(actions.isEmpty,
+        s"plan construction ran driver actions: ${actions.mkString(", ")}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("IVF ANN achieves reasonable recall@10 vs brute force") {
     import spark.implicits._
     val emb = Tables(spark, sfDir, "embeddings")
