@@ -13,7 +13,9 @@ import java.nio.file.{Files, Paths}
   * the capture limit and null the round's perf signal. The full
   * per-query map goes to bench_details.json only. Failed queries are
   * listed in `failed` (and excluded from the total) instead of being
-  * silently timed as fast successes.
+  * silently timed as fast successes. Every timed key also records its
+  * own steal-jiffies delta and post-key loadavg (`queries_steal` /
+  * `queries_load`) so contended keys self-identify individually.
   */
 object Bench {
   // Queries the summary line carries explicitly (≈BASELINE.md headliners).
@@ -98,16 +100,23 @@ object Bench {
     val keys = SparkEntry.queries.keys.toSeq.sorted
       .filter(k => only.forall(_.contains(k)))
     var failed = List.empty[String]
+    // Per-key validity: the steal-jiffies delta spanning the key's
+    // iterations (+ loadavg after it). Four rounds of driver captures
+    // ran hot and only whole-run stamps existed — per-key deltas let a
+    // reader discard exactly the contended keys, not the whole artifact.
     val timed = keys.flatMap { name =>
       val fn = SparkEntry.queries(name)
+      val s0 = stealJiffies()
       val runs = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
         catch { case _: Throwable => None }
       }
       val ok = runs.flatten
+      val sDelta = if (s0 < 0) -1L else math.max(-1L, stealJiffies() - s0)
+      val ld = loadAvg()
       if (ok.isEmpty) { failed ::= name; None }
-      else Some(name -> ok.min)
+      else Some((name, ok.min, sDelta, ld))
     }
     val total = timed.map(_._2).sum
     // Validity stamp: a loaded box or sibling JVMs invalidate wall-clock
@@ -121,20 +130,30 @@ object Bench {
       if (stealStart < 0) -1L else math.max(-1L, stealJiffies() - stealStart)
     val validity =
       s""""load":${jnum(loadStart)},"load_end":${jnum(loadEnd)},"siblings_start":$sibsStart,"siblings_start_busy":$sibsStartBusy,"siblings":$sibs,"siblings_busy":$sibsBusy,"steal_jiffies":$stealDelta"""
-    val detailJson = timed.map { case (k, v) => s"\"$k\":${jnum(v)}" }
+    val detailJson = timed.map { case (k, v, _, _) => s"\"$k\":${jnum(v)}" }
+      .mkString("{", ",", "}")
+    // Parallel validity maps (the documented "queries" map stays plain
+    // numbers — the driver's parser depends on that shape).
+    val stealJson = timed.map { case (k, _, sd, _) => s"\"$k\":$sd" }
+      .mkString("{", ",", "}")
+    val loadJson = timed.map { case (k, _, _, l) => s"\"$k\":${jnum(l)}" }
       .mkString("{", ",", "}")
     val failedJson = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
     val full =
-      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","n":$iters,"cpus":$cpus,"sf":"$sfDir",$validity,"failed":$failedJson,"queries":$detailJson}"""
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","n":$iters,"cpus":$cpus,"sf":"$sfDir",$validity,"failed":$failedJson,"queries":$detailJson,"queries_steal":$stealJson,"queries_load":$loadJson}"""
     Files.writeString(Paths.get("bench_details.json"), full)
     val hq = timed.filter(t => headline.contains(t._1))
-      .map { case (k, v) => s"\"$k\":${jnum(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v, _, _) => s"\"$k\":${jnum(v)}" }.mkString("{", ",", "}")
+    // Headliners only in the summary (full per-key map is in details):
+    // the summary line must stay well under the driver's capture limit.
+    val hqSteal = timed.filter(t => headline.contains(t._1))
+      .map { case (k, _, sd, _) => s"\"$k\":$sd" }.mkString("{", ",", "}")
     spark.stop()
     // Short parse-safe summary: printed as the very last stdout line AND
     // written to bench_summary.json, so the driver has a machine-readable
     // total even when an sbt wrapper frames stdout with [info]/[success].
     val short =
-      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","n":$iters,"n_queries":${timed.size},$validity,"failed":$failedJson,"queries":$hq,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","n":$iters,"n_queries":${timed.size},$validity,"failed":$failedJson,"queries":$hq,"queries_steal":$hqSteal,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench_summary.json"), short)
     println(short)
   }

@@ -37,6 +37,18 @@ object MinHashDedup {
   /** Candidate pairs via banding: docs agreeing on ALL rows of any band
     * collide; pairs are deduped. `estJaccard` = fraction of agreeing
     * signature components (unbiased MinHash estimate).
+    *
+    * The band join carries ONLY (id, band, bh) — never the signatures.
+    * Shipping sig_a/sig_b through the collision shuffle would multiply
+    * its bytes by numHashes × 8 per row (at 128 hashes on a 100 TB
+    * corpus, the dominant shuffle term); instead the (id_a, id_b) pairs
+    * are deduped first and both signatures fetched back with two plain
+    * equi-joins to compute est_jaccard once per pair — the id-only
+    * candidate pattern [[AnnSearch.neardupCandidates]] documents. The
+    * signature subtree appears in the band and fetch-back branches;
+    * its shuffle is byte-identical in each, so ReuseExchange executes
+    * it once (persist `signatures` explicitly when driving many
+    * downstream ops off one corpus).
     */
   def candidatePairs(docs: DataFrame, idCol: String, textCol: String,
                      numHashes: Int = 16, bands: Int = 4): DataFrame = {
@@ -44,21 +56,23 @@ object MinHashDedup {
     val r = numHashes / bands
     val sig = signatures(docs, idCol, textCol, numHashes)
 
-    val banded = sig.select(col("id"), col("sig"),
+    val banded = sig.select(col("id"),
         posexplode(expr(
           s"transform(sequence(0, ${bands - 1}), b -> xxhash64(slice(sig, b * $r + 1, $r)))"))
           .as(Seq("band", "bh")))
-      .select(col("id"), col("sig"), col("band"), col("bh"))
+      .select(col("id"), col("band"), col("bh"))
 
-    val a = banded.select(col("id").as("id_a"), col("sig").as("sig_a"),
-      col("band"), col("bh"))
-    val b = banded.select(col("id").as("id_b"), col("sig").as("sig_b"),
-      col("band"), col("bh"))
-    a.join(b, Seq("band", "bh")).filter(col("id_a") < col("id_b"))
+    val a = banded.select(col("id").as("id_a"), col("band"), col("bh"))
+    val b = banded.select(col("id").as("id_b"), col("band"), col("bh"))
+    val cand = a.join(b, Seq("band", "bh")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+
+    cand
+      .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
           bool => bool)).cast("double") / numHashes).as("est_jaccard"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(max(col("est_jaccard")).as("est_jaccard"))
   }
 }

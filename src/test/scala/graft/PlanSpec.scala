@@ -107,6 +107,26 @@ class PlanSpec extends SparkSpec {
       s"scan not bucketed:\n$p")
   }
 
+  test("dedup_minhash: signatures never ride the band-collision exchange") {
+    // The 100 TB shuffle-bytes term: the (band, bh) collision join must
+    // move ONLY ids — est_jaccard is computed after deduping pairs and
+    // fetching signatures back with plain equi-joins.
+    import org.apache.spark.sql.execution.exchange.Exchange
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = Registry.byKey("dedup_minhash").build(spark, sfDir)
+        .queryExecution.executedPlan
+      val bandExchanges = plan.collect {
+        case e: Exchange if e.output.exists(_.name == "bh") => e
+      }
+      assert(bandExchanges.nonEmpty, "no band-hash exchange in the plan")
+      bandExchanges.foreach { e =>
+        assert(!e.output.exists(_.name.startsWith("sig")),
+          s"signatures ride the band shuffle: ${e.output.map(_.name)}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("dedup_simhash plans band equi-joins, not an all-pairs nested loop") {
     val p = plan("dedup_simhash")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
