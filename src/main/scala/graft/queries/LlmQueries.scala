@@ -180,21 +180,17 @@ object LlmQueries extends QueryGroup {
               FROM documents GROUP BY source ORDER BY source""")),
 
     // Quality scoring: length/punctuation/stopword/short-token ratios.
+    // Ratios are 0-guarded on BOTH engines: n_tokens = 0 (pre-tokenized
+    // empty input; split of "" itself yields [""], size 1) would
+    // otherwise produce NaN/Infinity doubles — a hash mismatch vs the
+    // oracle the moment an empty doc enters the corpus.
     GQuery("quality_score",
       (s, dir) => {
         import s.implicits._
         val stop = Seq("the", "a", "of", "and", "to")
-        Tables(s, dir, "documents")
-          .filter($"doc_id" < 500)
-          .withColumn("toks", split($"text", " "))
-          .withColumn("n_tokens", size($"toks").cast("long"))
-          .withColumn("stop_hits",
-            size(filter($"toks", t => t.isin(stop.map(lit(_)): _*))))
-          .withColumn("stop_ratio", $"stop_hits" / $"n_tokens")
-          .withColumn("short_ratio",
-            size(filter($"toks", t => length(t) <= 2)) / $"n_tokens")
-          .withColumn("score",
-            lit(1.0) - $"short_ratio" * 0.5 - $"stop_ratio" * 0.25)
+        graft.ops.TextQuality.withScore(
+            Tables(s, dir, "documents").filter($"doc_id" < 500),
+            split($"text", " "), stop)
           .select($"doc_id", $"n_tokens", $"stop_ratio", $"short_ratio", $"score")
           .orderBy($"doc_id")
       },
@@ -203,11 +199,13 @@ object LlmQueries extends QueryGroup {
               FROM (
                 SELECT doc_id,
                   len(str_split(text, ' ')) AS n_tokens,
-                  len(list_filter(str_split(text, ' '),
-                      t -> t IN ('the', 'a', 'of', 'and', 'to')))
-                    / len(str_split(text, ' ')) AS stop_ratio,
-                  len(list_filter(str_split(text, ' '), t -> length(t) <= 2))
-                    / len(str_split(text, ' ')) AS short_ratio
+                  CASE WHEN len(str_split(text, ' ')) = 0 THEN 0.0 ELSE
+                    len(list_filter(str_split(text, ' '),
+                        t -> t IN ('the', 'a', 'of', 'and', 'to')))
+                      / len(str_split(text, ' ')) END AS stop_ratio,
+                  CASE WHEN len(str_split(text, ' ')) = 0 THEN 0.0 ELSE
+                    len(list_filter(str_split(text, ' '), t -> length(t) <= 2))
+                      / len(str_split(text, ' ')) END AS short_ratio
                 FROM documents WHERE doc_id < 500) t
               ORDER BY doc_id""")),
 
@@ -519,20 +517,14 @@ object LlmQueries extends QueryGroup {
     // count in range, mean word length in range, short-token fraction
     // bounded. Integer arithmetic + one exact division per ratio —
     // verdict booleans are deterministic. Pure projection, no shuffle.
+    // Both ratios 0-guarded against n_tokens = 0 on both engines (an
+    // empty-input doc must gate out with finite stats, not NaN).
     GQuery("quality_filter",
       (s, dir) => {
         import s.implicits._
-        Tables(s, dir, "documents")
-          .withColumn("toks", split($"text", " "))
-          .withColumn("n_tokens", size($"toks").cast("long"))
-          .withColumn("avg_word_len",
-            ($"n_chars" - ($"n_tokens" - 1)).cast("double") / $"n_tokens")
-          .withColumn("short_frac",
-            size(filter($"toks", t => length(t) <= 2)).cast("long") / $"n_tokens")
-          .select($"doc_id", $"n_tokens", $"avg_word_len", $"short_frac",
-            ($"n_tokens".between(10L, 5000L)
-              && $"avg_word_len".between(2.0, 12.0)
-              && $"short_frac" < 0.4).as("passes"))
+        graft.ops.TextQuality.withGate(
+            Tables(s, dir, "documents"), split($"text", " "), $"n_chars")
+          .select($"doc_id", $"n_tokens", $"avg_word_len", $"short_frac", $"passes")
           .orderBy($"doc_id")
       },
       Some("""SELECT doc_id, n_tokens, avg_word_len, short_frac,
@@ -542,10 +534,12 @@ object LlmQueries extends QueryGroup {
               FROM (
                 SELECT doc_id,
                   CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
-                  CAST(n_chars - (len(str_split(text, ' ')) - 1) AS DOUBLE)
-                    / len(str_split(text, ' ')) AS avg_word_len,
-                  CAST(len(list_filter(str_split(text, ' '), t -> length(t) <= 2)) AS BIGINT)
-                    / len(str_split(text, ' ')) AS short_frac
+                  CASE WHEN len(str_split(text, ' ')) = 0 THEN 0.0 ELSE
+                    CAST(n_chars - (len(str_split(text, ' ')) - 1) AS DOUBLE)
+                      / len(str_split(text, ' ')) END AS avg_word_len,
+                  CASE WHEN len(str_split(text, ' ')) = 0 THEN 0.0 ELSE
+                    CAST(len(list_filter(str_split(text, ' '), t -> length(t) <= 2)) AS BIGINT)
+                      / len(str_split(text, ' ')) END AS short_frac
                 FROM documents) t
               ORDER BY doc_id"""))
   )

@@ -349,6 +349,45 @@ class LlmOpsSpec extends SparkSpec {
     assert(recall >= 0.3, s"IVF recall@10 = $recall")
   }
 
+  test("quality ratios stay finite on empty and degenerate docs") {
+    import spark.implicits._
+    import graft.ops.TextQuality
+    // empty string, single char, whitespace-only, normal — and, via the
+    // injected token column, the n_tokens = 0 regime that raw split()
+    // can never produce but pre-tokenized pipelines can.
+    val docs = Seq((1L, ""), (2L, "a"), (3L, "   "), (4L, "the cat sat"))
+      .toDF("doc_id", "text").withColumn("n_chars", length($"text"))
+    val scored = TextQuality.withScore(docs, split($"text", " "),
+        Seq("the", "a", "of", "and", "to"))
+      .select($"doc_id", $"stop_ratio", $"short_ratio", $"score")
+      .collect()
+    scored.foreach { r =>
+      (1 to 3).foreach { i =>
+        val v = r.getDouble(i)
+        assert(!v.isNaN && !v.isInfinite, s"non-finite at doc ${r.getLong(0)}: $r")
+      }
+    }
+    // n_tokens = 0 exactly: guard must yield 0.0 ratios, score 1.0
+    val empty = TextQuality.withScore(
+        docs.withColumn("toks0", typedLit(Array.empty[String])),
+        $"toks0", Seq("the"))
+      .select($"n_tokens", $"stop_ratio", $"short_ratio", $"score").head()
+    assert(empty.getLong(0) === 0L)
+    assert(empty.getDouble(1) === 0.0 && empty.getDouble(2) === 0.0
+      && empty.getDouble(3) === 1.0)
+    val gated = TextQuality.withGate(
+        docs.withColumn("toks0", typedLit(Array.empty[String])),
+        $"toks0", $"n_chars")
+      .select($"avg_word_len", $"short_frac", $"passes").head()
+    assert(gated.getDouble(0) === 0.0 && gated.getDouble(1) === 0.0)
+    assert(!gated.getBoolean(2), "an empty doc must gate OUT")
+    // and the gate stays finite on the string-level degenerate docs too
+    TextQuality.withGate(docs, split($"text", " "), $"n_chars")
+      .select($"avg_word_len", $"short_frac").collect().foreach { r =>
+        assert(!r.getDouble(0).isNaN && !r.getDouble(1).isNaN)
+      }
+  }
+
   test("multimodal feature extraction is deterministic and complete") {
     import spark.implicits._
     val media = Tables(spark, sfDir, "documents")
