@@ -29,20 +29,23 @@ if [ ! -d "$SF1/lineitem.parquet" ]; then
   SPARK_GRAFT_SCALE_COPIES=$COPIES SPARK_GRAFT_SCALE_OUT=$SF1 $JAVA graft.tools.ScaleGen
 fi
 
+# Dedicated output prefixes: a scale run must NEVER clobber the
+# committed reference snapshot at bench_details.json/bench_summary.json
+# (round-7 ADVICE: a one-key leftover overwrote the 148-query evidence).
 echo "== bench sf0.1"
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_BENCH_N=2 \
+  SPARK_GRAFT_BENCH_PREFIX=bench_scale_sf01 \
   SPARK_GRAFT_BENCH_ONLY="$KEYS" $JAVA graft.Bench
-mv bench_details.json bench_scale_sf01.json
 
 echo "== bench sf1"
 SPARK_GRAFT_SF_DIR=$SF1 SPARK_GRAFT_BENCH_N=2 \
+  SPARK_GRAFT_BENCH_PREFIX=bench_scale_sf1 \
   SPARK_GRAFT_BENCH_ONLY="$KEYS" $JAVA graft.Bench
-mv bench_details.json bench_scale_sf1.json
 
 python3 - <<'EOF'
 import json
-a = json.load(open('bench_scale_sf01.json'))['queries']
-b = json.load(open('bench_scale_sf1.json'))['queries']
+a = json.load(open('bench_scale_sf01_details.json'))['queries']
+b = json.load(open('bench_scale_sf1_details.json'))['queries']
 print(f"{'query':24s} {'sf0.1':>8s} {'sf1':>8s} {'ratio':>6s}")
 for k in sorted(a):
     if k in b:

@@ -17,25 +17,32 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio 
   ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
 
+# Scratch output prefix: a per-key probe must never clobber the
+# committed reference snapshot (bench_details.json). Each entry records
+# BOTH the time and the exit code, so a crashed run (rc!=0) is
+# distinguishable from "not measured" in the committed evidence.
+TMP=target/scratch/bench_perkey_tmp
+mkdir -p target/scratch
 out="{"
 sep=""
 for key in $KEYS; do
   for sf in /root/testdata/sf0.1 $SF1; do
     tag=$( [ "$sf" = "$SF1" ] && echo sf1 || echo sf01 )
-    rm -f bench_details.json
+    rm -f "${TMP}_details.json"
     SPARK_GRAFT_SF_DIR=$sf SPARK_GRAFT_BENCH_N=2 SPARK_GRAFT_BENCH_ONLY=$key \
+      SPARK_GRAFT_BENCH_PREFIX=$TMP \
       timeout "$TO" java $ADD_OPENS -Dspark.ui.enabled=false \
       -Dspark.sql.session.timeZone=UTC -Xmx48g \
       -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
       graft.Bench > /dev/null 2>&1 < /dev/null
     rc=$?
     t="null"
-    if [ -f bench_details.json ]; then
-      t=$(python3 -c "import json;print(json.load(open('bench_details.json'))['queries'].get('$key','null'))" 2>/dev/null || echo null)
+    if [ -f "${TMP}_details.json" ]; then
+      t=$(python3 -c "import json;print(json.load(open('${TMP}_details.json'))['queries'].get('$key','null'))" 2>/dev/null || echo null)
     fi
     [ "$rc" = "124" ] && t="\"DNF>${TO}s\""
     echo "$key $tag rc=$rc t=$t" >&2
-    out="$out$sep\"${key}_${tag}\":$t"
+    out="$out$sep\"${key}_${tag}\":{\"t\":$t,\"rc\":$rc}"
     sep=","
   done
 done

@@ -139,9 +139,13 @@ object Bench {
     val loadJson = timed.map { case (k, _, _, l) => s"\"$k\":${jnum(l)}" }
       .mkString("{", ",", "}")
     val failedJson = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Output prefix is overridable so dedicated runs (scale sweeps,
+    // per-key probes) can never clobber the committed reference
+    // snapshot at bench_details.json/bench_summary.json.
+    val outPrefix = sys.env.getOrElse("SPARK_GRAFT_BENCH_PREFIX", "bench")
     val full =
       s"""{"metric":"total","value":${jnum(total)},"unit":"sec","n":$iters,"cpus":$cpus,"sf":"$sfDir",$validity,"failed":$failedJson,"queries":$detailJson,"queries_steal":$stealJson,"queries_load":$loadJson}"""
-    Files.writeString(Paths.get("bench_details.json"), full)
+    Files.writeString(Paths.get(s"${outPrefix}_details.json"), full)
     val hq = timed.filter(t => headline.contains(t._1))
       .map { case (k, v, _, _) => s"\"$k\":${jnum(v)}" }.mkString("{", ",", "}")
     // Headliners only in the summary (full per-key map is in details):
@@ -154,7 +158,7 @@ object Bench {
     // total even when an sbt wrapper frames stdout with [info]/[success].
     val short =
       s"""{"metric":"total","value":${jnum(total)},"unit":"sec","n":$iters,"n_queries":${timed.size},$validity,"failed":$failedJson,"queries":$hq,"queries_steal":$hqSteal,"sf":"$sfDir"}"""
-    Files.writeString(Paths.get("bench_summary.json"), short)
+    Files.writeString(Paths.get(s"${outPrefix}_summary.json"), short)
     println(short)
   }
 }

@@ -35,9 +35,19 @@ object RollingOps {
     df.withColumn(out, num / den)
   }
 
-  /** rolling(n).median(), exact: sort the explicit n-row frame list and
-    * pick/average the middle — element selection plus at most one
-    * (a+b)/2, so no quantile-interpolation formula ambiguity.
+  /** rolling(n, min_periods=1).median(), exact: sort the explicit
+    * ≤n-row frame list and pick/average the middle — element selection
+    * plus at most one (a+b)/2, so no quantile-interpolation formula
+    * ambiguity.
+    *
+    * CONTRACT (both halves oracle-relevant):
+    *  - min_periods=1 semantics: partial LEADING frames emit the median
+    *    of the rows seen so far, where pandas' default rolling(n) yields
+    *    NaN for the first n-1 rows. Any oracle must window the same way.
+    *  - `valueCol` must be null-free: Spark's collect_list DROPS nulls
+    *    while DuckDB's list() KEEPS them, so a null row silently shifts
+    *    the two engines' frames apart. Filter nulls on both sides first
+    *    if nullable data can reach this op.
     */
   def rollingMedian(df: DataFrame, valueCol: String, n: Int,
                     keys: Seq[Column], order: Seq[Column],

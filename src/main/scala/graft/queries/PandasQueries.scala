@@ -275,11 +275,15 @@ object PandasQueries extends QueryGroup {
             ORDER BY user_id, event_id"""
       }),
 
-    // pandas rolling(7).median(): exact per-key rolling median. Both
-    // sides sort the explicit 7-element frame list and pick/average the
-    // middle — element selection plus at most one (a+b)/2, identical
-    // IEEE ops, so no interpolation-formula mismatch (quantile_cont's
-    // a+(b-a)·q rounds differently). Frame state is 7 rows per key.
+    // pandas rolling(7, min_periods=1).median(): exact per-key rolling
+    // median. Both sides sort the explicit ≤7-element frame list and
+    // pick/average the middle — element selection plus at most one
+    // (a+b)/2, identical IEEE ops, so no interpolation-formula mismatch
+    // (quantile_cont's a+(b-a)·q rounds differently). Frame state is 7
+    // rows per key. Oracle pairing contract (see RollingOps.rollingMedian):
+    // min_periods=1 on BOTH sides (each engine windows the same partial
+    // leading frames), and `value` must be null-free — collect_list
+    // drops nulls, DuckDB list() keeps them (events.value is NOT NULL).
     GQuery("rolling_median",
       (s, dir) => {
         import s.implicits._

@@ -17,11 +17,14 @@ import org.apache.spark.sql.functions._
   *     output scales ×N exactly like a real bigger SF;
   *   - region/nation stay fixed (TPC-H dims don't scale);
   *   - documents.text is circularly word-rotated by a copy-dependent
-  *     amount — same length/vocab distribution, different shingles,
-  *     so MinHash/SimHash see N independent corpora;
-  *   - embeddings are circularly element-shifted — identical norm and
-  *     coordinate distribution, near-zero cosine to the original, so
-  *     ANN/near-dup candidate sets scale linearly;
+  *     amount AND suffixed with a per-copy salt token — near-identical
+  *     length/vocab distribution, different shingles, and globally
+  *     unique text per copy (no artificial cross-copy duplicate
+  *     clusters at any N), so MinHash/SimHash see N independent corpora;
+  *   - embeddings are circularly element-shifted (negated every second
+  *     64-copy cycle) — identical norm and coordinate distribution,
+  *     near-zero-or-negative cosine to the original, so ANN/near-dup
+  *     candidate sets scale linearly;
   *   - events keep their timestamps (a bigger SF means more events in
   *     the same window — throughput scaling, the streaming-real case).
   *
@@ -34,25 +37,41 @@ object ScaleGen {
   private def withOffsets(df: DataFrame, i: Int, cols: Seq[String]): DataFrame =
     cols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(i * Off)))
 
-  /** Circular word rotation: deterministic, length-preserving, shingle-breaking. */
-  private def rotateText(c: String, i: Int): org.apache.spark.sql.Column = {
-    val w = split(col(c), " ")
-    val n = size(w)
-    val s = pmod(lit(i * 17), greatest(n, lit(1)))
-    when(n < 2, col(c)).otherwise(
-      array_join(concat(slice(w, s + 1, n - s), slice(w, lit(1), s)), " "))
-  }
+  /** Circular word rotation + per-copy salt token: deterministic and
+    * shingle-breaking for ANY number of copies. Rotation alone repeats
+    * with period ≤ n (word count): copies i and i+n would be textually
+    * IDENTICAL apart from ids, planting artificial quadratic near-dup
+    * clusters a real larger corpus doesn't have — at ×100 that fakes
+    * superlinear growth in exactly the dedup keys the scale decade is
+    * supposed to measure. The trailing `c<i>` token keeps every copy's
+    * text globally unique at ~2% length cost (vocab gains one rare
+    * token per copy). Copy 0 stays byte-identical to the source.
+    */
+  private def rotateText(c: String, i: Int): org.apache.spark.sql.Column =
+    if (i == 0) col(c) else {
+      val w = split(col(c), " ")
+      val n = size(w)
+      val s = pmod(lit(i), greatest(n, lit(1)))
+      val rot = when(n < 2, col(c)).otherwise(
+        array_join(concat(slice(w, s + 1, n - s), slice(w, lit(1), s)), " "))
+      concat(rot, lit(s" c$i"))
+    }
 
   /** Circular element shift of the 64-dim embedding: norm-preserving,
     * distribution-preserving, decorrelating (random-ish vectors have
-    * ~0 cosine to their rotations).
+    * ~0 cosine to their rotations). Shifts repeat after dim copies, so
+    * every second 64-copy cycle is NEGATED — copies i and i+64 land
+    * antipodal (cos −1), never identical; unique through 128 copies.
     */
-  private def rotateVec(c: String, i: Int): org.apache.spark.sql.Column = {
-    val v = col(c)
-    val n = size(v)
-    val s = pmod(lit(i * 7), greatest(n, lit(1)))
-    when(n < 2, v).otherwise(concat(slice(v, s + 1, n - s), slice(v, lit(1), s)))
-  }
+  private def rotateVec(c: String, i: Int): org.apache.spark.sql.Column =
+    if (i == 0) col(c) else {
+      val v = col(c)
+      val n = size(v)
+      val s = pmod(lit(i * 7), greatest(n, lit(1)))
+      val rot = when(n < 2, v).otherwise(
+        concat(slice(v, s + 1, n - s), slice(v, lit(1), s)))
+      if ((i / 64) % 2 == 1) transform(rot, x => -x) else rot
+    }
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_SRC", "/root/testdata/sf0.1")
