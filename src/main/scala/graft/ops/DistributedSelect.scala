@@ -29,6 +29,35 @@ import org.apache.spark.sql.functions._
   */
 object DistributedSelect {
 
+  /** Bucket assignment as a BROADCAST RANGE JOIN instead of the
+    * `aggregate()` higher-order function. The HOF formulation
+    * (count of boundaries strictly below v) is interpreted, not
+    * codegen'd: ~6–12 µs/row until the JVM JIT warms — measured 90+ s
+    * for one pass over 15M rows on the ×100 scale corpus, the whole
+    * quartiles blow-up. Exploding the sorted boundary array into ≤
+    * buckets+1 (lo, hi] ranges (NULL sentinels at the ends, duplicate
+    * boundaries yield empty ranges) and broadcast-joining on
+    * `lo < v <= hi` evaluates the same bucket id — #{k: v > bnds[k]},
+    * identical tie semantics, comparisons in v's own type — through
+    * codegen'd predicates at ~ns/row. Rows with NULL v are dropped
+    * (order statistics over nulls are undefined; callers filter first).
+    */
+  private def withBucket(df: DataFrame, v: Column, bounds: DataFrame,
+                         bndsCol: String = "__bnds"): DataFrame = {
+    val ranges = bounds.select(col("*"),
+        posexplode(expr(
+          s"""transform(sequence(0, size($bndsCol)), k -> struct(
+                IF(k = 0, NULL, element_at($bndsCol, k)) AS lo,
+                IF(k = size($bndsCol), NULL, element_at($bndsCol, k + 1)) AS hi))"""))
+          .as(Seq("__b", "__range")))
+      .select(col("*"), col("__range.lo").as("__lo"), col("__range.hi").as("__hi"))
+      .drop("__range", bndsCol)
+    df.join(broadcast(ranges),
+        (col("__lo").isNull || v > col("__lo"))
+          && (col("__hi").isNull || v <= col("__hi")))
+      .drop("__lo", "__hi")
+  }
+
   /** `df` + a 1-based global row number by ORDER BY (v, key) + the total
     * count — with EVERY bucket numbered by a parallel per-bucket window
     * (rn = bucket offset + local row number), never a single-task global
@@ -47,11 +76,7 @@ object DistributedSelect {
     val bounds = df.agg(
       percentile_approx(v, typedLit(ps), lit(1000)).as("__bnds"),
       count(lit(1)).as(nCol))
-    val bucketed = df.crossJoin(broadcast(bounds))
-      .withColumn("__b",
-        aggregate(col("__bnds"), lit(0),
-          (acc, b) => acc + when(v > b, 1).otherwise(0)))
-      .drop("__bnds")
+    val bucketed = withBucket(df, v, bounds)
     val wcum = Window.orderBy(col("__b"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
     val offs = bucketed.groupBy(col("__b")).agg(count(lit(1)).as("__c"))
@@ -118,13 +143,10 @@ object DistributedSelect {
     val bounds = df.agg(
       percentile_approx(v, typedLit(ps), lit(1000)).as("__bnds"),
       count(lit(1)).as("__n"))
-    // 2. assign each row its bucket: count of boundaries strictly below v.
-    val bucketed = df.select(v.as("__v"), col(keyCol).as("__k"))
-      .crossJoin(broadcast(bounds))
-      .withColumn("__b",
-        aggregate(col("__bnds"), lit(0),
-          (acc, b) => acc + when(col("__v") > b, 1).otherwise(0)))
-      .drop("__bnds")
+    // 2. assign each row its bucket: count of boundaries strictly below
+    //    v, via the codegen'd broadcast range join (see withBucket).
+    val bucketed = withBucket(
+      df.select(v.as("__v"), col(keyCol).as("__k")), col("__v"), bounds)
     // 3. per-bucket counts → offsets (window over ≤ `buckets` rows).
     val wcum = Window.orderBy(col("__b"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)

@@ -37,24 +37,35 @@ object ScaleGen {
   private def withOffsets(df: DataFrame, i: Int, cols: Seq[String]): DataFrame =
     cols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(i * Off)))
 
-  /** Circular word rotation + per-copy salt token: deterministic and
-    * shingle-breaking for ANY number of copies. Rotation alone repeats
-    * with period ≤ n (word count): copies i and i+n would be textually
-    * IDENTICAL apart from ids, planting artificial quadratic near-dup
-    * clusters a real larger corpus doesn't have — at ×100 that fakes
-    * superlinear growth in exactly the dedup keys the scale decade is
-    * supposed to measure. The trailing `c<i>` token keeps every copy's
-    * text globally unique at ~2% length cost (vocab gains one rare
-    * token per copy). Copy 0 stays byte-identical to the source.
+  /** Per-copy deterministic word PERMUTATION (hash-shuffle) + salt
+    * token. Why not rotation: a cyclic rotation preserves the word-
+    * bigram SET (every bigram except the one at the seam), so every
+    * copy of a doc is a true near-duplicate of every other copy —
+    * MinHash/SimHash then face 5000 docs × C(copies, 2) REAL near-dup
+    * pairs, i.e. the corpus itself grows quadratically and any
+    * candidate-bound dedup DNFs by construction (measured: ×100 decade
+    * sent dedup_minhash past 900 s on the rotated corpus). Sorting the
+    * words by xxhash64(word, position, copy) is a deterministic
+    * pseudorandom permutation: length and vocab distribution are
+    * preserved EXACTLY, bigram sets across copies are decorrelated, so
+    * N copies behave like N independent corpora — what a real larger
+    * crawl looks like. Within-copy duplicate structure is preserved
+    * (the permutation depends on text+copy, not doc_id), so dedup ops
+    * still see the planted clusters, ×N linearly. The trailing `c<i>`
+    * token additionally guarantees cross-copy text uniqueness even for
+    * degenerate all-same-word docs. Copy 0 stays byte-identical.
     */
   private def rotateText(c: String, i: Int): org.apache.spark.sql.Column =
     if (i == 0) col(c) else {
-      val w = split(col(c), " ")
-      val n = size(w)
-      val s = pmod(lit(i), greatest(n, lit(1)))
-      val rot = when(n < 2, col(c)).otherwise(
-        array_join(concat(slice(w, s + 1, n - s), slice(w, lit(1), s)), " "))
-      concat(rot, lit(s" c$i"))
+      val shuffled = expr(
+        s"""array_join(
+              transform(
+                array_sort(
+                  zip_with(split($c, ' '), sequence(1, size(split($c, ' '))),
+                    (wrd, p) -> struct(xxhash64(wrd, p, $i) AS h, wrd AS w))),
+                s -> s.w),
+              ' ')""")
+      concat(shuffled, lit(s" c$i"))
     }
 
   /** Circular element shift of the 64-dim embedding: norm-preserving,
