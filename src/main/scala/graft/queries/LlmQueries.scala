@@ -479,12 +479,21 @@ object LlmQueries extends QueryGroup {
         // pushed filter/projection that referenced it (~6× per row) and
         // benched 3.6 s at sf0.1; this shape is one explode + two small
         // keyed aggregates + a broadcast semi-style join.
+        // Gram construction is arrays_zip of three shifted slices, NOT
+        // a transform() lambda: the HOF was interpreted (no codegen)
+        // and its per-element array_join(slice(t, i, 3)) allocated and
+        // copied an array per gram — measured 412 s at the ×100 scale
+        // decade vs ~linear with the codegen'd zip (three O(n) slices
+        // per doc, one struct concat per gram).
         val g = Tables(s, dir, "documents")
           .withColumn("t", split($"text", " "))
           .filter(size($"t") >= 3)
           .select($"doc_id", explode(expr(
-            "transform(sequence(1, size(t)-2), i -> array_join(slice(t, i, 3), ' '))"))
-            .as("g"))
+            """arrays_zip(slice(t, 1, size(t) - 2),
+                          slice(t, 2, size(t) - 2),
+                          slice(t, 3, size(t) - 2))""")).as("z"))
+          .select($"doc_id",
+            concat_ws(" ", $"z.0", $"z.1", $"z.2").as("g"))
           .distinct()
         val bench = g.filter($"doc_id" < 10).select($"g").distinct()
         val corp = g.filter($"doc_id" >= 10)
