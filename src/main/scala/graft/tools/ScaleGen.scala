@@ -37,23 +37,35 @@ object ScaleGen {
   private def withOffsets(df: DataFrame, i: Int, cols: Seq[String]): DataFrame =
     cols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(i * Off)))
 
-  /** Per-copy deterministic word PERMUTATION (hash-shuffle) + salt
-    * token. Why not rotation: a cyclic rotation preserves the word-
-    * bigram SET (every bigram except the one at the seam), so every
-    * copy of a doc is a true near-duplicate of every other copy —
-    * MinHash/SimHash then face 5000 docs × C(copies, 2) REAL near-dup
-    * pairs, i.e. the corpus itself grows quadratically and any
-    * candidate-bound dedup DNFs by construction (measured: ×100 decade
-    * sent dedup_minhash past 900 s on the rotated corpus). Sorting the
-    * words by xxhash64(word, position, copy) is a deterministic
-    * pseudorandom permutation: length and vocab distribution are
-    * preserved EXACTLY, bigram sets across copies are decorrelated, so
-    * N copies behave like N independent corpora — what a real larger
-    * crawl looks like. Within-copy duplicate structure is preserved
-    * (the permutation depends on text+copy, not doc_id), so dedup ops
-    * still see the planted clusters, ×N linearly. The trailing `c<i>`
-    * token additionally guarantees cross-copy text uniqueness even for
-    * degenerate all-same-word docs. Copy 0 stays byte-identical.
+  /** Per-copy deterministic word PERMUTATION (hash-shuffle) + ~25%
+    * word-type MUTATION + salt token. Each defeats a different
+    * correlation a naive replica plants:
+    *
+    *  - Why not cyclic rotation: rotation preserves the word-bigram SET
+    *    (every bigram but the seam), so every copy is a TRUE near-dup
+    *    of every other — MinHash faces 5000 docs × C(copies, 2) real
+    *    pairs and the corpus itself grows quadratically (measured: the
+    *    ×100 rotated corpus sent dedup_minhash past 900 s by
+    *    construction, not by plan). Sorting words by
+    *    xxhash64(word, position, copy) is a deterministic pseudorandom
+    *    permutation that decorrelates SHINGLES while preserving length
+    *    and vocab distribution.
+    *  - Permutation alone still leaves the word MULTISET identical, and
+    *    order-independent bag-of-words sketches hash the multiset:
+    *    every copy kept a near-identical SimHash fingerprint (measured:
+    *    dedup_simhash DNF'd at ×100 on the permuted corpus). Suffixing
+    *    the ~25% of word TYPES with pmod(xxhash64(word, copy), 4) = 0 —
+    *    a different subset each copy — moves fingerprints far apart in
+    *    hamming space while keeping within-doc repetition structure
+    *    (mutation is per word type, not per occurrence) and ~realistic
+    *    vocab/length stats.
+    *  - The trailing `c<i>` token guarantees cross-copy text uniqueness
+    *    even for degenerate all-same-word docs.
+    *
+    * Within-copy duplicate structure is preserved (all transforms
+    * depend on text+copy, not doc_id), so dedup ops still see the
+    * planted clusters, ×N linearly — the real-larger-crawl model.
+    * Copy 0 stays byte-identical to the source.
     */
   private def rotateText(c: String, i: Int): org.apache.spark.sql.Column =
     if (i == 0) col(c) else {
@@ -63,7 +75,7 @@ object ScaleGen {
                 array_sort(
                   zip_with(split($c, ' '), sequence(1, size(split($c, ' '))),
                     (wrd, p) -> struct(xxhash64(wrd, p, $i) AS h, wrd AS w))),
-                s -> s.w),
+                s -> IF(pmod(xxhash64(s.w, $i), 4) = 0, concat(s.w, 'x'), s.w)),
               ' ')""")
       concat(shuffled, lit(s" c$i"))
     }
