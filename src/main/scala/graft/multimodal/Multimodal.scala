@@ -31,6 +31,14 @@ case class MediaFeatures(doc_id: Long, n_bytes: Int, format: String,
                          width: Option[Int], height: Option[Int],
                          mean_byte: Double)
 
+case class AudioHeader(sampleRate: Int, channels: Int, bitsPerSample: Int,
+                       nFrames: Long)
+
+case class AudioFeatures(doc_id: Long, n_bytes: Int,
+                         sample_rate: Option[Int], channels: Option[Int],
+                         bits_per_sample: Option[Int], n_frames: Option[Long],
+                         duration_ms: Option[Double], rms: Option[Double])
+
 object Multimodal {
 
   private val PngSig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
@@ -122,6 +130,50 @@ object Multimodal {
     b.toByteArray
   }
 
+  /** A complete RIFF/WAVE file: canonical 44-byte header (RIFF size,
+    * "WAVE", PCM `fmt ` chunk, `data` chunk) followed by 16-bit
+    * little-endian PCM frames. Samples are a deterministic integer
+    * sawtooth per (frame, channel) so every byte is a pure function of
+    * the arguments — decodable by any standard WAV reader (ScalaTest
+    * cross-checks against the JDK's independent `javax.sound.sampled`
+    * implementation).
+    */
+  def wavBytes(sampleRate: Int, channels: Int, nFrames: Int,
+               tone: Int = 1): Array[Byte] = {
+    require(sampleRate > 0 && channels > 0 && nFrames >= 0 && tone > 0,
+      s"bad wav params sr=$sampleRate ch=$channels frames=$nFrames tone=$tone")
+    val blockAlign = channels * 2
+    val dataSize = nFrames * blockAlign
+    val b = ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1)                       // PCM
+      .putShort(channels.toShort)
+      .putInt(sampleRate)
+      .putInt(sampleRate * blockAlign)   // byte rate
+      .putShort(blockAlign.toShort)
+      .putShort(16)                      // bits per sample
+    b.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var i = 0
+    while (i < nFrames) {
+      var c = 0
+      while (c < channels) {
+        b.putShort(pcmSample(i, c, tone))
+        c += 1
+      }
+      i += 1
+    }
+    b.array()
+  }
+
+  /** The deterministic test waveform: a ±30000 sawtooth whose period
+    * depends on `tone`, phase-shifted per channel. Pure integer math so
+    * writer, parser tests, and the SQL oracle can all recompute it. */
+  def pcmSample(frame: Int, channel: Int, tone: Int): Short =
+    ((((frame * tone + channel * 37) % 200) - 100) * 300).toShort
+
   // ---------------------------------------------------------------- parser
 
   /** Real image-header decode: sniff the magic bytes, then parse the
@@ -193,6 +245,48 @@ object Multimodal {
     if (w <= 0 || h <= 0) None else Some(ImageHeader("gif", w, h))
   }
 
+  private def le32(p: Array[Byte], i: Int): Int =
+    (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8) |
+      ((p(i + 2) & 0xff) << 16) | ((p(i + 3) & 0xff) << 24)
+
+  private def le16(p: Array[Byte], i: Int): Int =
+    (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8)
+
+  /** Real RIFF/WAVE header decode: verify the RIFF/WAVE framing, walk
+    * the chunk list (word-aligned, per spec), read PCM parameters from
+    * `fmt ` and the frame count from `data`. Returns None for
+    * truncated, non-RIFF, or non-PCM payloads — never throws on
+    * arbitrary bytes.
+    */
+  def parseWavHeader(p: Array[Byte]): Option[AudioHeader] = {
+    if (p.length < 44 || !bytesStartWith(p, "RIFF")) return None
+    if (!(p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E')) return None
+    var fmt: Option[(Int, Int, Int, Int)] = None // channels, rate, align, bits
+    var dataSize = -1L
+    var i = 12
+    while (i + 8 <= p.length) {
+      val size = le32(p, i + 4).toLong & 0xffffffffL
+      val body = i + 8
+      if (p(i) == 'f' && p(i + 1) == 'm' && p(i + 2) == 't' && p(i + 3) == ' ') {
+        if (size < 16 || body + 16 > p.length) return None
+        if (le16(p, body) != 1) return None // PCM only; no codec payloads
+        fmt = Some((le16(p, body + 2), le32(p, body + 4),
+          le16(p, body + 12), le16(p, body + 14)))
+      } else if (p(i) == 'd' && p(i + 1) == 'a' &&
+          p(i + 2) == 't' && p(i + 3) == 'a') {
+        if (body + size > p.length) return None // truncated data chunk
+        dataSize = size
+      }
+      i = body + size.toInt + (size.toInt & 1) // chunks are word-aligned
+    }
+    fmt match {
+      case Some((ch, rate, align, bits)) if dataSize >= 0 &&
+          ch > 0 && rate > 0 && align == ch * ((bits + 7) / 8) && bits > 0 =>
+        Some(AudioHeader(rate, ch, bits, dataSize / align))
+      case _ => None
+    }
+  }
+
   // ---------------------------------------------------------------- pipeline
 
   /** Partition-batched feature extraction over the binary column: real
@@ -218,4 +312,47 @@ object Multimodal {
 
   def extractFeaturesDF(df: DataFrame): DataFrame =
     extractFeatures(df.as[MediaRow](Encoders.product[MediaRow])).toDF()
+
+  /** Audio branch of the same partition-batched pipeline: RIFF/WAVE
+    * header decode plus a REAL pass over the 16-bit PCM samples (RMS) —
+    * the cheap full-decode statistic a filter stage computes before
+    * shipping audio to an expensive model. Non-WAV payloads surface
+    * with null fields rather than failing the batch.
+    */
+  def extractAudioFeatures(media: Dataset[MediaRow]): Dataset[AudioFeatures] =
+    media.mapPartitions { it =>
+      it.map { m =>
+        val hdr = parseWavHeader(m.payload)
+        val rms = hdr.filter(h => h.bitsPerSample == 16 && h.nFrames > 0)
+          .map { h =>
+            val n = h.nFrames * h.channels
+            val dataOff = findDataOffset(m.payload)
+            var ss = 0.0
+            var i = 0L
+            while (i < n) {
+              val s = le16(m.payload, (dataOff + i * 2).toInt).toShort.toDouble
+              ss += s * s
+              i += 1
+            }
+            math.sqrt(ss / n)
+          }
+        AudioFeatures(m.doc_id, m.payload.length,
+          hdr.map(_.sampleRate), hdr.map(_.channels),
+          hdr.map(_.bitsPerSample), hdr.map(_.nFrames),
+          hdr.map(h => h.nFrames * 1000.0 / h.sampleRate), rms)
+      }
+    }(Encoders.product[AudioFeatures])
+
+  /** Byte offset of the `data` chunk body (only called after
+    * [[parseWavHeader]] accepted the payload). */
+  private def findDataOffset(p: Array[Byte]): Int = {
+    var i = 12
+    while (i + 8 <= p.length) {
+      val size = le32(p, i + 4)
+      if (p(i) == 'd' && p(i + 1) == 'a' && p(i + 2) == 't' && p(i + 3) == 'a')
+        return i + 8
+      i = i + 8 + size + (size & 1)
+    }
+    -1
+  }
 }

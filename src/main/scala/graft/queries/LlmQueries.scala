@@ -374,6 +374,45 @@ object LlmQueries extends QueryGroup {
                 CAST(1 + (doc_id * 13) % 90 AS INTEGER) AS height
               FROM documents WHERE doc_id < 500 ORDER BY doc_id""")),
 
+    // Audio modality, same pipeline shape: spec-conformant RIFF/WAVE
+    // payloads (16-bit PCM) synthesized per doc, then REAL header
+    // decode + a full PCM pass (RMS, ScalaTest-gated vs the sample
+    // formula) in partition batches. The oracle recomputes the header
+    // fields the parser must recover from the bytes; n_bytes checks
+    // the writer's RIFF framing arithmetic end-to-end.
+    GQuery("multimodal_audio",
+      (s, dir) => {
+        import s.implicits._
+        import graft.multimodal.{MediaRow, Multimodal}
+        val media = Tables(s, dir, "documents")
+          .filter($"doc_id" < 500)
+          .select($"doc_id").as[Long]
+          .map { id =>
+            val rate = Array(8000, 16000, 44100)((id % 3).toInt)
+            val ch = 1 + (id % 2).toInt
+            val frames = 50 + (id % 200).toInt
+            MediaRow(id, Multimodal.wavBytes(rate, ch, frames,
+              tone = 1 + (id % 9).toInt))
+          }
+        Multimodal.extractAudioFeatures(media).toDF()
+          .select($"doc_id", $"n_bytes", $"sample_rate", $"channels",
+            $"n_frames", $"duration_ms")
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+                CAST(44 + (50 + doc_id % 200) * (1 + doc_id % 2) * 2 AS INTEGER)
+                  AS n_bytes,
+                CAST(CASE CAST(doc_id % 3 AS INTEGER)
+                  WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END AS INTEGER)
+                  AS sample_rate,
+                CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+                CAST(50 + doc_id % 200 AS BIGINT) AS n_frames,
+                CAST(50 + doc_id % 200 AS DOUBLE) * 1000.0 /
+                  (CASE CAST(doc_id % 3 AS INTEGER)
+                    WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END)
+                  AS duration_ms
+              FROM documents WHERE doc_id < 500 ORDER BY doc_id""")),
+
     // Multimodal plumbing: opaque binary payload + typed metadata. The
     // decode/feature step over the binary column is the mapPartitions
     // pipeline in graft.multimodal (stubbed decoder, ScalaTest-gated).

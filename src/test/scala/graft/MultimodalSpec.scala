@@ -5,7 +5,9 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 
 import javax.imageio.ImageIO
 
-import graft.multimodal.{ImageHeader, MediaRow, Multimodal}
+import javax.sound.sampled.AudioSystem
+
+import graft.multimodal.{AudioHeader, ImageHeader, MediaRow, Multimodal}
 
 /** The multimodal decode step must be REAL: the writers emit
   * spec-conformant PNG/JPEG/GIF bytes and the parser reads the actual
@@ -62,6 +64,69 @@ class MultimodalSpec extends SparkSpec {
     // JPEG whose marker stream ends (EOI) before any frame header
     assert(Multimodal.parseHeader(
       Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte)) === None)
+  }
+
+  private val wavParams = Seq((8000, 1, 0), (8000, 1, 1), (16000, 2, 50),
+    (44100, 2, 441), (22050, 1, 1000))
+
+  test("wav round-trip: own writer -> own parser, all params") {
+    for ((rate, ch, frames) <- wavParams) {
+      assert(Multimodal.parseWavHeader(Multimodal.wavBytes(rate, ch, frames))
+        === Some(AudioHeader(rate, ch, 16, frames)))
+    }
+  }
+
+  test("our WAV bytes are decodable by the JDK codec (independent reader)") {
+    for ((rate, ch, frames) <- wavParams) {
+      val aff = AudioSystem.getAudioFileFormat(
+        new ByteArrayInputStream(Multimodal.wavBytes(rate, ch, frames)))
+      assert(aff.getFormat.getSampleRate === rate.toFloat)
+      assert(aff.getFormat.getChannels === ch)
+      assert(aff.getFormat.getSampleSizeInBits === 16)
+      assert(aff.getFrameLength === frames)
+    }
+  }
+
+  test("wav parser refuses corrupt and non-audio bytes") {
+    assert(Multimodal.parseWavHeader(Array.emptyByteArray) === None)
+    assert(Multimodal.parseWavHeader("RIFFnot really a wav file...".getBytes
+      ++ new Array[Byte](40)) === None)
+    assert(Multimodal.parseWavHeader(Multimodal.pngBytes(4, 4, 0)) === None)
+    // truncated data chunk: declared size runs past the payload
+    val wav = Multimodal.wavBytes(8000, 1, 100)
+    assert(Multimodal.parseWavHeader(wav.take(wav.length - 10)) === None)
+    // non-PCM audioFormat tag
+    val nonPcm = Multimodal.wavBytes(8000, 1, 10)
+    nonPcm(20) = 3 // IEEE-float tag in fmt chunk
+    assert(Multimodal.parseWavHeader(nonPcm) === None)
+  }
+
+  test("audio extraction recovers header fields and true PCM RMS") {
+    import spark.implicits._
+    val media = spark.range(0, 300).as[Long].map { id =>
+      val rate = Array(8000, 16000, 44100)((id % 3).toInt)
+      val ch = 1 + (id % 2).toInt
+      val frames = 50 + (id % 200).toInt
+      MediaRow(id, Multimodal.wavBytes(rate, ch, frames, tone = 1 + (id % 9).toInt))
+    }
+    val feats = Multimodal.extractAudioFeatures(media).collect()
+    assert(feats.length === 300)
+    feats.foreach { f =>
+      val rate = Array(8000, 16000, 44100)((f.doc_id % 3).toInt)
+      val ch = 1 + (f.doc_id % 2).toInt
+      val frames = 50 + (f.doc_id % 200).toInt
+      val tone = 1 + (f.doc_id % 9).toInt
+      assert(f.sample_rate === Some(rate), s"doc ${f.doc_id}")
+      assert(f.channels === Some(ch), s"doc ${f.doc_id}")
+      assert(f.n_frames === Some(frames.toLong), s"doc ${f.doc_id}")
+      assert(f.n_bytes === 44 + frames * ch * 2, s"doc ${f.doc_id}")
+      // RMS from the extractor's real PCM pass vs the sample formula
+      val expected = math.sqrt(
+        (for (i <- 0 until frames; c <- 0 until ch)
+          yield { val s = Multimodal.pcmSample(i, c, tone).toDouble; s * s })
+          .sum / (frames.toLong * ch))
+      assert(math.abs(f.rms.get - expected) < 1e-9, s"doc ${f.doc_id}")
+    }
   }
 
   test("distributed extraction parses each format to its true dimensions") {
