@@ -266,6 +266,63 @@ object LlmQueries extends QueryGroup {
                   ELSE 'und' END = lang) AS correct
               FROM h ORDER BY doc_id""")),
 
+    // Duplicate-CLUSTER resolution: pair lists are not a dedup decision
+    // — transitive groups are (A~B, B~C ⇒ keep one of three). GraphX
+    // connected components over the exact-Jaccard pair graph; keeper =
+    // min doc_id per component. The oracle recomputes the closure with
+    // a recursive label-propagation CTE — a rare case where connected
+    // components IS SQL-expressible (small graph, bounded recursion),
+    // so the whole clustering is hash-checked, not just row counts.
+    GQuery("dedup_cluster",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables(s, dir, "documents").filter($"doc_id" < 1000)
+          .withColumn("t", split($"text", " "))
+          .withColumn("sh", array_distinct(expr(
+            "zip_with(slice(t, 1, size(t)-1), slice(t, 2, size(t)-1), (x, y) -> concat(x, ' ', y))")))
+        val sizes = docs.select($"doc_id", size($"sh").as("nsh"))
+        val ex = docs.select($"doc_id", explode($"sh").as("s"))
+        val pairs = ex.as("a").join(ex.as("b"),
+            $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
+          .groupBy($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
+          .agg(count(lit(1)).as("inter"))
+          .join(sizes.select($"doc_id".as("id_a"), $"nsh".as("na")), "id_a")
+          .join(sizes.select($"doc_id".as("id_b"), $"nsh".as("nb")), "id_b")
+          .filter($"inter" / ($"na" + $"nb" - $"inter") >= 0.5)
+          .select($"id_a", $"id_b")
+        graft.ops.DedupCluster.clusters(
+            docs.select($"doc_id"), "doc_id", pairs)
+          .orderBy($"doc_id")
+      },
+      Some("""WITH RECURSIVE d AS (
+                SELECT doc_id, list_distinct(list_transform(
+                  range(1, len(str_split(text, ' '))),
+                  i -> str_split(text, ' ')[i] || ' ' || str_split(text, ' ')[i+1])) AS sh
+                FROM documents WHERE doc_id < 1000),
+              ex AS (SELECT doc_id, unnest(sh) AS s FROM d),
+              sizes AS (SELECT doc_id, len(sh) AS nsh FROM d),
+              pairs AS (
+                SELECT id_a, id_b FROM (
+                  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+                  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2) p
+                JOIN sizes sa ON sa.doc_id = id_a
+                JOIN sizes sb ON sb.doc_id = id_b
+                WHERE inter / (sa.nsh + sb.nsh - inter) >= 0.5),
+              e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                    UNION SELECT id_b, id_a FROM pairs),
+              r AS (
+                SELECT doc_id AS id, doc_id AS lbl FROM d
+                UNION
+                SELECT e.dst, r.lbl FROM r JOIN e ON e.src = r.id),
+              comp AS (SELECT id, MIN(lbl) AS cluster_id FROM r GROUP BY id),
+              csize AS (SELECT cluster_id, COUNT(*) AS cluster_size
+                        FROM comp GROUP BY cluster_id)
+              SELECT id AS doc_id, cluster_id, cluster_size,
+                (id = cluster_id) AS is_keeper
+              FROM comp JOIN csize USING (cluster_id)
+              ORDER BY doc_id""")),
+
     // MinHash+LSH near-dup candidates (engine-specific hashing → no SQL
     // oracle; ScalaTest checks candidates ⊇ exact dups and estimator
     // sanity). The 100 TB-scale replacement for the exact Jaccard join.

@@ -379,7 +379,88 @@ object PandasQueries extends QueryGroup {
                        THEN 1 ELSE 0 END AS boundary
                 FROM events WHERE user_id < 20
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) t
-              ORDER BY user_id, event_id"""))
+              ORDER BY user_id, event_id""")),
+
+    // pandas clip(lower, upper): pure codegen column arithmetic on the
+    // IEEE doubles both engines read from parquet — exact, no shuffle.
+    GQuery("clip",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "lineitem")
+          .filter($"l_orderkey" < 3000)
+          .select($"l_orderkey", $"l_linenumber",
+            least(greatest($"l_quantity", lit(5.0)), lit(45.0)).as("qty_clip"),
+            greatest($"l_extendedprice", lit(10000.0)).as("price_floor"))
+          .orderBy($"l_orderkey", $"l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+                LEAST(GREATEST(l_quantity, 5.0), 45.0) AS qty_clip,
+                GREATEST(l_extendedprice, 10000.0) AS price_floor
+              FROM lineitem WHERE l_orderkey < 3000
+              ORDER BY l_orderkey, l_linenumber""")),
+
+    // pandas duplicated(keep='first'): a per-text window flags every
+    // copy after the first (order = doc_id). One shuffle on the dup
+    // key; O(1) state per row — the mark-don't-drop half of dedup.
+    GQuery("duplicated_flag",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "documents")
+          .withColumn("dup", row_number().over(
+            Window.partitionBy($"text").orderBy($"doc_id")) > 1)
+          .select($"doc_id", $"dup")
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+                ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) > 1 AS dup
+              FROM documents ORDER BY doc_id""")),
+
+    // pandas groupby.idxmax: the row LABEL at each group's max —
+    // max_by over a (value, -id) struct so ties break to the smallest
+    // id exactly like idxmax's first-occurrence rule. One map-side-
+    // combined aggregation; contrast with the window formulation which
+    // shuffles every row THEN filters to one per group.
+    GQuery("groupby_idxmax",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "orders")
+          .groupBy($"o_custkey")
+          .agg(max_by($"o_orderkey",
+              struct($"o_totalprice", (-$"o_orderkey").as("tb"))).as("idx_max"),
+            max($"o_totalprice").as("max_price"))
+          .orderBy($"o_custkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey AS idx_max, max_price FROM (
+                SELECT o_custkey, o_orderkey,
+                  MAX(o_totalprice) OVER (PARTITION BY o_custkey) AS max_price,
+                  ROW_NUMBER() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+                FROM orders) t WHERE rn = 1 ORDER BY o_custkey""")),
+
+    // pandas mode(): most frequent value per group, ties to the
+    // smallest value (pandas returns the sorted list; this keeps its
+    // head). The full table collapses through ONE map-side-combined
+    // count per (group, value) — the only pass over the data — and the
+    // tie-breaking rank window runs on that tiny distinct-pairs frame,
+    // never a global value sort.
+    GQuery("mode",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "lineitem")
+          .groupBy($"l_returnflag", $"l_linestatus")
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("rn", row_number().over(Window.partitionBy($"l_returnflag")
+            .orderBy($"cnt".desc, $"l_linestatus".asc)))
+          .filter($"rn" === 1)
+          .select($"l_returnflag", $"l_linestatus".as("naive_mode"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag, l_linestatus AS naive_mode FROM (
+                SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+                  ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                    ORDER BY COUNT(*) DESC, l_linestatus ASC) AS rn
+                FROM lineitem GROUP BY 1, 2) t
+              WHERE rn = 1 ORDER BY l_returnflag"""))
   ) :+ rollingCorr
 
   /** ewm lookback depth (bounded state; tail weight 2^-32 ≈ 2e-10). */
