@@ -348,7 +348,12 @@ object LlmQueries extends QueryGroup {
         val fp = Tables(s, dir, "documents")
           .select($"doc_id",
             graft.engine.GraftFunctions.simhash64(s, split($"text", " ")).as("fp"))
-        graft.ops.HammingJoin.pairsWithin(fp, "doc_id", "fp", maxDist = 6)
+        // Block count provisioned from footer row counts (no scan job):
+        // exact for ANY k, so growing corpora just shift index-vs-
+        // collision cost, never results.
+        val n = graft.ops.AnnSearch.parquetRowCount(s, s"$dir/documents.parquet")
+        graft.ops.HammingJoin.pairsWithin(fp, "doc_id", "fp", maxDist = 6,
+            blocks = graft.ops.HammingJoin.provisionBlocks(n, maxDist = 6))
           .select($"id_a", $"id_b", $"hamming")
           .orderBy($"id_a", $"id_b")
       },

@@ -139,6 +139,25 @@ class LlmOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(banded === brute,
       s"missed: ${brute.diff(banded)}; spurious: ${banded.diff(brute)}")
+    // Combination blocking is exact for ANY k (pigeonhole on k - d
+    // agreeing blocks): widened keys must reproduce the quadratic scan
+    // bit-for-bit too.
+    for (k <- Seq(8, 10)) {
+      val wide = graft.ops.HammingJoin
+        .pairsWithin(fp, "doc_id", "fp", 6, blocks = k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(wide === brute, s"blocks=$k diverged from the quadratic scan")
+    }
+  }
+
+  test("provisionBlocks: minimal index for small corpora, wider keys as n grows") {
+    import graft.ops.HammingJoin.provisionBlocks
+    assert(provisionBlocks(500L, 6) === 7, "small n must pick the minimal index")
+    val big = provisionBlocks(500000L, 6)
+    assert(big > 7, s"large n must widen the join key, got k=$big")
+    // monotone non-decreasing in n
+    val ks = Seq(1e3, 1e4, 1e5, 1e6, 1e7).map(n => provisionBlocks(n.toLong, 6))
+    assert(ks === ks.sorted, s"k must not shrink as n grows: $ks")
   }
 
   test("LSH neardup pairs equal the quadratic cosine scan on graded data") {
