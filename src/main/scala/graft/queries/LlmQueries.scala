@@ -492,6 +492,45 @@ object LlmQueries extends QueryGroup {
       Some("""SELECT doc_id, strlen(text) AS n_bytes, md5(text) AS digest
               FROM documents WHERE doc_id < 500 ORDER BY doc_id""")),
 
+    // Per-document top terms by tf/df — the tf-idf ranking with the
+    // reciprocal-df surrogate instead of ln(N/df): both are monotone
+    // decreasing in df, but a single IEEE divide of two small ints is
+    // correctly rounded IDENTICALLY in every engine, while ln() is
+    // libm-dependent (1-ulp drift would flip ranks and fail the hash
+    // gate). Shape: explode → map-side-combined (doc, term) counts →
+    // term-level df agg → join → per-doc rank window. Three shuffles,
+    // all on keys that grow with data — the standard scale-out shape.
+    GQuery("tfidf_topk",
+      (s, dir) => {
+        import s.implicits._
+        val tf = Tables(s, dir, "documents")
+          .filter($"doc_id" < 500)
+          .select($"doc_id", explode(split($"text", " ")).as("term"))
+          .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+        tf.join(df, "term")
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy($"doc_id")
+              .orderBy(($"tf".cast("double") / $"df").desc, $"term".asc))
+            .cast("long"))
+          .filter($"rnk" <= 3)
+          .select($"doc_id", $"rnk", $"term", $"tf", $"df")
+          .orderBy($"doc_id", $"rnk")
+      },
+      Some("""WITH tf AS (
+                SELECT doc_id, w, COUNT(*) AS tf FROM (
+                  SELECT doc_id, unnest(str_split(text, ' ')) AS w
+                  FROM documents WHERE doc_id < 500) t
+                GROUP BY 1, 2),
+              df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
+              r AS (
+                SELECT tf.doc_id, tf.w, tf.tf, df.df,
+                  ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                    ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, tf.w ASC) AS rnk
+                FROM tf JOIN df USING (w))
+              SELECT doc_id, rnk, w AS term, tf, df FROM r
+              WHERE rnk <= 3 ORDER BY doc_id, rnk""")),
+
     // Canonical text normalization (the first stage of every training
     // pipeline): lowercase, collapse whitespace runs, trim. Pure
     // codegen'd string expressions, embarrassingly parallel.

@@ -301,6 +301,39 @@ class PlanSpec extends SparkSpec {
       s"expected the codegen expression in the plan:\n$p")
   }
 
+  test("clip is a pure projection: pushed scan filter, zero hash exchanges") {
+    val p = plan("clip")
+    assert(p.contains("PushedFilters: [IsNotNull(l_orderkey), LessThan(l_orderkey"),
+      s"no pushed filter:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"), s"unexpected shuffle:\n$p")
+  }
+
+  test("mode: the rank window runs on the aggregated pairs frame, not the data") {
+    // One map-side-combined count per (flag, status) collapses the
+    // table BEFORE the tie-break window — partial_count must appear,
+    // and the only hash exchanges are the agg's and the window's
+    // (both over the tiny distinct-pairs frame).
+    val p = plan("mode")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"no map-side combine:\n$p")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx <= 2, s"expected <=2 hash exchanges, got $hashEx:\n$p")
+  }
+
+  test("groupby_idxmax is one map-side-combined aggregation, no window") {
+    val p = plan("groupby_idxmax")
+    assert(p.contains("partial_max_by") || p.contains("partial_max"),
+      s"no partial agg:\n$p")
+    assert(!p.contains("Window"), s"idxmax must not window the data:\n$p")
+  }
+
+  test("tfidf_topk: term counts combine map-side before every exchange") {
+    val p = plan("tfidf_topk")
+    assert(p.contains("partial_count"), s"no map-side combine:\n$p")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx <= 4, s"expected <=4 hash exchanges, got $hashEx:\n$p")
+  }
+
   test("contamination_ngram shuffles only post-join rows, never the gram stream") {
     // ngram_hashes dedups grams map-side; the corpus gram stream goes
     // explode → broadcast join (no exchange). Hash exchanges left:
