@@ -39,6 +39,14 @@ case class AudioFeatures(doc_id: Long, n_bytes: Int,
                          bits_per_sample: Option[Int], n_frames: Option[Long],
                          duration_ms: Option[Double], rms: Option[Double])
 
+case class VideoHeader(brand: String, timescale: Int, duration: Long,
+                       nTracks: Int, width: Int, height: Int)
+
+case class VideoFeatures(doc_id: Long, n_bytes: Int, brand: Option[String],
+                         timescale: Option[Int], duration: Option[Long],
+                         duration_ms: Option[Double], n_tracks: Option[Int],
+                         width: Option[Int], height: Option[Int])
+
 object Multimodal {
 
   private val PngSig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
@@ -174,6 +182,74 @@ object Multimodal {
   def pcmSample(frame: Int, channel: Int, tone: Int): Short =
     ((((frame * tone + channel * 37) % 200) - 100) * 300).toShort
 
+  /** A structurally valid ISO-BMFF (MP4) file per ISO/IEC 14496-12:
+    * `ftyp` (brand), `moov` [`mvhd` v0 (timescale, duration) + one
+    * `trak`/`tkhd` v0 per track (track_id, 16.16 fixed-point w×h)],
+    * and an `mdat` whose payload is a deterministic byte ramp. Every
+    * box carries its correct 32-bit big-endian size, so any standard
+    * box walker (ffprobe, mp4dump) reads the same fields
+    * [[parseMp4Header]] does. Deterministic for the arguments.
+    */
+  def mp4Bytes(timescale: Int, duration: Long,
+               tracks: Seq[(Int, Int, Int)], mdatLen: Int = 16): Array[Byte] = {
+    require(timescale > 0 && duration >= 0 && tracks.nonEmpty && mdatLen >= 0,
+      s"bad mp4 params ts=$timescale dur=$duration tracks=${tracks.size}")
+    def box(typ: String, body: Array[Byte]): Array[Byte] = {
+      val b = ByteBuffer.allocate(8 + body.length)
+      b.putInt(8 + body.length).put(typ.getBytes("US-ASCII")).put(body)
+      b.array()
+    }
+    val ftyp = box("ftyp", {
+      val b = ByteBuffer.allocate(16)
+      b.put("isom".getBytes("US-ASCII")).putInt(0x200)
+        .put("isom".getBytes("US-ASCII")).put("mp41".getBytes("US-ASCII"))
+      b.array()
+    })
+    // mvhd version 0: 100-byte box body per spec (version/flags, times,
+    // timescale, duration, rate, volume, matrix, next_track_ID).
+    val mvhd = box("mvhd", {
+      val b = ByteBuffer.allocate(100)
+      b.putInt(0)                      // version 0 + flags
+      b.putInt(0).putInt(0)            // creation/modification time
+      b.putInt(timescale)
+      b.putInt(duration.toInt)
+      b.putInt(0x00010000)             // rate 1.0
+      b.putShort(0x0100.toShort)       // volume 1.0
+      b.position(b.position() + 10)    // reserved
+      b.putInt(0x00010000).putInt(0).putInt(0) // unity matrix
+      b.putInt(0).putInt(0x00010000).putInt(0)
+      b.putInt(0).putInt(0).putInt(0x40000000)
+      b.position(b.position() + 24)    // pre_defined
+      b.putInt(tracks.map(_._1).max + 1) // next_track_ID
+      b.array()
+    })
+    val traks = tracks.map { case (id, w, h) =>
+      require(id > 0 && w > 0 && h > 0 && w <= 0x7fff && h <= 0x7fff,
+        s"bad track ($id, $w, $h)")
+      // tkhd version 0: 84-byte body (times, track_ID, duration, layer,
+      // volume, matrix, 16.16 fixed-point width/height).
+      box("trak", box("tkhd", {
+        val b = ByteBuffer.allocate(84)
+        b.putInt(0x000007)             // version 0, flags: enabled|in-movie|in-preview
+        b.putInt(0).putInt(0)          // creation/modification time
+        b.putInt(id)
+        b.putInt(0)                    // reserved
+        b.putInt(duration.toInt)
+        b.position(b.position() + 8)   // reserved
+        b.putShort(0).putShort(0)      // layer, alternate_group
+        b.putShort(0).putShort(0)      // volume (video), reserved
+        b.putInt(0x00010000).putInt(0).putInt(0)
+        b.putInt(0).putInt(0x00010000).putInt(0)
+        b.putInt(0).putInt(0).putInt(0x40000000)
+        b.putInt(w << 16).putInt(h << 16)
+        b.array()
+      }))
+    }
+    val moov = box("moov", (mvhd +: traks).reduce(_ ++ _))
+    val mdat = box("mdat", Array.tabulate(mdatLen)(i => (i * 7 & 0xff).toByte))
+    ftyp ++ moov ++ mdat
+  }
+
   // ---------------------------------------------------------------- parser
 
   /** Real image-header decode: sniff the magic bytes, then parse the
@@ -287,6 +363,83 @@ object Multimodal {
     }
   }
 
+  /** Real ISO-BMFF (MP4) header decode: walk the top-level box list by
+    * declared sizes, require a leading `ftyp`, then inside `moov` read
+    * the movie timescale/duration from `mvhd` (v0/v1) and count `trak`
+    * boxes, taking presentation dimensions from the first `tkhd` with a
+    * nonzero 16.16 fixed-point width×height. Returns None for
+    * truncated, misaligned, or non-BMFF payloads — never throws on
+    * arbitrary bytes. This is the metadata pass a 100 TB video pipeline
+    * runs before deciding which payloads to hand to a real demuxer.
+    */
+  def parseMp4Header(p: Array[Byte]): Option[VideoHeader] = {
+    if (p.length < 16) return None
+    if (!(p(4) == 'f' && p(5) == 't' && p(6) == 'y' && p(7) == 'p')) return None
+    val ftypSize = be32(p, 0)
+    if (ftypSize < 16 || ftypSize > p.length) return None
+    val brand = new String(p, 8, 4, "US-ASCII")
+    if (!brand.forall(c => c >= 0x20 && c < 0x7f)) return None
+    var timescale = 0
+    var duration = -1L
+    var nTracks = 0
+    var w = 0
+    var h = 0
+    var i = ftypSize
+    while (i + 8 <= p.length) {
+      val size = be32(p, i).toLong & 0xffffffffL
+      if (size < 8 || i + size > p.length) return None // corrupt box framing
+      if (p(i + 4) == 'm' && p(i + 5) == 'o' && p(i + 6) == 'o' && p(i + 7) == 'v') {
+        // walk moov children
+        var j = i + 8
+        val end = i + size.toInt
+        while (j + 8 <= end) {
+          val cs = be32(p, j).toLong & 0xffffffffL
+          if (cs < 8 || j + cs > end) return None
+          val typ = new String(p, j + 4, 4, "US-ASCII")
+          if (typ == "mvhd") {
+            if (j + 8 >= end) return None
+            val version = p(j + 8) & 0xff
+            if (version == 1) {
+              if (j + 8 + 28 + 8 > end) return None
+              timescale = be32(p, j + 8 + 20)
+              duration = (be32(p, j + 8 + 24).toLong << 32) |
+                (be32(p, j + 8 + 28).toLong & 0xffffffffL)
+            } else {
+              if (j + 8 + 12 + 4 > end) return None
+              timescale = be32(p, j + 8 + 12)
+              duration = be32(p, j + 8 + 16).toLong & 0xffffffffL
+            }
+          } else if (typ == "trak") {
+            nTracks += 1
+            // find tkhd inside this trak
+            var k = j + 8
+            val tEnd = j + cs.toInt
+            while (k + 8 <= tEnd) {
+              val ts = be32(p, k).toLong & 0xffffffffL
+              if (ts < 8 || k + ts > tEnd) return None
+              if (p(k + 4) == 't' && p(k + 5) == 'k' &&
+                  p(k + 6) == 'h' && p(k + 7) == 'd') {
+                val version = p(k + 8) & 0xff
+                // width/height are the final 8 body bytes in v0 and v1
+                val dimOff = k + 8 + (if (version == 1) 96 else 84) - 8
+                if (dimOff + 8 <= tEnd && w == 0 && h == 0) {
+                  val tw = be32(p, dimOff) >>> 16   // 16.16 fixed point
+                  val th = be32(p, dimOff + 4) >>> 16
+                  if (tw > 0 && th > 0) { w = tw; h = th }
+                }
+              }
+              k += ts.toInt
+            }
+          }
+          j += cs.toInt
+        }
+      }
+      i += size.toInt
+    }
+    if (timescale <= 0 || duration < 0) None
+    else Some(VideoHeader(brand, timescale, duration, nTracks, w, h))
+  }
+
   // ---------------------------------------------------------------- pipeline
 
   /** Partition-batched feature extraction over the binary column: real
@@ -342,6 +495,23 @@ object Multimodal {
           hdr.map(h => h.nFrames * 1000.0 / h.sampleRate), rms)
       }
     }(Encoders.product[AudioFeatures])
+
+  /** Video branch of the partition-batched pipeline: ISO-BMFF box-walk
+    * decode (brand, movie timescale/duration, track count, presentation
+    * dimensions). Non-MP4 payloads surface with null fields rather than
+    * failing the batch.
+    */
+  def extractVideoFeatures(media: Dataset[MediaRow]): Dataset[VideoFeatures] =
+    media.mapPartitions { it =>
+      it.map { m =>
+        val hdr = parseMp4Header(m.payload)
+        VideoFeatures(m.doc_id, m.payload.length,
+          hdr.map(_.brand), hdr.map(_.timescale), hdr.map(_.duration),
+          hdr.map(v => v.duration * 1000.0 / v.timescale),
+          hdr.map(_.nTracks),
+          hdr.map(_.width).filter(_ > 0), hdr.map(_.height).filter(_ > 0))
+      }
+    }(Encoders.product[VideoFeatures])
 
   /** Byte offset of the `data` chunk body (only called after
     * [[parseWavHeader]] accepted the payload). */

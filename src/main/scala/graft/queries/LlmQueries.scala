@@ -475,6 +475,52 @@ object LlmQueries extends QueryGroup {
                   AS duration_ms
               FROM documents WHERE doc_id < 500 ORDER BY doc_id""")),
 
+    // Video modality, same pipeline shape: structurally valid ISO-BMFF
+    // (MP4) payloads per doc — real ftyp/moov/mvhd/trak/tkhd boxes with
+    // correct sizes — then a REAL box-walk decode (brand, movie
+    // timescale/duration, track count, 16.16 fixed-point presentation
+    // dims) in partition batches. The oracle recomputes every header
+    // field from the doc_id arithmetic; n_bytes checks the writer's box
+    // size bookkeeping end-to-end (148 + 100·tracks + mdat).
+    GQuery("multimodal_video",
+      (s, dir) => {
+        import s.implicits._
+        import graft.multimodal.{MediaRow, Multimodal}
+        val media = Tables(s, dir, "documents")
+          .filter($"doc_id" < 500)
+          .select($"doc_id").as[Long]
+          .map { id =>
+            val ts = Array(600, 1000, 90000)((id % 3).toInt)
+            val dur = (1L + id % 240) * 100
+            val n = 1 + (id % 2).toInt
+            val tracks = (1 to n).map { t =>
+              (t, (16 * (1 + id % 80)).toInt, (9 * (1 + id % 60)).toInt)
+            }
+            MediaRow(id, Multimodal.mp4Bytes(ts, dur, tracks,
+              mdatLen = (id % 32).toInt))
+          }
+        Multimodal.extractVideoFeatures(media).toDF()
+          .select($"doc_id", $"n_bytes", $"brand", $"timescale",
+            $"duration", $"duration_ms", $"n_tracks", $"width", $"height")
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+                CAST(148 + 100 * (1 + doc_id % 2) + doc_id % 32 AS INTEGER)
+                  AS n_bytes,
+                'isom' AS brand,
+                CAST(CASE CAST(doc_id % 3 AS INTEGER)
+                  WHEN 0 THEN 600 WHEN 1 THEN 1000 ELSE 90000 END AS INTEGER)
+                  AS timescale,
+                CAST((1 + doc_id % 240) * 100 AS BIGINT) AS duration,
+                CAST((1 + doc_id % 240) * 100 AS DOUBLE) * 1000.0 /
+                  (CASE CAST(doc_id % 3 AS INTEGER)
+                    WHEN 0 THEN 600 WHEN 1 THEN 1000 ELSE 90000 END)
+                  AS duration_ms,
+                CAST(1 + doc_id % 2 AS INTEGER) AS n_tracks,
+                CAST(16 * (1 + doc_id % 80) AS INTEGER) AS width,
+                CAST(9 * (1 + doc_id % 60) AS INTEGER) AS height
+              FROM documents WHERE doc_id < 500 ORDER BY doc_id""")),
+
     // Multimodal plumbing: opaque binary payload + typed metadata. The
     // decode/feature step over the binary column is the mapPartitions
     // pipeline in graft.multimodal (stubbed decoder, ScalaTest-gated).

@@ -129,6 +129,82 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("mp4 round-trip: own writer -> own parser, varied params") {
+    import graft.multimodal.VideoHeader
+    val cases = Seq(
+      (600, 0L, Seq((1, 16, 9)), 0),
+      (1000, 12345L, Seq((1, 1920, 1080)), 16),
+      (90000, 900000L, Seq((1, 640, 480), (2, 320, 240)), 31),
+      (25, 250L, Seq((3, 1, 1), (7, 7, 7), (9, 4095, 2160)), 1))
+    for ((ts, dur, tracks, mlen) <- cases) {
+      val parsed = Multimodal.parseMp4Header(
+        Multimodal.mp4Bytes(ts, dur, tracks, mlen))
+      val (_, w, h) = tracks.head
+      assert(parsed === Some(VideoHeader("isom", ts, dur, tracks.size, w, h)),
+        s"ts=$ts dur=$dur tracks=$tracks")
+    }
+  }
+
+  test("mp4 writer box sizes are self-consistent (any box walker agrees)") {
+    val p = Multimodal.mp4Bytes(1000, 5000L, Seq((1, 100, 50), (2, 10, 10)), 20)
+    // top-level walk must land exactly on the payload end
+    var i = 0
+    var boxes = List.empty[String]
+    while (i < p.length) {
+      val size = ((p(i) & 0xff) << 24) | ((p(i + 1) & 0xff) << 16) |
+        ((p(i + 2) & 0xff) << 8) | (p(i + 3) & 0xff)
+      boxes ::= new String(p, i + 4, 4, "US-ASCII")
+      assert(size >= 8 && i + size <= p.length, s"bad box at $i")
+      i += size
+    }
+    assert(i === p.length)
+    assert(boxes.reverse === List("ftyp", "moov", "mdat"))
+    assert(p.length === 148 + 100 * 2 + 20) // documented size arithmetic
+  }
+
+  test("mp4 parser refuses corrupt and non-video bytes") {
+    assert(Multimodal.parseMp4Header(Array.emptyByteArray) === None)
+    assert(Multimodal.parseMp4Header("not an mp4 file at all....".getBytes) === None)
+    assert(Multimodal.parseMp4Header(Multimodal.wavBytes(8000, 1, 10)) === None)
+    assert(Multimodal.parseMp4Header(Multimodal.pngBytes(4, 4, 0)) === None)
+    val mp4 = Multimodal.mp4Bytes(1000, 100L, Seq((1, 64, 48)))
+    // truncation mid-moov: declared size runs past the payload
+    assert(Multimodal.parseMp4Header(mp4.take(mp4.length - 30)) === None)
+    // corrupt a child box size inside moov: walker must refuse, not scan off
+    val bad = mp4.clone()
+    bad(32 + 3) = 0x02 // moov's first child (mvhd) size -> nonsense (< 8)
+    assert(Multimodal.parseMp4Header(bad) === None)
+  }
+
+  test("video extraction recovers every header field distributed") {
+    import spark.implicits._
+    val media = spark.range(0, 300).as[Long].map { id =>
+      val ts = Array(600, 1000, 90000)((id % 3).toInt)
+      val dur = (1L + id % 240) * 100
+      val n = 1 + (id % 2).toInt
+      val tracks = (1 to n).map { t =>
+        (t, (16 * (1 + id % 80)).toInt, (9 * (1 + id % 60)).toInt)
+      }
+      MediaRow(id, Multimodal.mp4Bytes(ts, dur, tracks, mdatLen = (id % 32).toInt))
+    }
+    val feats = Multimodal.extractVideoFeatures(media).collect()
+    assert(feats.length === 300)
+    feats.foreach { f =>
+      val id = f.doc_id
+      val ts = Array(600, 1000, 90000)((id % 3).toInt)
+      val dur = (1L + id % 240) * 100
+      val n = 1 + (id % 2).toInt
+      assert(f.brand === Some("isom"), s"doc $id")
+      assert(f.timescale === Some(ts), s"doc $id")
+      assert(f.duration === Some(dur), s"doc $id")
+      assert(f.n_tracks === Some(n), s"doc $id")
+      assert(f.width === Some((16 * (1 + id % 80)).toInt), s"doc $id")
+      assert(f.height === Some((9 * (1 + id % 60)).toInt), s"doc $id")
+      assert(f.n_bytes === 148 + 100 * n + (id % 32).toInt, s"doc $id")
+      assert(math.abs(f.duration_ms.get - dur * 1000.0 / ts) < 1e-9, s"doc $id")
+    }
+  }
+
   test("distributed extraction parses each format to its true dimensions") {
     import spark.implicits._
     val media = spark.range(0, 300).as[Long].map { id =>
