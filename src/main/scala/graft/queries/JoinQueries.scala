@@ -437,6 +437,41 @@ object JoinQueries extends QueryGroup {
                 AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
                 AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
               GROUP BY n_name
-              ORDER BY revenue DESC, n_name"""))
+              ORDER BY revenue DESC, n_name""")),
+
+    // Bloom-filter semi-join reduction (ops/BloomPrefilter): the scale
+    // path for fact ⋈ dim(filtered) when the dim KEY SET fits a few MB
+    // of bloom bits but the dim rows are past the broadcast threshold.
+    // A blocked bloom over the filtered order keys (one
+    // map-side-combined treeReduce pass) probes lineitem through a
+    // codegen expression BEFORE the join's exchange — non-matching fact
+    // rows never shuffle. Exact-superset semantics: false positives are
+    // removed by the real join, so the oracle is the PLAIN join SQL.
+    // The filter is sized from parquet footer row counts (zero Spark
+    // jobs), 1/4 of orders for a 1-of-5 priority (overprovisioned;
+    // undersizing only raises fpp, never loses rows).
+    GQuery("join_bloom_prefilter",
+      (s, dir) => {
+        import s.implicits._
+        val urgent = Tables(s, dir, "orders")
+          .filter($"o_orderpriority" === "1-URGENT" &&
+            $"o_totalprice" > 150000.0)
+        val expected = math.max(64L,
+          graft.ops.AnnSearch.parquetRowCount(s, s"$dir/orders.parquet") / 4)
+        val lean = graft.ops.BloomPrefilter.semiReduce(
+          Tables(s, dir, "lineitem"), "l_orderkey",
+          urgent, "o_orderkey", expected, fpp = 0.01)
+        lean.join(urgent, $"l_orderkey" === $"o_orderkey")
+          .groupBy($"o_orderkey")
+          .agg(count(lit(1)).as("n_items"),
+            Det.dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4)
+              .as("revenue"))
+          .orderBy($"o_orderkey")
+      },
+      Some(s"""SELECT o_orderkey, COUNT(*) AS n_items,
+              ${Det.sql.dsum("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000.0
+              GROUP BY o_orderkey ORDER BY o_orderkey"""))
   )
 }

@@ -1,12 +1,14 @@
 /* Bridge into Spark's private[sql] surface — the ONLY file outside the
  * graft namespace. `Dataset.ofRows` (wrap a constructed LogicalPlan as
- * a DataFrame) has no public equivalent in Spark 4.1; every extension
- * library that builds custom logical operators uses this same
- * package-placement pattern to reach it. Nothing else is accessed.
+ * a DataFrame) and the Column↔Expression conversions have no public
+ * equivalent in Spark 4.1; every extension library that builds custom
+ * logical operators or parameterized expressions uses this same
+ * package-placement pattern to reach them. Nothing else is accessed.
  */
 package org.apache.spark.sql.graftbridge
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.classic
 
@@ -14,4 +16,12 @@ object GraftSqlBridge {
   /** Wrap an analyzed LogicalPlan as a DataFrame on this session. */
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Wrap a Catalyst expression as a Column (for expressions carrying
+    * non-literal payloads — e.g. bloom bit arrays — that can't ride
+    * the FunctionRegistry's Seq[Expression] builder contract). */
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+
+  /** The Catalyst expression backing a classic Column. */
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 }
