@@ -32,6 +32,84 @@ object LlmQueries extends QueryGroup {
       Some("""SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
               FROM documents GROUP BY text ORDER BY keep_id""")),
 
+    // Context-window chunking — the standard LLM preprocessing step:
+    // fixed-size token windows (32) with overlap (stride 24), ragged
+    // tail kept. Pure codegen array functions (split → sequence →
+    // explode → slice → array_join): embarrassingly parallel, zero
+    // shuffle before the final sort, so it scales as a pure map over
+    // 100 TB of documents. Chunk identity is md5 of the joined text —
+    // bit-identical across engines, which is what makes chunk-level
+    // dedup exactly oracle-able.
+    GQuery("chunk_split",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "documents")
+          .filter($"doc_id" < 300)
+          .withColumn("toks", split($"text", " "))
+          .withColumn("ci", explode(sequence(lit(0L),
+            floor((size($"toks") - 1) / 24).cast("long"))))
+          .select($"doc_id", $"ci".as("chunk_idx"),
+            size(slice($"toks", ($"ci" * 24 + 1).cast("int"), lit(32)))
+              .cast("long").as("n_tokens"),
+            md5(array_join(slice($"toks", ($"ci" * 24 + 1).cast("int"), lit(32)), " "))
+              .as("chunk_hash"))
+          .orderBy($"doc_id", $"chunk_idx")
+      },
+      Some("""WITH t AS (
+                SELECT doc_id, str_split(text, ' ') AS toks
+                FROM documents WHERE doc_id < 300),
+              c AS (
+                SELECT doc_id, toks,
+                  unnest(generate_series(0,
+                    CAST(floor((len(toks) - 1) / 24) AS BIGINT))) AS chunk_idx
+                FROM t)
+              SELECT doc_id, chunk_idx,
+                CAST(len(list_slice(toks, chunk_idx * 24 + 1, chunk_idx * 24 + 32))
+                  AS BIGINT) AS n_tokens,
+                md5(array_to_string(
+                  list_slice(toks, chunk_idx * 24 + 1, chunk_idx * 24 + 32), ' '))
+                  AS chunk_hash
+              FROM c ORDER BY doc_id, chunk_idx""")),
+
+    // Chunk-level exact dedup over the same windows: one hash-keyed
+    // map-side-combined aggregation — sub-document duplication that
+    // doc-level dedup_exact can't see (boilerplate headers, quoted
+    // passages). Only duplicated chunks are emitted; at 100 TB the
+    // output is the duplication profile, not the corpus.
+    GQuery("chunk_dedup",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "documents")
+          .withColumn("toks", split($"text", " "))
+          .withColumn("ci", explode(sequence(lit(0L),
+            floor((size($"toks") - 1) / 24).cast("long"))))
+          .select($"doc_id",
+            md5(array_join(slice($"toks", ($"ci" * 24 + 1).cast("int"), lit(32)), " "))
+              .as("chunk_hash"))
+          .groupBy($"chunk_hash")
+          .agg(count(lit(1)).as("n_occurrences"),
+            countDistinct($"doc_id").as("n_docs"),
+            min($"doc_id").as("first_doc"))
+          .filter($"n_occurrences" > 1)
+          .orderBy($"chunk_hash")
+      },
+      Some("""WITH t AS (
+                SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+              c AS (
+                SELECT doc_id, toks,
+                  unnest(generate_series(0,
+                    CAST(floor((len(toks) - 1) / 24) AS BIGINT))) AS ci
+                FROM t),
+              h AS (
+                SELECT doc_id,
+                  md5(array_to_string(
+                    list_slice(toks, ci * 24 + 1, ci * 24 + 32), ' ')) AS chunk_hash
+                FROM c)
+              SELECT chunk_hash, COUNT(*) AS n_occurrences,
+                COUNT(DISTINCT doc_id) AS n_docs, MIN(doc_id) AS first_doc
+              FROM h GROUP BY chunk_hash HAVING COUNT(*) > 1
+              ORDER BY chunk_hash""")),
+
     // Exact word-bigram Jaccard near-dup pairs (the oracle MinHash approximates).
     GQuery("dedup_ngram_jaccard",
       (s, dir) => {
