@@ -30,6 +30,59 @@ object PandasQueries extends QueryGroup {
               COUNT(*) AS n, ${Det.sql.dsum("o_totalprice")} AS sum_price
               FROM orders GROUP BY 1 ORDER BY bin""")),
 
+    // pandas qcut(4): quantile-based binning. Boundaries come from the
+    // exact distributed selection machinery (ops/DistributedSelect —
+    // sketch → bucket → offsets, no single-task sort), collapse to ONE
+    // row that broadcast-cross-joins back onto the data for the bin
+    // assignment — boundary computation and assignment are both
+    // shuffle-light and no value ever visits the driver. Ties at a
+    // boundary all fall to the lower bin (v <= b), pandas semantics.
+    GQuery("qcut",
+      (s, dir) => {
+        import s.implicits._
+        def pick(q: Double)(n: org.apache.spark.sql.Column) =
+          ceil(lit(q) * n).cast("long")
+        val bounds = graft.ops.DistributedSelect.atRanks(
+            Tables(s, dir, "orders").select($"o_totalprice", $"o_orderkey"),
+            "o_totalprice", "o_orderkey",
+            n => Seq(pick(0.25)(n), pick(0.5)(n), pick(0.75)(n)),
+            labelsOfN = Some((n: org.apache.spark.sql.Column) => Seq(
+              pick(0.25)(n) -> lit("p25"),
+              pick(0.5)(n) -> lit("p50"),
+              pick(0.75)(n) -> lit("p75"))))
+          .agg(max(when($"label" === "p25", $"v")).as("b25"),
+            max(when($"label" === "p50", $"v")).as("b50"),
+            max(when($"label" === "p75", $"v")).as("b75"))
+        Tables(s, dir, "orders")
+          .crossJoin(broadcast(bounds))
+          .withColumn("bin",
+            when($"o_totalprice" <= $"b25", 0L)
+              .when($"o_totalprice" <= $"b50", 1L)
+              .when($"o_totalprice" <= $"b75", 2L)
+              .otherwise(3L))
+          .groupBy($"bin")
+          .agg(count(lit(1)).as("n"),
+            min($"o_totalprice").as("lo"), max($"o_totalprice").as("hi"))
+          .orderBy($"bin")
+      },
+      Some("""WITH r AS (
+                SELECT o_totalprice AS v,
+                  ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+                  COUNT(*) OVER () AS n
+                FROM orders),
+              b AS (
+                SELECT
+                  MAX(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT) THEN v END) AS b25,
+                  MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN v END) AS b50,
+                  MAX(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT) THEN v END) AS b75
+                FROM r)
+              SELECT CAST(CASE WHEN o_totalprice <= b25 THEN 0
+                          WHEN o_totalprice <= b50 THEN 1
+                          WHEN o_totalprice <= b75 THEN 2
+                          ELSE 3 END AS BIGINT) AS bin,
+                COUNT(*) AS n, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+              FROM orders, b GROUP BY 1 ORDER BY bin""")),
+
     // pandas diff/pct_change per key over event time: lag arithmetic on
     // the same IEEE doubles both engines read from parquet — exact.
     GQuery("diff_pct_change",
