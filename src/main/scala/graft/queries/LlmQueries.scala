@@ -110,6 +110,46 @@ object LlmQueries extends QueryGroup {
               FROM h GROUP BY chunk_hash HAVING COUNT(*) > 1
               ORDER BY chunk_hash""")),
 
+    // Unigram corpus-likelihood score — the perplexity-proxy quality
+    // filter (CCNet-style LM filtering, unigram model fit on the corpus
+    // itself). Deliberately computed in RATIONAL space: per-doc sum of
+    // GLOBAL token counts (integers, order-free) with one final double
+    // multiply+divide — a per-token Σ log p(t) would be libm- and
+    // order-dependent and could never hash-match the oracle. Shape:
+    // token-count agg (1 shuffle) → token-keyed join back (1 shuffle,
+    // vocab scales with corpus so it is NOT broadcast) → per-doc agg →
+    // broadcast scalar total. All map-side-combined keyed aggs.
+    GQuery("doc_lm_score",
+      (s, dir) => {
+        import s.implicits._
+        val toks = Tables(s, dir, "documents")
+          .select($"doc_id", explode(split($"text", " ")).as("tok"))
+        val cnts = toks.groupBy($"tok").agg(count(lit(1)).as("cnt"))
+        val total = cnts.agg(sum($"cnt").as("total"))
+        toks.join(cnts, "tok")
+          .groupBy($"doc_id")
+          .agg(sum($"cnt").as("sum_cnt"), count(lit(1)).as("n_tokens"))
+          .crossJoin(broadcast(total))
+          .filter($"doc_id" < 300)
+          .select($"doc_id", $"n_tokens", $"sum_cnt",
+            ($"sum_cnt".cast("double") / ($"total".cast("double") * $"n_tokens"))
+              .as("lm_score"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH toks AS (
+                SELECT doc_id, unnest(str_split(text, ' ')) AS tok
+                FROM documents),
+              cnts AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+              total AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM cnts),
+              per_doc AS (
+                SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS sum_cnt,
+                  COUNT(*) AS n_tokens
+                FROM toks JOIN cnts USING (tok) GROUP BY doc_id)
+              SELECT doc_id, n_tokens, sum_cnt,
+                CAST(sum_cnt AS DOUBLE) / (CAST(total AS DOUBLE) * n_tokens)
+                  AS lm_score
+              FROM per_doc, total WHERE doc_id < 300 ORDER BY doc_id""")),
+
     // Exact word-bigram Jaccard near-dup pairs (the oracle MinHash approximates).
     GQuery("dedup_ngram_jaccard",
       (s, dir) => {
