@@ -177,6 +177,50 @@ object PandasQueries extends QueryGroup {
                            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
               ORDER BY day""")),
 
+    // pandas asfreq('6H', method='ffill') per key — UPSAMPLING onto a
+    // regular spine. The spine is generated distributed (per-key
+    // min/max bounds → `sequence` → explode: no driver loop, spine
+    // size scales with keys × range, not with events), and the fill is
+    // the as-of backward machinery (ops/AsOfJoin: ONE key shuffle, a
+    // single forward merge per key — not a per-spine-point lookup).
+    // Leading spine points before a key's first event stay null,
+    // pandas semantics. Tie-break pinned to max (ts, event_id) on both
+    // engines, as in join_asof.
+    GQuery("resample_upsample",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables(s, dir, "events")
+          .filter($"user_id" < 4)
+          .select($"user_id", $"ts", $"value", $"event_id".as("ev_id"))
+        val spine = ev.groupBy($"user_id")
+          .agg(min($"ts").as("lo"), max($"ts").as("hi"))
+          .select($"user_id", explode(sequence(
+            date_trunc("DAY", $"lo"), $"hi", expr("INTERVAL 6 HOURS"))).as("ts"))
+        graft.ops.AsOfJoin.backward(spine, ev, key = "user_id", ts = "ts",
+            rightCols = Seq("value", "ev_id"))
+          .select($"user_id", $"ts", $"value", $"ev_id")
+          .orderBy($"user_id", $"ts")
+      },
+      Some("""WITH ev AS (
+                SELECT user_id, ts, value, event_id FROM events
+                WHERE user_id < 4),
+              b AS (
+                SELECT user_id, MIN(ts) AS lo, MAX(ts) AS hi
+                FROM ev GROUP BY user_id),
+              spine AS (
+                SELECT user_id,
+                  unnest(generate_series(date_trunc('day', lo), hi,
+                    INTERVAL 6 HOUR)) AS ts
+                FROM b)
+              SELECT s.user_id, s.ts,
+                (SELECT e.value FROM ev e
+                 WHERE e.user_id = s.user_id AND e.ts <= s.ts
+                 ORDER BY e.ts DESC, e.event_id DESC LIMIT 1) AS value,
+                (SELECT e.event_id FROM ev e
+                 WHERE e.user_id = s.user_id AND e.ts <= s.ts
+                 ORDER BY e.ts DESC, e.event_id DESC LIMIT 1) AS ev_id
+              FROM spine s ORDER BY user_id, ts""")),
+
     // pandas interpolate(method='linear') per key: 'error' rows are
     // nulled and re-filled by linear interpolation between the
     // surrounding non-null values at their row positions (head stays

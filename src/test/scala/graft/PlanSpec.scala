@@ -345,4 +345,30 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ngram_hashes"),
       s"expected the codegen expression in the plan:\n$p")
   }
+
+  test("chunk_split is a pure map: zero hash exchanges before the output sort") {
+    val p = plan("chunk_split")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx === 0, s"chunking must not shuffle:\n$p")
+    // the only exchange is the rangepartitioning for the final ORDER BY
+    val rangeEx = "Exchange rangepartitioning".r.findAllIn(p).length
+    assert(rangeEx === 1, s"expected exactly the output sort exchange:\n$p")
+  }
+
+  test("chunk_dedup: the chunk stream shuffles once, scan pruned to text+id") {
+    val p = plan("chunk_dedup")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("text") && !readSchema.contains("lang"),
+      s"column pruning failed: $readSchema")
+    // count-distinct expands the agg into two phases; the chunk stream
+    // itself must cross at most those two keyed exchanges
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx <= 2, s"expected <=2 hash exchanges, got $hashEx:\n$p")
+  }
+
+  test("qcut: boundary frame broadcasts; no driver-side collect in the plan") {
+    val p = plan("qcut")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"boundaries must broadcast:\n$p")
+  }
 }
