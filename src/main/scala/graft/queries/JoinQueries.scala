@@ -439,6 +439,58 @@ object JoinQueries extends QueryGroup {
               GROUP BY n_name
               ORDER BY revenue DESC, n_name""")),
 
+    // TPC-H Q7-shaped flagship: bilateral shipping volume between two
+    // nations by ship year. Plan at any scale: both nation sides
+    // broadcast onto supplier/customer (which then broadcast onto the
+    // big tables), lineitem⋈orders is the ONE big shuffle, the
+    // bilateral-pair predicate prunes before it. `year()` is integer
+    // calendar math — deterministic on both engines.
+    GQuery("q7_volume_shipping",
+      (s, dir) => {
+        import s.implicits._
+        val supN = Tables(s, dir, "supplier")
+          .join(broadcast(Tables(s, dir, "nation")
+            .filter($"n_name".isin("NATION_3", "NATION_7"))),
+            $"s_nationkey" === $"n_nationkey")
+          .select($"s_suppkey", $"n_name".as("supp_nation"))
+        val cusN = Tables(s, dir, "customer")
+          .join(broadcast(Tables(s, dir, "nation")
+            .filter($"n_name".isin("NATION_3", "NATION_7"))),
+            $"c_nationkey" === $"n_nationkey")
+          .select($"c_custkey", $"n_name".as("cust_nation"))
+        // Both broadcast dims apply BELOW the fact-fact shuffle: only
+        // the ~2/25 of lineitem with a qualifying supplier and the
+        // ~2/25 of orders with a qualifying customer ever exchange.
+        val lean = Tables(s, dir, "lineitem")
+          .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+            $"l_shipdate" < lit("1998-01-01").cast("timestamp"))
+          .join(broadcast(supN), $"l_suppkey" === $"s_suppkey")
+        val ord = Tables(s, dir, "orders")
+          .join(broadcast(cusN), $"o_custkey" === $"c_custkey")
+        lean.join(ord, $"l_orderkey" === $"o_orderkey")
+          .filter($"supp_nation" =!= $"cust_nation")
+          .groupBy($"supp_nation", $"cust_nation",
+            year($"l_shipdate").cast("long").as("l_year"))
+          .agg(Det.dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4)
+            .as("revenue"))
+          .orderBy($"supp_nation", $"cust_nation", $"l_year")
+      },
+      Some(s"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+                CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                ${Det.sql.dsum("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue
+              FROM lineitem
+              JOIN orders   ON l_orderkey = o_orderkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation sn ON s_nationkey = sn.n_nationkey
+              JOIN nation cn ON c_nationkey = cn.n_nationkey
+              WHERE sn.n_name IN ('NATION_3', 'NATION_7')
+                AND cn.n_name IN ('NATION_3', 'NATION_7')
+                AND sn.n_name <> cn.n_name
+                AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+              GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, l_year""")),
+
     // Bloom-filter semi-join reduction (ops/BloomPrefilter): the scale
     // path for fact ⋈ dim(filtered) when the dim KEY SET fits a few MB
     // of bloom bits but the dim rows are past the broadcast threshold.
