@@ -860,6 +860,39 @@ object LlmQueries extends QueryGroup {
                     CAST(len(list_filter(str_split(text, ' '), t -> length(t) <= 2)) AS BIGINT)
                       / len(str_split(text, ' ')) END AS short_frac
                 FROM documents) t
-              ORDER BY doc_id"""))
+              ORDER BY doc_id""")),
+
+    // Character-distribution stats (quality/gibberish signal without
+    // the libm log that entropy needs): distinct chars, Simpson
+    // collision count Σc² over char frequencies, and the modal char
+    // frequency — all exact integers, fully oracle-able. The Spark
+    // side is a PURE PROJECTION via array higher-order functions (the
+    // per-row char histogram never leaves the task), so at 100 TB it
+    // is embarrassingly parallel with zero shuffle; the oracle's
+    // unnest+group shape is fine for the 500-doc gate.
+    GQuery("char_stats",
+      (s, dir) => {
+        import s.implicits._
+        val chars = split($"text", "")
+        val uniq = array_distinct(chars)
+        val freqs = transform(uniq, c => size(filter(chars, x => x === c)))
+        Tables(s, dir, "documents")
+          .select($"doc_id",
+            size(chars).cast("long").as("n_chars"),
+            size(uniq).cast("long").as("n_distinct"),
+            aggregate(freqs, lit(0L),
+              (acc, c) => acc + c.cast("long") * c.cast("long")).as("collision"),
+            array_max(freqs).cast("long").as("max_freq"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH ch AS (
+                SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
+              f AS (
+                SELECT doc_id, c, COUNT(*) AS cnt FROM ch GROUP BY doc_id, c)
+              SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_chars,
+                COUNT(*) AS n_distinct,
+                CAST(SUM(cnt * cnt) AS BIGINT) AS collision,
+                CAST(MAX(cnt) AS BIGINT) AS max_freq
+              FROM f GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

@@ -557,7 +557,218 @@ object PandasQueries extends QueryGroup {
                   ROW_NUMBER() OVER (PARTITION BY l_returnflag
                     ORDER BY COUNT(*) DESC, l_linestatus ASC) AS rn
                 FROM lineitem GROUP BY 1, 2) t
-              WHERE rn = 1 ORDER BY l_returnflag"""))
+              WHERE rn = 1 ORDER BY l_returnflag""")),
+
+    // pandas groupby().skew() / .kurt(): adjusted Fisher–Pearson G1 and
+    // excess-kurtosis G2 from EXACT power sums. Skew/kurt are scale-
+    // invariant, so everything runs in integer space w = 100·value
+    // (exact for 2-dp data): w,w²,w³,w⁴ are int64-exact per row, and
+    // the w³/w⁴ group sums — which exceed 2⁵³ and would take engine-
+    // specific rounding paths on a decimal→double cast (the bug this
+    // shape fixes) — are summed as exactly-representable hi/lo halves
+    // (split at 2²⁵) and reconstructed with one identical IEEE
+    // multiply-add on both sides. w⁴ itself is NEVER materialized
+    // per-row (it would pass 2⁶³ at |v| ≈ 551 — and sf0.1 holds
+    // 560.21): the w³ halves are each multiplied by w instead, exact
+    // by distributivity. One map-side-combined aggregation: the
+    // canonical moments-sketch shape, 7 longs per group per partition
+    // shuffle at any scale. Exact while |value| < 1000 and group
+    // sizes < ~10⁶ rows (then: lower the split bit or pre-aggregate).
+    GQuery("groupby_skew_kurt",
+      (s, dir) => {
+        import s.implicits._
+        val lo25 = lit((1L << 25) - 1)
+        val d = Tables(s, dir, "events")
+          .select($"event_type",
+            ($"value".cast("decimal(8,2)") * 100).cast("long").as("w"))
+          .withColumn("w2", $"w" * $"w")
+          .withColumn("w3", $"w2" * $"w")
+        val sums = d.groupBy($"event_type").agg(
+          count(lit(1)).cast("double").as("n"),
+          sum($"w").cast("double").as("s1"),
+          sum($"w2").cast("double").as("s2"),
+          sum(shiftright($"w3", 25)).cast("double").as("hi3"),
+          sum($"w3".bitwiseAND(lo25)).cast("double").as("lo3"),
+          sum(shiftright($"w3", 25) * $"w").cast("double").as("hi4"),
+          sum($"w3".bitwiseAND(lo25) * $"w").cast("double").as("lo4"))
+        val n = $"n"; val s1 = $"s1"; val s2 = $"s2"
+        val s3 = $"hi3" * 33554432.0 + $"lo3"
+        val s4 = $"hi4" * 33554432.0 + $"lo4"
+        val a = n * s2 - s1 * s1
+        sums.select(
+          $"event_type",
+          n.cast("long").as("n"),
+          (a / (n * (n - 1.0)) / 10000.0).as("var_samp"),
+          ((sqrt(n * (n - 1.0)) / (n - 2.0))
+            * (n * n * s3 - lit(3.0) * n * s1 * s2 + lit(2.0) * s1 * s1 * s1)
+            / sqrt(a * a * a)).as("skew"),
+          (((n + 1.0) * (
+              (n * n * n * s4 - lit(4.0) * n * n * s1 * s3
+                + lit(6.0) * n * s1 * s1 * s2 - lit(3.0) * s1 * s1 * s1 * s1)
+              / (a * a) - 3.0) + 6.0)
+            * (n - 1.0) / ((n - 2.0) * (n - 3.0))).as("kurt")
+        ).orderBy($"event_type")
+      },
+      Some("""WITH d AS (SELECT event_type,
+                  CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT) AS w FROM events),
+              p AS (SELECT event_type, w, w * w AS w2, w * w * w AS w3 FROM d),
+              s AS (SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+                  CAST(CAST(SUM(w) AS BIGINT) AS DOUBLE) AS s1,
+                  CAST(CAST(SUM(w2) AS BIGINT) AS DOUBLE) AS s2,
+                  CAST(CAST(SUM(w3 >> 25) AS BIGINT) AS DOUBLE) AS hi3,
+                  CAST(CAST(SUM(w3 & 33554431) AS BIGINT) AS DOUBLE) AS lo3,
+                  CAST(CAST(SUM((w3 >> 25) * w) AS BIGINT) AS DOUBLE) AS hi4,
+                  CAST(CAST(SUM((w3 & 33554431) * w) AS BIGINT) AS DOUBLE) AS lo4
+                FROM p GROUP BY event_type)
+              SELECT event_type, CAST(n AS BIGINT) AS n,
+                (n * s2 - s1 * s1) / (n * (n - 1.0)) / 10000.0 AS var_samp,
+                (sqrt(n * (n - 1.0)) / (n - 2.0))
+                  * (n * n * (hi3 * 33554432.0 + lo3) - 3.0 * n * s1 * s2 + 2.0 * s1 * s1 * s1)
+                  / sqrt((n * s2 - s1 * s1) * (n * s2 - s1 * s1) * (n * s2 - s1 * s1)) AS skew,
+                ((n + 1.0) * (
+                    (n * n * n * (hi4 * 33554432.0 + lo4) - 4.0 * n * n * s1 * (hi3 * 33554432.0 + lo3)
+                      + 6.0 * n * s1 * s1 * s2 - 3.0 * s1 * s1 * s1 * s1)
+                    / ((n * s2 - s1 * s1) * (n * s2 - s1 * s1)) - 3.0) + 6.0)
+                  * (n - 1.0) / ((n - 2.0) * (n - 3.0)) AS kurt
+              FROM s ORDER BY event_type""")),
+
+    // pandas expanding().mean()/.max(): unbounded-preceding frame per
+    // user. The expanding sum is an exact decimal (order-free), so the
+    // running mean = sum/rn is one deterministic double division.
+    // Per-key window state only — scales like every §2.5 window op.
+    GQuery("expanding_stats",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables(s, dir, "events").filter($"user_id" < 40)
+          .select($"user_id", $"event_id",
+            (sum($"value".cast("decimal(18,2)")).over(w).cast("double")
+              / row_number().over(
+                  Window.partitionBy($"user_id").orderBy($"ts", $"event_id"))
+                .cast("double")).as("exp_mean"),
+            max($"value").over(w).as("exp_max"))
+          .orderBy($"user_id", $"event_id")
+      },
+      Some("""SELECT user_id, event_id,
+                CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                / CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE)
+                  AS exp_mean,
+                MAX(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS exp_max
+              FROM events WHERE user_id < 40
+              ORDER BY user_id, event_id""")),
+
+    // pandas Series.autocorr(): lag-1 Pearson per user. One lag window
+    // (per-key state) then one moments aggregation over the (x, y =
+    // x.shift(1)) pairs — exact decimal sums, identical IEEE Pearson
+    // on both sides, zero-variance keys nulled before sqrt.
+    GQuery("autocorr",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        val pairs = Tables(s, dir, "events").filter($"user_id" < 40)
+          .select($"user_id", $"value".cast("decimal(8,2)").as("x"),
+            lag($"value".cast("decimal(8,2)"), 1).over(w).as("y"))
+          .filter($"y".isNotNull)
+        val sums = pairs.groupBy($"user_id").agg(
+          count(lit(1)).cast("double").as("n"),
+          sum($"x").cast("double").as("sx"),
+          sum($"y").cast("double").as("sy"),
+          sum(($"x" * $"y").cast("decimal(20,4)")).cast("double").as("sxy"),
+          sum(($"x" * $"x").cast("decimal(20,4)")).cast("double").as("sxx"),
+          sum(($"y" * $"y").cast("decimal(20,4)")).cast("double").as("syy"))
+        val n = $"n"; val sx = $"sx"; val sy = $"sy"
+        sums.select($"user_id", n.cast("long").as("n_pairs"),
+          when(n < 2.0 || n * $"sxx" - sx * sx <= 0.0
+              || n * $"syy" - sy * sy <= 0.0, lit(null).cast("double"))
+            .otherwise((n * $"sxy" - sx * sy)
+              / (sqrt(n * $"sxx" - sx * sx) * sqrt(n * $"syy" - sy * sy)))
+            .as("autocorr"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH o AS (
+                SELECT user_id, CAST(value AS DECIMAL(8,2)) AS x,
+                  LAG(CAST(value AS DECIMAL(8,2)), 1)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS y
+                FROM events WHERE user_id < 40),
+              p AS (SELECT * FROM o WHERE y IS NOT NULL),
+              s AS (SELECT user_id, CAST(COUNT(*) AS DOUBLE) AS n,
+                  CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+                  CAST(SUM(CAST(x * y AS DECIMAL(20,4))) AS DOUBLE) AS sxy,
+                  CAST(SUM(CAST(x * x AS DECIMAL(20,4))) AS DOUBLE) AS sxx,
+                  CAST(SUM(CAST(y * y AS DECIMAL(20,4))) AS DOUBLE) AS syy
+                FROM p GROUP BY user_id)
+              SELECT user_id, CAST(n AS BIGINT) AS n_pairs,
+                CASE WHEN n < 2.0 OR n * sxx - sx * sx <= 0.0
+                       OR n * syy - sy * sy <= 0.0 THEN NULL
+                     ELSE (n * sxy - sx * sy)
+                          / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+                END AS autocorr
+              FROM s ORDER BY user_id""")),
+
+    // pandas rank(pct=True) family: percent_rank ((rank-1)/(n-1)) and
+    // cume_dist — both rank-based, tie-stable, and a single identical
+    // double division in each engine. Per-key window state only.
+    GQuery("window_percent_rank",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"o_orderpriority").orderBy($"o_totalprice")
+        Tables(s, dir, "orders").filter($"o_custkey" < 200)
+          .select($"o_orderkey", $"o_orderpriority",
+            percent_rank().over(w).as("pct_rank"),
+            cume_dist().over(w).as("cume"))
+          .orderBy($"o_orderpriority", $"pct_rank", $"o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderpriority,
+                PERCENT_RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice) AS pct_rank,
+                CUME_DIST() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice) AS cume
+              FROM orders WHERE o_custkey < 200
+              ORDER BY o_orderpriority, pct_rank, o_orderkey""")),
+
+    // z-score outlier detection (scale-up pipeline hygiene op): flag
+    // rows > 3σ from their group mean. z² = (n·x − s1)² / (n·s2 − s1²)
+    // — all from exact decimal sums, so the filter boundary is the
+    // same double comparison in both engines (no sqrt needed at all).
+    // The 5-row stats table broadcasts back onto the fact scan: one
+    // aggregation + one broadcast join, no second shuffle.
+    GQuery("outlier_zscore",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables(s, dir, "events")
+          .select($"event_id", $"event_type",
+            $"value".cast("decimal(8,2)").cast("double").as("x"))
+        val stats = ev.groupBy($"event_type").agg(
+          count(lit(1)).cast("double").as("n"),
+          sum($"x".cast("decimal(18,2)")).cast("double").as("s1"),
+          sum(($"x".cast("decimal(8,2)") * $"x".cast("decimal(8,2)"))
+            .cast("decimal(20,4)")).cast("double").as("s2"))
+        ev.join(broadcast(stats), "event_type")
+          .withColumn("zsq",
+            ($"n" * $"x" - $"s1") * ($"n" * $"x" - $"s1")
+              / ($"n" * $"s2" - $"s1" * $"s1"))
+          .filter($"zsq" > 9.0)
+          .select($"event_id", $"event_type", $"x".as("value"), $"zsq")
+          .orderBy($"event_id")
+      },
+      Some("""WITH ev AS (
+                SELECT event_id, event_type,
+                  CAST(CAST(value AS DECIMAL(8,2)) AS DOUBLE) AS x FROM events),
+              st AS (
+                SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+                  CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+                  CAST(SUM(CAST(CAST(x AS DECIMAL(8,2)) * CAST(x AS DECIMAL(8,2)) AS DECIMAL(20,4))) AS DOUBLE) AS s2
+                FROM ev GROUP BY event_type)
+              SELECT event_id, ev.event_type, x AS value,
+                (n * x - s1) * (n * x - s1) / (n * s2 - s1 * s1) AS zsq
+              FROM ev JOIN st ON ev.event_type = st.event_type
+              WHERE (n * x - s1) * (n * x - s1) / (n * s2 - s1 * s1) > 9.0
+              ORDER BY event_id"""))
   ) :+ rollingCorr
 
   /** ewm lookback depth (bounded state; tail weight 2^-32 ≈ 2e-10). */

@@ -195,6 +195,25 @@ object SourceQueries extends QueryGroup {
           .orderBy("c_custkey")
       },
       Some("""SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
-              FROM customer ORDER BY c_custkey"""))
+              FROM customer ORDER BY c_custkey""")),
+
+    // JSON-lines sink + read-back round trip (the third sink format the
+    // reference surface exposes). Explicit schema on re-read — schema
+    // inference is a full extra pass at 100 TB; never rely on it.
+    // Doubles round-trip bit-exact through Spark's JSON writer
+    // (shortest-round-trip formatting), so the oracle hash holds.
+    GQuery("sink_json",
+      (s, dir) => {
+        val path = scratch("supplier_json")
+        Tables(s, dir, "supplier").write.mode("overwrite").json(path)
+        val schema = StructType(Seq(
+          StructField("s_suppkey", LongType),
+          StructField("s_name", StringType),
+          StructField("s_nationkey", IntegerType),
+          StructField("s_acctbal", DoubleType)))
+        s.read.schema(schema).json(path).orderBy("s_suppkey")
+      },
+      Some("""SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+              FROM supplier ORDER BY s_suppkey"""))
   )
 }

@@ -371,4 +371,42 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
       s"boundaries must broadcast:\n$p")
   }
+
+  test("char_stats is a pure projection: zero hash exchanges, scan pruned") {
+    // The per-row char histogram (array HOFs) never leaves the task —
+    // the embarrassingly-parallel shape that holds at 100 TB. Only the
+    // output ORDER BY may exchange.
+    val p = plan("char_stats")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx === 0, s"char_stats must not shuffle:\n$p")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("text") && !readSchema.contains("lang"),
+      s"column pruning failed: $readSchema")
+  }
+
+  test("groupby_skew_kurt is one map-side-combined aggregation (moments sketch)") {
+    val p = plan("groupby_skew_kurt")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx === 1, s"expected the single group-key exchange, got $hashEx:\n$p")
+    assert(p.contains("partial"), s"no map-side partial aggregation in:\n$p")
+  }
+
+  test("outlier_zscore: stats join is broadcast, fact side never re-shuffles") {
+    val p = plan("outlier_zscore")
+    assert(p.contains("BroadcastHashJoin"), s"stats must broadcast:\n$p")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx === 1, s"only the stats aggregation may hash-exchange, got $hashEx:\n$p")
+  }
+
+  test("q7: both dim sides broadcast below the single fact-fact shuffle join") {
+    val p = plan("q7_volume_shipping")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"product join in:\n$p")
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(nBroadcast >= 2, s"expected >=2 broadcast joins, got $nBroadcast:\n$p")
+    assert(p.contains("SortMergeJoin") || "ShuffledHashJoin".r.findAllIn(p).nonEmpty,
+      s"expected one shuffled fact-fact join:\n$p")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"),
+      s"shipdate filter not pushed to lineitem scan:\n$p")
+  }
 }
