@@ -163,8 +163,10 @@ object RangeLayout {
     }
   }
 
-  /** All JSON string literals in `json`, in order, unescaped. */
-  private def parseStrings(json: String): Seq[String] = {
+  /** All JSON string literals in `json`, in order, unescaped.
+    * Shared with [[ZOrderLayout]]'s sidecar reader.
+    */
+  private[ops] def parseStrings(json: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     var i = 0
     while (i < json.length) {
