@@ -16,6 +16,11 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Schema-contract check (VERDICT r8 #2): name generator drift loudly
+    // in the driver log, but keep grading whatever keys still run.
+    val drift = graft.engine.Contract.violations(spark, sfDir)
+    if (drift.nonEmpty) System.err.println(
+      "[verify] TESTDATA CONTRACT VIOLATION:\n  " + drift.mkString("\n  "))
     // Dev-only: SPARK_GRAFT_VERIFY_ONLY=k1,k2 restricts the dump for a
     // fast inner loop; the driver never sets it (full run).
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY").map(_.split(",").toSet)

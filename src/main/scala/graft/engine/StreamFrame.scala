@@ -70,8 +70,9 @@ final class StreamFrame(val df: DataFrame) {
               lookback: Int = 32): StreamFrame =
     wrap(graft.ops.RollingOps.ewmMean(df, valueCol, keys, order, lookback = lookback))
   def rollingMedian(valueCol: String, n: Int, keys: Seq[Column],
-                    order: Seq[Column]): StreamFrame =
-    wrap(graft.ops.RollingOps.rollingMedian(df, valueCol, n, keys, order))
+                    order: Seq[Column], minPeriods: Int = 1): StreamFrame =
+    wrap(graft.ops.RollingOps.rollingMedian(df, valueCol, n, keys, order,
+      minPeriods = minPeriods))
   def rollingTrendCorr(valueCol: String, keys: Seq[Column], order: Seq[Column],
                        window: Int = 10): StreamFrame =
     wrap(graft.ops.RollingOps.rollingTrendCorr(df, valueCol, keys, order, window))

@@ -16,20 +16,44 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects
-      // unless spark.sql.legacy.parquet.nanosAsLong=true is set AT
-      // SESSION BUILD (Verify/Bench/tools/SparkSpec all set it — a
-      // loader must not mutate session conf). Read the raw nanos and
-      // truncate to µs with integer division — bit-identical to DuckDB
-      // 1.0.0's ns→µs truncation (verified, SURVEY.md §1), so oracles
-      // stay hash-exact.
-      val raw = spark.read.parquet(s"$dir/$name.parquet")
-      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts div 1000")))
-      else raw
-    } else spark.read.parquet(s"$dir/$name.parquet")
+    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") normalizeTs(raw) else raw
+  }
+
+  /** Normalize `events.ts` to canonical `TimestampType` regardless of the
+    * physical parquet encoding the generator happened to use. Observed
+    * encodings across testdata generations:
+    *
+    *   - TIMESTAMP(NANOS): Spark 4 reads as `LongType` nanos when
+    *     `spark.sql.legacy.parquet.nanosAsLong=true` (set at session build
+    *     by Verify/Bench/SparkSpec — a loader must not mutate session
+    *     conf). Truncate ns→µs with integer division, bit-identical to
+    *     DuckDB's ns→µs truncation, so oracles stay hash-exact.
+    *   - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark 4 infers
+    *     `TimestampNTZType`. Cast to `TimestampType` — value-exact under
+    *     the pinned UTC session timezone, and DuckDB reads the same µs
+    *     wall-clock values, so oracles stay hash-exact.
+    *   - TIMESTAMP(MICROS, isAdjustedToUTC=true): already `TimestampType`;
+    *     pass through.
+    *
+    * Every downstream consumer (`unix_millis`, `window()`, as-of joins)
+    * can therefore assume exactly one dtype. EngineContractSpec asserts
+    * this post-load contract for all tables so a future testdata
+    * regeneration fails one loud assertion instead of N silent keys.
+    */
+  private[graft] def normalizeTs(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => raw
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts arrived as unsupported dtype $other; " +
+            "extend Tables.normalizeTs for this encoding")
+    }
   }
 }

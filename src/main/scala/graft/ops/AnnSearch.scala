@@ -276,12 +276,24 @@ object AnnSearch {
       }.sum
     })
 
+  /** Conf key for the exact-fallback refusal budget (max n²/2 cosine
+    * evaluations the brute path may plan). The right ceiling is
+    * cluster-dependent — ~1e9 suits a 32-core box, a 1000-executor
+    * cluster can afford ~3 orders more — so deployments size it per
+    * cluster instead of editing code. Explicit argument wins over conf.
+    */
+  val MaxBruteCosinesKey = "spark.graft.ann.maxBruteCosines"
+  val MaxBruteCosinesDefault: Double = 1e9
+
   def neardupPairsAdaptive(spark: SparkSession, emb: DataFrame, idCol: String,
                            eCol: String, minCosine: Double,
                            targetRecall: Double = 0.999,
                            corpusSize: Option[Long] = None,
-                           maxBruteCosines: Double = 1e9,
+                           maxBruteCosines: Option[Double] = None,
                            cacheKey: Option[String] = None): DataFrame = {
+    val bruteBudget = maxBruteCosines.getOrElse(
+      spark.conf.getOption(MaxBruteCosinesKey).map(_.toDouble)
+        .getOrElse(MaxBruteCosinesDefault))
     // Size resolution order: caller-known (table stats / sidecar /
     // parquetRowCount) > memoized count per logical corpus > eager
     // count — the last is an intentional planning ACTION, acceptable
@@ -298,10 +310,11 @@ object AnnSearch {
       case Some((tables, bits)) =>
         neardupPairs(spark, emb, idCol, eCol, minCosine, tables, bits)
       case None =>
-        require(n.toDouble * n / 2 <= maxBruteCosines,
+        require(n.toDouble * n / 2 <= bruteBudget,
           f"near-dup at cos >= $minCosine%.3f: LSH degenerates AND the " +
             f"exact fallback needs ${n.toDouble * n / 2}%.2g cosines > " +
-            f"budget $maxBruteCosines%.2g — raise the threshold or the budget")
+            f"budget $bruteBudget%.2g ($MaxBruteCosinesKey) — raise the " +
+            "threshold or the budget")
         bruteNeardupPairs(spark, emb, idCol, eCol, minCosine)
     }
   }

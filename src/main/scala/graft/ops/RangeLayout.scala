@@ -53,7 +53,10 @@ object RangeLayout {
     }
     df.withColumn("__rp", pid)
       .repartition(col("__rp"))
-      .sortWithinPartitions(colName)
+      // __rp leads: partitionBy requires partition-column order, so
+      // sorting it ourselves keeps Spark from injecting a sort that
+      // would not preserve the per-directory index clustering.
+      .sortWithinPartitions(col("__rp"), col(colName))
       .write.mode("overwrite").partitionBy("__rp").parquet(path)
     writeSidecar(df.sparkSession, path, colName, divisions)
   }

@@ -35,30 +35,32 @@ object RollingOps {
     df.withColumn(out, num / den)
   }
 
-  /** rolling(n, min_periods=1).median(), exact: sort the explicit
-    * ≤n-row frame list and pick/average the middle — element selection
-    * plus at most one (a+b)/2, so no quantile-interpolation formula
-    * ambiguity.
+  /** rolling(n, min_periods=m).median(), exact pandas semantics: sort
+    * the explicit ≤n-row frame list and pick/average the middle —
+    * element selection plus at most one (a+b)/2, so no
+    * quantile-interpolation formula ambiguity.
     *
-    * CONTRACT (both halves oracle-relevant):
-    *  - min_periods=1 semantics: partial LEADING frames emit the median
-    *    of the rows seen so far, where pandas' default rolling(n) yields
-    *    NaN for the first n-1 rows. Any oracle must window the same way.
-    *  - `valueCol` must be null-free: Spark's collect_list DROPS nulls
-    *    while DuckDB's list() KEEPS them, so a null row silently shifts
-    *    the two engines' frames apart. Filter nulls on both sides first
-    *    if nullable data can reach this op.
+    * Null handling matches pandas skipna: `collect_list` drops nulls,
+    * so the frame holds only non-null observations, and a row emits
+    * NULL (pandas NaN) when fewer than `minPeriods` of them are in
+    * frame — in particular pandas' default `rolling(n).median()` is
+    * `minPeriods = n`, which nulls the first n−1 rows of each key.
+    * Oracle pairing note: DuckDB's `list()` KEEPS nulls — an oracle
+    * over nullable data must `FILTER (WHERE x IS NOT NULL)` the list
+    * aggregate and gate on the same non-null count.
     */
   def rollingMedian(df: DataFrame, valueCol: String, n: Int,
                     keys: Seq[Column], order: Seq[Column],
-                    out: String = "roll_median"): DataFrame = {
+                    out: String = "roll_median",
+                    minPeriods: Int = 1): DataFrame = {
     val w = Window.partitionBy(keys: _*).orderBy(order: _*)
       .rowsBetween(-(n - 1), Window.currentRow)
     df.withColumn("__arr", sort_array(collect_list(col(valueCol)).over(w)))
       .withColumn("__n", size(col("__arr")))
       .withColumn(out,
-        when(col("__n") % 2 === 1,
-          expr("element_at(__arr, cast((__n+1) div 2 as int))"))
+        when(col("__n") < minPeriods, lit(null))
+          .when(col("__n") % 2 === 1,
+            expr("element_at(__arr, cast((__n+1) div 2 as int))"))
           .otherwise((expr("element_at(__arr, cast(__n div 2 as int))")
             + expr("element_at(__arr, cast(__n div 2 + 1 as int))")) / 2.0))
       .drop("__arr", "__n")

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, NumericType}
 
 /** Persisted TWO-dimensional data-skipping layout — the multi-column
   * generalization of [[RangeLayout]] (dask `set_index` prunes one
@@ -25,14 +26,20 @@ import org.apache.spark.sql.functions._
   * IN-list filter on the partition column. Spark applies that at
   * file-LISTING time (`PartitionFilters`) — true directory pruning:
   * at 100 TB the driver lists the ~touched cells, not the table.
-  * Within each surviving cell rows are sorted by (x, y), so parquet
-  * row-group min/max statistics prune a second time below the
-  * directory level.
+  * Within each surviving cell rows are sorted by (__zb, x, y) — the
+  * partition column leads so Spark's planned write does not inject
+  * its own sort on top and the per-cell (x,y) clustering survives to
+  * the parquet row groups, where min/max statistics prune a second
+  * time below the directory level.
   *
-  * Divisions travel as strings (sidecar `_zorder.json`); values that
-  * parse as numbers compare numerically, everything else compares
-  * lexicographically (ISO dates/timestamps sort correctly as text —
-  * same convention as RangeLayout).
+  * Divisions travel as strings (sidecar `_zorder.json`). The
+  * driver-side bucket arithmetic dispatches on the COLUMN's Spark
+  * type — numeric columns compare via BigDecimal (exact for 64-bit
+  * integers, where a double round-trip is not), everything else
+  * lexicographically (ISO dates/timestamps sort correctly as text) —
+  * so it always agrees with the in-plan `lit(d).cast(dt)` comparison
+  * regardless of whether a string column happens to hold
+  * numeric-looking values.
   */
 object ZOrderLayout {
 
@@ -43,7 +50,7 @@ object ZOrderLayout {
 
   /** Bucket id of `v` under `divisions` — in-plan version. */
   private def bucketCol(c: Column, divisions: Seq[String],
-                        dt: org.apache.spark.sql.types.DataType): Column =
+                        dt: DataType): Column =
     divisions.foldLeft(lit(0)) { (acc, d) =>
       acc + when(c >= lit(d).cast(dt), 1).otherwise(0)
     }
@@ -73,21 +80,40 @@ object ZOrderLayout {
     z
   }
 
-  /** Numeric-if-possible comparison (divisions and query bounds). */
-  private def leq(a: String, b: String): Boolean =
-    (a.toDoubleOption, b.toDoubleOption) match {
-      case (Some(x), Some(y)) => x <= y
-      case _ => a <= b
-    }
-  private def lt(a: String, b: String): Boolean =
-    (a.toDoubleOption, b.toDoubleOption) match {
-      case (Some(x), Some(y)) => x < y
-      case _ => a < b
-    }
+  /** Driver-side comparison dispatched on the COLUMN's type, so bucket
+    * enumeration can never disagree with the in-plan cast comparison:
+    * numeric columns via BigDecimal (exact beyond 2^53 where a double
+    * round-trip loses boundary values), everything else as text.
+    */
+  private def cmp(dt: DataType, a: String, b: String): Int = dt match {
+    case _: NumericType =>
+      new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b))
+    case _ => a.compareTo(b)
+  }
 
-  /** Bucket id of value `v` under `divisions` — driver-side. */
-  def bucketId(divisions: Seq[String], v: String): Int =
-    divisions.count(d => leq(d, v))
+  /** Bucket id of value `v` under `divisions` — driver-side twin of
+    * [[bucketCol]], same type dispatch.
+    */
+  def bucketId(divisions: Seq[String], v: String, dt: DataType): Int =
+    divisions.count(d => cmp(dt, d, v) <= 0)
+
+  /** Validate divisions against the column they bucket: sorted under
+    * the column's own comparison, and (for numeric columns) parseable
+    * as exact decimals — a non-numeric division against a numeric
+    * column would cast to NULL in-plan and bucket garbage.
+    */
+  private def validateDivisions(which: String, divisions: Seq[String],
+                                dt: DataType): Unit = {
+    if (dt.isInstanceOf[NumericType]) divisions.foreach { d =>
+      require(scala.util.Try(new java.math.BigDecimal(d)).isSuccess,
+        s"$which division '$d' is not numeric but the column is $dt")
+    }
+    require(divisions.zip(divisions.drop(1)).forall { case (a, b) =>
+      cmp(dt, a, b) < 0
+    }, s"$which divisions must be strictly sorted under the column type ($dt)")
+    require(divisions.size < MaxBuckets,
+      s"at most ${MaxBuckets - 1} divisions per dimension (8-bit bucket ids)")
+  }
 
   /** Write `df` under `path` Z-clustered on (`colX`, `colY`).
     * One cluster-by-cell shuffle + a per-cell (x,y) sort — the same
@@ -95,17 +121,18 @@ object ZOrderLayout {
     */
   def write(df: DataFrame, path: String, colX: String, divX: Seq[String],
             colY: String, divY: Seq[String]): Unit = {
-    require(divX == divX.sortWith(lt) && divY == divY.sortWith(lt),
-      "divisions must be sorted")
-    require(divX.size < MaxBuckets && divY.size < MaxBuckets,
-      s"at most ${MaxBuckets - 1} divisions per dimension (8-bit bucket ids)")
     val dtX = df.schema(colX).dataType
     val dtY = df.schema(colY).dataType
+    validateDivisions("x", divX, dtX)
+    validateDivisions("y", divY, dtY)
     val z = zCol(bucketCol(col(colX), divX, dtX),
       bucketCol(col(colY), divY, dtY))
     df.withColumn("__zb", z)
       .repartition(col("__zb"))
-      .sortWithinPartitions(colX, colY)
+      // __zb leads: partitionBy requires partition-column order, so
+      // sorting it ourselves keeps Spark from injecting a sort that
+      // would not preserve the (x, y) clustering per cell.
+      .sortWithinPartitions(col("__zb"), col(colX), col(colY))
       .write.mode("overwrite").partitionBy("__zb").parquet(path)
     writeSidecar(df.sparkSession, path, colX, divX, colY, divY)
   }
@@ -121,17 +148,17 @@ object ZOrderLayout {
     val (colX, divX, colY, divY) = readSidecar(spark, path).getOrElse(
       throw new IllegalStateException(
         s"$path has no $SidecarName sidecar — not a ZOrderLayout"))
-    val bxLo = bucketId(divX, xLo)
-    val bxHi = divX.count(d => lt(d, xHiEx)) // see RangeLayout.readWith
-    val byLo = bucketId(divY, yLo)
-    val byHi = divY.count(d => lt(d, yHiEx))
+    val df = spark.read.parquet(path)
+    val dtX = df.schema(colX).dataType
+    val dtY = df.schema(colY).dataType
+    val bxLo = bucketId(divX, xLo, dtX)
+    val bxHi = divX.count(d => cmp(dtX, d, xHiEx) < 0) // see RangeLayout.readWith
+    val byLo = bucketId(divY, yLo, dtY)
+    val byHi = divY.count(d => cmp(dtY, d, yHiEx) < 0)
     val cells = for {
       bx <- bxLo to bxHi
       by <- byLo to byHi
     } yield zValue(bx, by)
-    val df = spark.read.parquet(path)
-    val dtX = df.schema(colX).dataType
-    val dtY = df.schema(colY).dataType
     df.filter(col("__zb").isin(cells: _*))
       .filter(col(colX) >= lit(xLo).cast(dtX) &&
         col(colX) < lit(xHiEx).cast(dtX) &&
@@ -153,8 +180,11 @@ object ZOrderLayout {
   private def writeSidecar(spark: SparkSession, path: String,
                            colX: String, divX: Seq[String],
                            colY: String, divY: Seq[String]): Unit = {
-    val json = s"""{"colX":${jsonStr(colX)},"divX":[""" +
-      divX.map(jsonStr).mkString(",") +
+    // Self-describing: "nX" carries divX's length so the reader parses
+    // POSITIONALLY — a division whose text happens to be "colY" can
+    // neither shift the split point nor fail a valid layout.
+    val json = s"""{"colX":${jsonStr(colX)},"nX":${jsonStr(divX.size.toString)}""" +
+      s""","divX":[""" + divX.map(jsonStr).mkString(",") +
       s"""],"colY":${jsonStr(colY)},"divY":[""" +
       divY.map(jsonStr).mkString(",") + "]}"
     val p = new org.apache.hadoop.fs.Path(path, SidecarName)
@@ -182,13 +212,17 @@ object ZOrderLayout {
       require(json.trim.endsWith("]}"),
         s"malformed $SidecarName at $path (truncated)")
       val strs = RangeLayout.parseStrings(json)
-      // Positional layout fixed by writeSidecar:
-      // "colX", <x>, "divX", d..., "colY", <y>, "divY", d...
-      val iY = strs.indexOf("colY")
-      require(strs.length >= 6 && strs(0) == "colX" && strs(2) == "divX" &&
-        iY >= 3 && iY + 2 < strs.length && strs(iY + 2) == "divY",
+      // Fully positional layout fixed by writeSidecar:
+      // "colX", <x>, "nX", <len>, "divX", d*len, "colY", <y>, "divY", d...
+      require(strs.length >= 5 && strs(0) == "colX" && strs(2) == "nX" &&
+        strs(4) == "divX" && strs(3).forall(_.isDigit) && strs(3).nonEmpty,
         s"malformed $SidecarName at $path")
-      Some((strs(1), strs.slice(3, iY), strs(iY + 1), strs.drop(iY + 3)))
+      val nX = strs(3).toInt
+      val iY = 5 + nX
+      require(iY + 2 < strs.length && strs(iY) == "colY" &&
+        strs(iY + 2) == "divY",
+        s"malformed $SidecarName at $path (divX length mismatch)")
+      Some((strs(1), strs.slice(5, iY), strs(iY + 1), strs.drop(iY + 3)))
     }
   }
 }

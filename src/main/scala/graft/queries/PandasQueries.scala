@@ -372,26 +372,29 @@ object PandasQueries extends QueryGroup {
             ORDER BY user_id, event_id"""
       }),
 
-    // pandas rolling(7, min_periods=1).median(): exact per-key rolling
-    // median. Both sides sort the explicit ≤7-element frame list and
-    // pick/average the middle — element selection plus at most one
-    // (a+b)/2, identical IEEE ops, so no interpolation-formula mismatch
-    // (quantile_cont's a+(b-a)·q rounds differently). Frame state is 7
-    // rows per key. Oracle pairing contract (see RollingOps.rollingMedian):
-    // min_periods=1 on BOTH sides (each engine windows the same partial
-    // leading frames), and `value` must be null-free — collect_list
-    // drops nulls, DuckDB list() keeps them (events.value is NOT NULL).
+    // pandas rolling(7).median() with the pandas DEFAULT min_periods
+    // (= window size): the first 6 rows of each key emit NULL (pandas
+    // NaN), full frames emit the exact median. Both sides sort the
+    // explicit 7-element frame list and pick the middle — element
+    // selection plus at most one (a+b)/2, identical IEEE ops, so no
+    // interpolation-formula mismatch (quantile_cont's a+(b-a)·q rounds
+    // differently). Frame state is 7 rows per key. Null handling is
+    // pandas skipna on the Spark side (see RollingOps.rollingMedian);
+    // events.value is NOT NULL so the oracle's plain list() windows
+    // identically.
     GQuery("rolling_median",
       (s, dir) => {
         import s.implicits._
         graft.ops.RollingOps.rollingMedian(
             Tables(s, dir, "events").filter($"user_id" < 20),
-            "value", 7, Seq($"user_id"), Seq($"ts", $"event_id"))
+            "value", 7, Seq($"user_id"), Seq($"ts", $"event_id"),
+            minPeriods = 7)
           .select($"user_id", $"event_id", $"roll_median")
           .orderBy($"user_id", $"event_id")
       },
       Some("""SELECT user_id, event_id,
-                CASE WHEN len(arr) % 2 = 1 THEN arr[(len(arr)+1)//2]
+                CASE WHEN len(arr) < 7 THEN NULL
+                     WHEN len(arr) % 2 = 1 THEN arr[(len(arr)+1)//2]
                      ELSE (arr[len(arr)//2] + arr[len(arr)//2 + 1]) / 2.0 END
                   AS roll_median
               FROM (

@@ -140,9 +140,11 @@ object StreamingQueries extends QueryGroup {
     GQuery("stream_topk",
       (s, dir) => {
         import s.implicits._
+        // date_trunc, not window(...)("start"): same bucket value, but no
+        // per-row window-struct allocation (VERDICT r8 #8).
         val bucketed = Tables(s, dir, "events")
           .withColumn("bucket_ms",
-            unix_millis(window($"ts", "1 hour")("start")))
+            unix_millis(date_trunc("hour", $"ts")))
         val w = Window.partitionBy($"bucket_ms")
           .orderBy($"value".desc, $"event_id")
         bucketed

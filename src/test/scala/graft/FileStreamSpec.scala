@@ -13,16 +13,11 @@ class FileStreamSpec extends SparkSpec {
 
   test("file readStream tumbling counts == batch window aggregate") {
     import spark.implicits._
-    // events.ts is TIMESTAMP(NANOS): read as raw longs (same conf the
-    // batch path uses), convert to µs timestamps in the stream plan.
+    // Derive the stream schema from the file itself (the generator has
+    // shipped ts as ns-long, µs-NTZ, and µs-LTZ across regenerations),
+    // then normalize through the same boundary the batch path uses.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = StructType(Seq(
-      StructField("event_id", LongType),
-      StructField("ts", LongType),
-      StructField("user_id", LongType),
-      StructField("event_type", StringType),
-      StructField("value", DoubleType),
-      StructField("props", StringType)))
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
 
     // file sources stream a DIRECTORY of files (the unbounded-ingest
     // model); stage the single test file into one.
@@ -31,9 +26,8 @@ class FileStreamSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$sfDir/events.parquet"),
       dir.resolve("part-0.parquet"))
 
-    val stream = spark.readStream.schema(schema)
-      .parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = graft.engine.Tables.normalizeTs(
+        spark.readStream.schema(schema).parquet(dir.toString))
       .groupBy(window($"ts", "1 hour"), $"event_type")
       .agg(count(lit(1)).as("n"))
 

@@ -324,6 +324,16 @@ class LlmOpsSpec extends SparkSpec {
     intercept[graft.ops.LshDegenerateException] {
       AnnSearch.provisionLshForCorpus(0.45, 100000000L)
     }
+    // The brute budget is conf-driven (cluster-sized, not hard-coded):
+    // with a tiny conf budget, even n=1000 must refuse the exact path.
+    spark.conf.set(AnnSearch.MaxBruteCosinesKey, "100")
+    try {
+      val e3 = intercept[IllegalArgumentException] {
+        AnnSearch.neardupPairsAdaptive(spark, emb, "vec_id", "e", 0.45,
+          corpusSize = Some(1000L))
+      }
+      assert(e3.getMessage.contains(AnnSearch.MaxBruteCosinesKey))
+    } finally spark.conf.unset(AnnSearch.MaxBruteCosinesKey)
     // Footer-metadata row count equals the scan count.
     val meta = AnnSearch.parquetRowCount(spark, s"$sfDir/embeddings.parquet")
     assert(meta === Tables(spark, sfDir, "embeddings").count())

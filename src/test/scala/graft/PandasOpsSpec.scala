@@ -44,6 +44,8 @@ class PandasOpsSpec extends SparkSpec {
   }
 
   test("rolling_median matches a scala reference on the 7-row frame") {
+    // pandas rolling(7).median() DEFAULT semantics: min_periods = 7, so
+    // the first 6 rows of each key are NaN → NULL.
     val events = graft.engine.Tables(spark, sfDir, "events")
       .filter("user_id < 20")
       .select("user_id", "event_id", "ts", "value")
@@ -57,17 +59,42 @@ class PandasOpsSpec extends SparkSpec {
       sorted.zipWithIndex.map { case (r, i) =>
         val frame = sorted.slice(math.max(0, i - 6), i + 1).map(_.getDouble(3)).sorted
         val n = frame.length
-        val med =
-          if (n % 2 == 1) frame(n / 2)
-          else (frame(n / 2 - 1) + frame(n / 2)) / 2.0
+        val med: Option[Double] =
+          if (n < 7) None
+          else if (n % 2 == 1) Some(frame(n / 2))
+          else Some((frame(n / 2 - 1) + frame(n / 2)) / 2.0)
         (uid, r.getLong(1)) -> med
       }
     }.toMap
     val got = Registry.byKey("rolling_median").build(spark, sfDir).collect()
     assert(got.length === expect.size)
-    got.foreach { case Row(uid: Long, eid: Long, med: Double) =>
-      assert(med === expect((uid, eid)), s"user $uid event $eid")
+    assert(got.exists(_.isNullAt(2)), "partial leading frames must be NULL")
+    got.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      val want = expect(key)
+      if (r.isNullAt(2)) assert(want.isEmpty, s"$key: got NULL want $want")
+      else assert(want.contains(r.getDouble(2)), s"$key: got ${r.getDouble(2)} want $want")
     }
+  }
+
+  test("rolling_median skips nulls like pandas (skipna + min_periods count)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // key 1: values 1,null,3,5 with rolling(3, min_periods=2):
+    //   row1: frame {1}            → 1 non-null < 2  → NULL
+    //   row2: frame {1,null}       → 1 non-null < 2  → NULL
+    //   row3: frame {1,null,3}     → 2 non-null      → median(1,3) = 2.0
+    //   row4: frame {null,3,5}     → 2 non-null      → median(3,5) = 4.0
+    val df = Seq(
+      (1L, 1L, Some(1.0)), (1L, 2L, None),
+      (1L, 3L, Some(3.0)), (1L, 4L, Some(5.0))
+    ).toDF("k", "seq", "v")
+    val got = graft.ops.RollingOps.rollingMedian(
+        df, "v", 3, Seq(col("k")), Seq(col("seq")), minPeriods = 2)
+      .orderBy("seq").select("roll_median").collect()
+    assert(got(0).isNullAt(0) && got(1).isNullAt(0))
+    assert(got(2).getDouble(0) === 2.0)
+    assert(got(3).getDouble(0) === 4.0)
   }
 
   test("StreamFrame veneer exposes ewm/rolling-median/rolling-corr/sessionize") {
