@@ -73,6 +73,10 @@ final class StreamFrame(val df: DataFrame) {
                     order: Seq[Column], minPeriods: Int = 1): StreamFrame =
     wrap(graft.ops.RollingOps.rollingMedian(df, valueCol, n, keys, order,
       minPeriods = minPeriods))
+  def rollingQuantile(valueCol: String, n: Int, q: Double, keys: Seq[Column],
+                      order: Seq[Column], minPeriods: Int = 1): StreamFrame =
+    wrap(graft.ops.RollingOps.rollingQuantile(df, valueCol, n, q, keys, order,
+      minPeriods = minPeriods))
   def rollingTrendCorr(valueCol: String, keys: Seq[Column], order: Seq[Column],
                        window: Int = 10): StreamFrame =
     wrap(graft.ops.RollingOps.rollingTrendCorr(df, valueCol, keys, order, window))

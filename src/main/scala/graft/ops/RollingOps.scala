@@ -66,6 +66,38 @@ object RollingOps {
       .drop("__arr", "__n")
   }
 
+  /** rolling(n, min_periods=m).quantile(q, interpolation='linear'),
+    * exact pandas semantics: sort the explicit ≤n-row frame, then
+    * pos = (cnt−1)·q, lo = ⌊pos⌋, result = a[lo] + (a[lo+1] − a[lo])·
+    * (pos − lo). The SAME literal formula must appear in any oracle —
+    * built-in continuous-quantile functions (quantile_cont) factor the
+    * interpolation differently and can diverge in the last ulp. With
+    * q a small dyadic (0.25, 0.5, …) and cnt ≤ n, every intermediate
+    * ((cnt−1)·q, the fraction) is an exact double, so both engines run
+    * the identical IEEE op sequence. Null handling matches pandas
+    * skipna (see [[rollingMedian]]).
+    */
+  def rollingQuantile(df: DataFrame, valueCol: String, n: Int, q: Double,
+                      keys: Seq[Column], order: Seq[Column],
+                      out: String = "roll_quantile",
+                      minPeriods: Int = 1): DataFrame = {
+    require(q >= 0.0 && q <= 1.0, s"quantile must be in [0,1], got $q")
+    val w = Window.partitionBy(keys: _*).orderBy(order: _*)
+      .rowsBetween(-(n - 1), Window.currentRow)
+    df.withColumn("__arr", sort_array(collect_list(col(valueCol)).over(w)))
+      .withColumn("__n", size(col("__arr")))
+      .withColumn("__pos", (col("__n") - 1).cast("double") * lit(q))
+      .withColumn("__lo", floor(col("__pos")).cast("int"))
+      .withColumn(out,
+        when(col("__n") < minPeriods, lit(null))
+          .otherwise(
+            expr("element_at(__arr, __lo + 1)") +
+              (expr("element_at(__arr, least(__lo + 2, __n))")
+                - expr("element_at(__arr, __lo + 1)"))
+                * (col("__pos") - col("__lo"))))
+      .drop("__arr", "__n", "__pos", "__lo")
+  }
+
   /** rolling(window).corr() of the value against its time-order index
     * (rolling Pearson trend). All six window sums are exact (decimal /
     * integer — order-free), cast to double once; zero-variance frames

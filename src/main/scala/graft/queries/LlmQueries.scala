@@ -447,6 +447,72 @@ object LlmQueries extends QueryGroup {
               FROM comp JOIN csize USING (cluster_id)
               ORDER BY doc_id""")),
 
+    // Cluster-then-select, the policy step every production dedup
+    // pipeline runs after clustering: within each near-dup cluster keep
+    // ONE document by an explicit quality policy (here: longest text,
+    // ties to the smallest doc_id — the "keep the most complete crawl"
+    // heuristic). Same exact-Jaccard pair graph and GraphX components
+    // as dedup_cluster; the selection itself is one per-cluster window
+    // rank — clusters are small by construction, so the window state is
+    // bounded regardless of corpus size. The oracle re-derives the
+    // closure with the recursive CTE and ranks inside it, so the whole
+    // cluster→policy→keep decision is hash-checked end to end.
+    GQuery("dedup_keep_best",
+      (s, dir) => {
+        import s.implicits._
+        val raw = Tables(s, dir, "documents").filter($"doc_id" < 1000)
+        val docs = raw
+          .withColumn("t", split($"text", " "))
+          .withColumn("sh", array_distinct(expr(
+            "zip_with(slice(t, 1, size(t)-1), slice(t, 2, size(t)-1), (x, y) -> concat(x, ' ', y))")))
+        val sizes = docs.select($"doc_id", size($"sh").as("nsh"))
+        val ex = docs.select($"doc_id", explode($"sh").as("s"))
+        val pairs = ex.as("a").join(ex.as("b"),
+            $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
+          .groupBy($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
+          .agg(count(lit(1)).as("inter"))
+          .join(sizes.select($"doc_id".as("id_a"), $"nsh".as("na")), "id_a")
+          .join(sizes.select($"doc_id".as("id_b"), $"nsh".as("nb")), "id_b")
+          .filter($"inter" / ($"na" + $"nb" - $"inter") >= 0.5)
+          .select($"id_a", $"id_b")
+        val comp = graft.ops.DedupCluster.clusters(
+          docs.select($"doc_id"), "doc_id", pairs)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"cluster_id").orderBy($"n_chars".desc, $"doc_id")
+        comp.select($"doc_id", $"cluster_id")
+          .join(raw.select($"doc_id", $"n_chars"), "doc_id")
+          .withColumn("keep", row_number().over(w) === 1)
+          .select($"doc_id", $"cluster_id", $"n_chars", $"keep")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH RECURSIVE d AS (
+                SELECT doc_id, list_distinct(list_transform(
+                  range(1, len(str_split(text, ' '))),
+                  i -> str_split(text, ' ')[i] || ' ' || str_split(text, ' ')[i+1])) AS sh
+                FROM documents WHERE doc_id < 1000),
+              ex AS (SELECT doc_id, unnest(sh) AS s FROM d),
+              sizes AS (SELECT doc_id, len(sh) AS nsh FROM d),
+              pairs AS (
+                SELECT id_a, id_b FROM (
+                  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+                  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2) p
+                JOIN sizes sa ON sa.doc_id = id_a
+                JOIN sizes sb ON sb.doc_id = id_b
+                WHERE inter / (sa.nsh + sb.nsh - inter) >= 0.5),
+              e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                    UNION SELECT id_b, id_a FROM pairs),
+              r AS (
+                SELECT doc_id AS id, doc_id AS lbl FROM d
+                UNION
+                SELECT e.dst, r.lbl FROM r JOIN e ON e.src = r.id),
+              comp AS (SELECT id, MIN(lbl) AS cluster_id FROM r GROUP BY id)
+              SELECT comp.id AS doc_id, comp.cluster_id, doc.n_chars,
+                (ROW_NUMBER() OVER (PARTITION BY comp.cluster_id
+                   ORDER BY doc.n_chars DESC, comp.id) = 1) AS keep
+              FROM comp JOIN documents doc ON doc.doc_id = comp.id
+              ORDER BY doc_id""")),
+
     // MinHash+LSH near-dup candidates (engine-specific hashing → no SQL
     // oracle; ScalaTest checks candidates ⊇ exact dups and estimator
     // sanity). The 100 TB-scale replacement for the exact Jaccard join.

@@ -404,6 +404,53 @@ object PandasQueries extends QueryGroup {
                 FROM events WHERE user_id < 20) t
               ORDER BY user_id, event_id""")),
 
+    // pandas rolling(7, min_periods=1).quantile(0.25, 'linear'): exact
+    // rolling lower quartile. Both sides run the LITERAL interpolation
+    // formula a[lo] + (a[lo+1] − a[lo])·frac on the sorted frame (see
+    // RollingOps.rollingQuantile — built-in quantile_cont factors the
+    // lerp differently and can diverge in the last ulp). min_periods=1
+    // exercises every partial-frame size 1..7, so pos/frac take all
+    // seven dyadic values — a richer check than the always-full frame.
+    GQuery("rolling_quantile",
+      (s, dir) => {
+        import s.implicits._
+        graft.ops.RollingOps.rollingQuantile(
+            Tables(s, dir, "events").filter($"user_id" < 20),
+            "value", 7, 0.25, Seq($"user_id"), Seq($"ts", $"event_id"))
+          .select($"user_id", $"event_id", $"roll_quantile")
+          .orderBy($"user_id", $"event_id")
+      },
+      Some("""SELECT user_id, event_id,
+                arr[lo + 1] + (arr[least(lo + 2, len(arr))] - arr[lo + 1])
+                  * (pos - lo) AS roll_quantile
+              FROM (
+                SELECT user_id, event_id, arr,
+                  (len(arr) - 1) * 0.25 AS pos,
+                  CAST(floor((len(arr) - 1) * 0.25) AS INT) AS lo
+                FROM (
+                  SELECT user_id, event_id, list_sort(list(value) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS arr
+                  FROM events WHERE user_id < 20) t) t2
+              ORDER BY user_id, event_id""")),
+
+    // pandas groupby(...).cumcount(): 0-based running ordinal within the
+    // key, time-ordered — one shuffle on the key, a single window pass.
+    GQuery("groupby_cumcount",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        Tables(s, dir, "events").filter($"user_id" < 50)
+          .withColumn("cumcount", (row_number().over(w) - 1).cast("long"))
+          .select($"user_id", $"event_id", $"cumcount")
+          .orderBy($"user_id", $"event_id")
+      },
+      Some("""SELECT user_id, event_id,
+                ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) - 1 AS cumcount
+              FROM events WHERE user_id < 50
+              ORDER BY user_id, event_id""")),
+
     // pandas groupby(...).nlargest(k): top-3 suppliers by balance per
     // nation via a per-key row_number — one shuffle on the group key,
     // k rows of state per key (vs a global sort).

@@ -161,6 +161,35 @@ object SourceQueries extends QueryGroup {
                 AND o_orderdate < TIMESTAMP '1997-06-01'
               ORDER BY o_orderkey""")),
 
+    // TWO-dimensional data-skipping round trip (Delta/Iceberg Z-ORDER
+    // analogue, SURVEY §2.1/§4): orders Z-clustered on (o_orderdate,
+    // o_totalprice), read back with a box predicate on BOTH dimensions.
+    // The reader enumerates the overlapping Morton cells CLIENT-SIDE
+    // from the sidecar divisions and emits them as a PartitionFilters
+    // IN-list — directory pruning at file-listing time, then parquet
+    // row-group min/max prunes again inside surviving cells (rows are
+    // (x,y)-sorted per cell at write). The oracle is the plain
+    // two-predicate SELECT over the original table.
+    GQuery("scan_zorder_pruned",
+      (s, dir) => {
+        val path = scratch("orders_zorder")
+        graft.ops.ZOrderLayout.write(
+          Tables(s, dir, "orders")
+            .select("o_orderkey", "o_orderdate", "o_totalprice"),
+          path,
+          "o_orderdate", (1996 to 2001).map(y => s"$y-01-01"),
+          "o_totalprice", Seq("50000", "100000", "200000", "400000"))
+        graft.ops.ZOrderLayout.read(s, path,
+            "1997-03-01", "1998-03-01", "100000", "300000")
+          .select("o_orderkey", "o_orderdate", "o_totalprice")
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+              WHERE o_orderdate >= TIMESTAMP '1997-03-01'
+                AND o_orderdate < TIMESTAMP '1998-03-01'
+                AND o_totalprice >= 100000 AND o_totalprice < 300000
+              ORDER BY o_orderkey""")),
+
     // Zip-archive round-trip (reference to_zip/read_zip): cluster-written
     // csv parts packed into one archive, read back via a parallel csv
     // scan over the unpacked entries (graft.engine.ZipIo).

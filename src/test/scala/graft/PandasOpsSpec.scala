@@ -77,6 +77,19 @@ class PandasOpsSpec extends SparkSpec {
     }
   }
 
+  test("rolling_quantile matches the pandas linear-interpolation formula") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // rolling(4, min_periods=1).quantile(0.25): pos = (n-1)/4 walks
+    // 0, 0.25, 0.5, 0.75 across the growing frame {1..n}.
+    val df = Seq((1L, 1L, 1.0), (1L, 2L, 2.0), (1L, 3L, 3.0), (1L, 4L, 4.0))
+      .toDF("k", "seq", "v")
+    val got = graft.ops.RollingOps.rollingQuantile(
+        df, "v", 4, 0.25, Seq(col("k")), Seq(col("seq")))
+      .orderBy("seq").select("roll_quantile").collect().map(_.getDouble(0))
+    assert(got.toSeq === Seq(1.0, 1.25, 1.5, 1.75))
+  }
+
   test("rolling_median skips nulls like pandas (skipna + min_periods count)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
@@ -105,6 +118,8 @@ class PandasOpsSpec extends SparkSpec {
     val ord = Seq(col("ts"), col("event_id"))
     assert(sf.ewmMean("value", keys, ord).toDF().columns.contains("ewm"))
     assert(sf.rollingMedian("value", 7, keys, ord).toDF().columns.contains("roll_median"))
+    assert(sf.rollingQuantile("value", 7, 0.25, keys, ord).toDF()
+      .columns.contains("roll_quantile"))
     assert(sf.rollingTrendCorr("value", keys, ord).toDF().columns.contains("roll_trend"))
     val sess = sf.sessionize("ts", 1800L, keys, ord).toDF()
     assert(sess.columns.contains("session_id") && sess.count() > 0)

@@ -409,4 +409,34 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("GreaterThanOrEqual(l_shipdate"),
       s"shipdate filter not pushed to lineitem scan:\n$p")
   }
+
+  test("stream_topk buckets via date_trunc, not a per-row window struct") {
+    val p = plan("stream_topk")
+    assert(p.contains("date_trunc"), s"expected date_trunc bucketing:\n$p")
+    assert(!p.toLowerCase.contains("named_struct"),
+      s"window-struct allocation survived the date_trunc rework:\n$p")
+  }
+
+  test("rolling_quantile uses one per-key window, no global sort below it") {
+    val n = "Window".r.findAllIn(plan("rolling_quantile")).length
+    assert(n === 1, s"expected one WindowExec, got $n")
+  }
+
+  test("groupby_cumcount is a single window pass over one key shuffle") {
+    val p = plan("groupby_cumcount")
+    val n = "Window".r.findAllIn(p).length
+    assert(n === 1, s"expected one WindowExec, got $n")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx === 1, s"expected exactly the key shuffle, got $hashEx:\n$p")
+  }
+
+  test("scan_zorder_pruned: cell IN-list lands in PartitionFilters") {
+    val p = plan("scan_zorder_pruned")
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("__zb"),
+      s"z-cell pruning must be a partition (listing-time) filter:\n$p")
+    // Residual x/y predicates still push to the parquet row groups.
+    assert(p.contains("PushedFilters") && p.contains("o_totalprice"),
+      s"in-cell min/max pruning lost:\n$p")
+  }
 }
