@@ -767,6 +767,44 @@ object LlmQueries extends QueryGroup {
               SELECT doc_id, rnk, w AS term, tf, df FROM r
               WHERE rnk <= 3 ORDER BY doc_id, rnk""")),
 
+    // Corpus n-gram language-model counts (the count-collection pass of
+    // KenLM-style LM training, and the statistic behind contamination /
+    // memorization analyses): corpus-wide bigram counts, then the top-3
+    // continuations per prefix token. Shape: per-document bigram arrays
+    // built map-side (zip_with of shifted slices — same codegen pattern
+    // as dedup_cluster's shingles), ONE map-side-combined count shuffle
+    // keyed by bigram, then a prefix-keyed rank window. Intermediates
+    // are vocabulary-sized, not corpus-sized — at 100 TB the bigram
+    // count table is what fits, the token stream never re-shuffles raw.
+    // Rank key is (count desc, next asc): pure integer/string — no libm.
+    GQuery("ngram_lm_counts",
+      (s, dir) => {
+        import s.implicits._
+        val grams = Tables(s, dir, "documents")
+          .withColumn("t", split($"text", " "))
+          .select(explode(expr(
+            "zip_with(slice(t, 1, size(t)-1), slice(t, 2, size(t)-1), (x, y) -> struct(x AS prefix, y AS next))")).as("g"))
+          .select($"g.prefix", $"g.next")
+        grams.groupBy($"prefix", $"next").agg(count(lit(1)).as("cnt"))
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy($"prefix")
+              .orderBy($"cnt".desc, $"next".asc)).cast("long"))
+          .filter($"rnk" <= 3)
+          .select($"prefix", $"rnk", $"next", $"cnt")
+          .orderBy($"prefix", $"rnk")
+      },
+      Some("""WITH d AS (SELECT str_split(text, ' ') AS t FROM documents),
+              g AS (SELECT unnest(t[1:len(t)-1]) AS prefix,
+                           unnest(t[2:len(t)]) AS next FROM d),
+              c AS (SELECT prefix, next, COUNT(*) AS cnt
+                    FROM g GROUP BY 1, 2),
+              r AS (SELECT prefix, next, cnt,
+                      ROW_NUMBER() OVER (PARTITION BY prefix
+                        ORDER BY cnt DESC, next ASC) AS rnk
+                    FROM c)
+              SELECT prefix, rnk, next, cnt FROM r WHERE rnk <= 3
+              ORDER BY prefix, rnk""")),
+
     // Canonical text normalization (the first stage of every training
     // pipeline): lowercase, collapse whitespace runs, trim. Pure
     // codegen'd string expressions, embarrassingly parallel.
