@@ -197,6 +197,44 @@ object LlmQueries extends QueryGroup {
               WHERE inter / (sa.nsh + sb.nsh - inter) >= 0.5
               ORDER BY id_a, id_b""")),
 
+    // Blocked fuzzy dedup: per-document nearest edit-distance neighbor.
+    // Classic blocked-comparison shape — candidate pairs only form
+    // inside a (lang, length-bucket) block, so the self-join shuffles
+    // once on the block key and the quadratic compare is bounded by
+    // block size, not corpus size; at 100 TB the bucket granularity is
+    // the knob that caps per-block work. The per-pair cost is O(1):
+    // levenshtein runs on a fixed 80-char prefix (both engines compute
+    // textbook single-character edit distance, so the min per doc is
+    // hash-exact). Emitting min-distance per doc (not thresholded
+    // pairs) keeps the output linear in the corpus.
+    GQuery("dedup_fuzzy",
+      (s, dir) => {
+        import s.implicits._
+        val d = Tables(s, dir, "documents")
+          .select($"doc_id", $"lang",
+            substring($"text", 1, 80).as("prefix"),
+            floor($"n_chars" / 100).cast("long").as("bucket"))
+        val b = d.select($"doc_id".as("b_id"), $"lang".as("b_lang"),
+          $"prefix".as("b_prefix"), $"bucket".as("b_bucket"))
+        d.join(b, $"lang" === $"b_lang" && $"bucket" === $"b_bucket" &&
+            $"doc_id" =!= $"b_id")
+          .groupBy($"doc_id")
+          .agg(min(levenshtein($"prefix", $"b_prefix")).cast("long")
+            .as("min_dist"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH d AS (
+                SELECT doc_id, lang, substring(text, 1, 80) AS prefix,
+                       CAST(floor(n_chars / 100) AS BIGINT) AS bucket
+                FROM documents),
+              p AS (
+                SELECT a.doc_id AS doc_id,
+                       levenshtein(a.prefix, b.prefix) AS dist
+                FROM d a JOIN d b ON a.lang = b.lang AND a.bucket = b.bucket
+                                 AND a.doc_id <> b.doc_id)
+              SELECT doc_id, MIN(dist) AS min_dist
+              FROM p GROUP BY doc_id ORDER BY doc_id""")),
+
     // Brute-force cosine top-10 for query vectors (ids-only output: the
     // ranking is stable under last-ulp float differences between
     // engines; similarity values themselves are not hash-safe). Uses
