@@ -513,6 +513,68 @@ object AggQueries extends QueryGroup {
                 array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types
               FROM events GROUP BY user_id ORDER BY user_id""")),
 
+    // pandas df.corr(): full pairwise Pearson matrix over the numeric
+    // columns — computed from ONE scan. All 15 sufficient statistics
+    // (n, 4 sums, 10 cross/self product sums) ride a single
+    // map-side-combined global aggregate, then the 6 correlations are a
+    // driver-free projection over that one row (explode of a literal
+    // struct array). The naive per-pair approach is C(4,2)=6 scans of
+    // the fact table; at 100 TB that is 6 reads of 100 TB vs one.
+    // Sums go through DECIMAL(30,6) (exact, associative — survives the
+    // ×100 decade where DECIMAL(18,x) would overflow to NULL); the
+    // final formula is identical IEEE double arithmetic on both
+    // engines, and sqrt is correctly rounded per IEEE 754, so the
+    // oracle hash-matches bit-for-bit.
+    GQuery("corr_matrix",
+      (s, dir) => {
+        import s.implicits._
+        val cols = Seq("l_quantity" -> "q", "l_extendedprice" -> "p",
+          "l_discount" -> "d", "l_tax" -> "t")
+        def ds(c: org.apache.spark.sql.Column) =
+          sum(c.cast(DecimalType(30, 6))).cast("double")
+        val stats = Seq(count(lit(1)).cast("double").as("n")) ++
+          cols.map { case (c, a) => ds(col(c)).as(s"s_$a") } ++
+          (for { i <- cols.indices; j <- i until cols.size } yield {
+            val (ci, ai) = cols(i); val (cj, aj) = cols(j)
+            ds(col(ci) * col(cj)).as(s"s_$ai$aj")
+          })
+        val m = Tables(s, dir, "lineitem").agg(stats.head, stats.tail: _*)
+        val pairs = for { i <- cols.indices; j <- (i + 1) until cols.size } yield {
+          val (ci, ai) = cols(i); val (cj, aj) = cols(j)
+          struct(lit(ci).as("x_col"), lit(cj).as("y_col"),
+            ((col("n") * col(s"s_$ai$aj") - col(s"s_$ai") * col(s"s_$aj")) /
+              (sqrt(col("n") * col(s"s_$ai$ai") - col(s"s_$ai") * col(s"s_$ai")) *
+                sqrt(col("n") * col(s"s_$aj$aj") - col(s"s_$aj") * col(s"s_$aj"))))
+              .as("corr"))
+        }
+        m.select(explode(array(pairs: _*)).as("r"))
+          .select($"r.x_col", $"r.y_col", $"r.corr")
+          .orderBy($"x_col", $"y_col")
+      },
+      Some {
+        val cols = Seq("l_quantity" -> "q", "l_extendedprice" -> "p",
+          "l_discount" -> "d", "l_tax" -> "t")
+        def ds(x: String) = s"CAST(SUM(CAST($x AS DECIMAL(30,6))) AS DOUBLE)"
+        val sums = (cols.map { case (c, a) => s"${ds(c)} AS s_$a" } ++
+          (for { i <- cols.indices; j <- i until cols.size } yield {
+            val (ci, ai) = cols(i); val (cj, aj) = cols(j)
+            s"${ds(s"$ci * $cj")} AS s_$ai$aj"
+          })).mkString(",\n                  ")
+        val rows = (for { i <- cols.indices; j <- (i + 1) until cols.size } yield {
+          val (ci, ai) = cols(i); val (cj, aj) = cols(j)
+          s"""SELECT '$ci' AS x_col, '$cj' AS y_col,
+                 (n * s_$ai$aj - s_$ai * s_$aj) /
+                 (sqrt(n * s_$ai$ai - s_$ai * s_$ai) *
+                  sqrt(n * s_$aj$aj - s_$aj * s_$aj)) AS corr FROM m"""
+        }).mkString("\n              UNION ALL\n              ")
+        s"""WITH m AS (
+                SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                  $sums
+                FROM lineitem)
+              $rows
+              ORDER BY x_col, y_col"""
+      }),
+
     // dask custom Aggregation(chunk, agg, finalize) analogue: typed
     // Aggregator with exact-decimal buffer (see graft.ops.WeightedMean).
     GQuery("agg_custom",

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.engine.{Det, Tables}
 
 /** §2.9 LLM-training-data pipeline ops over `documents`/`embeddings`.
@@ -1035,6 +1036,116 @@ object LlmQueries extends QueryGroup {
                 COUNT(*) AS n_distinct,
                 CAST(SUM(cnt * cnt) AS BIGINT) AS collision,
                 CAST(MAX(cnt) AS BIGINT) AS max_freq
-              FROM f GROUP BY doc_id ORDER BY doc_id"""))
+              FROM f GROUP BY doc_id ORDER BY doc_id""")),
+
+    // Out-of-vocabulary bigram ratio: for each document, the fraction
+    // of its DISTINCT bigrams absent from the corpus top-1000 bigram
+    // vocabulary (vocabulary = highest document frequency, ties broken
+    // lexicographically) — the standard "does this document look like
+    // the corpus" novelty/garbage signal. Scale shape: per-document
+    // gram dedup happens MAP-SIDE inside `array_distinct` before the
+    // explode (the gram stream that shuffles is distinct (doc,gram)
+    // pairs, the same trick that fixed contamination_ngram); the
+    // vocabulary is a TakeOrderedAndProject top-K (per-partition heaps
+    // merged once — never a global sort of the gram-frequency table);
+    // membership is a 1000-row broadcast left join. One fact-side
+    // shuffle end to end (the doc_id re-agg).
+    GQuery("ngram_oov_ratio",
+      (s, dir) => {
+        import s.implicits._
+        val g = Tables(s, dir, "documents")
+          .withColumn("t", split($"text", " "))
+          .select($"doc_id", explode(array_distinct(expr(
+            "zip_with(slice(t, 1, size(t)-1), slice(t, 2, size(t)-1), (x, y) -> concat(x, ' ', y))")))
+            .as("gram"))
+        val vocab = g.groupBy($"gram").agg(count(lit(1)).as("cnt"))
+          .orderBy($"cnt".desc, $"gram".asc).limit(1000)
+          .select($"gram", lit(1).as("in_vocab"))
+        g.join(broadcast(vocab), Seq("gram"), "left")
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when($"in_vocab".isNull, 1L).otherwise(0L)).as("n_oov"))
+          .select($"doc_id", $"n_grams", $"n_oov",
+            ($"n_oov".cast("double") / $"n_grams".cast("double")).as("oov_ratio"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+              g0 AS (SELECT doc_id, unnest(t[1:len(t)-1]) AS a,
+                            unnest(t[2:len(t)]) AS b FROM d),
+              g AS (SELECT DISTINCT doc_id, a || ' ' || b AS gram FROM g0),
+              df AS (SELECT gram, COUNT(*) AS cnt FROM g GROUP BY 1),
+              v AS (SELECT gram FROM
+                      (SELECT gram, ROW_NUMBER() OVER
+                         (ORDER BY cnt DESC, gram ASC) AS rnk FROM df)
+                    WHERE rnk <= 1000)
+              SELECT g.doc_id, COUNT(*) AS n_grams,
+                CAST(SUM(CASE WHEN v.gram IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+                CAST(SUM(CASE WHEN v.gram IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                  / CAST(COUNT(*) AS DOUBLE) AS oov_ratio
+              FROM g LEFT JOIN v ON g.gram = v.gram
+              GROUP BY g.doc_id ORDER BY g.doc_id""")),
+
+    // K-means assignment step (the body of Lloyd's algorithm, as used
+    // for corpus clustering / data-mix curation): centroids seeded as
+    // the per-label mean vector, every vector assigned to its nearest
+    // centroid by squared euclidean distance. Scale shape: the centroid
+    // pass is ONE 640-key (label×dim) map-side-combined aggregate; the
+    // k=10 centroid table broadcasts; assignment is a fused codegen
+    // array-HOF loop per row — zero shuffle on the corpus side beyond
+    // the stats agg. Full Lloyd's = this plan iterated; state per
+    // iteration is k×dim doubles, independent of corpus size.
+    // Oracle-exactness: distances are computed on 1e-6-QUANTIZED
+    // integer coordinates (round-half-away-from-zero on identical IEEE
+    // doubles in both engines), so dist2 is exact BIGINT arithmetic and
+    // the argmin (ties → lowest label) can never diverge in the last
+    // ulp. Centroid means are exact-decimal sums / count (Det.davg
+    // shape) — bit-identical doubles before quantization.
+    GQuery("kmeans_assign",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables(s, dir, "embeddings")
+          .select($"vec_id", $"label", $"embedding".cast("array<double>").as("e"))
+        val cent = emb
+          .select($"label", posexplode($"e"))
+          .withColumnRenamed("col", "v")
+          .groupBy($"label", $"pos")
+          .agg((sum($"v".cast(DecimalType(28, 12))).cast("double") / count(lit(1))).as("m"))
+          .groupBy($"label")
+          .agg(array_sort(collect_list(struct($"pos", $"m"))).as("pm"))
+          .select($"label".as("c_label"),
+            expr("transform(pm, x -> cast(round(x.m * 1000000) as bigint))").as("cq"))
+        val q = emb.select($"vec_id", $"label",
+          expr("transform(e, x -> cast(round(x * 1000000) as bigint))").as("eq"))
+        q.crossJoin(broadcast(cent))
+          .withColumn("dist2", expr(
+            """aggregate(zip_with(eq, cq, (a, b) -> (a - b) * (a - b)),
+                         cast(0 as bigint), (acc, x) -> acc + x)"""))
+          .groupBy($"vec_id", $"label")
+          .agg(min(struct($"dist2", $"c_label")).as("best"))
+          .select($"vec_id", $"label", $"best.c_label".as("assigned"),
+            $"best.dist2".as("dist2"))
+          .orderBy($"vec_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+                         FROM embeddings),
+              ed AS (SELECT vec_id, label, generate_subscripts(e, 1) AS pos,
+                            unnest(e) AS v FROM e),
+              cd AS (SELECT label AS c_label, pos,
+                       CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS m
+                     FROM ed GROUP BY label, pos),
+              cq AS (SELECT c_label, pos, CAST(ROUND(m * 1000000) AS BIGINT) AS cm
+                     FROM cd),
+              eq AS (SELECT vec_id, label, pos,
+                       CAST(ROUND(v * 1000000) AS BIGINT) AS qv FROM ed),
+              d AS (SELECT eq.vec_id, eq.label, cq.c_label,
+                      SUM((qv - cm) * (qv - cm)) AS dist2
+                    FROM eq JOIN cq ON eq.pos = cq.pos
+                    GROUP BY 1, 2, 3),
+              r AS (SELECT vec_id, label, c_label, dist2,
+                      ROW_NUMBER() OVER (PARTITION BY vec_id
+                        ORDER BY dist2, c_label) AS rnk FROM d)
+              SELECT vec_id, label, c_label AS assigned,
+                     CAST(dist2 AS BIGINT) AS dist2
+              FROM r WHERE rnk = 1 ORDER BY vec_id"""))
   )
 }

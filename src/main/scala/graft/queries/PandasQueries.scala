@@ -818,7 +818,30 @@ object PandasQueries extends QueryGroup {
                 (n * x - s1) * (n * x - s1) / (n * s2 - s1 * s1) AS zsq
               FROM ev JOIN st ON ev.event_type = st.event_type
               WHERE (n * x - s1) * (n * x - s1) / (n * s2 - s1 * s1) > 9.0
-              ORDER BY event_id"""))
+              ORDER BY event_id""")),
+
+    // pandas.factorize(sort=True) / dask categorize: dictionary-encode a
+    // string column to dense integer codes. The scale-critical shape:
+    // the ordering window that assigns codes runs over the DISTINCT
+    // value set (the dictionary — 25 brands here, maybe thousands at
+    // 100 TB), NEVER over the fact table; the fact side then picks up
+    // its code via a broadcast hash join — zero fact-table shuffle, no
+    // global sort of the corpus. A naive dense_rank() over the raw
+    // table would be a single-task total sort at any scale.
+    GQuery("factorize",
+      (s, dir) => {
+        import s.implicits._
+        val part = Tables(s, dir, "part")
+        val dict = part.select($"p_brand").distinct()
+          .withColumn("brand_code",
+            (dense_rank().over(Window.orderBy($"p_brand")) - 1).cast("long"))
+        part.join(broadcast(dict), Seq("p_brand"))
+          .select($"p_partkey", $"p_brand", $"brand_code")
+          .orderBy($"p_partkey")
+      },
+      Some("""SELECT p_partkey, p_brand,
+                DENSE_RANK() OVER (ORDER BY p_brand) - 1 AS brand_code
+              FROM part ORDER BY p_partkey"""))
   ) :+ rollingCorr
 
   /** ewm lookback depth (bounded state; tail weight 2^-32 ≈ 2e-10). */

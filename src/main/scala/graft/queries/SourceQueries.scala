@@ -243,6 +243,35 @@ object SourceQueries extends QueryGroup {
         s.read.schema(schema).json(path).orderBy("s_suppkey")
       },
       Some("""SELECT s_suppkey, s_name, s_nationkey, s_acctbal
-              FROM supplier ORDER BY s_suppkey"""))
+              FROM supplier ORDER BY s_suppkey""")),
+
+    // Bucket pruning: equality/IN filters on the bucket column of a
+    // bucketed table scan only the matching buckets — the third
+    // data-skipping axis after range (scan_range_pruned) and Z-order
+    // (scan_zorder_pruned). Here the IN-list hashes into a subset of
+    // the 8 buckets, so Spark's FileSourceScanExec skips the rest at
+    // listing time (plan shows `SelectedBucketsCount: n out of 8`;
+    // PlanSpec-asserted). At 100 TB a key-probe query reads 1/N of the
+    // table with NO sidecar index — the layout IS the index, and the
+    // same bucketed copy also feeds the shuffle-free join_bucketed.
+    GQuery("scan_bucket_pruned",
+      (s, dir) => {
+        val lt = graft.engine.Scratch.bucketedTable(s, dir, "lineitem", "l_orderkey")
+        // Pure key-probe scans have no join/agg to interpret the bucket
+        // layout, so DisableUnnecessaryBucketedScan would flip the scan
+        // back to un-bucketed and forfeit the pruning. Build against a
+        // child session that keeps bucketed scans on — conf is captured
+        // by the DataFrame, the parent session is untouched.
+        val sb = s.newSession()
+        sb.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+        import sb.implicits._
+        sb.table(lt)
+          .filter($"l_orderkey".isin(1L, 2L, 3L, 4L, 5L, 6L, 7L, 32L, 33L, 34L))
+          .select($"l_orderkey", $"l_linenumber", $"l_quantity")
+          .orderBy($"l_orderkey", $"l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+              WHERE l_orderkey IN (1,2,3,4,5,6,7,32,33,34)
+              ORDER BY l_orderkey, l_linenumber"""))
   )
 }

@@ -430,6 +430,60 @@ class PlanSpec extends SparkSpec {
     assert(hashEx === 1, s"expected exactly the key shuffle, got $hashEx:\n$p")
   }
 
+  test("corr_matrix: all 15 sufficient statistics ride ONE scan and one global agg") {
+    val p = plan("corr_matrix")
+    // a naive per-pair implementation scans the fact table 6 times;
+    // the one-pass shape has exactly one parquet scan and no hash
+    // exchange (global agg exchanges to a single partition only).
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans === 1, s"expected one scan, got $scans:\n$p")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx === 0, s"expected no hash exchange, got $hashEx:\n$p")
+    assert(p.contains("partial"), s"no map-side partial aggregation:\n$p")
+  }
+
+  test("factorize: code window runs on the dictionary; fact side broadcast-joins") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = Registry.byKey("factorize").build(spark, sfDir)
+        .queryExecution.executedPlan
+      assert(plan.toString.contains("BroadcastHashJoin"),
+        s"dictionary must broadcast back onto the fact table:\n$plan")
+      // the only no-partition window sorts the post-distinct dictionary
+      // (its input comes from a HashAggregate, never the raw scan)
+      val wins = plan.collect { case w: WindowExec => w }
+      assert(wins.nonEmpty, "expected the code-assignment window")
+      wins.foreach { w =>
+        assert(w.child.collectFirst {
+          case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+        }.nonEmpty, s"code window not over the distinct dictionary:\n$plan")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("ngram_oov_ratio: vocab is a top-K heap merge; membership joins broadcast") {
+    val p = plan("ngram_oov_ratio")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"vocabulary must be TakeOrderedAndProject, not a global sort:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"vocab join must broadcast:\n$p")
+  }
+
+  test("kmeans_assign: centroids broadcast; corpus side never cartesians unbroadcast") {
+    val p = plan("kmeans_assign")
+    assert(!p.contains("CartesianProduct"), s"unbroadcast cartesian:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast centroid product:\n$p")
+  }
+
+  test("scan_bucket_pruned reads a strict subset of the buckets") {
+    val p = plan("scan_bucket_pruned")
+    val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(p)
+    assert(m.nonEmpty, s"no bucket pruning in:\n$p")
+    assert(m.get.group(1).toInt < m.get.group(2).toInt,
+      s"IN-list did not prune any bucket: ${m.get.matched}")
+  }
+
   test("scan_zorder_pruned: cell IN-list lands in PartitionFilters") {
     val p = plan("scan_zorder_pruned")
     val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
