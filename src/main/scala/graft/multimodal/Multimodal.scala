@@ -47,6 +47,18 @@ case class VideoFeatures(doc_id: Long, n_bytes: Int, brand: Option[String],
                          duration_ms: Option[Double], n_tracks: Option[Int],
                          width: Option[Int], height: Option[Int])
 
+/** Decoded `stbl` sample metadata of one MP4 track: the media
+  * timescale (`mdhd`), the run-length decoding times (`stts` entries as
+  * (sample_count, sample_delta) runs) and per-sample byte sizes
+  * (`stsz`). Everything frame SAMPLING needs — picking which frames to
+  * decode — without touching a codec.
+  */
+case class Mp4SampleTable(timescale: Int, sttsRuns: Array[(Int, Int)],
+                          sizes: Array[Int])
+
+case class FrameSample(doc_id: Long, frame_idx: Long, pts: Long,
+                       pts_ms: Double, size: Long)
+
 object Multimodal {
 
   private val PngSig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
@@ -250,6 +262,109 @@ object Multimodal {
     ftyp ++ moov ++ mdat
   }
 
+  private def bmffBox(typ: String, body: Array[Byte]): Array[Byte] = {
+    val b = ByteBuffer.allocate(8 + body.length)
+    b.putInt(8 + body.length).put(typ.getBytes("US-ASCII")).put(body)
+    b.array()
+  }
+
+  /** A structurally valid single-track MP4 WITH a full sample table:
+    * `ftyp` + `moov`[`mvhd` + `trak`[`tkhd` + `mdia`[`mdhd` + `hdlr`
+    * ('vide') + `minf`[`stbl`[`stsd`, `stts` (one uniform run of
+    * `sizes.length` samples at `delta` ticks), `stsz` (per-sample
+    * sizes), `stsc`, `stco` (correct absolute chunk offset)]]]]] +
+    * `mdat` holding the concatenated sample payloads. This is the
+    * metadata a real demuxer seeks frames with; deterministic for the
+    * arguments.
+    */
+  def mp4BytesWithSamples(timescale: Int, delta: Int, sizes: Seq[Int],
+                          w: Int, h: Int): Array[Byte] = {
+    require(timescale > 0 && delta > 0 && sizes.nonEmpty &&
+      sizes.forall(_ >= 0) && w > 0 && h > 0 && w <= 0x7fff && h <= 0x7fff,
+      s"bad mp4 sample params ts=$timescale d=$delta n=${sizes.size}")
+    val n = sizes.size
+    val duration = n.toLong * delta
+    val ftyp = bmffBox("ftyp", {
+      val b = ByteBuffer.allocate(16)
+      b.put("isom".getBytes("US-ASCII")).putInt(0x200)
+        .put("isom".getBytes("US-ASCII")).put("mp41".getBytes("US-ASCII"))
+      b.array()
+    })
+    val mvhd = bmffBox("mvhd", {
+      val b = ByteBuffer.allocate(100)
+      b.putInt(0).putInt(0).putInt(0)
+      b.putInt(timescale).putInt(duration.toInt)
+      b.putInt(0x00010000).putShort(0x0100.toShort)
+      b.position(b.position() + 10)
+      b.putInt(0x00010000).putInt(0).putInt(0)
+      b.putInt(0).putInt(0x00010000).putInt(0)
+      b.putInt(0).putInt(0).putInt(0x40000000)
+      b.position(b.position() + 24)
+      b.putInt(2)                        // next_track_ID
+      b.array()
+    })
+    val tkhd = bmffBox("tkhd", {
+      val b = ByteBuffer.allocate(84)
+      b.putInt(0x000007).putInt(0).putInt(0)
+      b.putInt(1)                        // track_ID
+      b.putInt(0).putInt(duration.toInt)
+      b.position(b.position() + 8)
+      b.putShort(0).putShort(0).putShort(0).putShort(0)
+      b.putInt(0x00010000).putInt(0).putInt(0)
+      b.putInt(0).putInt(0x00010000).putInt(0)
+      b.putInt(0).putInt(0).putInt(0x40000000)
+      b.putInt(w << 16).putInt(h << 16)
+      b.array()
+    })
+    val mdhd = bmffBox("mdhd", {
+      val b = ByteBuffer.allocate(24)
+      b.putInt(0).putInt(0).putInt(0)
+      b.putInt(timescale).putInt(duration.toInt)
+      b.putShort(0x55c4.toShort).putShort(0) // language 'und', pre_defined
+      b.array()
+    })
+    val hdlr = bmffBox("hdlr", {
+      val b = ByteBuffer.allocate(25)
+      b.putInt(0).putInt(0).put("vide".getBytes("US-ASCII"))
+      b.position(b.position() + 12)
+      b.put(0.toByte)                    // empty NUL-terminated name
+      b.array()
+    })
+    val stsd = bmffBox("stsd",
+      ByteBuffer.allocate(8).putInt(0).putInt(0).array())
+    val stts = bmffBox("stts", {
+      val b = ByteBuffer.allocate(16)
+      b.putInt(0).putInt(1).putInt(n).putInt(delta)
+      b.array()
+    })
+    val stsz = bmffBox("stsz", {
+      val b = ByteBuffer.allocate(12 + 4 * n)
+      b.putInt(0).putInt(0).putInt(n)
+      sizes.foreach(b.putInt)
+      b.array()
+    })
+    val stsc = bmffBox("stsc", {
+      val b = ByteBuffer.allocate(20)
+      b.putInt(0).putInt(1).putInt(1).putInt(n).putInt(1)
+      b.array()
+    })
+    def assemble(chunkOff: Int): Array[Byte] = {
+      val stco = bmffBox("stco",
+        ByteBuffer.allocate(12).putInt(0).putInt(1).putInt(chunkOff).array())
+      val stbl = bmffBox("stbl", stsd ++ stts ++ stsz ++ stsc ++ stco)
+      val minf = bmffBox("minf", stbl)
+      val mdia = bmffBox("mdia", mdhd ++ hdlr ++ minf)
+      val trak = bmffBox("trak", tkhd ++ mdia)
+      bmffBox("moov", mvhd ++ trak)
+    }
+    // stco points into mdat, whose offset depends on moov's (fixed)
+    // size: assemble once to measure, once with the real offset.
+    val moovLen = assemble(0).length
+    val moov = assemble(ftyp.length + moovLen + 8)
+    val payload = Array.tabulate(sizes.sum)(i => (i * 3 & 0xff).toByte)
+    ftyp ++ moov ++ bmffBox("mdat", payload)
+  }
+
   // ---------------------------------------------------------------- parser
 
   /** Real image-header decode: sniff the magic bytes, then parse the
@@ -440,6 +555,74 @@ object Multimodal {
     else Some(VideoHeader(brand, timescale, duration, nTracks, w, h))
   }
 
+  /** First child box of `typ` inside body range [start, end): returns
+    * the CHILD's body range. None on corrupt framing (size < 8 or
+    * overrunning the parent) — never throws on arbitrary bytes.
+    */
+  private def findBox(p: Array[Byte], start: Int, end: Int,
+                      typ: String): Option[(Int, Int)] = {
+    var i = start
+    while (i + 8 <= end) {
+      val size = be32(p, i).toLong & 0xffffffffL
+      if (size < 8 || i + size > end) return None
+      if (p(i + 4) == typ.charAt(0) && p(i + 5) == typ.charAt(1) &&
+          p(i + 6) == typ.charAt(2) && p(i + 7) == typ.charAt(3))
+        return Some((i + 8, i + size.toInt))
+      i += size.toInt
+    }
+    None
+  }
+
+  /** Real `stbl` decode of the first track: media timescale from
+    * `mdhd` (v0/v1), decoding-time runs from `stts`, per-sample sizes
+    * from `stsz` (uniform or per-sample form). This is everything frame
+    * SAMPLING needs — a pipeline picks frame indices/offsets from the
+    * sample table alone and hands only those byte ranges to a codec.
+    * Returns None for truncated/misaligned/non-BMFF payloads.
+    */
+  def parseMp4SampleTable(p: Array[Byte]): Option[Mp4SampleTable] = {
+    if (p.length < 16) return None
+    if (!(p(4) == 'f' && p(5) == 't' && p(6) == 'y' && p(7) == 'p')) return None
+    val ftypSize = be32(p, 0)
+    if (ftypSize < 16 || ftypSize > p.length) return None
+    for {
+      moov <- findBox(p, ftypSize, p.length, "moov")
+      trak <- findBox(p, moov._1, moov._2, "trak")
+      mdia <- findBox(p, trak._1, trak._2, "mdia")
+      mdhd <- findBox(p, mdia._1, mdia._2, "mdhd")
+      minf <- findBox(p, mdia._1, mdia._2, "minf")
+      stbl <- findBox(p, minf._1, minf._2, "stbl")
+      stts <- findBox(p, stbl._1, stbl._2, "stts")
+      stsz <- findBox(p, stbl._1, stbl._2, "stsz")
+      tsc <- {
+        val v = p(mdhd._1) & 0xff
+        val off = mdhd._1 + (if (v == 1) 20 else 12)
+        if (off + 4 <= mdhd._2) Some(be32(p, off)).filter(_ > 0) else None
+      }
+      runs <- {
+        if (stts._1 + 8 > stts._2) None
+        else {
+          val nEntries = be32(p, stts._1 + 4)
+          if (nEntries < 0 || stts._1 + 8 + 8L * nEntries > stts._2) None
+          else Some(Array.tabulate(nEntries) { e =>
+            (be32(p, stts._1 + 8 + 8 * e), be32(p, stts._1 + 12 + 8 * e))
+          })
+        }
+      }
+      sizes <- {
+        if (stsz._1 + 12 > stsz._2) None
+        else {
+          val uniform = be32(p, stsz._1 + 4)
+          val count = be32(p, stsz._1 + 8)
+          if (count < 0) None
+          else if (uniform != 0) Some(Array.fill(count)(uniform))
+          else if (stsz._1 + 12 + 4L * count > stsz._2) None
+          else Some(Array.tabulate(count)(e => be32(p, stsz._1 + 12 + 4 * e)))
+        }
+      }
+    } yield Mp4SampleTable(tsc, runs, sizes)
+  }
+
   // ---------------------------------------------------------------- pipeline
 
   /** Partition-batched feature extraction over the binary column: real
@@ -512,6 +695,41 @@ object Multimodal {
           hdr.map(_.width).filter(_ > 0), hdr.map(_.height).filter(_ > 0))
       }
     }(Encoders.product[VideoFeatures])
+
+  /** Frame sampling (every k-th frame) driven by the REAL sample
+    * table: expand the `stts` runs into per-frame presentation times,
+    * keep indices ≡ 0 (mod `every`), and emit (index, pts, pts_ms,
+    * byte size) per kept frame. This is the Spark-side shape of video
+    * curation at 100 TB: a pure per-row flatMap (no shuffle), emitting
+    * the tiny frame-reference stream that downstream decode/embedding
+    * stages consume — the codec only ever sees the sampled byte ranges.
+    */
+  def extractFrameSamples(media: Dataset[MediaRow],
+                          every: Int): Dataset[FrameSample] = {
+    require(every > 0, s"bad sampling stride $every")
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        parseMp4SampleTable(m.payload).iterator.flatMap { st =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[FrameSample]
+          var pts = 0L
+          var idx = 0L
+          st.sttsRuns.foreach { case (cnt, delta) =>
+            var c = 0
+            while (c < cnt) {
+              if (idx % every == 0)
+                out += FrameSample(m.doc_id, idx, pts,
+                  pts.toDouble * 1000.0 / st.timescale,
+                  if (idx < st.sizes.length) st.sizes(idx.toInt).toLong else -1L)
+              pts += delta
+              idx += 1
+              c += 1
+            }
+          }
+          out
+        }
+      }
+    }(Encoders.product[FrameSample])
+  }
 
   /** Byte offset of the `data` chunk body (only called after
     * [[parseWavHeader]] accepted the payload). */

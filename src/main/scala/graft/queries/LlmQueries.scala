@@ -750,6 +750,47 @@ object LlmQueries extends QueryGroup {
                 CAST(9 * (1 + doc_id % 60) AS INTEGER) AS height
               FROM documents WHERE doc_id < 500 ORDER BY doc_id""")),
 
+    // Frame sampling over video payloads — the curation step the
+    // mandate names: pick every k-th frame from the REAL `stbl` sample
+    // table (stts decoding times + stsz sizes, written and re-parsed as
+    // actual ISO-BMFF bytes) so only the sampled byte ranges would ever
+    // reach a codec. Pure per-row flatMap, zero shuffle; the oracle
+    // recomputes the writer's deterministic sample plan arithmetically,
+    // so every emitted (frame_idx, pts, pts_ms, size) is hash-checked
+    // through the full write→parse→sample round trip.
+    GQuery("multimodal_framesample",
+      (s, dir) => {
+        import s.implicits._
+        import graft.multimodal.{MediaRow, Multimodal}
+        val media = Tables(s, dir, "documents")
+          .filter($"doc_id" < 300)
+          .select($"doc_id").as[Long]
+          .map { id =>
+            val tsc = Array(600, 1000, 90000)((id % 3).toInt)
+            val n = (8 + id % 25).toInt
+            val delta = (100 + (id % 5) * 20).toInt
+            val sizes = (0 until n).map(i => (50 + (i * 7 + id) % 32).toInt)
+            MediaRow(id, Multimodal.mp4BytesWithSamples(tsc, delta, sizes, 320, 180))
+          }
+        Multimodal.extractFrameSamples(media, every = 3).toDF()
+          .orderBy($"doc_id", $"frame_idx")
+      },
+      Some("""WITH d AS (
+                SELECT doc_id, 8 + doc_id % 25 AS n,
+                       100 + (doc_id % 5) * 20 AS delta,
+                       CASE CAST(doc_id % 3 AS INTEGER)
+                         WHEN 0 THEN 600 WHEN 1 THEN 1000 ELSE 90000 END AS tsc
+                FROM documents WHERE doc_id < 300),
+              f AS (
+                SELECT doc_id, delta, tsc,
+                       unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS idx
+                FROM d)
+              SELECT doc_id, CAST(idx AS BIGINT) AS frame_idx,
+                     CAST(idx * delta AS BIGINT) AS pts,
+                     CAST(idx * delta AS DOUBLE) * 1000.0 / tsc AS pts_ms,
+                     CAST(50 + (idx * 7 + doc_id) % 32 AS BIGINT) AS size
+              FROM f WHERE idx % 3 = 0 ORDER BY doc_id, frame_idx""")),
+
     // Multimodal plumbing: opaque binary payload + typed metadata. The
     // decode/feature step over the binary column is the mapPartitions
     // pipeline in graft.multimodal (stubbed decoder, ScalaTest-gated).

@@ -229,4 +229,56 @@ class MultimodalSpec extends SparkSpec {
       assert(f.n_bytes > 0 && f.mean_byte > 0.0)
     }
   }
+
+  test("mp4 sample table round-trip: writer stbl -> parser, varied params") {
+    for (tsc <- Seq(600, 90000); delta <- Seq(40, 1001); n <- Seq(1, 7, 64)) {
+      val sizes = (0 until n).map(i => 10 + i * 3)
+      val p = Multimodal.mp4BytesWithSamples(tsc, delta, sizes, 320, 180)
+      val st = Multimodal.parseMp4SampleTable(p)
+        .getOrElse(fail(s"no sample table for tsc=$tsc delta=$delta n=$n"))
+      assert(st.timescale === tsc)
+      assert(st.sttsRuns.toSeq === Seq((n, delta)))
+      assert(st.sizes.toSeq === sizes)
+      // the general header parser agrees on the same bytes
+      val hdr = Multimodal.parseMp4Header(p).getOrElse(fail("no header"))
+      assert(hdr.timescale === tsc && hdr.duration === n.toLong * delta &&
+        hdr.nTracks === 1 && hdr.width === 320 && hdr.height === 180)
+      // stco points exactly at the mdat payload
+      assert(p.length >= sizes.sum + 8, "mdat truncated")
+    }
+  }
+
+  test("mp4 sample table parser refuses corrupt/truncated bytes") {
+    val good = Multimodal.mp4BytesWithSamples(1000, 100, Seq(10, 20, 30), 64, 64)
+    assert(Multimodal.parseMp4SampleTable(Array.empty[Byte]).isEmpty)
+    assert(Multimodal.parseMp4SampleTable("not an mp4 at all".getBytes).isEmpty)
+    // truncate inside moov: framing check must reject, not throw
+    assert(Multimodal.parseMp4SampleTable(good.take(good.length / 2)).isEmpty)
+    // flip a box size to overrun its parent
+    val bent = good.clone(); bent(24) = 0x7f
+    assert(Multimodal.parseMp4SampleTable(bent).isEmpty)
+  }
+
+  test("frame sampling keeps exactly every k-th frame with correct pts/size") {
+    import spark.implicits._
+    val media = spark.range(0, 50).as[Long].map { id =>
+      val n = 5 + (id % 11).toInt
+      val sizes = (0 until n).map(i => 100 + i)
+      MediaRow(id, Multimodal.mp4BytesWithSamples(1000, 200, sizes, 32, 32))
+    }
+    val frames = Multimodal.extractFrameSamples(media, every = 4).collect()
+    val byDoc = frames.groupBy(_.doc_id)
+    assert(byDoc.keySet.size === 50)
+    for (id <- 0L until 50L) {
+      val n = 5 + (id % 11).toInt
+      val exp = (0 until n by 4).toSeq
+      val got = byDoc(id).sortBy(_.frame_idx)
+      assert(got.map(_.frame_idx) === exp.map(_.toLong), s"doc $id")
+      got.foreach { f =>
+        assert(f.pts === f.frame_idx * 200, s"doc $id idx ${f.frame_idx}")
+        assert(f.pts_ms === f.pts.toDouble * 1000.0 / 1000)
+        assert(f.size === 100 + f.frame_idx, s"doc $id idx ${f.frame_idx}")
+      }
+    }
+  }
 }
