@@ -91,6 +91,51 @@ object StreamingQueries extends QueryGroup {
                 FROM events) t
               WHERE rn = 1 ORDER BY event_id""")),
 
+    // dropDuplicatesWithinWatermark's state machine, graded through its
+    // deterministic batch analogue (graft.ops.ChainDedup): the first
+    // event per (user, type) opens a 2-day suppression window anchored
+    // at the previously KEPT event — the chain recurrence the streaming
+    // dedup state store implements via TTL'd entries, and the reason
+    // streaming dedup state stays BOUNDED at 100 TB (entries expire;
+    // plain dropDuplicates state grows forever). Not expressible with
+    // window functions (each keep-decision depends on the previous
+    // decision), hence the one-shuffle sorted-scan implementation; the
+    // oracle walks the same chain as a recursive CTE, so the chain
+    // itself is hash-checked. The real incremental path (MemoryStream →
+    // withWatermark → dropDuplicatesWithinWatermark) is ScalaTest-gated
+    // against this batch semantics in ChainDedupSpec.
+    GQuery("stream_dedup_ttl",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables(s, dir, "events")
+          .select($"event_id", $"user_id", $"event_type",
+            unix_millis($"ts").as("tms"))
+        graft.ops.ChainDedup
+          .keepFirstPerTtl(ev, Seq("user_id", "event_type"), "tms",
+            ttlMs = 2L * 24 * 3600 * 1000, tieBreakCol = "event_id")
+          .select($"event_id", $"user_id", $"event_type")
+          .orderBy($"event_id")
+      },
+      Some("""WITH RECURSIVE ev AS (
+                SELECT user_id, event_type, event_id, epoch_ms(ts) AS tms,
+                  ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts, event_id) AS rn
+                FROM events),
+              keep AS (
+                SELECT user_id, event_type, event_id, tms, rn,
+                       tms AS kept_ts, TRUE AS kept
+                FROM ev WHERE rn = 1
+                UNION ALL
+                SELECT e.user_id, e.event_type, e.event_id, e.tms, e.rn,
+                       CASE WHEN e.tms >= k.kept_ts + 172800000
+                            THEN e.tms ELSE k.kept_ts END,
+                       e.tms >= k.kept_ts + 172800000
+                FROM ev e JOIN keep k
+                  ON e.user_id = k.user_id AND e.event_type = k.event_type
+                 AND e.rn = k.rn + 1)
+              SELECT event_id, user_id, event_type FROM keep
+              WHERE kept ORDER BY event_id""")),
+
     // Running per-key state, graded through the DECLARATIVE aggregate —
     // count + exact-decimal sum are what HashAggregateExec maintains
     // incrementally (partial/final), so map-side combine and codegen

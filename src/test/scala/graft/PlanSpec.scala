@@ -476,6 +476,13 @@ class PlanSpec extends SparkSpec {
       s"expected broadcast centroid product:\n$p")
   }
 
+  test("stream_dedup_ttl: one key shuffle, a sorted scan, no window/iteration") {
+    val p = plan("stream_dedup_ttl")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx === 1, s"expected exactly the key repartition, got $hashEx:\n$p")
+    assert(!p.contains("Window"), s"chain dedup must not window:\n$p")
+  }
+
   test("scan_bucket_pruned reads a strict subset of the buckets") {
     val p = plan("scan_bucket_pruned")
     val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(p)
