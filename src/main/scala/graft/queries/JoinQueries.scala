@@ -375,6 +375,43 @@ object JoinQueries extends QueryGroup {
               FROM orders JOIN lineitem ON o_orderkey = l_orderkey
               GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
+    // MERGE INTO (SCD-1 upsert): a CDC-style source batch — balance
+    // updates for matched keys, brand-new rows for unmatched — lands on
+    // the customer table. ops.MergeInto plans ONE left-anti shuffle of
+    // the target against the distinct source keys plus a union; never a
+    // full-outer join (whose per-column coalesce reshuffles both sides
+    // and kills column pruning). With the target bucketed on the key
+    // the anti join is shuffle-free on the big side — the lakehouse
+    // MERGE layout. Streaming-side idempotent upsert is covered by
+    // ForeachBatchUpsertSpec; this is its batch surface.
+    GQuery("merge_upsert",
+      (s, dir) => {
+        import s.implicits._
+        val target = Tables(s, dir, "customer")
+        val updates = target.filter($"c_custkey" % 10 === 3)
+          .withColumn("c_acctbal", $"c_acctbal" + 100.0)
+        val inserts = target.filter($"c_custkey" % 97 === 0)
+          .withColumn("c_custkey", $"c_custkey" + 5000000000L)
+        graft.ops.MergeInto
+          .upsert(target, updates.unionByName(inserts), Seq("c_custkey"))
+          .orderBy($"c_custkey")
+      },
+      Some("""WITH src AS (
+                SELECT c_custkey, c_name, c_nationkey,
+                       c_acctbal + 100.0 AS c_acctbal, c_mktsegment
+                FROM customer WHERE c_custkey % 10 = 3
+                UNION ALL
+                SELECT c_custkey + 5000000000, c_name, c_nationkey,
+                       c_acctbal, c_mktsegment
+                FROM customer WHERE c_custkey % 97 = 0)
+              SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+              FROM (
+                SELECT * FROM customer t WHERE NOT EXISTS
+                  (SELECT 1 FROM src WHERE src.c_custkey = t.c_custkey)
+                UNION ALL
+                SELECT * FROM src)
+              ORDER BY c_custkey""")),
+
     // Banding join: orders classified into literal price bands (range predicate).
     GQuery("join_range",
       (s, dir) => {

@@ -272,6 +272,27 @@ object SourceQueries extends QueryGroup {
       },
       Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
               WHERE l_orderkey IN (1,2,3,4,5,6,7,32,33,34)
-              ORDER BY l_orderkey, l_linenumber"""))
+              ORDER BY l_orderkey, l_linenumber""")),
+
+    // Small-file compaction — the maintenance job that keeps a table
+    // scannable after thousands of incremental writes: fragment
+    // supplier into 64 tiny files, then ops.Compact.rewrite sizes the
+    // output partition count from the REAL listed bytes and round-robin
+    // rewrites toward the target file size. Content must round-trip
+    // exactly (oracle = the plain table); MaintenanceSpec asserts the
+    // file-count collapse. At 100 TB this runs per partition-directory
+    // — never a global rewrite.
+    GQuery("compact_small_files",
+      (s, dir) => {
+        import s.implicits._
+        val frag = scratch("supplier_frag")
+        val out = scratch("supplier_compact")
+        Tables(s, dir, "supplier").repartition(64)
+          .write.mode("overwrite").parquet(frag)
+        graft.ops.Compact.rewrite(s, frag, out, targetBytes = 8L * 1024 * 1024)
+          .orderBy($"s_suppkey")
+      },
+      Some("""SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+              FROM supplier ORDER BY s_suppkey"""))
   )
 }
