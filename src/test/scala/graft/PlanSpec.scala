@@ -474,6 +474,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"unbroadcast cartesian:\n$p")
     assert(p.contains("BroadcastNestedLoopJoin"),
       s"expected broadcast centroid product:\n$p")
+    // assignment itself is zero-shuffle: the ONLY hash exchanges are the
+    // two levels of the (cluster × dim) centroid aggregation.
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx <= 2, s"assignment added shuffles, got $hashEx:\n$p")
+  }
+
+  test("kmeans_lloyd: per-iteration shuffles are only the centroid aggregations") {
+    val p = plan("kmeans_lloyd")
+    assert(!p.contains("CartesianProduct"), s"unbroadcast cartesian:\n$p")
+    // two iterations × two centroid agg levels; the assignment passes
+    // contribute none.
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx <= 4, s"assignment passes added shuffles, got $hashEx:\n$p")
   }
 
   test("stream_dedup_ttl: one key shuffle, a sorted scan, no window/iteration") {
