@@ -514,37 +514,49 @@ object AggQueries extends QueryGroup {
               FROM events GROUP BY user_id ORDER BY user_id""")),
 
     // pandas df.corr(): full pairwise Pearson matrix over the numeric
-    // columns — computed from ONE scan. All 15 sufficient statistics
-    // (n, 4 sums, 10 cross/self product sums) ride a single
-    // map-side-combined global aggregate, then the 6 correlations are a
-    // driver-free projection over that one row (explode of a literal
-    // struct array). The naive per-pair approach is C(4,2)=6 scans of
-    // the fact table; at 100 TB that is 6 reads of 100 TB vs one.
-    // Sums go through DECIMAL(30,6) (exact, associative — survives the
-    // ×100 decade where DECIMAL(18,x) would overflow to NULL); the
-    // final formula is identical IEEE double arithmetic on both
-    // engines, and sqrt is correctly rounded per IEEE 754, so the
-    // oracle hash-matches bit-for-bit.
+    // columns — computed from ONE scan. All sufficient statistics ride
+    // a single map-side-combined global aggregate, then the 6
+    // correlations are a driver-free projection over that one row
+    // (explode of a literal struct array). The naive per-pair approach
+    // is C(4,2)=6 scans of the fact table; at 100 TB that is 6 reads of
+    // 100 TB vs one. Correlation is scale-invariant and the data is
+    // 2-dp, so everything runs in INTEGER space w = 100·value (the
+    // groupby_skew_kurt moments-sketch trick): per-row products are
+    // int64-exact, and the product sums — which pass 2⁶³ at the ×100
+    // decade — are summed as exactly-representable hi/lo halves (split
+    // at 2²⁶: lo-sums ≤ 2²⁶·N, hi-sums ≤ 2²¹·N, both long-exact to
+    // N ≈ 10⁹ rows) and reconstructed with one identical IEEE
+    // multiply-add on both engines. 25 codegen'd LONG sums — the first
+    // cut used DECIMAL(30,6) sums, whose non-compact (>18-digit)
+    // BigDecimal path benched 85 s at sf1 vs ~6 s for this shape.
     GQuery("corr_matrix",
       (s, dir) => {
         import s.implicits._
         val cols = Seq("l_quantity" -> "q", "l_extendedprice" -> "p",
           "l_discount" -> "d", "l_tax" -> "t")
-        def ds(c: org.apache.spark.sql.Column) =
-          sum(c.cast(DecimalType(30, 6))).cast("double")
+        val lo26 = lit((1L << 26) - 1)
+        val w = Tables(s, dir, "lineitem").select(
+          cols.map { case (c, a) =>
+            (col(c).cast(DecimalType(12, 2)) * 100).cast("long").as(s"w_$a")
+          }: _*)
         val stats = Seq(count(lit(1)).cast("double").as("n")) ++
-          cols.map { case (c, a) => ds(col(c)).as(s"s_$a") } ++
-          (for { i <- cols.indices; j <- i until cols.size } yield {
-            val (ci, ai) = cols(i); val (cj, aj) = cols(j)
-            ds(col(ci) * col(cj)).as(s"s_$ai$aj")
-          })
-        val m = Tables(s, dir, "lineitem").agg(stats.head, stats.tail: _*)
+          cols.map { case (_, a) => sum(col(s"w_$a")).cast("double").as(s"s_$a") } ++
+          (for { i <- cols.indices; j <- i until cols.size
+                 ai = cols(i)._2; aj = cols(j)._2
+                 c <- {
+                   val p = col(s"w_$ai") * col(s"w_$aj")
+                   Seq(sum(shiftright(p, 26)).cast("double").as(s"hi_$ai$aj"),
+                     sum(p.bitwiseAND(lo26)).cast("double").as(s"lo_$ai$aj"))
+                 } } yield c)
+        val m = w.agg(stats.head, stats.tail: _*)
+        def sij(ai: String, aj: String) =
+          col(s"hi_$ai$aj") * 67108864.0 + col(s"lo_$ai$aj")
         val pairs = for { i <- cols.indices; j <- (i + 1) until cols.size } yield {
           val (ci, ai) = cols(i); val (cj, aj) = cols(j)
           struct(lit(ci).as("x_col"), lit(cj).as("y_col"),
-            ((col("n") * col(s"s_$ai$aj") - col(s"s_$ai") * col(s"s_$aj")) /
-              (sqrt(col("n") * col(s"s_$ai$ai") - col(s"s_$ai") * col(s"s_$ai")) *
-                sqrt(col("n") * col(s"s_$aj$aj") - col(s"s_$aj") * col(s"s_$aj"))))
+            ((col("n") * sij(ai, aj) - col(s"s_$ai") * col(s"s_$aj")) /
+              (sqrt(col("n") * sij(ai, ai) - col(s"s_$ai") * col(s"s_$ai")) *
+                sqrt(col("n") * sij(aj, aj) - col(s"s_$aj") * col(s"s_$aj"))))
               .as("corr"))
         }
         m.select(explode(array(pairs: _*)).as("r"))
@@ -554,23 +566,32 @@ object AggQueries extends QueryGroup {
       Some {
         val cols = Seq("l_quantity" -> "q", "l_extendedprice" -> "p",
           "l_discount" -> "d", "l_tax" -> "t")
-        def ds(x: String) = s"CAST(SUM(CAST($x AS DECIMAL(30,6))) AS DOUBLE)"
-        val sums = (cols.map { case (c, a) => s"${ds(c)} AS s_$a" } ++
-          (for { i <- cols.indices; j <- i until cols.size } yield {
-            val (ci, ai) = cols(i); val (cj, aj) = cols(j)
-            s"${ds(s"$ci * $cj")} AS s_$ai$aj"
-          })).mkString(",\n                  ")
+        val wdefs = cols.map { case (c, a) =>
+          s"CAST(CAST($c AS DECIMAL(12,2)) * 100 AS BIGINT) AS w_$a"
+        }.mkString(",\n                       ")
+        val sums = (cols.map { case (_, a) =>
+          s"CAST(CAST(SUM(w_$a) AS BIGINT) AS DOUBLE) AS s_$a" } ++
+          (for { i <- cols.indices; j <- i until cols.size
+                 ai = cols(i)._2; aj = cols(j)._2
+                 f <- Seq(
+                   s"CAST(CAST(SUM((w_$ai * w_$aj) >> 26) AS BIGINT) AS DOUBLE) AS hi_$ai$aj",
+                   s"CAST(CAST(SUM((w_$ai * w_$aj) & 67108863) AS BIGINT) AS DOUBLE) AS lo_$ai$aj")
+               } yield f)).mkString(",\n                  ")
+        def sij(ai: String, aj: String) =
+          s"(hi_$ai$aj * 67108864.0 + lo_$ai$aj)"
         val rows = (for { i <- cols.indices; j <- (i + 1) until cols.size } yield {
           val (ci, ai) = cols(i); val (cj, aj) = cols(j)
           s"""SELECT '$ci' AS x_col, '$cj' AS y_col,
-                 (n * s_$ai$aj - s_$ai * s_$aj) /
-                 (sqrt(n * s_$ai$ai - s_$ai * s_$ai) *
-                  sqrt(n * s_$aj$aj - s_$aj * s_$aj)) AS corr FROM m"""
+                 (n * ${sij(ai, aj)} - s_$ai * s_$aj) /
+                 (sqrt(n * ${sij(ai, ai)} - s_$ai * s_$ai) *
+                  sqrt(n * ${sij(aj, aj)} - s_$aj * s_$aj)) AS corr FROM m"""
         }).mkString("\n              UNION ALL\n              ")
-        s"""WITH m AS (
+        s"""WITH w AS (SELECT $wdefs
+                       FROM lineitem),
+              m AS (
                 SELECT CAST(COUNT(*) AS DOUBLE) AS n,
                   $sums
-                FROM lineitem)
+                FROM w)
               $rows
               ORDER BY x_col, y_col"""
       }),
