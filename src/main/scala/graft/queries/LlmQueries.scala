@@ -1175,6 +1175,135 @@ object LlmQueries extends QueryGroup {
                      CAST(dist2 AS BIGINT) AS dist2
               FROM r WHERE rnk = 1 ORDER BY vec_id""")),
 
+    // BM25 ranked retrieval over the corpus for a fixed 3-term query —
+    // the relevance-scoring step of retrieval-based data curation.
+    // Scale shape: the token stream is FILTERED to the query terms
+    // BEFORE any aggregation (the tf/df aggregates run over a
+    // query-sized stream, not the corpus), per-term stats broadcast
+    // back, and the top-10 is TakeOrderedAndProject. Determinism: the
+    // idf factor uses the RATIONAL Robertson–Sparck-Jones core
+    // (n − df + 0.5)/(df + 0.5) WITHOUT the ln() wrap — libm logs are
+    // not correctly-rounded and may differ between engines in the last
+    // ulp (same policy as tfidf_topk's reciprocal-df key); ranking is
+    // unchanged for a single-term contribution and the variant is
+    // pinned in the oracle. Per-doc summation is a FIXED-ORDER sum of
+    // the three per-term columns (max-pivot then h+j+s), never a
+    // float sum over an unordered group.
+    GQuery("bm25_topk",
+      (s, dir) => {
+        import s.implicits._
+        val qTerms = Seq("hash", "join", "scan")
+        val docs = Tables(s, dir, "documents")
+          .select($"doc_id", split($"text", " ").as("t"))
+        val dl = docs.select($"doc_id", size($"t").cast("long").as("dl"))
+        val stats = dl.agg(
+          count(lit(1)).cast("double").as("n"),
+          (sum($"dl").cast("double") / count(lit(1)).cast("double")).as("avgdl"))
+        val tf = docs.select($"doc_id", explode($"t").as("tok"))
+          .filter($"tok".isin(qTerms: _*))
+          .groupBy($"doc_id", $"tok")
+          .agg(count(lit(1)).cast("double").as("tf"))
+        val df = tf.groupBy($"tok")
+          .agg(count(lit(1)).cast("double").as("df"))
+        val scored = tf
+          .join(broadcast(df), "tok")
+          .join(broadcast(dl), "doc_id")
+          .crossJoin(broadcast(stats))
+          .withColumn("idf", ($"n" - $"df" + 0.5) / ($"df" + 0.5))
+          .withColumn("term", $"idf" * ($"tf" * 2.2) /
+            ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) *
+              ($"dl".cast("double") / $"avgdl"))))
+        scored.groupBy($"doc_id")
+          .agg(
+            max(when($"tok" === "hash", $"term")).as("sh"),
+            max(when($"tok" === "join", $"term")).as("sj"),
+            max(when($"tok" === "scan", $"term")).as("ss"))
+          .select($"doc_id",
+            (coalesce($"sh", lit(0.0)) + coalesce($"sj", lit(0.0)) +
+              coalesce($"ss", lit(0.0))).as("score"))
+          .orderBy($"score".desc, $"doc_id")
+          .limit(10)
+      },
+      Some("""WITH d AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+              dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM d),
+              st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                       CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+                     FROM dl),
+              g AS (SELECT doc_id, unnest(t) AS tok FROM d),
+              tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+                     FROM g WHERE tok IN ('hash', 'join', 'scan')
+                     GROUP BY 1, 2),
+              df AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df
+                     FROM tf GROUP BY tok),
+              sc AS (SELECT tf.doc_id, tf.tok,
+                       ((n - df + 0.5) / (df + 0.5)) * (tf * 2.2) /
+                       (tf + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))
+                         AS term
+                     FROM tf JOIN df ON tf.tok = df.tok
+                     JOIN dl ON tf.doc_id = dl.doc_id
+                     CROSS JOIN st),
+              p AS (SELECT doc_id,
+                      MAX(CASE WHEN tok = 'hash' THEN term END) AS sh,
+                      MAX(CASE WHEN tok = 'join' THEN term END) AS sj,
+                      MAX(CASE WHEN tok = 'scan' THEN term END) AS ss
+                    FROM sc GROUP BY doc_id)
+              SELECT doc_id,
+                     COALESCE(sh, 0.0) + COALESCE(sj, 0.0) + COALESCE(ss, 0.0)
+                       AS score
+              FROM p ORDER BY score DESC, doc_id LIMIT 10""")),
+
+    // Exact cross-corpus decontamination: REMOVE training documents
+    // whose full text hash-matches any document of the held-out eval
+    // slice (doc_id < 100 stands in for the benchmark set). One
+    // broadcast left-anti join on md5(text) — eval sets are small by
+    // nature, so at 100 TB the train side streams through with zero
+    // shuffle. Complements contamination_ngram (which FLAGS partial
+    // n-gram overlap); this is the hard-removal step run before
+    // training.
+    GQuery("dedup_cross_exact",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables(s, dir, "documents")
+        val evalHashes = docs.filter($"doc_id" < 100)
+          .select(md5($"text").as("h")).distinct()
+        docs.filter($"doc_id" >= 100)
+          .withColumn("h", md5($"text"))
+          .join(broadcast(evalHashes), Seq("h"), "left_anti")
+          .select($"doc_id", $"lang", $"n_chars")
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT t.doc_id, t.lang, t.n_chars
+              FROM documents t
+              WHERE t.doc_id >= 100 AND NOT EXISTS (
+                SELECT 1 FROM documents e
+                WHERE e.doc_id < 100 AND md5(e.text) = md5(t.text))
+              ORDER BY t.doc_id""")),
+
+    // Deterministic per-group downsampling — the data-mix capping step
+    // (at most N documents per language/source when balancing a
+    // training mix). The "random" order is md5(doc_id): a keyed
+    // pseudo-random permutation both engines compute identically, so
+    // the capped sample is reproducible run-to-run and graded by hash —
+    // the property a real pipeline wants anyway (resumable sampling).
+    // One per-key window over a key-hashed shuffle; no global sort.
+    GQuery("groupby_sample_n",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "documents")
+          .withColumn("rnd", md5($"doc_id".cast("string")))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy($"lang").orderBy($"rnd", $"doc_id")))
+          .filter($"rn" <= 20)
+          .select($"lang", $"rn".cast("long").as("rn"), $"doc_id")
+          .orderBy($"lang", $"rn")
+      },
+      Some("""SELECT lang, rn, doc_id FROM (
+                SELECT lang, doc_id,
+                  ROW_NUMBER() OVER (PARTITION BY lang
+                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+                FROM documents) t
+              WHERE rn <= 20 ORDER BY lang, rn""")),
+
     // One FULL Lloyd's iteration on top of kmeans_assign: re-estimate
     // centroids from the first assignment (exact-decimal means grouped
     // by assigned cluster), re-assign every vector. The whole loop —

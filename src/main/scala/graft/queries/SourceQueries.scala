@@ -245,6 +245,22 @@ object SourceQueries extends QueryGroup {
       Some("""SELECT s_suppkey, s_name, s_nationkey, s_acctbal
               FROM supplier ORDER BY s_suppkey""")),
 
+    // ORC sink + read-back round trip: Spark's second native columnar
+    // format (vectorized reader, predicate pushdown, same writer
+    // pipeline as parquet). Explicit schema on re-read, as everywhere.
+    GQuery("sink_orc",
+      (s, dir) => {
+        val path = scratch("nation_orc")
+        Tables(s, dir, "nation").write.mode("overwrite").orc(path)
+        s.read.schema(StructType(Seq(
+          StructField("n_nationkey", IntegerType),
+          StructField("n_name", StringType),
+          StructField("n_regionkey", IntegerType)))).orc(path)
+          .orderBy("n_nationkey")
+      },
+      Some("""SELECT n_nationkey, n_name, n_regionkey
+              FROM nation ORDER BY n_nationkey""")),
+
     // Bucket pruning: equality/IN filters on the bucket column of a
     // bucketed table scan only the matching buckets — the third
     // data-skipping axis after range (scan_range_pruned) and Z-order

@@ -489,6 +489,20 @@ class PlanSpec extends SparkSpec {
     assert(hashEx <= 4, s"assignment passes added shuffles, got $hashEx:\n$p")
   }
 
+  test("bm25_topk: stats broadcast back; top-10 is TakeOrderedAndProject") {
+    val p = plan("bm25_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"no top-k operator:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"per-term stats must broadcast:\n$p")
+  }
+
+  test("dedup_cross_exact: eval hashes broadcast; train side never shuffles") {
+    val p = plan("dedup_cross_exact")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"expected a broadcast anti join:\n$p")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx <= 1, s"train side must stream through, got $hashEx:\n$p")
+  }
+
   test("stream_dedup_ttl: one key shuffle, a sorted scan, no window/iteration") {
     val p = plan("stream_dedup_ttl")
     val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
