@@ -562,5 +562,53 @@ object JoinQueries extends QueryGroup {
               FROM lineitem JOIN orders ON l_orderkey = o_orderkey
               WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000.0
               GROUP BY o_orderkey ORDER BY o_orderkey"""))
+  ,
+
+    // TPC-H Q10 (returned-item reporting): top-20 customers by lost
+    // revenue from returns in one quarter. Scale shape: both date and
+    // returnflag predicates push to the parquet scans, so only ~1/27 of
+    // orders and ~1/3 of lineitem feed the one fact-fact shuffle;
+    // customer joins the (already small) aggregate side and nation is a
+    // broadcast. The final top-20 is TakeOrderedAndProject — no global
+    // sort. Revenue ranking must be deterministic for the oracle, so the
+    // sort key is the EXACT decimal sum (not its double cast) with
+    // c_custkey as tie-break.
+    GQuery("q10_returned_item",
+      (s, dir) => {
+        import s.implicits._
+        val ord = Tables(s, dir, "orders")
+          .filter($"o_orderdate" >= lit("1996-10-01").cast("timestamp") &&
+            $"o_orderdate" < lit("1997-01-01").cast("timestamp"))
+          .select($"o_orderkey", $"o_custkey")
+        val ret = Tables(s, dir, "lineitem")
+          .filter($"l_returnflag" === "R")
+          .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+        val rev = ret.join(ord, $"l_orderkey" === $"o_orderkey")
+          .groupBy($"o_custkey")
+          .agg(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+            .cast(org.apache.spark.sql.types.DecimalType(18, 4))).as("rev_dec"))
+        rev.join(Tables(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+          .join(broadcast(Tables(s, dir, "nation")),
+            $"c_nationkey" === $"n_nationkey")
+          .select($"c_custkey", $"c_name", $"n_name",
+            $"rev_dec".cast("double").as("revenue"), $"rev_dec")
+          .orderBy($"rev_dec".desc, $"c_custkey")
+          .limit(20)
+          .drop("rev_dec")
+      },
+      Some("""SELECT c_custkey, c_name, n_name,
+                CAST(rev_dec AS DOUBLE) AS revenue
+              FROM (
+                SELECT o_custkey,
+                  SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                      AS DECIMAL(18,4))) AS rev_dec
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                WHERE l_returnflag = 'R'
+                  AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+                  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+                GROUP BY o_custkey) r
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+              ORDER BY rev_dec DESC, c_custkey LIMIT 20"""))
   )
 }

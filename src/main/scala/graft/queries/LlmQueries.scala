@@ -372,6 +372,35 @@ object LlmQueries extends QueryGroup {
                 FROM documents WHERE doc_id < 500) t
               ORDER BY doc_id""")),
 
+    // Lexical-diversity quality signal: type-token ratio (distinct
+    // tokens / tokens) per document — the standard cheap filter for
+    // degenerate/repetitive text in pretraining pipelines. Pure
+    // per-row codegen array math (split → array_distinct → size): zero
+    // shuffle before the output sort, embarrassingly parallel at
+    // 100 TB. The ratio is ONE IEEE divide of two exact integers, so
+    // both engines produce the identical double.
+    GQuery("ttr_quality",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "documents").filter($"doc_id" < 500)
+          .select($"doc_id",
+            size(split($"text", " ")).cast("long").as("n_tokens"),
+            size(array_distinct(split($"text", " "))).cast("long").as("n_types"))
+          .withColumn("ttr",
+            when($"n_tokens" === 0, lit(0.0))
+              .otherwise($"n_types".cast("double") / $"n_tokens"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id, n_tokens, n_types,
+                CASE WHEN n_tokens = 0 THEN 0.0
+                     ELSE CAST(n_types AS DOUBLE) / n_tokens END AS ttr
+              FROM (
+                SELECT doc_id,
+                  CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+                  CAST(len(list_distinct(str_split(text, ' '))) AS BIGINT) AS n_types
+                FROM documents WHERE doc_id < 500) t
+              ORDER BY doc_id""")),
+
     // n-gram/stopword language-ID heuristic: argmax of per-language
     // stopword hits with a fixed precedence for ties.
     GQuery("lang_id",

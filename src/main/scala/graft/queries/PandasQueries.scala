@@ -546,6 +546,47 @@ object PandasQueries extends QueryGroup {
               FROM lineitem WHERE l_orderkey < 3000
               ORDER BY l_orderkey, l_linenumber""")),
 
+    // pandas winsorization (clip at the p05/p95 order statistics,
+    // scipy.stats.mstats.winsorize semantics with exact ranks): the
+    // thresholds come from DistributedSelect's bucketed exact selection
+    // (sketch pass + one local sort of only the two hit buckets — never
+    // a global sort), collapse to a 1-row frame, and broadcast onto the
+    // rows as a plain crossJoin. No arithmetic touches the doubles —
+    // values pass through or are replaced by another observed value —
+    // so the oracle is hash-exact by construction.
+    GQuery("winsorize",
+      (s, dir) => {
+        import s.implicits._
+        def pick(q: Double)(n: org.apache.spark.sql.Column) =
+          ceil(lit(q) * n).cast("long")
+        val ev = Tables(s, dir, "events")
+        val sel = graft.ops.DistributedSelect.atRanks(
+          ev.select($"value", $"event_id"), "value", "event_id",
+          n => Seq(pick(0.05)(n), pick(0.95)(n)),
+          labelsOfN = Some((n: org.apache.spark.sql.Column) => Seq(
+            pick(0.05)(n) -> lit("lo"), pick(0.95)(n) -> lit("hi"))))
+        val bounds = sel.groupBy().agg(
+          max(when($"label" === "lo", $"v")).as("lo"),
+          max(when($"label" === "hi", $"v")).as("hi"))
+        ev.filter($"event_id" < 2000)
+          .crossJoin(broadcast(bounds))
+          .select($"event_id",
+            least(greatest($"value", $"lo"), $"hi").as("v_wins"))
+          .orderBy($"event_id")
+      },
+      Some("""WITH r AS (
+                SELECT value AS v,
+                  ROW_NUMBER() OVER (ORDER BY value, event_id) AS rn,
+                  COUNT(*) OVER () AS n
+                FROM events),
+              b AS (
+                SELECT
+                  MAX(CASE WHEN rn = CAST(ceil(0.05 * n) AS BIGINT) THEN v END) AS lo,
+                  MAX(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT) THEN v END) AS hi
+                FROM r)
+              SELECT event_id, LEAST(GREATEST(value, lo), hi) AS v_wins
+              FROM events, b WHERE event_id < 2000 ORDER BY event_id""")),
+
     // pandas duplicated(keep='first'): a per-text window flags every
     // copy after the first (order = doc_id). One shuffle on the dup
     // key; O(1) state per row — the mark-don't-drop half of dedup.
