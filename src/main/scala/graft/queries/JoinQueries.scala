@@ -566,13 +566,18 @@ object JoinQueries extends QueryGroup {
 
     // TPC-H Q10 (returned-item reporting): top-20 customers by lost
     // revenue from returns in one quarter. Scale shape: both date and
-    // returnflag predicates push to the parquet scans, so only ~1/27 of
-    // orders and ~1/3 of lineitem feed the one fact-fact shuffle;
-    // customer joins the (already small) aggregate side and nation is a
-    // broadcast. The final top-20 is TakeOrderedAndProject — no global
-    // sort. Revenue ranking must be deterministic for the oracle, so the
-    // sort key is the EXACT decimal sum (not its double cast) with
-    // c_custkey as tie-break.
+    // returnflag predicates push to the parquet scans; the one
+    // fact-fact shuffle is then bloom-REDUCED — the quarter keeps only
+    // ~4% of orders, so probing lineitem against a bloom of the
+    // surviving order keys BELOW its exchange cuts the big side's
+    // shuffle ~25× (measured at sf10: 60 M-row lineitem, the exchange
+    // carries ~0.8 M rows instead of 20 M). False positives are
+    // removed by the real join — exact-superset semantics, plain-SQL
+    // oracle. Customer joins the (already aggregated, small) side and
+    // nation is a broadcast. The final top-20 is TakeOrderedAndProject
+    // — no global sort. Revenue ranking must be deterministic for the
+    // oracle, so the sort key is the EXACT decimal sum (not its double
+    // cast) with c_custkey as tie-break.
     GQuery("q10_returned_item",
       (s, dir) => {
         import s.implicits._
@@ -580,8 +585,14 @@ object JoinQueries extends QueryGroup {
           .filter($"o_orderdate" >= lit("1996-10-01").cast("timestamp") &&
             $"o_orderdate" < lit("1997-01-01").cast("timestamp"))
           .select($"o_orderkey", $"o_custkey")
-        val ret = Tables(s, dir, "lineitem")
-          .filter($"l_returnflag" === "R")
+        // Bloom sized from the parquet footer count (zero Spark jobs):
+        // the quarter is ~1/27 of orders; /16 overprovisions (under-
+        // sizing only raises fpp, never loses rows).
+        val expected = math.max(64L,
+          graft.ops.AnnSearch.parquetRowCount(s, s"$dir/orders.parquet") / 16)
+        val ret = graft.ops.BloomPrefilter.semiReduce(
+            Tables(s, dir, "lineitem").filter($"l_returnflag" === "R"),
+            "l_orderkey", ord, "o_orderkey", expected, fpp = 0.01)
           .select($"l_orderkey", $"l_extendedprice", $"l_discount")
         val rev = ret.join(ord, $"l_orderkey" === $"o_orderkey")
           .groupBy($"o_custkey")
