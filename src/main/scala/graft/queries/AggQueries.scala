@@ -261,6 +261,47 @@ object AggQueries extends QueryGroup {
                      (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price
               FROM m""")),
 
+    // Per-group ordinary least squares (pandas groupby.apply(polyfit)
+    // / dask's per-partition regression idiom), from the SAME exact
+    // decimal moments as `corr`: one partial+final aggregate per group
+    // carries five order-free sums; slope/intercept are a fixed-order
+    // IEEE formula over those exact doubles, so both engines produce
+    // bit-identical results. One shuffle keyed by group, O(1) state —
+    // the canonical "sufficient statistics, not data movement" shape
+    // for fitting millions of per-key models at 100 TB.
+    GQuery("groupby_linreg",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(
+            count(lit(1)).cast("double").as("n"),
+            sum($"l_quantity".cast(DecimalType(18, 2))).cast("double").as("sx"),
+            sum($"l_extendedprice".cast(DecimalType(18, 2))).cast("double").as("sy"),
+            sum(($"l_quantity" * $"l_quantity").cast(DecimalType(18, 2))).cast("double").as("sxx"),
+            sum(($"l_quantity" * $"l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("sxy"))
+          .withColumn("slope",
+            ($"n" * $"sxy" - $"sx" * $"sy") / ($"n" * $"sxx" - $"sx" * $"sx"))
+          .withColumn("intercept", ($"sy" - $"slope" * $"sx") / $"n")
+          .select($"l_returnflag", $"n".cast("long").as("n_rows"),
+            $"slope", $"intercept")
+          .orderBy($"l_returnflag")
+      },
+      Some("""WITH m AS (
+                SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n,
+                  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+                  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+                  CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+                  CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+                FROM lineitem GROUP BY l_returnflag),
+              k AS (
+                SELECT l_returnflag, n, sx, sy,
+                  (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
+                FROM m)
+              SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows, slope,
+                     (sy - slope * sx) / n AS intercept
+              FROM k ORDER BY l_returnflag""")),
+
     // pandas/dask pivot_table: long→wide with an explicit value list
     // (plan-time columns — REQUIRED at scale: an unpinned pivot runs a
     // distinct-scan job first and breaks on unbounded cardinality).

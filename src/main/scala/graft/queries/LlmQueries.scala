@@ -914,6 +914,101 @@ object LlmQueries extends QueryGroup {
               SELECT prefix, rnk, next, cnt FROM r WHERE rnk <= 3
               ORDER BY prefix, rnk""")),
 
+    // Collocation mining (PMI-style lift, the log dropped so the score
+    // stays an exact rational): lift(w1,w2) = c12·N / (c1·c2) — ranked
+    // top-20 with a min-support floor. The corpus statistics are the
+    // same three count tables a KenLM/phrase-table build collects:
+    // bigram counts (map-side combined), unigram counts, total-bigram
+    // scalar (broadcast). The bigram table joins the vocabulary table
+    // twice keyed by word — vocabulary-sized shuffles, never
+    // corpus-sized; all counts are exact BIGINTs and the one double
+    // division of two <2^53 products is identical IEEE on both engines.
+    GQuery("bigram_pmi",
+      (s, dir) => {
+        import s.implicits._
+        val toks = Tables(s, dir, "documents")
+          .withColumn("t", split($"text", " "))
+        val grams = toks.select(explode(expr(
+          "zip_with(slice(t, 1, size(t)-1), slice(t, 2, size(t)-1), (x, y) -> struct(x AS w1, y AS w2))")).as("g"))
+          .select($"g.w1", $"g.w2")
+        val big = grams.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+        val uni = toks.select(explode($"t").as("w"))
+          .groupBy($"w").agg(count(lit(1)).as("c"))
+        val tot = grams.agg(count(lit(1)).as("n_big"))
+        big.join(uni.select($"w".as("w1"), $"c".as("c1")), "w1")
+          .join(uni.select($"w".as("w2"), $"c".as("c2")), "w2")
+          .crossJoin(broadcast(tot))
+          .filter($"c12" >= 5)
+          .withColumn("lift",
+            ($"c12" * $"n_big").cast("double") / ($"c1" * $"c2").cast("double"))
+          .orderBy($"lift".desc, $"w1", $"w2")
+          .limit(20)
+          .select($"w1", $"w2", $"c12", $"lift")
+      },
+      Some("""WITH d AS (SELECT str_split(text, ' ') AS t FROM documents),
+              g AS (SELECT unnest(t[1:len(t)-1]) AS w1,
+                           unnest(t[2:len(t)]) AS w2 FROM d),
+              b AS (SELECT w1, w2, COUNT(*) AS c12 FROM g GROUP BY 1, 2),
+              u AS (SELECT w, COUNT(*) AS c FROM
+                      (SELECT unnest(t) AS w FROM d) GROUP BY 1),
+              n AS (SELECT COUNT(*) AS n_big FROM g)
+              SELECT w1, w2, c12,
+                CAST(c12 * n_big AS DOUBLE) / CAST(c1 * c2 AS DOUBLE) AS lift
+              FROM b
+              JOIN (SELECT w AS w1, c AS c1 FROM u) u1 USING (w1)
+              JOIN (SELECT w AS w2, c AS c2 FROM u) u2 USING (w2)
+              CROSS JOIN n
+              WHERE c12 >= 5
+              ORDER BY lift DESC, w1, w2 LIMIT 20""")),
+
+    // Embedding-space decontamination: flag TRAIN vectors whose cosine
+    // to any EVAL-slice vector crosses the threshold (semantic overlap
+    // an exact text match misses — complements dedup_cross_exact /
+    // contamination_ngram). The eval slice is benchmark-sized, so the
+    // scale shape is broadcast(eval) ⋈ stream(train) with the fused
+    // codegen cosine — one pass over the corpus, no shuffle of the
+    // train side at all. Outputs per flagged vector the hit count and
+    // the top eval neighbor by (similarity, id) rank — rank output,
+    // like sim_search, so last-ulp cosine differences between engines
+    // can't flip a hash (0.40 is far from any observed pair value).
+    GQuery("contamination_embed",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables(s, dir, "embeddings")
+          .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+        val eval_ = emb.filter($"vec_id" % 50 === 0)
+          .select($"vec_id".as("eval_id"), $"e".as("ev"))
+        val hits = emb.filter($"vec_id" % 50 =!= 0)
+          .crossJoin(broadcast(eval_))
+          .withColumn("sim",
+            graft.engine.GraftFunctions.cosineSim(s, $"e", $"ev"))
+          .filter($"sim" >= 0.40)
+        hits
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy($"vec_id").orderBy($"sim".desc, $"eval_id")))
+          .withColumn("n_hits", count(lit(1)).over(
+            Window.partitionBy($"vec_id")).cast("long"))
+          .filter($"rnk" === 1)
+          .select($"vec_id", $"n_hits", $"eval_id".as("top_eval_id"))
+          .orderBy($"vec_id")
+      },
+      Some("""WITH ev AS (SELECT vec_id AS eval_id,
+                            CAST(embedding AS DOUBLE[]) AS ev
+                          FROM embeddings WHERE vec_id % 50 = 0),
+              h AS (SELECT t.vec_id, e.eval_id,
+                      list_cosine_similarity(
+                        CAST(t.embedding AS DOUBLE[]), e.ev) AS sim
+                    FROM embeddings t CROSS JOIN ev e
+                    WHERE t.vec_id % 50 <> 0),
+              f AS (SELECT vec_id, eval_id, sim,
+                      ROW_NUMBER() OVER (PARTITION BY vec_id
+                        ORDER BY sim DESC, eval_id) AS rnk,
+                      COUNT(*) OVER (PARTITION BY vec_id) AS n_hits
+                    FROM h WHERE sim >= 0.40)
+              SELECT vec_id, CAST(n_hits AS BIGINT) AS n_hits,
+                     eval_id AS top_eval_id
+              FROM f WHERE rnk = 1 ORDER BY vec_id""")),
+
     // Canonical text normalization (the first stage of every training
     // pipeline): lowercase, collapse whitespace runs, trim. Pure
     // codegen'd string expressions, embarrassingly parallel.
