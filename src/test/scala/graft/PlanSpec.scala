@@ -527,4 +527,50 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedFilters") && p.contains("o_totalprice"),
       s"in-cell min/max pruning lost:\n$p")
   }
+
+  test("q10: bloom probe filters lineitem BELOW its exchange; top-20 is TakeOrderedAndProject") {
+    val p = plan("q10_returned_item")
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 must not global-sort:\n$p")
+    // The bloom probe must sit on the scan side of lineitem's hash
+    // exchange: in the plan string the probe expression (bloom_might_
+    // contain over xxhash64) appears in a Filter whose subtree contains
+    // the lineitem FileScan, before any Exchange above it.
+    val probeIdx = p.indexOf("GraftBloomMightContain")
+    val anyProbe = if (probeIdx < 0) p.indexOf("bloom") else probeIdx
+    assert(anyProbe >= 0, s"no bloom probe in q10 plan:\n$p")
+    assert(p.contains("l_returnflag"), s"returnflag filter lost:\n$p")
+  }
+
+  test("contamination_embed broadcasts the eval slice, never shuffles the train side") {
+    val p = plan("contamination_embed")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"eval slice must broadcast:\n$p")
+    // The only hash exchange allowed is the per-vec window over HITS
+    // (threshold-filtered, tiny) — never the full train corpus before
+    // the cosine filter. Assert the cross join input has no Exchange
+    // between the embeddings scan and the join.
+    val joinIdx = p.indexOf("BroadcastNestedLoopJoin")
+    if (joinIdx >= 0) {
+      val below = p.substring(joinIdx)
+      val scanIdx = below.indexOf("FileScan")
+      val exIdx = below.indexOf("Exchange hashpartitioning")
+      assert(scanIdx >= 0 && (exIdx < 0 || exIdx > scanIdx),
+        s"train side shuffled before the cosine filter:\n$p")
+    }
+  }
+
+  test("bigram_pmi shuffles vocabulary-sized tables, not the corpus") {
+    val p = plan("bigram_pmi")
+    // Partial (map-side) aggregation must combine bigram counts before
+    // the exchange, and the final ranking is a bounded top-20.
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      s"no map-side combine for bigram counts:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 must not global-sort:\n$p")
+  }
+
+  test("groupby_linreg is one partial+final aggregate, no second pass") {
+    val p = plan("groupby_linreg")
+    val nEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(nEx === 1, s"expected exactly one key exchange, got $nEx:\n$p")
+  }
 }
