@@ -1009,6 +1009,110 @@ object LlmQueries extends QueryGroup {
                      eval_id AS top_eval_id
               FROM f WHERE rnk = 1 ORDER BY vec_id""")),
 
+    // The core BPE-training step: count adjacent symbol pairs weighted
+    // by word frequency (Sennrich et al.'s merge-candidate table; one
+    // iteration of tokenizer vocab construction). Char pairs are just
+    // 2-grams of each distinct word — substr(w,i,2) over a codegen'd
+    // sequence — so the heavy corpus pass collapses to the WORD
+    // frequency table first (vocabulary-sized, map-side combined), and
+    // the char-pair explosion runs over distinct words only: corpus
+    // tokens are read once, everything after is vocab-sized. Exact
+    // integer counts; top-20 by (count desc, pair asc).
+    GQuery("bpe_merge_step",
+      (s, dir) => {
+        import s.implicits._
+        val words = Tables(s, dir, "documents")
+          .select(explode(split($"text", " ")).as("w"))
+          .groupBy($"w").agg(count(lit(1)).as("wc"))
+          .filter(length($"w") >= 2)
+        words
+          .select($"wc", explode(expr(
+            "transform(sequence(1, length(w)-1), i -> substring(w, i, 2))"))
+            .as("pair"))
+          .groupBy($"pair").agg(sum($"wc").as("cnt"))
+          .orderBy($"cnt".desc, $"pair".asc)
+          .limit(20)
+      },
+      Some("""WITH w AS (
+                SELECT w, COUNT(*) AS wc FROM
+                  (SELECT unnest(str_split(text, ' ')) AS w FROM documents)
+                GROUP BY 1),
+              p AS (
+                SELECT unnest(list_transform(range(1, length(w)),
+                         i -> substr(w, CAST(i AS INTEGER), 2))) AS pair,
+                       wc
+                FROM w WHERE length(w) >= 2)
+              SELECT pair, CAST(SUM(wc) AS BIGINT) AS cnt FROM p GROUP BY pair
+              ORDER BY cnt DESC, pair ASC LIMIT 20""")),
+
+    // Training-batch sequence packing (deterministic round-robin
+    // variant): order docs by (token count desc, id) and deal them
+    // into k bins — the length-balanced packing used to equalize
+    // per-batch token counts. The global order uses the scale-safe
+    // range-partitioned row number (NO single-task global window —
+    // same machinery as concat_cols); the per-bin rollup is one
+    // bounded k-row aggregate.
+    GQuery("pack_sequences",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables(s, dir, "documents")
+          .filter($"doc_id" < 2000)
+          .select($"doc_id",
+            size(split($"text", " ")).cast("long").as("n_tokens"))
+        val ranked = graft.ops.DistributedSelect.withRangeRowNumber(
+          docs, Seq($"n_tokens".desc, $"doc_id".asc), rnCol = "rn")
+        ranked
+          .withColumn("bin", (($"rn" - 1) % 8).cast("long"))
+          .groupBy($"bin")
+          .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("bin_tokens"),
+            max($"n_tokens").as("max_tokens"))
+          .orderBy($"bin")
+      },
+      Some("""WITH d AS (
+                SELECT doc_id,
+                  CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens
+                FROM documents WHERE doc_id < 2000),
+              r AS (
+                SELECT n_tokens,
+                  ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id ASC) AS rn
+                FROM d)
+              SELECT CAST((rn - 1) % 8 AS BIGINT) AS bin,
+                     COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+                     MAX(n_tokens) AS max_tokens
+              FROM r GROUP BY 1 ORDER BY bin""")),
+
+    // Data-mixing weights: per-source token shares vs a uniform target
+    // — the reweighting table a sampler consumes to hit a target
+    // mixture (DoReMi-style inputs). One vocabulary-free aggregate
+    // over the corpus + a broadcast scalar total; weight = total /
+    // (n_sources · source_tokens) is one IEEE divide of exact longs.
+    GQuery("source_mix_weights",
+      (s, dir) => {
+        import s.implicits._
+        val perSrc = Tables(s, dir, "documents")
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(split($"text", " ")).cast("long")).as("src_tokens"))
+        val tot = perSrc.agg(sum($"src_tokens").as("total"),
+          count(lit(1)).as("n_sources"))
+        perSrc.crossJoin(broadcast(tot))
+          .withColumn("weight",
+            $"total".cast("double") /
+              ($"n_sources" * $"src_tokens").cast("double"))
+          .select($"source", $"n_docs", $"src_tokens", $"weight")
+          .orderBy($"source")
+      },
+      Some("""WITH s AS (
+                SELECT source, COUNT(*) AS n_docs,
+                  CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS src_tokens
+                FROM documents GROUP BY source),
+              t AS (SELECT SUM(src_tokens) AS total,
+                           COUNT(*) AS n_sources FROM s)
+              SELECT source, n_docs, src_tokens,
+                CAST(total AS DOUBLE) / CAST(n_sources * src_tokens AS DOUBLE)
+                  AS weight
+              FROM s CROSS JOIN t ORDER BY source""")),
+
     // Canonical text normalization (the first stage of every training
     // pipeline): lowercase, collapse whitespace runs, trim. Pure
     // codegen'd string expressions, embarrassingly parallel.

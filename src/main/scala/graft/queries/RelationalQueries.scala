@@ -264,6 +264,47 @@ object RelationalQueries extends QueryGroup {
           .groupBy($"split").agg(count(lit(1)).as("n"))
           .orderBy($"split")
       },
-      None)
+      None),
+
+    // Typed cogroup (KeyValueGroupedDataset.cogroup): the per-key
+    // arbitrary-logic escape hatch the reference's chunked two-frame
+    // apply maps onto when neither join nor agg expresses the
+    // reconciliation. Plan shape: BOTH sides hash-shuffle once on the
+    // key and stream through the user function as co-partitioned
+    // sorted-group iterators — no materialized group lists, O(group)
+    // state, arbitrary Scala per key. Determinism contract: only
+    // order-free reductions inside the function (count, max), so the
+    // result is exact regardless of iterator order.
+    GQuery("cogroup_reconcile",
+      (s, dir) => {
+        import s.implicits._
+        val custs = Tables(s, dir, "customer")
+          .filter($"c_custkey" < 500)
+          .select($"c_custkey", $"c_acctbal").as[(Long, Double)]
+        val orders = Tables(s, dir, "orders")
+          .select($"o_custkey", $"o_totalprice").as[(Long, Double)]
+        custs.groupByKey(_._1).cogroup(orders.groupByKey(_._1)) {
+          (k, cs, os) =>
+            val cl = cs.toList
+            if (cl.isEmpty) Iterator.empty
+            else {
+              var n = 0L
+              var mx = Double.NaN
+              os.foreach { o =>
+                n += 1
+                if (mx.isNaN || o._2 > mx) mx = o._2
+              }
+              Iterator((k, cl.head._2, n,
+                if (n == 0) None else Some(mx)))
+            }
+        }.toDF("c_custkey", "acctbal", "n_orders", "max_order_price")
+          .orderBy($"c_custkey")
+      },
+      Some("""SELECT c_custkey, c_acctbal AS acctbal,
+                COUNT(o_orderkey) AS n_orders,
+                MAX(o_totalprice) AS max_order_price
+              FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+              WHERE c_custkey < 500
+              GROUP BY c_custkey, c_acctbal ORDER BY c_custkey"""))
   )
 }
