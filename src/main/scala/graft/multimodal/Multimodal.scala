@@ -2,7 +2,7 @@ package graft.multimodal
 
 import java.io.{ByteArrayOutputStream, DataOutputStream}
 import java.nio.ByteBuffer
-import java.util.zip.{CRC32, Deflater}
+import java.util.zip.{CRC32, Deflater, Inflater}
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 
@@ -58,6 +58,15 @@ case class Mp4SampleTable(timescale: Int, sttsRuns: Array[(Int, Int)],
 
 case class FrameSample(doc_id: Long, frame_idx: Long, pts: Long,
                        pts_ms: Double, size: Long)
+
+/** One image through the decode→resize→re-encode pipeline: input
+  * geometry from the decoded IHDR, output geometry re-parsed from the
+  * RE-ENCODED bytes, and pixel-value evidence (min/max over the
+  * inflated samples of the RESIZED image) proving the pixels — not
+  * just headers — survived the round trip.
+  */
+case class ResizedImage(doc_id: Long, width: Int, height: Int,
+                        out_w: Int, out_h: Int, px_min: Int, px_max: Int)
 
 object Multimodal {
 
@@ -730,6 +739,153 @@ object Multimodal {
       }
     }(Encoders.product[FrameSample])
   }
+
+  // ------------------------------------------------------- pixel pipeline
+
+  /** Full pixel decode of a filter-0 8-bit-RGB PNG (the profile
+    * [[pngBytes]] emits): chunk walk → IDAT concat → inflate → strip
+    * the per-scanline filter bytes. Returns (w, h, rgb samples of
+    * length h·3w); None for non-PNG, non-RGB profiles, filtered
+    * scanlines, or a short/corrupt pixel stream.
+    */
+  def decodePngPixels(p: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (!p.startsWith(PngSig)) return None
+    var i = PngSig.length
+    var w = 0
+    var h = 0
+    var ok = false
+    val idat = new ByteArrayOutputStream()
+    while (i + 8 <= p.length) {
+      val len = be32(p, i)
+      val typ = new String(p, i + 4, 4, "US-ASCII")
+      val body = i + 8
+      if (body + len > p.length) return None
+      typ match {
+        case "IHDR" =>
+          if (len < 13) return None
+          w = be32(p, body); h = be32(p, body + 4)
+          // bit depth 8, color type 2 (truecolor RGB), no interlace
+          ok = p(body + 8) == 8 && p(body + 9) == 2 && p(body + 12) == 0
+        case "IDAT" => idat.write(p, body, len)
+        case _ => ()
+      }
+      i = body + len + 4 // skip CRC
+    }
+    if (!ok || w <= 0 || h <= 0) return None
+    val inf = new Inflater()
+    inf.setInput(idat.toByteArray)
+    val stride = 1 + 3 * w
+    val raw = new Array[Byte](h * stride)
+    var off = 0
+    try {
+      while (off < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, off, raw.length - off)
+        if (n == 0 && inf.needsInput()) return None // truncated stream
+        off += n
+      }
+    } finally inf.end()
+    if (off != raw.length) return None
+    val rgb = new Array[Byte](h * 3 * w)
+    var y = 0
+    while (y < h) {
+      if (raw(y * stride) != 0) return None // only filter 0 supported
+      System.arraycopy(raw, y * stride + 1, rgb, y * 3 * w, 3 * w)
+      y += 1
+    }
+    Some((w, h, rgb))
+  }
+
+  /** Encode arbitrary RGB samples (length h·3w) as the same PNG
+    * profile [[pngBytes]] writes. */
+  def encodePngRgb(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == h * 3 * w, s"expected ${h * 3 * w} samples, got ${rgb.length}")
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.write(PngSig)
+    def chunk(typ: String, body: Array[Byte]): Unit = {
+      out.writeInt(body.length)
+      val tb = typ.getBytes("US-ASCII")
+      val crc = new CRC32()
+      crc.update(tb); crc.update(body)
+      out.write(tb); out.write(body); out.writeInt(crc.getValue.toInt)
+    }
+    val ihdr = ByteBuffer.allocate(13)
+    ihdr.putInt(w).putInt(h)
+      .put(8.toByte).put(2.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte)
+    chunk("IHDR", ihdr.array())
+    val stride = 1 + 3 * w
+    val raw = new Array[Byte](h * stride)
+    var y = 0
+    while (y < h) {
+      System.arraycopy(rgb, y * 3 * w, raw, y * stride + 1, 3 * w)
+      y += 1
+    }
+    val defl = new Deflater()
+    defl.setInput(raw); defl.finish()
+    val zout = new ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!defl.finished()) zout.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    chunk("IDAT", zout.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    bos.toByteArray
+  }
+
+  /** Nearest-neighbor resample of RGB samples. */
+  def resizeNearestRgb(w: Int, h: Int, rgb: Array[Byte],
+                       w2: Int, h2: Int): Array[Byte] = {
+    val out = new Array[Byte](h2 * 3 * w2)
+    var y = 0
+    while (y < h2) {
+      val sy = (y.toLong * h / h2).toInt
+      var x = 0
+      while (x < w2) {
+        val sx = (x.toLong * w / w2).toInt
+        var c = 0
+        while (c < 3) {
+          out((y * w2 + x) * 3 + c) = rgb((sy * w + sx) * 3 + c)
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** decode → nearest-neighbor half-size → re-encode → re-DECODE, in
+    * partition batches. The emitted output geometry and pixel min/max
+    * come from the re-encoded bytes' own decode, so a bug anywhere in
+    * the inflate/filter/stride/deflate arithmetic shows up as a value
+    * mismatch, not a silently-accepted pass-through. Undecodable
+    * payloads yield (-1, -1, -1, -1) markers rather than failing the
+    * batch — the skip-and-log posture of a 100 TB media sweep.
+    */
+  def resizeImages(media: Dataset[MediaRow]): Dataset[ResizedImage] =
+    media.mapPartitions { it =>
+      it.map { m =>
+        decodePngPixels(m.payload) match {
+          case Some((w, h, rgb)) =>
+            val w2 = math.max(1, w / 2)
+            val h2 = math.max(1, h / 2)
+            val reenc = encodePngRgb(w2, h2, resizeNearestRgb(w, h, rgb, w2, h2))
+            decodePngPixels(reenc) match {
+              case Some((ow, oh, orgb)) =>
+                var mn = 255; var mx = 0; var i = 0
+                while (i < orgb.length) {
+                  val v = orgb(i) & 0xff
+                  if (v < mn) mn = v
+                  if (v > mx) mx = v
+                  i += 1
+                }
+                ResizedImage(m.doc_id, w, h, ow, oh, mn, mx)
+              case None => ResizedImage(m.doc_id, w, h, -1, -1, -1, -1)
+            }
+          case None => ResizedImage(m.doc_id, -1, -1, -1, -1, -1, -1)
+        }
+      }
+    }(Encoders.product[ResizedImage])
 
   /** Byte offset of the `data` chunk body (only called after
     * [[parseWavHeader]] accepted the payload). */

@@ -694,6 +694,43 @@ object LlmQueries extends QueryGroup {
                 CAST(1 + (doc_id * 13) % 90 AS INTEGER) AS height
               FROM documents WHERE doc_id < 500 ORDER BY doc_id""")),
 
+    // The mandate's image RESIZE step, made real end-to-end: per doc a
+    // decodable filter-0 RGB PNG is synthesized, then decode (chunk
+    // walk → inflate → de-filter) → nearest-neighbor half-size →
+    // re-encode → re-DECODE, all in partition batches. The reported
+    // output geometry and pixel min/max come from the re-encoded
+    // bytes' own decode, so the oracle's arithmetic check (out dims =
+    // floor(in/2) clamped to 1; min=max=the deterministic fill byte)
+    // proves the full pixel round trip, not header plumbing. Pure map
+    // — zero shuffle before the output sort.
+    GQuery("multimodal_resize",
+      (s, dir) => {
+        import s.implicits._
+        import graft.multimodal.{MediaRow, Multimodal}
+        val media = Tables(s, dir, "documents")
+          .filter($"doc_id" < 300)
+          .select($"doc_id").as[Long]
+          .map { id =>
+            val w = (1 + (id * 7) % 120).toInt
+            val h = (1 + (id * 13) % 90).toInt
+            MediaRow(id, Multimodal.pngBytes(w, h, (id % 128).toByte))
+          }
+        Multimodal.resizeImages(media).toDF()
+          .select($"doc_id", $"width", $"height", $"out_w", $"out_h",
+            $"px_min", $"px_max")
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+                CAST(1 + (doc_id * 7) % 120 AS INTEGER) AS width,
+                CAST(1 + (doc_id * 13) % 90 AS INTEGER) AS height,
+                CAST(greatest(1, CAST(floor((1 + (doc_id * 7) % 120) / 2.0)
+                  AS INTEGER)) AS INTEGER) AS out_w,
+                CAST(greatest(1, CAST(floor((1 + (doc_id * 13) % 90) / 2.0)
+                  AS INTEGER)) AS INTEGER) AS out_h,
+                CAST(doc_id % 128 AS INTEGER) AS px_min,
+                CAST(doc_id % 128 AS INTEGER) AS px_max
+              FROM documents WHERE doc_id < 300 ORDER BY doc_id""")),
+
     // Audio modality, same pipeline shape: spec-conformant RIFF/WAVE
     // payloads (16-bit PCM) synthesized per doc, then REAL header
     // decode + a full PCM pass (RMS, ScalaTest-gated vs the sample
