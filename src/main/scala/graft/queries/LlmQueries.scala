@@ -1046,6 +1046,84 @@ object LlmQueries extends QueryGroup {
                      eval_id AS top_eval_id
               FROM f WHERE rnk = 1 ORDER BY vec_id""")),
 
+    // END-TO-END pretraining-prep flagship: the user's actual job as
+    // ONE Spark plan — normalize → quality-gate → exact-dedup (keep
+    // min id per normalized text) → context-window chunking — against
+    // a single nested-CTE oracle. Plan shape: the normalize/quality/
+    // chunk stages are pure codegen projections (zero shuffle); the
+    // only exchanges are the dedup window's text-key shuffle and the
+    // final sort. This is the composability exhibit: each stage is
+    // also a standalone graded key, and chaining them adds NO extra
+    // passes over the data.
+    GQuery("pipeline_pretrain",
+      (s, dir) => {
+        import s.implicits._
+        val stop = Seq("the", "a", "of", "and", "to")
+        val norm = Tables(s, dir, "documents")
+          .filter($"doc_id" < 1000 && $"lang" === "en")
+          .withColumn("norm_text",
+            trim(regexp_replace(lower($"text"), "\\s+", " ")))
+          .withColumn("toks", split($"norm_text", " "))
+          .withColumn("n_tokens", size($"toks").cast("long"))
+        val gated = norm
+          .withColumn("stop_ratio",
+            when($"n_tokens" === 0, lit(0.0)).otherwise(
+              size(filter($"toks", t => t.isin(stop: _*)))
+                .cast("double") / $"n_tokens"))
+          .filter($"n_tokens" >= 16 && $"stop_ratio" < 0.5)
+        val kept = gated
+          .withColumn("rn", row_number().over(
+            Window.partitionBy($"norm_text").orderBy($"doc_id")))
+          .filter($"rn" === 1)
+        kept
+          .withColumn("ci", explode(sequence(lit(0L),
+            floor(($"n_tokens" - 1) / 24).cast("long"))))
+          .select($"doc_id", $"ci".as("chunk_idx"),
+            size(slice($"toks", ($"ci" * 24 + 1).cast("int"), lit(32)))
+              .cast("long").as("chunk_tokens"),
+            md5(array_join(
+              slice($"toks", ($"ci" * 24 + 1).cast("int"), lit(32)), " "))
+              .as("chunk_hash"))
+          .orderBy($"doc_id", $"chunk_idx")
+      },
+      Some("""WITH n AS (
+                SELECT doc_id,
+                  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text
+                FROM documents WHERE doc_id < 1000 AND lang = 'en'),
+              t AS (
+                SELECT doc_id, str_split(norm_text, ' ') AS toks,
+                  CAST(len(str_split(norm_text, ' ')) AS BIGINT) AS n_tokens,
+                  norm_text
+                FROM n),
+              g AS (
+                SELECT * FROM (
+                  SELECT doc_id, toks, n_tokens, norm_text,
+                    CASE WHEN n_tokens = 0 THEN 0.0 ELSE
+                      len(list_filter(toks,
+                        x -> x IN ('the', 'a', 'of', 'and', 'to')))
+                        / CAST(n_tokens AS DOUBLE) END AS stop_ratio
+                  FROM t) q
+                WHERE n_tokens >= 16 AND stop_ratio < 0.5),
+              k AS (
+                SELECT doc_id, toks, n_tokens FROM (
+                  SELECT doc_id, toks, n_tokens,
+                    ROW_NUMBER() OVER (PARTITION BY norm_text
+                      ORDER BY doc_id) AS rn
+                  FROM g) r WHERE rn = 1),
+              c AS (
+                SELECT doc_id,
+                  unnest(generate_series(0,
+                    CAST(floor((n_tokens - 1) / 24) AS BIGINT))) AS chunk_idx,
+                  toks
+                FROM k)
+              SELECT doc_id, chunk_idx,
+                CAST(len(list_slice(toks, chunk_idx * 24 + 1, chunk_idx * 24 + 32))
+                  AS BIGINT) AS chunk_tokens,
+                md5(array_to_string(
+                  list_slice(toks, chunk_idx * 24 + 1, chunk_idx * 24 + 32), ' '))
+                  AS chunk_hash
+              FROM c ORDER BY doc_id, chunk_idx""")),
+
     // The core BPE-training step: count adjacent symbol pairs weighted
     // by word frequency (Sennrich et al.'s merge-candidate table; one
     // iteration of tokenizer vocab construction). Char pairs are just
