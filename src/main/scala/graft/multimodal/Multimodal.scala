@@ -59,6 +59,15 @@ case class Mp4SampleTable(timescale: Int, sttsRuns: Array[(Int, Int)],
 case class FrameSample(doc_id: Long, frame_idx: Long, pts: Long,
                        pts_ms: Double, size: Long)
 
+/** One WAV through the decode→downsample→re-encode pipeline: input
+  * rate/frames from the decoded header, output rate/frames re-parsed
+  * from the RE-ENCODED bytes, and PCM min/max over the re-decoded
+  * resampled samples — pixel-level proof for the audio path.
+  */
+case class ResampledAudio(doc_id: Long, sample_rate: Int, out_rate: Int,
+                          in_frames: Long, out_frames: Long,
+                          pcm_min: Int, pcm_max: Int)
+
 /** One image through the decode→resize→re-encode pipeline: input
   * geometry from the decoded IHDR, output geometry re-parsed from the
   * RE-ENCODED bytes, and pixel-value evidence (min/max over the
@@ -739,6 +748,103 @@ object Multimodal {
       }
     }(Encoders.product[FrameSample])
   }
+
+  // ------------------------------------------------------- audio pipeline
+
+  /** Locate the `data` chunk body in a RIFF/WAVE stream (same walk as
+    * [[parseWavHeader]], returning the byte offset). */
+  private def wavDataOffset(p: Array[Byte]): Option[Int] = {
+    if (p.length < 44 || !bytesStartWith(p, "RIFF")) return None
+    var i = 12
+    while (i + 8 <= p.length) {
+      val size = le32(p, i + 4).toLong & 0xffffffffL
+      val body = i + 8
+      if (p(i) == 'd' && p(i + 1) == 'a' && p(i + 2) == 't' && p(i + 3) == 'a')
+        return if (body + size <= p.length) Some(body) else None
+      i = body + size.toInt + (size.toInt & 1)
+    }
+    None
+  }
+
+  /** Encode arbitrary 16-bit PCM frames (interleaved, frames·channels
+    * shorts) as the same canonical RIFF/WAVE profile [[wavBytes]]
+    * writes. */
+  def encodeWavPcm(sampleRate: Int, channels: Int,
+                   pcm: Array[Short]): Array[Byte] = {
+    require(sampleRate > 0 && channels > 0 && pcm.length % channels == 0,
+      s"bad pcm geometry sr=$sampleRate ch=$channels n=${pcm.length}")
+    val blockAlign = channels * 2
+    val dataSize = pcm.length * 2
+    val b = ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * blockAlign).putShort(blockAlign.toShort)
+      .putShort(16)
+    b.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var i = 0
+    while (i < pcm.length) { b.putShort(pcm(i)); i += 1 }
+    b.array()
+  }
+
+  /** decode → drop every second frame (2:1 decimation, the simplest
+    * integer-ratio resample) → re-encode at half the rate → re-DECODE,
+    * in partition batches. Output geometry and PCM min/max come from
+    * the re-encoded bytes' own decode — the audio analogue of
+    * [[resizeImages]]. Undecodable/non-PCM payloads emit -1 markers.
+    */
+  def downsampleWav(media: Dataset[MediaRow]): Dataset[ResampledAudio] =
+    media.mapPartitions { it =>
+      it.map { m =>
+        val in = for {
+          hdr <- parseWavHeader(m.payload) if hdr.bitsPerSample == 16
+          off <- wavDataOffset(m.payload)
+        } yield (hdr, off)
+        in match {
+          case Some((hdr, off)) =>
+            val ch = hdr.channels
+            val bb = ByteBuffer.wrap(m.payload)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            val outFrames = ((hdr.nFrames + 1) / 2).toInt
+            val out = new Array[Short](outFrames * ch)
+            var f = 0
+            while (f < outFrames) {
+              var c = 0
+              while (c < ch) {
+                out(f * ch + c) = bb.getShort(off + ((2 * f) * ch + c) * 2)
+                c += 1
+              }
+              f += 1
+            }
+            val reenc = encodeWavPcm(math.max(1, hdr.sampleRate / 2), ch, out)
+            (parseWavHeader(reenc), wavDataOffset(reenc)) match {
+              case (Some(oh), Some(ooff)) =>
+                val ob = ByteBuffer.wrap(reenc)
+                  .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+                var mn = Int.MaxValue
+                var mx = Int.MinValue
+                var i2 = 0
+                val n = (oh.nFrames * oh.channels).toInt
+                while (i2 < n) {
+                  val v = ob.getShort(ooff + i2 * 2).toInt
+                  if (v < mn) mn = v
+                  if (v > mx) mx = v
+                  i2 += 1
+                }
+                if (n == 0) { mn = 0; mx = 0 }
+                ResampledAudio(m.doc_id, hdr.sampleRate, oh.sampleRate,
+                  hdr.nFrames, oh.nFrames, mn, mx)
+              case _ =>
+                ResampledAudio(m.doc_id, hdr.sampleRate, -1, hdr.nFrames,
+                  -1L, -1, -1)
+            }
+          case None =>
+            ResampledAudio(m.doc_id, -1, -1, -1L, -1L, -1, -1)
+        }
+      }
+    }(Encoders.product[ResampledAudio])
 
   // ------------------------------------------------------- pixel pipeline
 

@@ -770,6 +770,58 @@ object LlmQueries extends QueryGroup {
                   AS duration_ms
               FROM documents WHERE doc_id < 500 ORDER BY doc_id""")),
 
+    // The audio RESAMPLE step, same posture as multimodal_resize: full
+    // PCM decode → 2:1 frame decimation → re-encode at half rate →
+    // re-DECODE, partition-batched, zero shuffle. The reported output
+    // rate/frames and PCM min/max come from the re-encoded bytes' own
+    // decode; the oracle recomputes them from the writer's
+    // deterministic integer sawtooth — agreement proves the sample
+    // data (offsets, interleave, endianness) survived the round trip.
+    GQuery("multimodal_downsample",
+      (s, dir) => {
+        import s.implicits._
+        import graft.multimodal.{MediaRow, Multimodal}
+        val media = Tables(s, dir, "documents")
+          .filter($"doc_id" < 300)
+          .select($"doc_id").as[Long]
+          .map { id =>
+            val rate = Array(8000, 16000, 44100)((id % 3).toInt)
+            val ch = 1 + (id % 2).toInt
+            val frames = 50 + (id % 200).toInt
+            MediaRow(id, Multimodal.wavBytes(rate, ch, frames,
+              tone = 1 + (id % 9).toInt))
+          }
+        Multimodal.downsampleWav(media).toDF()
+          .select($"doc_id", $"sample_rate", $"out_rate",
+            $"in_frames", $"out_frames", $"pcm_min", $"pcm_max")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH p AS (
+                SELECT doc_id,
+                  CASE CAST(doc_id % 3 AS INTEGER)
+                    WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END AS rate,
+                  CAST(1 + doc_id % 2 AS INTEGER) AS ch,
+                  CAST(50 + doc_id % 200 AS BIGINT) AS frames,
+                  CAST(1 + doc_id % 9 AS INTEGER) AS tone
+                FROM documents WHERE doc_id < 300),
+              s AS (
+                SELECT p.doc_id,
+                  (((f.f * p.tone + c.c * 37) % 200) - 100) * 300 AS v
+                FROM p,
+                  LATERAL (SELECT unnest(generate_series(0, p.frames - 1, 2)) AS f) f,
+                  LATERAL (SELECT unnest(generate_series(0, CAST(p.ch AS BIGINT) - 1)) AS c) c),
+              m AS (
+                SELECT doc_id, CAST(MIN(v) AS INTEGER) AS pcm_min,
+                       CAST(MAX(v) AS INTEGER) AS pcm_max
+                FROM s GROUP BY doc_id)
+              SELECT p.doc_id,
+                CAST(p.rate AS INTEGER) AS sample_rate,
+                CAST(p.rate / 2 AS INTEGER) AS out_rate,
+                p.frames AS in_frames,
+                CAST(floor((p.frames + 1) / 2.0) AS BIGINT) AS out_frames,
+                m.pcm_min, m.pcm_max
+              FROM p JOIN m USING (doc_id) ORDER BY doc_id""")),
+
     // Video modality, same pipeline shape: structurally valid ISO-BMFF
     // (MP4) payloads per doc — real ftyp/moov/mvhd/trak/tkhd boxes with
     // correct sizes — then a REAL box-walk decode (brand, movie

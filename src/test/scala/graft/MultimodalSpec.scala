@@ -282,6 +282,26 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("wav downsample halves rate and frames; output decodable by the JDK codec") {
+    val src = Multimodal.wavBytes(16000, 2, 101, tone = 3)
+    val spark2 = spark
+    import spark2.implicits._
+    val out = Multimodal.downsampleWav(
+      Seq(MediaRow(7L, src)).toDS()).collect().head
+    assert(out.sample_rate === 16000 && out.out_rate === 8000)
+    assert(out.in_frames === 101L && out.out_frames === 51L)
+    // Expected min/max from the sawtooth over even frames, both channels.
+    val vals = for (f <- 0 until 101 by 2; c <- 0 until 2)
+      yield Multimodal.pcmSample(f, c, 3).toInt
+    assert(out.pcm_min === vals.min && out.pcm_max === vals.max)
+    // The re-encoded bytes must parse under the JDK's independent reader.
+    val reenc = Multimodal.encodeWavPcm(8000, 2,
+      Array.tabulate(51 * 2)(i => Multimodal.pcmSample((i / 2) * 2, i % 2, 3)))
+    val aff = AudioSystem.getAudioFileFormat(new ByteArrayInputStream(reenc))
+    assert(aff.getFormat.getSampleRate === 8000f)
+    assert(aff.getFormat.getChannels === 2)
+  }
+
   test("pixel decode recovers exact samples; resize round-trips through the JDK codec") {
     // Our decode vs the bytes we wrote: every sample must equal fill.
     for ((w, h, fill) <- Seq((1, 1, 0), (2, 3, 17), (120, 90, 127), (7, 1, 64))) {
