@@ -252,6 +252,33 @@ object StreamingQueries extends QueryGroup {
     // streaming upgrade of the same plan swaps the exact count for
     // approx_count_distinct when unbounded state is a concern;
     // exactness is the graded contract here, on the bounded replay.
+    // Windowed long→wide pivot (the dashboard shape): per-hour counts
+    // fanned into one column per event type, with a PLAN-TIME value
+    // list (an unpinned pivot adds a distinct-scan job and an
+    // unbounded-cardinality hazard — same contract as the batch
+    // `pivot` key). One exchange keyed by window; the pivot itself is
+    // conditional aggregation inside the same HashAggregate.
+    GQuery("stream_window_pivot",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "events")
+          .groupBy(window($"ts", "1 hour").as("w"))
+          .pivot("event_type",
+            Seq("click", "view", "purchase", "signup", "error"))
+          .agg(count(lit(1)))
+          .na.fill(0L)
+          .select(unix_millis($"w.start").as("bucket_ms"),
+            $"click", $"view", $"purchase", $"signup", $"error")
+          .orderBy($"bucket_ms")
+      },
+      Some("""SELECT epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS bucket_ms,
+                COUNT(*) FILTER (event_type = 'click') AS click,
+                COUNT(*) FILTER (event_type = 'view') AS view,
+                COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+                COUNT(*) FILTER (event_type = 'signup') AS signup,
+                COUNT(*) FILTER (event_type = 'error') AS error
+              FROM events GROUP BY 1 ORDER BY bucket_ms""")),
+
     GQuery("stream_window_nunique",
       (s, dir) => {
         import s.implicits._
