@@ -372,6 +372,70 @@ object LlmQueries extends QueryGroup {
                 FROM documents WHERE doc_id < 500) t
               ORDER BY doc_id""")),
 
+    // Safety/blocklist filtering: flag documents containing any term
+    // from a curated blocklist — broadcast-list membership over the
+    // token array (array_intersect inside codegen), zero shuffle, the
+    // standard first-pass toxicity/PII-term gate. Emits the hit count
+    // and the alphabetically-first matched term for review queues.
+    GQuery("blocklist_filter",
+      (s, dir) => {
+        import s.implicits._
+        val blocked = Seq("dup", "the", "der", "el")
+        val toks = array_distinct(split($"text", " "))
+        val hits = array_sort(array_intersect(toks,
+          array(blocked.map(lit(_)): _*)))
+        Tables(s, dir, "documents")
+          .filter($"doc_id" < 1000)
+          .select($"doc_id", size(hits).cast("long").as("n_blocked"),
+            when(size(hits) > 0, element_at(hits, 1)).as("first_term"))
+          .filter($"n_blocked" > 0)
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+                CAST(len(l) AS BIGINT) AS n_blocked,
+                l[1] AS first_term
+              FROM (
+                SELECT doc_id,
+                  list_sort(list_intersect(
+                    list_distinct(str_split(text, ' ')),
+                    ['dup', 'the', 'der', 'el'])) AS l
+                FROM documents WHERE doc_id < 1000) t
+              WHERE len(l) > 0 ORDER BY doc_id""")),
+
+    // Pipeline funnel observability: how many documents survive each
+    // successive gate (the per-stage retention report every corpus
+    // build publishes). ONE scan computes all stage flags as codegen
+    // booleans; the counts are conditional sums in a single global
+    // aggregate — never one job per stage.
+    GQuery("filter_funnel",
+      (s, dir) => {
+        import s.implicits._
+        val toks = split($"text", " ")
+        val d = Tables(s, dir, "documents")
+          .withColumn("n_tokens", size(toks).cast("long"))
+          .withColumn("s1", $"n_tokens" >= 16)
+          .withColumn("s2", $"s1" && $"lang".isin("en", "de", "es", "fr", "zh"))
+          .withColumn("s3", $"s2" && !array_contains(toks, "dup"))
+        d.agg(
+          count(lit(1)).as("n_input"),
+          sum(when($"s1", 1L).otherwise(0L)).as("n_len_ok"),
+          sum(when($"s2", 1L).otherwise(0L)).as("n_lang_ok"),
+          sum(when($"s3", 1L).otherwise(0L)).as("n_clean"))
+      },
+      Some("""SELECT COUNT(*) AS n_input,
+                CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n_len_ok,
+                CAST(SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_ok,
+                CAST(SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+              FROM (
+                SELECT
+                  len(str_split(text, ' ')) >= 16 AS s1,
+                  len(str_split(text, ' ')) >= 16
+                    AND lang IN ('en', 'de', 'es', 'fr', 'zh') AS s2,
+                  len(str_split(text, ' ')) >= 16
+                    AND lang IN ('en', 'de', 'es', 'fr', 'zh')
+                    AND NOT list_contains(str_split(text, ' '), 'dup') AS s3
+                FROM documents) t""")),
+
     // Lexical-diversity quality signal: type-token ratio (distinct
     // tokens / tokens) per document — the standard cheap filter for
     // degenerate/repetitive text in pretraining pipelines. Pure
