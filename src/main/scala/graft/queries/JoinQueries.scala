@@ -528,6 +528,34 @@ object JoinQueries extends QueryGroup {
                 AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
               GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, l_year""")),
 
+    // TPC-H Q6 through the PURE SQL front door: the query is submitted
+    // as SQL TEXT over a registered temp view — proving the engine's
+    // second entry point (spark.sql) yields the same Catalyst plan and
+    // hash-exact results as the DataFrame API. Decimal-cast sum per
+    // the Det contract; predicates all push to the parquet scan.
+    GQuery("q6_forecast_revenue",
+      (s, dir) => {
+        Tables(s, dir, "lineitem").createOrReplaceTempView("li_q6")
+        s.sql("""
+          SELECT CAST(SUM(CAST(l_extendedprice * l_discount
+                   AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+                 COUNT(*) AS n_rows
+          FROM li_q6
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+            AND l_discount BETWEEN 0.03 AND 0.07
+            AND l_quantity < 24
+        """)
+      },
+      Some("""SELECT CAST(SUM(CAST(l_extendedprice * l_discount
+                AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+                COUNT(*) AS n_rows
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+                AND l_discount BETWEEN 0.03 AND 0.07
+                AND l_quantity < 24""")),
+
     // Bloom-filter semi-join reduction (ops/BloomPrefilter): the scale
     // path for fact ⋈ dim(filtered) when the dim KEY SET fits a few MB
     // of bloom bits but the dim rows are past the broadcast threshold.
