@@ -32,7 +32,14 @@ import org.apache.spark.sql.functions._
   * RNG, every transform is a pure column expression.
   */
 object ScaleGen {
-  private val Off = 100000000L // > any sf0.1 key; copies never collide
+  /** Key offset between copies: > any key in the SOURCE dir. The
+    * default clears sf0.1; SPARK_GRAFT_SCALE_OFF lets a second-level
+    * run compose (e.g. sf100 from sf10, whose keys already reach
+    * 99·10⁸ + base, needs 10¹⁰) — two-level generation keeps the
+    * union width at 10 instead of a 1000-branch plan.
+    */
+  private val Off = sys.env.get("SPARK_GRAFT_SCALE_OFF")
+    .map(_.toLong).getOrElse(100000000L)
 
   private def withOffsets(df: DataFrame, i: Int, cols: Seq[String]): DataFrame =
     cols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(i * Off)))
