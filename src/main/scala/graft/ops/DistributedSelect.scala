@@ -29,34 +29,36 @@ import org.apache.spark.sql.functions._
   */
 object DistributedSelect {
 
-  /** Bucket assignment as a BROADCAST RANGE JOIN instead of the
-    * `aggregate()` higher-order function. The HOF formulation
-    * (count of boundaries strictly below v) is interpreted, not
-    * codegen'd: ~6–12 µs/row until the JVM JIT warms — measured 90+ s
-    * for one pass over 15M rows on the ×100 scale corpus, the whole
-    * quartiles blow-up. Exploding the sorted boundary array into ≤
-    * buckets+1 (lo, hi] ranges (NULL sentinels at the ends, duplicate
-    * boundaries yield empty ranges) and broadcast-joining on
-    * `lo < v <= hi` evaluates the same bucket id — #{k: v > bnds[k]},
-    * identical tie semantics, comparisons in v's own type — through
-    * codegen'd predicates at ~ns/row. Rows with NULL v are dropped
-    * (order statistics over nulls are undefined; callers filter first).
+  /** Bucket assignment as a codegen'd BINARY SEARCH over the broadcast
+    * boundary array ([[graft.functions.SortedBucket]]). Two earlier
+    * formulations were measured and replaced:
+    *
+    *  - `aggregate()` HOF (count of boundaries below v): interpreted,
+    *    not codegen'd — ~6–12 µs/row, 90+ s for one pass over 15 M
+    *    rows at ×100 scale;
+    *  - broadcast RANGE JOIN against ≤ buckets+1 exploded (lo, hi]
+    *    ranges: codegen'd predicates but still a nested-loop probe of
+    *    ~buckets ranges per row through join machinery — the dominant
+    *    ~25 s of the 29 s quartiles run at ×1000 scale (150 M rows).
+    *
+    * The binary search keeps the same contract: bucket id =
+    * #{k: bnds[k] < v} (a value EQUAL to a boundary lands left of it,
+    * so equal values can never straddle buckets), comparisons in v's
+    * own physical type, O(log buckets) per row inside whole-stage
+    * codegen, and the bounds stay a regular runtime input (broadcast
+    * one-row crossJoin) — still ONE declarative plan, no driver
+    * actions. Rows with NULL v are dropped (order statistics over
+    * nulls are undefined; callers filter first).
     */
   private def withBucket(df: DataFrame, v: Column, bounds: DataFrame,
-                         bndsCol: String = "__bnds"): DataFrame = {
-    val ranges = bounds.select(col("*"),
-        posexplode(expr(
-          s"""transform(sequence(0, size($bndsCol)), k -> struct(
-                IF(k = 0, NULL, element_at($bndsCol, k)) AS lo,
-                IF(k = size($bndsCol), NULL, element_at($bndsCol, k + 1)) AS hi))"""))
-          .as(Seq("__b", "__range")))
-      .select(col("*"), col("__range.lo").as("__lo"), col("__range.hi").as("__hi"))
-      .drop("__range", bndsCol)
-    df.join(broadcast(ranges),
-        (col("__lo").isNull || v > col("__lo"))
-          && (col("__hi").isNull || v <= col("__hi")))
-      .drop("__lo", "__hi")
-  }
+                         bndsCol: String = "__bnds"): DataFrame =
+    df.filter(v.isNotNull)
+      .crossJoin(broadcast(bounds))
+      .withColumn("__b", org.apache.spark.sql.graftbridge.GraftSqlBridge.column(
+        graft.functions.SortedBucket(
+          org.apache.spark.sql.graftbridge.GraftSqlBridge.expression(v),
+          org.apache.spark.sql.graftbridge.GraftSqlBridge.expression(col(bndsCol)))))
+      .drop(bndsCol)
 
   /** `df` + a 1-based global row number by ORDER BY (v, key) + the total
     * count — with EVERY bucket numbered by a parallel per-bucket window
@@ -69,12 +71,19 @@ object DistributedSelect {
     * @return original columns + `rnCol` (LongType) + `nCol` (total rows)
     */
   def withGlobalRowNumber(df: DataFrame, vCol: String, keyCol: String,
-                          buckets: Int = 32, rnCol: String = "rn",
+                          buckets: Int = 256, rnCol: String = "rn",
                           nCol: String = "n_total"): DataFrame = {
     val v = col(vCol)
     val ps = (1 until buckets).map(i => i.toDouble / buckets)
     val bounds = df.agg(
-      percentile_approx(v, typedLit(ps), lit(1000)).as("__bnds"),
+      // accuracy 100: boundaries only need to SPLIT the data roughly
+      // evenly across `buckets` — correctness never depends on where
+      // they land (bucket id is a pure function of v). The real scale
+      // lever is `buckets` itself (default 256, was 32): only buckets
+      // containing a requested rank pay the final sort, and at 150 M
+      // rows the 3 surviving 1/32-buckets sorted on 3 of 32 cores
+      // dominated the whole run (measured 24 s; 1/256-buckets: 2.5 s).
+      percentile_approx(v, typedLit(ps), lit(100)).as("__bnds"),
       count(lit(1)).as(nCol))
     val bucketed = withBucket(df, v, bounds)
     val wcum = Window.orderBy(col("__b"))
@@ -134,14 +143,21 @@ object DistributedSelect {
     * @return one row per matched rank: columns `rank`, `v` (+ `label`).
     */
   def atRanks(df: DataFrame, vCol: String, keyCol: String,
-              ranksOfN: Column => Seq[Column], buckets: Int = 32,
+              ranksOfN: Column => Seq[Column], buckets: Int = 256,
               labelsOfN: Option[Column => Seq[(Column, Column)]] = None): DataFrame = {
     val v = col(vCol)
     // 1. boundary sketch (31 inner cut points for 32 buckets) + total n
     //    in the SAME distributed agg — one pass, one broadcast.
     val ps = (1 until buckets).map(i => i.toDouble / buckets)
     val bounds = df.agg(
-      percentile_approx(v, typedLit(ps), lit(1000)).as("__bnds"),
+      // accuracy 100: boundaries only need to SPLIT the data roughly
+      // evenly across `buckets` — correctness never depends on where
+      // they land (bucket id is a pure function of v). The real scale
+      // lever is `buckets` itself (default 256, was 32): only buckets
+      // containing a requested rank pay the final sort, and at 150 M
+      // rows the 3 surviving 1/32-buckets sorted on 3 of 32 cores
+      // dominated the whole run (measured 24 s; 1/256-buckets: 2.5 s).
+      percentile_approx(v, typedLit(ps), lit(100)).as("__bnds"),
       count(lit(1)).as("__n"))
     // 2. assign each row its bucket: count of boundaries strictly below
     //    v, via the codegen'd broadcast range join (see withBucket).
