@@ -41,17 +41,53 @@ object HammingJoin {
   def provisionBlocks(n: Long, maxDist: Int, maxBlocks: Int = 16,
                       pairsPerDoc: Double = 2.0): Int = {
     require(maxDist >= 0 && maxDist < 32, s"maxDist $maxDist out of range")
-    def choose(k: Int, m: Int): Double =
-      (0 until m).foldLeft(1.0)((a, i) => a * (k - i) / (i + 1))
     val ks = (maxDist + 1) to math.min(maxBlocks, 64)
-    ks.minBy { k =>
-      val m = k - maxDist
-      val combos = choose(k, m)
-      val keyBits = math.min(62, m * (64 / k))
-      combos * n.toDouble +
-        combos * n.toDouble * n.toDouble / math.pow(2.0, keyBits + 1) +
-        pairsPerDoc * n.toDouble * choose(k - 1, m)
-    }
+    ks.minBy(modeledCost(n, maxDist, _, pairsPerDoc))
+  }
+
+  private def choose(k: Int, m: Int): Double =
+    (0 until m).foldLeft(1.0)((a, i) => a * (k - i) / (i + 1))
+
+  /** The provisioning cost model for one k: index rows + expected
+    * bucket-collision candidates + true-pair emission multiplicity. */
+  def modeledCost(n: Long, maxDist: Int, k: Int,
+                  pairsPerDoc: Double = 2.0): Double = {
+    val m = k - maxDist
+    val combos = choose(k, m)
+    val keyBits = math.min(62, m * (64 / k))
+    combos * n.toDouble +
+      combos * n.toDouble * n.toDouble / math.pow(2.0, keyBits + 1) +
+      pairsPerDoc * n.toDouble * choose(k - 1, m)
+  }
+
+  /** Conf key bounding the modeled row budget an exact Hamming join may
+    * plan (index rows + candidates). Mirrors
+    * [[AnnSearch.MaxBruteCosinesKey]]: the right ceiling depends on
+    * cluster parallelism, so it is a conf, not a constant. */
+  val MaxModeledCostKey = "spark.graft.hamming.maxModeledCost"
+
+  /** Refuse AT PLAN TIME when even the best k exceeds the budget —
+    * the regime where the 64-bit combination-blocked pigeonhole
+    * fundamentally explodes (measured: 5 M docs at radius 6 DNF'd a
+    * 900 s budget at ×1000 scale; every k ≤ 16 models ≥ 10⁹ index
+    * rows or collision pairs). A loud refusal with the numbers beats
+    * a silent multi-hour join; the designed escapes are a smaller
+    * radius, a pre-shard by exact-dup hash, or a recursive half-word
+    * pigeonhole (distance ≤ d pairs agree within ⌈d/2⌉ on one 32-bit
+    * half) — none of which this call can pick silently without
+    * changing the operator's exact contract.
+    */
+  def requireFeasible(spark: org.apache.spark.sql.SparkSession, n: Long,
+                      maxDist: Int, k: Int,
+                      pairsPerDoc: Double = 2.0): Unit = {
+    val budget = spark.conf.getOption(MaxModeledCostKey)
+      .map(_.toDouble).getOrElse(2e9)
+    val cost = modeledCost(n, maxDist, k, pairsPerDoc)
+    require(cost <= budget,
+      f"exact Hamming join over n=$n%d fingerprints at radius $maxDist " +
+        f"models $cost%.2g index+candidate rows with best k=$k — over " +
+        f"budget $budget%.2g ($MaxModeledCostKey). Reduce the radius, " +
+        "pre-shard the corpus, or raise the budget for a larger cluster.")
   }
 
   /** (id_a, id_b, hamming) for every pair with hamming ≤ maxDist,

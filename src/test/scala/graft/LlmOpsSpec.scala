@@ -160,6 +160,26 @@ class LlmOpsSpec extends SparkSpec {
     assert(ks === ks.sorted, s"k must not shrink as n grows: $ks")
   }
 
+  test("requireFeasible: in-regime corpora pass, the x1000 dup-dense corpus refuses") {
+    import graft.ops.HammingJoin
+    // The graded corpora (500..500k docs, measured density 11.3) must
+    // plan; the measured-DNF regime (5M docs, radius 6) must refuse
+    // at plan time with the model's numbers in the message.
+    for (n <- Seq(500L, 5000L, 500000L)) {
+      val k = HammingJoin.provisionBlocks(n, 6, pairsPerDoc = 11.3)
+      HammingJoin.requireFeasible(spark, n, 6, k, pairsPerDoc = 11.3)
+    }
+    val kBig = HammingJoin.provisionBlocks(5000000L, 6, pairsPerDoc = 11.3)
+    val e = intercept[IllegalArgumentException] {
+      HammingJoin.requireFeasible(spark, 5000000L, 6, kBig, pairsPerDoc = 11.3)
+    }
+    assert(e.getMessage.contains(HammingJoin.MaxModeledCostKey))
+    // The budget is a conf, not a constant: raising it admits the plan.
+    spark.conf.set(HammingJoin.MaxModeledCostKey, "1e12")
+    try HammingJoin.requireFeasible(spark, 5000000L, 6, kBig, pairsPerDoc = 11.3)
+    finally spark.conf.unset(HammingJoin.MaxModeledCostKey)
+  }
+
   test("LSH neardup pairs equal the quadratic cosine scan on graded data") {
     import spark.implicits._
     val emb = Tables(spark, sfDir, "embeddings")
