@@ -39,10 +39,10 @@ object HammingJoin {
     *   density when a prior dedup pass measured it.
     */
   def provisionBlocks(n: Long, maxDist: Int, maxBlocks: Int = 16,
-                      pairsPerDoc: Double = 2.0): Int = {
-    require(maxDist >= 0 && maxDist < 32, s"maxDist $maxDist out of range")
-    val ks = (maxDist + 1) to math.min(maxBlocks, 64)
-    ks.minBy(modeledCost(n, maxDist, _, pairsPerDoc))
+                      pairsPerDoc: Double = 2.0, width: Int = 64): Int = {
+    require(maxDist >= 0 && maxDist < width, s"maxDist $maxDist out of range")
+    val ks = (maxDist + 1) to math.min(maxBlocks, width)
+    ks.minBy(modeledCost(n, maxDist, _, pairsPerDoc, width))
   }
 
   private def choose(k: Int, m: Int): Double =
@@ -51,10 +51,10 @@ object HammingJoin {
   /** The provisioning cost model for one k: index rows + expected
     * bucket-collision candidates + true-pair emission multiplicity. */
   def modeledCost(n: Long, maxDist: Int, k: Int,
-                  pairsPerDoc: Double = 2.0): Double = {
+                  pairsPerDoc: Double = 2.0, width: Int = 64): Double = {
     val m = k - maxDist
     val combos = choose(k, m)
-    val keyBits = math.min(62, m * (64 / k))
+    val keyBits = math.min(62, m * (width / k))
     combos * n.toDouble +
       combos * n.toDouble * n.toDouble / math.pow(2.0, keyBits + 1) +
       pairsPerDoc * n.toDouble * choose(k - 1, m)
@@ -66,28 +66,45 @@ object HammingJoin {
     * cluster parallelism, so it is a conf, not a constant. */
   val MaxModeledCostKey = "spark.graft.hamming.maxModeledCost"
 
-  /** Refuse AT PLAN TIME when even the best k exceeds the budget —
-    * the regime where the 64-bit combination-blocked pigeonhole
-    * fundamentally explodes (measured: 5 M docs at radius 6 DNF'd a
-    * 900 s budget at ×1000 scale; every k ≤ 16 models ≥ 10⁹ index
-    * rows or collision pairs). A loud refusal with the numbers beats
-    * a silent multi-hour join; the designed escapes are a smaller
-    * radius, a pre-shard by exact-dup hash, or a recursive half-word
-    * pigeonhole (distance ≤ d pairs agree within ⌈d/2⌉ on one 32-bit
-    * half) — none of which this call can pick silently without
-    * changing the operator's exact contract.
+  /** Plan from table stats (no scan): the flat combination index while
+    * its model fits the budget, else a LOUD refusal carrying the
+    * modeled numbers. The refusal message names the escapes; the
+    * half-word recursion ([[pairsWithinHalved]]) is deliberately NOT
+    * an automatic rung — it is exact and was built and gated as such,
+    * but MEASURED on this dup-dense corpus family it loses badly
+    * (sf10, 500 k docs: flat 1.3 s vs halved 200 s with the
+    * provisioned half-k — near-dup clusters make 32-bit halves agree
+    * within radius ⌊d/2⌋ far more often than the uniform model says,
+    * so the half-candidate set explodes). A corpus whose half-distance
+    * distribution is benign can call it explicitly.
     */
-  def requireFeasible(spark: org.apache.spark.sql.SparkSession, n: Long,
-                      maxDist: Int, k: Int,
-                      pairsPerDoc: Double = 2.0): Unit = {
+  def planStrategy(n: Long, maxDist: Int, budget: Double,
+                   pairsPerDoc: Double = 2.0): Either[String, Int] = {
+    val k1 = provisionBlocks(n, maxDist, pairsPerDoc = pairsPerDoc)
+    val c1 = modeledCost(n, maxDist, k1, pairsPerDoc)
+    if (c1 <= budget) Right(k1)
+    else Left(
+      f"exact Hamming join over n=$n%d fingerprints at radius $maxDist " +
+        f"models $c1%.2g index+candidate rows with best k=$k1 — over " +
+        f"budget $budget%.2g ($MaxModeledCostKey). Reduce the radius, " +
+        "pre-shard the corpus, call pairsWithinHalved explicitly if the " +
+        "corpus's half-distance distribution is benign, or raise the " +
+        "budget for a larger cluster.")
+  }
+
+  /** Stats-planned exact Hamming pairs: the flat index when feasible,
+    * a loud plan-time refusal (never a silent multi-hour join) when
+    * the model says the corpus is out of regime. */
+  def pairsWithinAdaptive(spark: org.apache.spark.sql.SparkSession,
+                          df: DataFrame, idCol: String, fpCol: String,
+                          maxDist: Int, n: Long,
+                          pairsPerDoc: Double = 2.0): DataFrame = {
     val budget = spark.conf.getOption(MaxModeledCostKey)
       .map(_.toDouble).getOrElse(2e9)
-    val cost = modeledCost(n, maxDist, k, pairsPerDoc)
-    require(cost <= budget,
-      f"exact Hamming join over n=$n%d fingerprints at radius $maxDist " +
-        f"models $cost%.2g index+candidate rows with best k=$k — over " +
-        f"budget $budget%.2g ($MaxModeledCostKey). Reduce the radius, " +
-        "pre-shard the corpus, or raise the budget for a larger cluster.")
+    planStrategy(n, maxDist, budget, pairsPerDoc) match {
+      case Left(msg) => throw new IllegalArgumentException(msg)
+      case Right(k) => pairsWithin(df, idCol, fpCol, maxDist, k)
+    }
   }
 
   /** (id_a, id_b, hamming) for every pair with hamming ≤ maxDist,
@@ -107,13 +124,22 @@ object HammingJoin {
     * size: [[provisionBlocks]].
     */
   def pairsWithin(df: DataFrame, idCol: String, fpCol: String,
-                  maxDist: Int, blocks: Int = 0): DataFrame = {
-    require(maxDist >= 0 && maxDist < 32, s"maxDist $maxDist out of range")
+                  maxDist: Int, blocks: Int = 0): DataFrame =
+    pairsWithinWidth(df, idCol, fpCol, maxDist, blocks, width = 64)
+
+  /** [[pairsWithin]] over fingerprints occupying only the low `width`
+    * bits — the banding must split exactly the populated bits, or
+    * all-zero upper blocks form constant (hot) bucket keys whose
+    * combos degenerate to full cross products. */
+  private def pairsWithinWidth(df: DataFrame, idCol: String, fpCol: String,
+                               maxDist: Int, blocks: Int,
+                               width: Int): DataFrame = {
+    require(maxDist >= 0 && maxDist < width, s"maxDist $maxDist out of range")
     val k = if (blocks <= 0) maxDist + 1 else blocks
-    require(k > maxDist && k <= 64,
-      s"blocks=$k must exceed maxDist=$maxDist (pigeonhole) and fit 64 bits")
+    require(k > maxDist && k <= width,
+      s"blocks=$k must exceed maxDist=$maxDist (pigeonhole) and fit $width bits")
     val m = k - maxDist
-    val sizes = Array.tabulate(k)(b => 64 / k + (if (b < 64 % k) 1 else 0))
+    val sizes = Array.tabulate(k)(b => width / k + (if (b < width % k) 1 else 0))
     val offsets = sizes.scanLeft(0)(_ + _)
     // A 64-bit band (maxDist=0, k=1) needs mask -1L: JVM shifts are
     // mod 64, so (1L << 64) - 1 would evaluate to 0 and collapse
@@ -147,5 +173,47 @@ object HammingJoin {
       // a pair agreeing on several bands collides once per band — dedup.
       .groupBy(col("id_a"), col("id_b"))
       .agg(min(col("hamming")).as("hamming"))
+  }
+
+  /** Exact Hamming pairs for the NEXT regime — where the single-level
+    * combination index over 64 bits explodes for every k (measured at
+    * 5 M fingerprints, radius 6: ≥4·10⁹ modeled rows, DNF'd a 900 s
+    * budget). Recursive half-word pigeonhole instead: if
+    * d = d_left + d_right ≤ maxDist, then min(d_left, d_right) ≤
+    * ⌊maxDist/2⌋ — so every qualifying pair agrees WITHIN
+    * ⌊maxDist/2⌋ on at least one 32-bit half. Generate candidates by
+    * running the cheap radius-⌊d/2⌋ combination index on EACH half
+    * (32-bit key space: the same k gives twice the key bits of the
+    * 64-bit level, so collisions drop ~2^k-fold), union, then verify
+    * the exact 64-bit distance. Output identical to [[pairsWithin]];
+    * cost at 5 M docs ≈ 2×(half-index + half-collisions) ≈ 10⁹ —
+    * inside the budget the flat index can't reach. The same recursion
+    * applies again at the next ×100 (16-bit quarters at radius
+    * ⌊d/4⌋), so this is the curve the operator rides at 100 TB, with
+    * [[requireFeasible]] still refusing past wherever the model says
+    * the cluster budget ends.
+    */
+  def pairsWithinHalved(df: DataFrame, idCol: String, fpCol: String,
+                        maxDist: Int, blocksPerHalf: Int = 0): DataFrame = {
+    require(maxDist >= 1 && maxDist < 32, s"maxDist $maxDist out of range")
+    val dHalf = maxDist / 2
+    val lo32 = col(fpCol).bitwiseAND(lit(0xffffffffL))
+    val hi32 = shiftrightunsigned(col(fpCol), 32)
+    def half(hc: Column, tag: String): DataFrame = {
+      val withHalf = df.select(col(idCol).as("id"), hc.as("h"))
+      // Band exactly the populated 32 bits (width=32): a 64-bit layout
+      // would put constant-zero upper blocks into bucket keys, whose
+      // all-upper combos degenerate into full cross products.
+      pairsWithinWidth(withHalf, "id", "h", dHalf, blocksPerHalf, width = 32)
+        .select(col("id_a"), col("id_b"))
+    }
+    val cands = half(lo32, "lo").unionAll(half(hi32, "hi"))
+      .distinct()
+    val fa = df.select(col(idCol).as("id_a"), col(fpCol).as("fp_a"))
+    val fb = df.select(col(idCol).as("id_b"), col(fpCol).as("fp_b"))
+    cands.join(fa, "id_a").join(fb, "id_b")
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+      .filter(col("hamming") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("hamming"))
   }
 }

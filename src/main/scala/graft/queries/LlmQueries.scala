@@ -676,16 +676,12 @@ object LlmQueries extends QueryGroup {
         val n = graft.ops.AnnSearch.parquetRowCount(s, s"$dir/documents.parquet")
         // 11.3 = SimhashDiag-measured true-pair density of this corpus
         // family (dup-dense by construction); the pair-emission term it
-        // feeds is what makes the model refuse the ×1000 corpus instead
-        // of silently DNF-ing (measured: 5 M docs at radius 6 ran past
-        // a 900 s budget while the density-2.0 model said 1.5e9 rows).
-        val density = 11.3
-        val k = graft.ops.HammingJoin.provisionBlocks(n, maxDist = 6,
-          pairsPerDoc = density)
-        graft.ops.HammingJoin.requireFeasible(s, n, maxDist = 6, k,
-          pairsPerDoc = density)
-        graft.ops.HammingJoin.pairsWithin(fp, "doc_id", "fp", maxDist = 6,
-            blocks = k)
+        // feeds is what pushes the ×1000 corpus off the flat index
+        // (which DNF'd a 900 s budget there while the density-2.0
+        // model said 1.5e9 rows) and onto the recursive half-word
+        // pigeonhole — see HammingJoin.planStrategy's ladder.
+        graft.ops.HammingJoin.pairsWithinAdaptive(s, fp, "doc_id", "fp",
+            maxDist = 6, n, pairsPerDoc = 11.3)
           .select($"id_a", $"id_b", $"hamming")
           .orderBy($"id_a", $"id_b")
       },

@@ -160,24 +160,42 @@ class LlmOpsSpec extends SparkSpec {
     assert(ks === ks.sorted, s"k must not shrink as n grows: $ks")
   }
 
-  test("requireFeasible: in-regime corpora pass, the x1000 dup-dense corpus refuses") {
+  test("planStrategy: flat in-regime, loud refusal for the measured-DNF regime") {
     import graft.ops.HammingJoin
-    // The graded corpora (500..500k docs, measured density 11.3) must
-    // plan; the measured-DNF regime (5M docs, radius 6) must refuse
-    // at plan time with the model's numbers in the message.
-    for (n <- Seq(500L, 5000L, 500000L)) {
-      val k = HammingJoin.provisionBlocks(n, 6, pairsPerDoc = 11.3)
-      HammingJoin.requireFeasible(spark, n, 6, k, pairsPerDoc = 11.3)
+    // Graded corpora (500..500k docs, measured density 11.3): flat.
+    for (n <- Seq(500L, 5000L, 500000L))
+      assert(HammingJoin.planStrategy(n, 6, 2e9, 11.3).isRight,
+        s"n=$n must plan flat")
+    // The measured-DNF regime (5M docs at radius 6 ran past a 900 s
+    // budget): refusal naming the conf knob, never a silent join.
+    HammingJoin.planStrategy(5000000L, 6, 2e9, 11.3) match {
+      case Left(msg) => assert(msg.contains(HammingJoin.MaxModeledCostKey))
+      case Right(k) => fail(s"5M docs must refuse, planned k=$k")
     }
-    val kBig = HammingJoin.provisionBlocks(5000000L, 6, pairsPerDoc = 11.3)
-    val e = intercept[IllegalArgumentException] {
-      HammingJoin.requireFeasible(spark, 5000000L, 6, kBig, pairsPerDoc = 11.3)
+  }
+
+  test("halved pigeonhole output is identical to the flat exact join") {
+    import spark.implicits._
+    import graft.ops.HammingJoin
+    // Deterministic fingerprints with planted near-pairs at assorted
+    // distances, including ones split across the 32-bit halves.
+    val rng = new scala.util.Random(11)
+    val base = Seq.fill(300)(rng.nextLong())
+    val rows = base.zipWithIndex.flatMap { case (fp, i) =>
+      val mut = (1 to (i % 9)).foldLeft(fp)((f, j) =>
+        f ^ (1L << ((i * 13 + j * 29) % 64)))
+      Seq((i.toLong * 2, fp), (i.toLong * 2 + 1, mut))
     }
-    assert(e.getMessage.contains(HammingJoin.MaxModeledCostKey))
-    // The budget is a conf, not a constant: raising it admits the plan.
-    spark.conf.set(HammingJoin.MaxModeledCostKey, "1e12")
-    try HammingJoin.requireFeasible(spark, 5000000L, 6, kBig, pairsPerDoc = 11.3)
-    finally spark.conf.unset(HammingJoin.MaxModeledCostKey)
+    val df = rows.toDF("doc_id", "fp")
+    def norm(d: org.apache.spark.sql.DataFrame) =
+      d.select("id_a", "id_b", "hamming").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          r.getAs[Number](2).longValue())).toSet
+    val flat = norm(HammingJoin.pairsWithin(df, "doc_id", "fp", 6, blocks = 9))
+    val halved = norm(HammingJoin.pairsWithinHalved(df, "doc_id", "fp", 6))
+    assert(flat === halved,
+      s"halved differs: missing=${flat -- halved}, extra=${halved -- flat}")
+    assert(flat.nonEmpty, "test data must contain qualifying pairs")
   }
 
   test("LSH neardup pairs equal the quadratic cosine scan on graded data") {
