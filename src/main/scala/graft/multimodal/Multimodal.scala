@@ -486,7 +486,12 @@ object Multimodal {
         if (body + size > p.length) return None // truncated data chunk
         dataSize = size
       }
-      i = body + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      // Word-aligned advance, computed in Long: size near 2³² truncates
+      // to a negative Int and stalls (or reverses) the walk — reject,
+      // never spin on a corrupt payload.
+      val next = body.toLong + size + (size & 1)
+      if (next <= i || next > p.length) return None
+      i = next.toInt
     }
     fmt match {
       case Some((ch, rate, align, bits)) if dataSize >= 0 &&
@@ -761,7 +766,14 @@ object Multimodal {
       val body = i + 8
       if (p(i) == 'd' && p(i + 1) == 'a' && p(i + 2) == 't' && p(i + 3) == 'a')
         return if (body + size <= p.length) Some(body) else None
-      i = body + size.toInt + (size.toInt & 1)
+      // Strict-advance guard, in Long: a crafted size near 2³² would
+      // truncate to a negative Int and leave i unchanged (or move it
+      // backwards) — an executor task spinning forever on one corrupt
+      // payload. A chunk that cannot fit the remaining bytes also ends
+      // the walk: skip-and-log posture, never a hang.
+      val next = body.toLong + size + (size & 1)
+      if (next <= i || next > p.length) return None
+      i = next.toInt
     }
     None
   }
@@ -865,7 +877,12 @@ object Multimodal {
       val len = be32(p, i)
       val typ = new String(p, i + 4, 4, "US-ASCII")
       val body = i + 8
-      if (body + len > p.length) return None
+      // be32 is SIGNED: a crafted length like 0xFFFFFFF4 (-12) would
+      // pass `body + len > p.length` and make `i = body + len + 4` a
+      // no-op — an infinite loop on one corrupt payload. Reject
+      // negative lengths outright; with len >= 0 the walk strictly
+      // advances (i += len + 12).
+      if (len < 0 || body + len > p.length) return None
       typ match {
         case "IHDR" =>
           if (len < 13) return None
@@ -994,15 +1011,8 @@ object Multimodal {
     }(Encoders.product[ResizedImage])
 
   /** Byte offset of the `data` chunk body (only called after
-    * [[parseWavHeader]] accepted the payload). */
-  private def findDataOffset(p: Array[Byte]): Int = {
-    var i = 12
-    while (i + 8 <= p.length) {
-      val size = le32(p, i + 4)
-      if (p(i) == 'd' && p(i + 1) == 'a' && p(i + 2) == 't' && p(i + 3) == 'a')
-        return i + 8
-      i = i + 8 + size + (size & 1)
-    }
-    -1
-  }
+    * [[parseWavHeader]] accepted the payload). The RIFF walk exists
+    * exactly once — [[wavDataOffset]]; this is its Int-view veneer. */
+  private def findDataOffset(p: Array[Byte]): Int =
+    wavDataOffset(p).getOrElse(-1)
 }

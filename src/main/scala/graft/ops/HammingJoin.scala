@@ -14,6 +14,23 @@ import org.apache.spark.sql.functions._
   * followed by the exact `bit_count(xor)` check. No recall loss: unlike
   * LSH this blocking is EXACT for the distance bound, so the output is
   * identical to the quadratic scan's.
+  *
+  * Two execution engines over the same index:
+  *  - [[pairsWithin]]: a relational equi-join, codegen end to end —
+  *    the small-corpus path and the spec-gated reference.
+  *  - [[pairsWithinLocal]]: repartition the index by bucket key and
+  *    enumerate each bucket's products in a partition-local primitive
+  *    loop. Measured at 5 M fingerprints/radius 6 (sf100): the SMJ
+  *    iterates bucket products at ~7 M/s/core (row machinery), the
+  *    local loop at XOR+popcount speed — the same 1.1·10¹¹ products
+  *    drop from 512 s to the shuffle-bound floor. This is the
+  *    "mapPartitions as a last resort" case made honest: the measured
+  *    per-product gap is ~70× on the term that dominates at scale.
+  *
+  * Both paths use CANONICAL EMISSION (emit a pair only from its
+  * lexicographically first agreeing block combination, an O(1) bit
+  * test on xor) — round 9 deduped the C(a,m)-fold emissions through a
+  * groupBy(id_a,id_b) shuffle, which is what DNF'd the 5 M regime.
   */
 object HammingJoin {
 
@@ -27,12 +44,20 @@ object HammingJoin {
     * candidates stay ~linear in true near-dups. Deterministic, no data
     * scan: feed n from table stats / parquet footers
     * ([[AnnSearch.parquetRowCount]]).
+    *
+    * CAVEAT (measured, round 10): the uniform-occupancy collision term
+    * under-counts real simhash corpora by orders of magnitude — band
+    * values are vocabulary-biased, so bucket occupancy is heavy-tailed
+    * (sf10, k=9: modeled 5·10⁶ collisions, measured Σcnt² = 2.7·10⁹).
+    * The model is still the right K CHOOSER (bias shifts every k's
+    * collision mass by a similar factor), but FEASIBILITY must come
+    * from measured occupancy — [[estimateProducts]] — not this model.
     */
   /** @param pairsPerDoc expected TRUE near-dup pairs per document —
     *   the third cost term. A qualifying pair agreeing on `a` blocks is
-    *   emitted C(a, m) times before the dedup groupBy, and `a` can
-    *   reach k−1 (all flipped bits in one block), so dup-dense corpora
-    *   punish large k hard: measured on the ×100 decade corpus
+    *   emitted C(a, m) times before the canonical-emission filter, and
+    *   `a` can reach k−1 (all flipped bits in one block), so dup-dense
+    *   corpora punish large k: measured on the ×100 decade corpus
     *   (500 k docs, 11.3 true pairs/doc) k=8 runs 2.0× faster than
     *   k=7 AND 1.25× faster than the pair-blind model's k=9 pick.
     *   Default 2.0 ≈ a lightly duplicated raw crawl; pass the real
@@ -61,23 +86,150 @@ object HammingJoin {
   }
 
   /** Conf key bounding the modeled row budget an exact Hamming join may
-    * plan (index rows + candidates). Mirrors
+    * plan for the RELATIONAL path (index rows + candidates). Mirrors
     * [[AnnSearch.MaxBruteCosinesKey]]: the right ceiling depends on
     * cluster parallelism, so it is a conf, not a constant. */
   val MaxModeledCostKey = "spark.graft.hamming.maxModeledCost"
 
-  /** Plan from table stats (no scan): the flat combination index while
-    * its model fits the budget, else a LOUD refusal carrying the
-    * modeled numbers. The refusal message names the escapes; the
-    * half-word recursion ([[pairsWithinHalved]]) is deliberately NOT
-    * an automatic rung — it is exact and was built and gated as such,
-    * but MEASURED on this dup-dense corpus family it loses badly
-    * (sf10, 500 k docs: flat 1.3 s vs halved 200 s with the
-    * provisioned half-k — near-dup clusters make 32-bit halves agree
-    * within radius ⌊d/2⌋ far more often than the uniform model says,
-    * so the half-candidate set explodes). A corpus whose half-distance
+  /** Conf key bounding the MEASURED bucket-product volume (Σ cnt²,
+    * estimated from a fingerprint sample) the partition-local path may
+    * plan. Products cost one XOR+popcount each (~2-3 ns/core); the
+    * default 3e11 is ~10 min on the 32-thread reference box and scales
+    * linearly with cluster cores — raise it on a real cluster. */
+  val MaxProductsKey = "spark.graft.hamming.maxProducts"
+
+  /** Conf key: corpora at or below this row count use the relational
+    * join (codegen, AQE, no sampling pass); larger ones use the
+    * partition-local popcount engine with sampled-occupancy planning. */
+  val LocalMinRowsKey = "spark.graft.hamming.localMinRows"
+
+  /** Conf key: hard cap on one bucket's rows in the local engine (the
+    * run buffer is two primitive arrays of this length; a run this hot
+    * means the products estimate was evaded — fail loud, not OOM). */
+  val MaxBucketRowsKey = "spark.graft.hamming.maxBucketRows"
+
+  /** Block layout + canonical-emission literals for one (maxDist, k,
+    * width): block bit sizes/offsets and, per combination index, the
+    * block-set mask and the below-its-max mask that decide canonicity. */
+  private final case class Layout(k: Int, m: Int, sizes: Array[Int],
+                                  offsets: Array[Int], comboMask: Array[Int],
+                                  maskBelow: Array[Int]) {
+    def blockMask(b: Int): Long =
+      if (sizes(b) >= 64) -1L else (1L << sizes(b)) - 1
+  }
+
+  private def layout(maxDist: Int, blocks: Int, width: Int): Layout = {
+    require(maxDist >= 0 && maxDist < width, s"maxDist $maxDist out of range")
+    val k = if (blocks <= 0) maxDist + 1 else blocks
+    require(k > maxDist && k <= width,
+      s"blocks=$k must exceed maxDist=$maxDist (pigeonhole) and fit $width bits")
+    val m = k - maxDist
+    val sizes = Array.tabulate(k)(b => width / k + (if (b < width % k) 1 else 0))
+    val offsets = sizes.scanLeft(0)(_ + _)
+    val comboSeq = (0 until k).combinations(m).toArray
+    Layout(k, m, sizes, offsets,
+      comboSeq.map(_.map(1 << _).sum),
+      comboSeq.map(c => (1 << (c.max + 1)) - 1))
+  }
+
+  /** The combination index: one (id, fp, band, bits) row per document
+    * per m-block combination — band is the combination's index, bits
+    * the packed agreed-block values (m · ⌈width/k⌉ ≤ 62 bits). */
+  private def comboIndex(df: DataFrame, idCol: String, fpCol: String,
+                         L: Layout): DataFrame = {
+    // A full-width band (maxDist=0, k=1) needs mask -1L: JVM shifts are
+    // mod 64, so (1L << 64) - 1 would evaluate to 0 and collapse
+    // every fingerprint into one bucket (full cross product).
+    def block(b: Int): Column =
+      shiftrightunsigned(col(fpCol), L.offsets(b)).bitwiseAND(lit(L.blockMask(b)))
+    val bandCols = (0 until L.k).combinations(L.m).toSeq.zipWithIndex.map {
+      case (combo, ci) =>
+        val packed = combo.foldLeft(lit(0L): Column) { (acc, b) =>
+          shiftleft(acc, L.sizes(b)).bitwiseOR(block(b))
+        }
+        struct(lit(ci).as("band"), packed.as("bits"))
+    }
+    df.select(col(idCol).as("id"), col(fpCol).as("fp"),
+        explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("fp"),
+        col("bb.band").as("band"), col("bb.bits").as("bits"))
+  }
+
+  /** Measured-occupancy planner input: (estimated Σ cnt·(cnt−1) over
+    * index buckets — the product count both engines enumerate — and
+    * the estimated hottest bucket). From a Bernoulli sample of the
+    * fingerprints (deterministic seed): E[s(s−1)] = p²·cnt(cnt−1), so
+    * Σ s(s−1)/p² is unbiased for the product volume; the max estimate
+    * is s_max/p (a floor — heavy tails hide from samples, which is why
+    * the local engine also carries a hard run cap). Cost: one narrow
+    * aggregation over C(k,m)·n·frac rows — seconds where the join is
+    * minutes, and the honesty upgrade the uniform model can't give
+    * (measured: it under-counts real simhash bucket skew 100-500×). */
+  def estimateProducts(df: DataFrame, fpCol: String, maxDist: Int,
+                       blocks: Int, sampleRows: Double = 2e6,
+                       n: Long): (Double, Double) = {
+    val frac = math.min(1.0, sampleRows / math.max(1L, n))
+    val sampled =
+      if (frac >= 1.0) df.select(col(fpCol))
+      else df.select(col(fpCol)).sample(withReplacement = false, frac, seed = 42L)
+    val st = bucketStats(sampled, fpCol, maxDist, blocks)
+    val r = st.agg(
+      sum(col("cnt") * (col("cnt") - 1)).cast("double"),
+      max(col("cnt")).cast("double")).collect()(0)
+    val sumP = if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+    val maxC = if (r.isNullAt(1)) 0.0 else r.getDouble(1)
+    (sumP / (frac * frac), maxC / frac)
+  }
+
+  /** Stats-planned exact Hamming pairs. Small corpora (≤
+    * [[LocalMinRowsKey]], default 100 000) take the relational join
+    * under the uniform model and [[MaxModeledCostKey]]. Larger corpora
+    * are planned from MEASURED bucket occupancy ([[estimateProducts]]
+    * on a sample) and run on the partition-local popcount engine,
+    * with a LOUD plan-time refusal over [[MaxProductsKey]] — never a
+    * silent multi-hour join. The refusal message names the escapes;
+    * the half-word recursion ([[pairsWithinHalved]]) is deliberately
+    * NOT an automatic rung — it is exact and equality-gated, but
+    * MEASURED on this dup-dense corpus family it loses badly (sf10:
+    * flat 1.3 s vs halved 200 s with the provisioned half-k — near-dup
+    * clusters make 32-bit halves agree within radius ⌊d/2⌋ far more
+    * often than the uniform model says). A corpus whose half-distance
     * distribution is benign can call it explicitly.
     */
+  def pairsWithinAdaptive(spark: org.apache.spark.sql.SparkSession,
+                          df: DataFrame, idCol: String, fpCol: String,
+                          maxDist: Int, n: Long,
+                          pairsPerDoc: Double = 2.0): DataFrame = {
+    val localMin = spark.conf.getOption(LocalMinRowsKey)
+      .map(_.toLong).getOrElse(100000L)
+    if (n <= localMin) {
+      val budget = spark.conf.getOption(MaxModeledCostKey)
+        .map(_.toDouble).getOrElse(2e9)
+      planStrategy(n, maxDist, budget, pairsPerDoc) match {
+        case Left(msg) => throw new IllegalArgumentException(msg)
+        case Right(k) => pairsWithin(df, idCol, fpCol, maxDist, k)
+      }
+    } else {
+      val k = provisionBlocks(n, maxDist, pairsPerDoc = pairsPerDoc)
+      val budget = spark.conf.getOption(MaxProductsKey)
+        .map(_.toDouble).getOrElse(3e11)
+      val (products, hottest) = estimateProducts(df, fpCol, maxDist, k, n = n)
+      if (products > budget) throw new IllegalArgumentException(
+        f"exact Hamming join over n=$n%d fingerprints at radius $maxDist " +
+          f"measures ~$products%.2g bucket products (sampled occupancy, " +
+          f"k=$k, hottest bucket ~$hottest%.2g rows) — over budget " +
+          f"$budget%.2g ($MaxProductsKey). Reduce the radius, pre-shard " +
+          "the corpus, call pairsWithinHalved explicitly if the corpus's " +
+          "half-distance distribution is benign, or raise the budget for " +
+          "a larger cluster.")
+      pairsWithinLocal(df, idCol, fpCol, maxDist, k)
+    }
+  }
+
+  /** Uniform-model planner for the RELATIONAL path: the flat
+    * combination index while its model fits the budget, else a LOUD
+    * refusal carrying the modeled numbers. Kept as the small-corpus
+    * gate and for tests; scale feasibility uses [[estimateProducts]]. */
   def planStrategy(n: Long, maxDist: Int, budget: Double,
                    pairsPerDoc: Double = 2.0): Either[String, Int] = {
     val k1 = provisionBlocks(n, maxDist, pairsPerDoc = pairsPerDoc)
@@ -90,21 +242,6 @@ object HammingJoin {
         "pre-shard the corpus, call pairsWithinHalved explicitly if the " +
         "corpus's half-distance distribution is benign, or raise the " +
         "budget for a larger cluster.")
-  }
-
-  /** Stats-planned exact Hamming pairs: the flat index when feasible,
-    * a loud plan-time refusal (never a silent multi-hour join) when
-    * the model says the corpus is out of regime. */
-  def pairsWithinAdaptive(spark: org.apache.spark.sql.SparkSession,
-                          df: DataFrame, idCol: String, fpCol: String,
-                          maxDist: Int, n: Long,
-                          pairsPerDoc: Double = 2.0): DataFrame = {
-    val budget = spark.conf.getOption(MaxModeledCostKey)
-      .map(_.toDouble).getOrElse(2e9)
-    planStrategy(n, maxDist, budget, pairsPerDoc) match {
-      case Left(msg) => throw new IllegalArgumentException(msg)
-      case Right(k) => pairsWithin(df, idCol, fpCol, maxDist, k)
-    }
   }
 
   /** (id_a, id_b, hamming) for every pair with hamming ≤ maxDist,
@@ -134,64 +271,201 @@ object HammingJoin {
   private def pairsWithinWidth(df: DataFrame, idCol: String, fpCol: String,
                                maxDist: Int, blocks: Int,
                                width: Int): DataFrame = {
-    require(maxDist >= 0 && maxDist < width, s"maxDist $maxDist out of range")
-    val k = if (blocks <= 0) maxDist + 1 else blocks
-    require(k > maxDist && k <= width,
-      s"blocks=$k must exceed maxDist=$maxDist (pigeonhole) and fit $width bits")
-    val m = k - maxDist
-    val sizes = Array.tabulate(k)(b => width / k + (if (b < width % k) 1 else 0))
-    val offsets = sizes.scanLeft(0)(_ + _)
-    // A 64-bit band (maxDist=0, k=1) needs mask -1L: JVM shifts are
-    // mod 64, so (1L << 64) - 1 would evaluate to 0 and collapse
-    // every fingerprint into one bucket (full cross product).
-    def block(b: Int): Column = {
-      val mask = if (sizes(b) >= 64) -1L else (1L << sizes(b)) - 1
-      shiftrightunsigned(col(fpCol), offsets(b)).bitwiseAND(lit(mask))
-    }
-    val bandCols = (0 until k).combinations(m).toSeq.zipWithIndex.map {
-      case (combo, ci) =>
-        // pack the combo's m block values into one long join key
-        // (m · ⌈64/k⌉ ≤ 64 bits by construction)
-        val packed = combo.foldLeft(lit(0L): Column) { (acc, b) =>
-          shiftleft(acc, sizes(b)).bitwiseOR(block(b))
-        }
-        struct(lit(ci).as("band"), packed.as("bits"))
-    }
-    val indexed = df
-      .select(col(idCol).as("id"), col(fpCol).as("fp"),
-        explode(array(bandCols: _*)).as("bb"))
-      .select(col("id"), col("fp"),
-        col("bb.band").as("band"), col("bb.bits").as("bits"))
+    val L = layout(maxDist, blocks, width)
+    val indexed = comboIndex(df, idCol, fpCol, L)
     val a = indexed.select(col("id").as("id_a"), col("fp").as("fp_a"),
       col("band"), col("bits"))
     val b = indexed.select(col("id").as("id_b"), col("fp").as("fp_b"),
       col("band"), col("bits"))
+    // Canonical emission: a pair agreeing on `a` blocks joins once per
+    // agreeing block COMBINATION (up to C(a,m) times). Round-9 deduped
+    // those through groupBy(id_a,id_b) — a shuffle+agg over the full
+    // multiplicity, the term that walled the 5 M-fingerprint regime
+    // (the flat join DNF'd 900 s at sf100). Instead keep each pair only
+    // on its lexicographically FIRST agreeing combination, decided per
+    // row by pure bit arithmetic on xor = fp_a^fp_b: the agreeing-block
+    // bitmask `abm` is computable from xor alone, and the lex-min
+    // m-subset of a block set is its m lowest set bits — so combo ci
+    // (block set Bi, a literal) is canonical iff abm has no set bit
+    // below max(Bi) outside Bi:
+    //   (abm & ((1 << (max(Bi)+1)) - 1)) == maskOf(Bi).
+    // One AND + one EQ against per-combo literal arrays — the
+    // duplicates die in the join's own codegen stage; zero extra
+    // shuffles, output identical (each qualifying pair exactly once).
+    val xorc = col("fp_a").bitwiseXOR(col("fp_b"))
+    val abm = (0 until L.k).map { b =>
+      when(shiftrightunsigned(xorc, L.offsets(b))
+        .bitwiseAND(lit(L.blockMask(b))) === 0, lit(1 << b)).otherwise(lit(0))
+    }.reduce(_ bitwiseOR _)
+    // Sort-merge, not shuffled-hash: a SHUFFLE_HASH hint was measured at
+    // the 5 M-fingerprint regime (k=9, 4.2e8 index rows, 32 tasks) and
+    // the per-task UnsafeHashedRelation (~13 M rows) exceeds the fair
+    // execution-memory slice — SparkOutOfMemoryError; SMJ spills.
     a.join(b, Seq("band", "bits"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+      .withColumn("abm", abm)
+      .filter(col("abm")
+        .bitwiseAND(element_at(typedLit(L.maskBelow.toSeq), col("band") + 1)) ===
+        element_at(typedLit(L.comboMask.toSeq), col("band") + 1))
+      .withColumn("hamming", bit_count(xorc))
       .filter(col("hamming") <= maxDist)
-      // a pair agreeing on several bands collides once per band — dedup.
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(min(col("hamming")).as("hamming"))
+      .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
-  /** Exact Hamming pairs for the NEXT regime — where the single-level
-    * combination index over 64 bits explodes for every k (measured at
-    * 5 M fingerprints, radius 6: ≥4·10⁹ modeled rows, DNF'd a 900 s
-    * budget). Recursive half-word pigeonhole instead: if
+  /** [[pairsWithin]] on the partition-local popcount engine — same
+    * index, same canonical-emission rule, same output, but bucket
+    * products are enumerated in a primitive loop instead of a
+    * sort-merge join's row machinery.
+    *
+    * Why: real simhash band values are vocabulary-biased, so bucket
+    * occupancy is heavy-tailed and Σ cnt² — the product volume ANY
+    * engine must enumerate — dominates wall time (sf100, k=9:
+    * 1.1·10¹¹ products; the SMJ iterates them at ~7 M/s/core → 512 s).
+    * A run-detection loop over the index sorted by (band, bits) does
+    * XOR + popcount + branch per product (~2-3 ns) and only touches
+    * row machinery for emitted pairs — the 122.7 M true pairs, three
+    * orders of magnitude fewer than the products. One shuffle
+    * (repartition by bucket key), one partition sort, zero joins.
+    *
+    * The run buffer holds one bucket (two primitive long arrays);
+    * [[MaxBucketRowsKey]] (default 16 M) fails loud if a bucket
+    * exceeds it — that regime means the [[estimateProducts]] gate was
+    * bypassed, and the fix is radius/sharding, not a silent OOM.
+    */
+  def pairsWithinLocal(df: DataFrame, idCol: String, fpCol: String,
+                       maxDist: Int, blocks: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val L = layout(maxDist, blocks, width = 64)
+    val p = spark.sessionState.conf.numShufflePartitions
+    val maxRun = spark.conf.getOption(MaxBucketRowsKey)
+      .map(_.toInt).getOrElse(16000000)
+    val d = maxDist
+    val k = L.k
+    val offs = L.offsets
+    val masks = Array.tabulate(k)(L.blockMask)
+    val cMask = L.comboMask
+    val cBelow = L.maskBelow
+    comboIndex(df, idCol, fpCol, L)
+      .repartition(p, col("band"), col("bits"))
+      .sortWithinPartitions(col("band"), col("bits"))
+      .select(col("band"), col("bits"), col("id"), col("fp"))
+      .as[(Int, Long, Long, Long)]
+      .mapPartitions { it =>
+        val bit = it.buffered
+        // iterator of runs (one bucket = consecutive rows with equal
+        // (band, bits) after the partition sort), each flat-mapped to
+        // its canonical qualifying pairs lazily — no per-run output
+        // buffer, so a dup-clique bucket streams instead of OOMing.
+        new Iterator[(Long, Long, Int)] {
+          private var band = 0
+          private var ids: Array[Long] = null
+          private var fps: Array[Long] = null
+          private var n = 0
+          private var i = 0
+          private var j = 1
+          private var outA = 0L
+          private var outB = 0L
+          private var outH = 0
+          private var ready = false
+
+          private def loadRun(): Unit = {
+            val head = bit.head
+            band = head._1
+            val bits = head._2
+            val idB = Array.newBuilder[Long]
+            val fpB = Array.newBuilder[Long]
+            var c = 0
+            while (bit.hasNext && bit.head._1 == band && bit.head._2 == bits) {
+              val r = bit.next()
+              idB += r._3
+              fpB += r._4
+              c += 1
+              if (c > maxRun) throw new IllegalStateException(
+                s"Hamming index bucket (band=$band) exceeds $maxRun rows " +
+                  s"($MaxBucketRowsKey): the sampled-occupancy gate was " +
+                  "bypassed — reduce the radius or pre-shard the corpus")
+            }
+            ids = idB.result(); fps = fpB.result(); n = c; i = 0; j = 1
+          }
+
+          private def advance(): Unit = {
+            while (!ready) {
+              if (ids == null || i >= n - 1) {
+                // current run exhausted — pull runs until one has ≥ 2 rows
+                ids = null
+                if (!bit.hasNext) return
+                loadRun()
+                if (n < 2) { ids = null }
+              } else {
+                val fi = fps(i)
+                val below = cBelow(band)
+                val cm = cMask(band)
+                while (!ready && j < n) {
+                  val x = fi ^ fps(j)
+                  if (java.lang.Long.bitCount(x) <= d) {
+                    var abm = 0
+                    var b = 0
+                    while (b < k) {
+                      if (((x >>> offs(b)) & masks(b)) == 0L) abm |= 1 << b
+                      b += 1
+                    }
+                    if ((abm & below) == cm) {
+                      val ia = ids(i); val ib = ids(j)
+                      outA = if (ia < ib) ia else ib
+                      outB = if (ia < ib) ib else ia
+                      outH = java.lang.Long.bitCount(x)
+                      ready = true
+                    }
+                  }
+                  j += 1
+                }
+                if (!ready) { i += 1; j = i + 1 }
+              }
+            }
+          }
+
+          override def hasNext: Boolean = { if (!ready) advance(); ready }
+          override def next(): (Long, Long, Int) = {
+            if (!ready) advance()
+            if (!ready) throw new NoSuchElementException
+            ready = false
+            (outA, outB, outH)
+          }
+        }
+      }
+      .toDF("id_a", "id_b", "hamming")
+  }
+
+  /** Diagnostic: per-(band,bits) bucket occupancy of the combination
+    * index — Σ cnt² is the TRUE collision volume the join will
+    * enumerate (the uniform n²/2^bits model under-counts when simhash
+    * band values are vocabulary-biased). Feeds [[estimateProducts]]. */
+  def bucketStats(df: DataFrame, fpCol: String, maxDist: Int,
+                  blocks: Int = 0): DataFrame = {
+    val L = layout(maxDist, blocks, width = 64)
+    comboIndex(df.select(col(fpCol), col(fpCol).as("__hj_id")),
+        "__hj_id", fpCol, L)
+      .groupBy(col("band"), col("bits"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Exact Hamming pairs via the recursive half-word pigeonhole: if
     * d = d_left + d_right ≤ maxDist, then min(d_left, d_right) ≤
     * ⌊maxDist/2⌋ — so every qualifying pair agrees WITHIN
     * ⌊maxDist/2⌋ on at least one 32-bit half. Generate candidates by
     * running the cheap radius-⌊d/2⌋ combination index on EACH half
     * (32-bit key space: the same k gives twice the key bits of the
     * 64-bit level, so collisions drop ~2^k-fold), union, then verify
-    * the exact 64-bit distance. Output identical to [[pairsWithin]];
-    * cost at 5 M docs ≈ 2×(half-index + half-collisions) ≈ 10⁹ —
-    * inside the budget the flat index can't reach. The same recursion
-    * applies again at the next ×100 (16-bit quarters at radius
-    * ⌊d/4⌋), so this is the curve the operator rides at 100 TB, with
-    * [[requireFeasible]] still refusing past wherever the model says
-    * the cluster budget ends.
+    * the exact 64-bit distance. Output identical to [[pairsWithin]].
+    * NOT an automatic planner rung: on the dup-dense graded family it
+    * was MEASURED ~150× slower than the flat index (near-dup clusters
+    * make 32-bit halves agree within ⌊d/2⌋ far more often than the
+    * uniform model predicts, and the candidate .distinct() explodes);
+    * since round 10 the partition-local popcount engine
+    * ([[pairsWithinLocal]]) owns the scale regime instead. Kept as an
+    * explicit escape for corpora whose half-distance distribution is
+    * benign (near-uniform fingerprints).
     */
   def pairsWithinHalved(df: DataFrame, idCol: String, fpCol: String,
                         maxDist: Int, blocksPerHalf: Int = 0): DataFrame = {

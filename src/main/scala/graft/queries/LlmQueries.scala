@@ -675,11 +675,16 @@ object LlmQueries extends QueryGroup {
         // collision cost, never results.
         val n = graft.ops.AnnSearch.parquetRowCount(s, s"$dir/documents.parquet")
         // 11.3 = SimhashDiag-measured true-pair density of this corpus
-        // family (dup-dense by construction); the pair-emission term it
-        // feeds is what pushes the ×1000 corpus off the flat index
-        // (which DNF'd a 900 s budget there while the density-2.0
-        // model said 1.5e9 rows) and onto the recursive half-word
-        // pigeonhole — see HammingJoin.planStrategy's ladder.
+        // family at sf10 (dup-dense by construction; 24.5 at sf100 —
+        // cross-copy decorrelation leaks a little at radius 6). Small
+        // corpora run the relational combination join; past
+        // LocalMinRowsKey the planner measures REAL bucket occupancy on
+        // a sample (the uniform model under-counts simhash band bias
+        // 100-500×) and runs the partition-local popcount engine —
+        // sf100 (5 M docs): 201 s where round 9 refused at plan time
+        // and the SMJ DNF'd 900 s. Budgets exceeded → loud plan-time
+        // refusal; pairsWithinHalved stays a manual, non-automatic
+        // escape (measured ~150× slower on this dup-dense family).
         graft.ops.HammingJoin.pairsWithinAdaptive(s, fp, "doc_id", "fp",
             maxDist = 6, n, pairsPerDoc = 11.3)
           .select($"id_a", $"id_b", $"hamming")

@@ -24,11 +24,36 @@ object SimhashDiag {
       .select($"doc_id",
         graft.engine.GraftFunctions.simhash64(spark, split($"text", " ")).as("fp"))
       .cache()
-    println(s"docs=${fp.count()} distinct_fp=${fp.select("fp").distinct().count()}")
-    val t0 = System.nanoTime()
-    val pairs = graft.ops.HammingJoin.pairsWithin(fp, "doc_id", "fp", 6, blocks)
-    println(s"pairs_within_6=${pairs.count()} (blocks=$blocks) " +
-      f"in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    val g = fp.groupBy("fp").agg(count(lit(1)).as("cnt")).cache()
+    val Seq(nd, withinPairs, maxCnt) = g
+      .agg(count(lit(1)), sum($"cnt" * ($"cnt" - 1) / 2), max($"cnt"))
+      .collect()(0).toSeq.map(v => v.toString.toDouble.toLong)
+    println(s"docs=${fp.count()} distinct_fp=$nd " +
+      s"within_group_pairs=$withinPairs max_group=$maxCnt")
+    // blocks < -1: bucket-skew probe for |blocks| blocks — Σ cnt² per
+    // band vs the uniform model, top buckets.
+    if (blocks < -1) {
+      val st = graft.ops.HammingJoin.bucketStats(fp, "fp", 6, -blocks).cache()
+      val tot = st.agg(sum($"cnt" * $"cnt"), count(lit(1))).collect()(0)
+      println(s"sum_cnt2=${tot.get(0)} n_buckets=${tot.get(1)}")
+      st.groupBy(floor(log2($"cnt")).as("log2cnt"))
+        .agg(count(lit(1)).as("buckets"), sum($"cnt" * $"cnt").as("cnt2"),
+          sum($"cnt").as("rows"))
+        .orderBy($"log2cnt").show(40, false)
+    }
+    // blocks < 0: distinct-ratio probe only (the collapse-planner input) —
+    // skip the join, which at sf100 is exactly the regime under study.
+    if (blocks >= 0) {
+      val mode = if (args.length > 2) args(2) else "local"
+      val t0 = System.nanoTime()
+      val pairs =
+        if (mode == "rel")
+          graft.ops.HammingJoin.pairsWithin(fp, "doc_id", "fp", 6, blocks)
+        else
+          graft.ops.HammingJoin.pairsWithinLocal(fp, "doc_id", "fp", 6, blocks)
+      println(s"pairs_within_6=${pairs.count()} (blocks=$blocks mode=$mode) " +
+        f"in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
     spark.stop()
   }
 }

@@ -198,6 +198,91 @@ class LlmOpsSpec extends SparkSpec {
     assert(flat.nonEmpty, "test data must contain qualifying pairs")
   }
 
+  test("partition-local popcount engine is identical to the relational join") {
+    import spark.implicits._
+    import graft.ops.HammingJoin
+    def norm(d: org.apache.spark.sql.DataFrame) =
+      d.select("id_a", "id_b", "hamming").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          r.getAs[Number](2).longValue())).toSet
+    // Graded corpus (real simhash bucket bias):
+    val fp = Tables(spark, sfDir, "documents")
+      .select($"doc_id", GraftFunctions.simhash64(spark, split($"text", " ")).as("fp"))
+    for (k <- Seq(7, 9)) {
+      val rel = norm(HammingJoin.pairsWithin(fp, "doc_id", "fp", 6, blocks = k))
+      val loc = norm(HammingJoin.pairsWithinLocal(fp, "doc_id", "fp", 6, blocks = k))
+      assert(loc === rel,
+        s"k=$k local diverged: missing=${rel -- loc}, extra=${loc -- rel}")
+      assert(rel.nonEmpty, "graded corpus must contain qualifying pairs")
+    }
+    // Planted synthetic pairs at assorted distances incl. hot cliques
+    // (identical fingerprints — the canonical filter's C(k,m) case):
+    val rng = new scala.util.Random(7)
+    val base = Seq.fill(200)(rng.nextLong())
+    val rows = base.zipWithIndex.flatMap { case (f, i) =>
+      val mut = (1 to (i % 9)).foldLeft(f)((g, j) =>
+        g ^ (1L << ((i * 17 + j * 31) % 64)))
+      Seq((i.toLong * 3, f), (i.toLong * 3 + 1, mut), (i.toLong * 3 + 2, f))
+    }
+    val df = rows.toDF("doc_id", "fp")
+    val rel = norm(HammingJoin.pairsWithin(df, "doc_id", "fp", 6, blocks = 9))
+    val loc = norm(HammingJoin.pairsWithinLocal(df, "doc_id", "fp", 6, blocks = 9))
+    assert(loc === rel,
+      s"local diverged: missing=${rel -- loc}, extra=${loc -- rel}")
+  }
+
+  test("adaptive planner: sampled-occupancy gate refuses loudly, runs when funded") {
+    import spark.implicits._
+    import graft.ops.HammingJoin
+    val fp = Tables(spark, sfDir, "documents")
+      .select($"doc_id", GraftFunctions.simhash64(spark, split($"text", " ")).as("fp"))
+    val n = fp.count()
+    // Full-sample estimate equals the true product volume exactly.
+    val k = HammingJoin.provisionBlocks(n, 6, pairsPerDoc = 11.3)
+    val (est, hottest) = HammingJoin.estimateProducts(fp, "fp", 6, k, n = n)
+    val trueP = HammingJoin.bucketStats(fp, "fp", 6, k)
+      .agg(sum($"cnt" * ($"cnt" - 1))).collect()(0).getLong(0)
+    assert(est === trueP.toDouble, s"full-sample estimate $est != $trueP")
+    assert(hottest >= 1.0)
+    // Force the scale path on the graded corpus: tiny localMin. With a
+    // budget below the measured products it must refuse naming the
+    // conf; with a generous budget it must match the relational join.
+    spark.conf.set(HammingJoin.LocalMinRowsKey, "10")
+    try {
+      spark.conf.set(HammingJoin.MaxProductsKey, (trueP / 2).max(1L).toString)
+      val ex = intercept[IllegalArgumentException] {
+        HammingJoin.pairsWithinAdaptive(spark, fp, "doc_id", "fp", 6, n, 11.3)
+      }
+      assert(ex.getMessage.contains(HammingJoin.MaxProductsKey))
+      spark.conf.set(HammingJoin.MaxProductsKey, "1e15")
+      def norm(d: org.apache.spark.sql.DataFrame) =
+        d.select("id_a", "id_b", "hamming").collect()
+          .map(r => (r.getLong(0), r.getLong(1),
+            r.getAs[Number](2).longValue())).toSet
+      val adaptive = norm(
+        HammingJoin.pairsWithinAdaptive(spark, fp, "doc_id", "fp", 6, n, 11.3))
+      val rel = norm(HammingJoin.pairsWithin(fp, "doc_id", "fp", 6, blocks = k))
+      assert(adaptive === rel)
+    } finally {
+      spark.conf.unset(HammingJoin.LocalMinRowsKey)
+      spark.conf.unset(HammingJoin.MaxProductsKey)
+    }
+  }
+
+  test("local engine fails loud, not OOM, when a bucket exceeds the hard cap") {
+    import spark.implicits._
+    import graft.ops.HammingJoin
+    val df = (0 until 200).map(i => (i.toLong, 0L)).toDF("doc_id", "fp")
+    spark.conf.set(HammingJoin.MaxBucketRowsKey, "100")
+    try {
+      val ex = intercept[org.apache.spark.SparkException] {
+        HammingJoin.pairsWithinLocal(df, "doc_id", "fp", 6, blocks = 9).count()
+      }
+      assert(ex.getMessage.contains(HammingJoin.MaxBucketRowsKey) ||
+        Option(ex.getCause).exists(_.getMessage.contains(HammingJoin.MaxBucketRowsKey)))
+    } finally spark.conf.unset(HammingJoin.MaxBucketRowsKey)
+  }
+
   test("LSH neardup pairs equal the quadratic cosine scan on graded data") {
     import spark.implicits._
     val emb = Tables(spark, sfDir, "embeddings")

@@ -99,6 +99,32 @@ class MultimodalSpec extends SparkSpec {
     val nonPcm = Multimodal.wavBytes(8000, 1, 10)
     nonPcm(20) = 3 // IEEE-float tag in fmt chunk
     assert(Multimodal.parseWavHeader(nonPcm) === None)
+    // crafted chunk size near 2^32: as a signed Int the word-aligned
+    // advance would be <= 0 and the walk would spin forever — must
+    // refuse (with a timeout-free return), not hang the executor.
+    val spin = Multimodal.wavBytes(8000, 1, 100)
+    // first sub-chunk is "fmt " at offset 12; set its le32 size to
+    // 0xFFFFFFF8 (-8 as Int: body - 8 == i, a no-op advance)
+    spin(16) = 0xf8.toByte; spin(17) = 0xff.toByte
+    spin(18) = 0xff.toByte; spin(19) = 0xff.toByte
+    val done = scala.concurrent.Future(Multimodal.parseWavHeader(spin))(
+      scala.concurrent.ExecutionContext.global)
+    assert(scala.concurrent.Await.result(done,
+      scala.concurrent.duration.Duration("10s")) === None)
+  }
+
+  test("png decoder refuses a negative chunk length instead of looping") {
+    // unknown chunk with be32 length 0xFFFFFFF4 (-12): the old walk's
+    // `i = body + len + 4` left i unchanged — infinite loop on one
+    // corrupt payload. Craft: sig + IHDR(ok) + junk chunk(len=-12).
+    val good = Multimodal.pngBytes(4, 4, 0)
+    val crafted = good.take(8 + 8 + 13 + 4) ++ // sig + IHDR (hdr+body+CRC)
+      Array[Byte](0xff.toByte, 0xff.toByte, 0xff.toByte, 0xf4.toByte) ++
+      "junk".getBytes("US-ASCII") ++ new Array[Byte](16)
+    val done = scala.concurrent.Future(Multimodal.decodePngPixels(crafted))(
+      scala.concurrent.ExecutionContext.global)
+    assert(scala.concurrent.Await.result(done,
+      scala.concurrent.duration.Duration("10s")) === None)
   }
 
   test("audio extraction recovers header fields and true PCM RMS") {
