@@ -50,23 +50,61 @@ object DistributedSelect {
     * actions. Rows with NULL v are dropped (order statistics over
     * nulls are undefined; callers filter first).
     */
+  /** [[graft.functions.SortedBucket]]'s kernels compare in double or
+    * long only; [[percentile_approx]] is numeric-only. Widen any other
+    * orderable column with an ORDER-PRESERVING map (monotone, so bucket
+    * ranges stay contiguous in v's own order; ties the widening
+    * introduces land in one bucket and the local sort — still on the
+    * ORIGINAL v — resolves them): integrals exactly to long, dates to
+    * their epoch-day long, float/decimal monotonically to double.
+    * Returns None when v is already a kernel type. The SKETCH and the
+    * bucket assignment must use the same widening — both call here. */
+  private def widenExpr(dt: org.apache.spark.sql.types.DataType,
+                        v: Column): Option[(Column, String)] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case DoubleType | LongType => None
+      case ByteType | ShortType | IntegerType => Some((v.cast("long"), "bigint"))
+      case DateType => Some((unix_date(v).cast("long"), "bigint"))
+      case FloatType | _: DecimalType => Some((v.cast("double"), "double"))
+      case other => throw new IllegalArgumentException(
+        s"order-statistic selection over unsupported type $other " +
+          "(orderable numerics and dates only)")
+    }
+  }
+
+  /** The widened sketch input for v (identity when already wide). */
+  private def sketchCol(df: DataFrame, v: Column): Column =
+    widenExpr(df.select(v).schema.head.dataType, v).map(_._1).getOrElse(v)
+
   private def withBucket(df: DataFrame, v: Column, bounds: DataFrame,
-                         bndsCol: String = "__bnds"): DataFrame =
+                         bndsCol: String = "__bnds"): DataFrame = {
+    val (vc, bc) = widenExpr(df.select(v).schema.head.dataType, v) match {
+      case None => (v, col(bndsCol))
+      case Some((w, t)) => (w, col(bndsCol).cast(s"array<$t>"))
+    }
     df.filter(v.isNotNull)
       .crossJoin(broadcast(bounds))
       .withColumn("__b", org.apache.spark.sql.graftbridge.GraftSqlBridge.column(
         graft.functions.SortedBucket(
-          org.apache.spark.sql.graftbridge.GraftSqlBridge.expression(v),
-          org.apache.spark.sql.graftbridge.GraftSqlBridge.expression(col(bndsCol)))))
+          org.apache.spark.sql.graftbridge.GraftSqlBridge.expression(vc),
+          org.apache.spark.sql.graftbridge.GraftSqlBridge.expression(bc))))
       .drop(bndsCol)
+  }
 
   /** `df` + a 1-based global row number by ORDER BY (v, key) + the total
     * count — with EVERY bucket numbered by a parallel per-bucket window
     * (rn = bucket offset + local row number), never a single-task global
     * sort. Bucket id is a pure function of v, so equal values can never
     * straddle a boundary and the concatenated order is exactly the
-    * total (v, key) order. Skew caveat: one value with huge multiplicity
-    * makes one bucket large (same hazard as any hot window key).
+    * total (v, key) order. Skew caveat: numbering EVERY row means a
+    * value with huge multiplicity keeps its whole bucket in one window
+    * task (a pure function of v cannot split a hot value). For
+    * skew-prone inputs use [[withRangeRowNumber]], whose range
+    * partitioner samples (v, key) JOINTLY and spreads a hot v across
+    * partitions by key; selection-by-rank callers are immune —
+    * [[atRanks]] collapses equal values to (value, count) before its
+    * local sort, so hot values cost one row there.
     *
     * @return original columns + `rnCol` (LongType) + `nCol` (total rows)
     */
@@ -83,7 +121,7 @@ object DistributedSelect {
       // containing a requested rank pay the final sort, and at 150 M
       // rows the 3 surviving 1/32-buckets sorted on 3 of 32 cores
       // dominated the whole run (measured 24 s; 1/256-buckets: 2.5 s).
-      percentile_approx(v, typedLit(ps), lit(100)).as("__bnds"),
+      percentile_approx(sketchCol(df, v), typedLit(ps), lit(100)).as("__bnds"),
       count(lit(1)).as(nCol))
     val bucketed = withBucket(df, v, bounds)
     val wcum = Window.orderBy(col("__b"))
@@ -157,7 +195,7 @@ object DistributedSelect {
       // containing a requested rank pay the final sort, and at 150 M
       // rows the 3 surviving 1/32-buckets sorted on 3 of 32 cores
       // dominated the whole run (measured 24 s; 1/256-buckets: 2.5 s).
-      percentile_approx(v, typedLit(ps), lit(100)).as("__bnds"),
+      percentile_approx(sketchCol(df, v), typedLit(ps), lit(100)).as("__bnds"),
       count(lit(1)).as("__n"))
     // 2. assign each row its bucket: count of boundaries strictly below
     //    v, via the codegen'd broadcast range join (see withBucket).
@@ -175,11 +213,25 @@ object DistributedSelect {
         r => r > col("__off") && r <= col("__off") + col("__c")))
       .filter(size(col("__want")) > 0)
       .select(col("__b"), col("__off"), col("__want"), col("__n"))
-    // 4. local sort inside surviving buckets only; emit requested ranks.
-    val wloc = Window.partitionBy(col("__b")).orderBy(col("__v"), col("__k"))
+    // 4. surviving buckets collapse to (value, count) BEFORE the local
+    //    sort: ranks within a run of equal values all select that value,
+    //    so the per-bucket window touches DISTINCT values only. This is
+    //    the skew armor — a degenerate column (e.g. 30% zeros) makes one
+    //    bucket arbitrarily large (bucket id is a pure function of v and
+    //    cannot split a hot value), but the collapse turns the hot value
+    //    into ONE row through a map-side-combined hash agg, so no
+    //    single-task sort re-appears at any multiplicity. A wanted rank
+    //    r selects the distinct value whose cumulative-count range
+    //    [lo, hi] contains r; several ranks may land in one run.
+    val wloc = Window.partitionBy(col("__b")).orderBy(col("__v"))
     val selected = bucketed.drop("__n").join(broadcast(hit), "__b")
-      .withColumn("__rank", col("__off") + row_number().over(wloc))
-      .filter(array_contains(col("__want"), col("__rank")))
+      .groupBy(col("__b"), col("__off"), col("__want"), col("__n"), col("__v"))
+      .agg(count(lit(1)).as("__cv"))
+      .withColumn("__hi", col("__off") + sum(col("__cv")).over(
+        wloc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__lo", col("__hi") - col("__cv") + 1)
+      .withColumn("__rank", explode(filter(col("__want"),
+        r => r >= col("__lo") && r <= col("__hi"))))
     labelsOfN match {
       case None => selected.select(col("__rank").as("rank"), col("__v").as("v"))
       case Some(mk) =>

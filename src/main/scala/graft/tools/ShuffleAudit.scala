@@ -41,22 +41,30 @@ object ShuffleAudit {
     }
     spark.sparkContext.addSparkListener(listener)
 
+    // The listener bus is async and its drain API is private[spark];
+    // settle by polling until the counters stop moving (two consecutive
+    // identical reads 100 ms apart). Runs BEFORE zeroing as well as
+    // after counting: a late stage-completion event from the previous
+    // key arriving after the reset would otherwise be misattributed to
+    // the next key's row in the committed artifact.
+    def settle(): Unit = {
+      var prev = -1L
+      var tries = 0
+      while (tries < 50 && prev != shuffleWrite + inputRead) {
+        prev = shuffleWrite + inputRead
+        Thread.sleep(100)
+        tries += 1
+      }
+    }
+
     val rows = Registry.all.map { q =>
+      settle()
       shuffleWrite = 0L
       inputRead = 0L
       val res =
         try {
           val n = q.build(spark, dir).count()
-          // The listener bus is async and its drain API is
-          // private[spark]; settle by polling until the counters stop
-          // moving (two consecutive identical reads 100 ms apart).
-          var prev = -1L
-          var tries = 0
-          while (tries < 50 && prev != shuffleWrite + inputRead) {
-            prev = shuffleWrite + inputRead
-            Thread.sleep(100)
-            tries += 1
-          }
+          settle()
           f""""${q.key}":{"rows":$n,"shuffle_bytes":$shuffleWrite,"input_bytes":$inputRead}"""
         } catch {
           case e: Throwable =>

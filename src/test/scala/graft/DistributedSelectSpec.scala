@@ -47,6 +47,63 @@ class DistributedSelectSpec extends SparkSpec {
     check(Seq.tabulate(100)(i => ((i % 10) - 5).toDouble), Seq(1, 10, 55, 91, 100))
   }
 
+  test("atRanks survives a 30%-multiplicity hot value (skew armor)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rng = new scala.util.Random(99)
+    // 30% zeros + continuous tail: the zero-run spans many requested
+    // ranks and would previously sort its whole bucket in one window
+    // task; the (value, count) collapse makes it one row.
+    val values = Seq.fill(3000)(0.0) ++ Seq.fill(7000)(rng.nextDouble() * 100)
+    val shuffled = rng.shuffle(values)
+    val df = shuffled.zipWithIndex.map { case (v, i) => (v, i.toLong) }
+      .toDF("v", "k")
+    val sortedRef = shuffled.sorted
+    val ranks = Seq(1, 500, 2500, 3000, 3001, 5000, 9999, 10000)
+    val got = DistributedSelect.atRanks(df, "v", "k",
+        _ => ranks.map(r => lit(r.toLong)), buckets = 16)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    ranks.foreach { r =>
+      assert(got(r.toLong) === sortedRef(r - 1), s"rank $r wrong under skew")
+    }
+    // labels must still resolve (the median-query path) with several
+    // ranks landing inside the hot run
+    val labeled = DistributedSelect.atRanks(df, "v", "k",
+        _ => Seq(lit(500L), lit(2500L)), buckets = 16,
+        labelsOfN = Some(_ => Seq((lit(500L), lit("lo")), (lit(2500L), lit("hi")))))
+      .collect().map(r => r.getString(2) -> r.getDouble(1)).toMap
+    assert(labeled("lo") === 0.0 && labeled("hi") === 0.0)
+  }
+
+  test("atRanks widens int/float/decimal/date columns order-preservingly") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rng = new scala.util.Random(5)
+    val ints = Seq.fill(500)(rng.nextInt(1000) - 500)
+    val intDf = ints.zipWithIndex.map { case (v, i) => (v, i.toLong) }
+      .toDF("v", "k")
+    val gotInt = DistributedSelect.atRanks(intDf, "v", "k",
+        _ => Seq(lit(1L), lit(250L), lit(500L)), buckets = 8)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val sortedInts = ints.sorted
+    assert(gotInt(1L) === sortedInts(0) && gotInt(250L) === sortedInts(249) &&
+      gotInt(500L) === sortedInts(499))
+    val decDf = intDf.select(
+      (col("v").cast("decimal(12,2)") / 4).cast("decimal(12,2)").as("v"), col("k"))
+    val decRef = decDf.select("v").collect().map(_.getDecimal(0)).sorted
+    val gotDec = DistributedSelect.atRanks(decDf, "v", "k",
+        _ => Seq(lit(100L), lit(400L)), buckets = 8)
+      .collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+    assert(gotDec(100L) === decRef(99) && gotDec(400L) === decRef(399))
+    val dateDf = intDf.select(date_add(lit("2020-01-01").cast("date"),
+      col("v") + 500).as("v"), col("k"))
+    val dateRef = dateDf.select("v").collect().map(_.getDate(0)).sortBy(_.getTime)
+    val gotDate = DistributedSelect.atRanks(dateDf, "v", "k",
+        _ => Seq(lit(42L)), buckets = 8)
+      .collect().map(r => r.getLong(0) -> r.getDate(1)).toMap
+    assert(gotDate(42L) === dateRef(41))
+  }
+
   test("withRangeRowNumber is a bijection onto 1..n ordered by the key") {
     val spark2 = spark
     import spark2.implicits._
