@@ -279,6 +279,63 @@ object StreamingQueries extends QueryGroup {
                 COUNT(*) FILTER (event_type = 'error') AS error
               FROM events GROUP BY 1 ORDER BY bucket_ms""")),
 
+    // Terminal sink row (§2.1 sink_memory/foreachBatch) made graded:
+    // the reference's to_df()/chunk-callback terminal as a REAL
+    // Structured Streaming run, not a batch stand-in. A fixed `events`
+    // slice (user_id < 100 — constant work at any sf; the predicate
+    // reaches the parquet scan) replays in ~5 micro-batches through a
+    // MemoryStream → update-mode running aggregate → foreachBatch KEYED
+    // UPSERT. Every delivered batch is applied TWICE: Structured
+    // Streaming guarantees at-least-once delivery to foreachBatch, and
+    // end-to-end exactly-once is recovered by sink idempotence (update
+    // mode emits the new running total per key, so re-applying a batch
+    // rewrites the same rows with the same values). The graded output
+    // is the final materialized table; the oracle is the one-pass batch
+    // aggregate it must equal exactly. The driver-side collect is the
+    // terminal edge itself (≙ StreamFrame.collectRows), not an operator
+    // shortcut: per-key running totals are bounded by the keyed slice.
+    GQuery("stream_foreach_upsert",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        implicit val sqlCtx = s.sqlContext
+        val events = Tables(s, dir, "events")
+          .filter($"user_id" < 100)
+          .select($"user_id", $"ts", $"value").as[graft.streaming.EventIn]
+          .collect().toSeq
+        val target = new java.util.concurrent.ConcurrentHashMap[
+          Long, (Long, java.math.BigDecimal)]()
+        val input = MemoryStream[graft.streaming.EventIn]
+        val q = input.toDF()
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n"),
+            sum($"value".cast("decimal(18,2)")).as("sv"))
+          .writeStream.outputMode("update")
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            val rows = batch.collect()
+            (0 until 2).foreach { _ => // simulated redelivery
+              rows.foreach(r =>
+                target.put(r.getLong(0), (r.getLong(1), r.getDecimal(2))))
+            }
+          }
+          .start()
+        try
+          events.grouped(math.max(1, events.size / 5)).foreach { c =>
+            input.addData(c); q.processAllAvailable()
+          }
+        finally q.stop()
+        import scala.jdk.CollectionConverters._
+        target.asScala.toSeq
+          // exact decimal total → ONE double cast, same tree as Det.dsum
+          .map { case (u, (n, sv)) => (u, n, sv.doubleValue) }
+          .toDF("user_id", "n_events", "sum_value")
+          .orderBy($"user_id")
+      },
+      Some(s"""SELECT user_id, COUNT(*) AS n_events,
+                ${Det.sql.dsum("value")} AS sum_value
+              FROM events WHERE user_id < 100
+              GROUP BY user_id ORDER BY user_id""")),
+
     GQuery("stream_window_nunique",
       (s, dir) => {
         import s.implicits._
