@@ -9,6 +9,85 @@ import org.apache.spark.sql.functions._
   * re-scraped documents), the second is how a table stays scannable
   * after thousands of incremental writes have fragmented it.
   */
+/** Atomic table publication by MANIFEST swap — the commit protocol
+  * both maintenance ops publish through. A "table" is a directory
+  * holding immutable `data-<version>/` parquet directories plus one
+  * `MANIFEST` file naming the current version. Publishing writes a
+  * COMPLETE new data directory first, then swaps the manifest with a
+  * single same-filesystem rename (atomic on POSIX and HDFS): a reader
+  * concurrent with any rewrite resolves either the old or the new
+  * version in full — never a mix, never a partially-written directory.
+  * This is the lakehouse answer (Iceberg/Delta commit in miniature);
+  * plain `mode("overwrite")` to a live path deletes before it writes
+  * and has no such guarantee at any scale.
+  *
+  * Superseded versions older than the one being replaced are garbage
+  * collected on the NEXT publish (two versions retained), so a reader
+  * that resolved the previous manifest can finish its scan.
+  */
+object AtomicPublish {
+  private val ManifestFile = "MANIFEST"
+  private val counter = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Run `write` against a fresh versioned data directory under
+    * `tablePath`, then atomically point the manifest at it.
+    * Returns the published data-directory name. */
+  def publish(spark: SparkSession, tablePath: String)
+             (write: String => Unit): String = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = root.getFileSystem(conf)
+    fs.mkdirs(root)
+    val prev = currentDataDir(spark, tablePath)
+    val dataDir =
+      s"data-${System.currentTimeMillis()}-${counter.incrementAndGet()}"
+    write(fs.makeQualified(new org.apache.hadoop.fs.Path(root, dataDir)).toString)
+    val tmp = new org.apache.hadoop.fs.Path(root, s".manifest-$dataDir.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(dataDir.getBytes("UTF-8")) finally out.close()
+    // The commit point: one rename, atomic-with-overwrite on the same
+    // filesystem (FileContext exposes the POSIX/HDFS semantic that
+    // FileSystem.rename hides behind delete+rename).
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, conf)
+    fc.rename(fs.makeQualified(tmp),
+      fs.makeQualified(new org.apache.hadoop.fs.Path(root, ManifestFile)),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // GC: anything older than the version we just superseded is
+    // unreachable by any reader that started after ITS supersession.
+    fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(d => d.startsWith("data-") && d != dataDir && !prev.contains(d))
+      .foreach(d => fs.delete(new org.apache.hadoop.fs.Path(root, d), true))
+    dataDir
+  }
+
+  /** The data directory the manifest currently names, if published. */
+  def currentDataDir(spark: SparkSession, tablePath: String): Option[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = root.getFileSystem(conf)
+    val m = new org.apache.hadoop.fs.Path(root, ManifestFile)
+    if (!fs.exists(m)) None
+    else {
+      val in = fs.open(m)
+      try {
+        val bytes = new Array[Byte](fs.getFileStatus(m).getLen.toInt)
+        in.readFully(bytes)
+        Some(new String(bytes, "UTF-8").trim)
+      } finally in.close()
+    }
+  }
+
+  /** Reader side of the protocol: resolve the manifest, read that
+    * version. One manifest read per query plan — the scan itself binds
+    * to the immutable versioned directory. */
+  def read(spark: SparkSession, tablePath: String): DataFrame =
+    currentDataDir(spark, tablePath) match {
+      case Some(d) => spark.read.parquet(s"$tablePath/$d")
+      case None => throw new IllegalStateException(
+        s"no published version (MANIFEST) at $tablePath")
+    }
+}
+
 object MergeInto {
 
   /** SCD-1 MERGE INTO: rows of `source` win on key match (UPDATE),
@@ -27,6 +106,17 @@ object MergeInto {
     target
       .join(source.select(keys.map(col): _*).distinct(), keys, "left_anti")
       .unionByName(source)
+
+  /** MERGE-and-commit against a published table: read the current
+    * version, apply [[upsert]], publish the result as a new version
+    * via [[AtomicPublish]]. A reader concurrent with the merge sees
+    * the pre-merge or post-merge table in full, never a mix. */
+  def upsertInto(spark: SparkSession, tablePath: String, source: DataFrame,
+                 keys: Seq[String]): DataFrame = {
+    val merged = upsert(AtomicPublish.read(spark, tablePath), source, keys)
+    AtomicPublish.publish(spark, tablePath)(p => merged.write.parquet(p))
+    AtomicPublish.read(spark, tablePath)
+  }
 }
 
 object Compact {
@@ -50,17 +140,25 @@ object Compact {
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
       .map(_.getLen).sum
     val parts = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    spark.read.parquet(inPath)
-      .repartition(parts)
-      .write.mode("overwrite").parquet(outPath)
-    spark.read.parquet(outPath)
+    // Publish through the manifest swap — a reader concurrent with the
+    // compaction resolves the old fragmented version until the single
+    // atomic rename, never a half-written directory.
+    AtomicPublish.publish(spark, outPath) { dataPath =>
+      spark.read.parquet(inPath)
+        .repartition(parts)
+        .write.parquet(dataPath)
+    }
+    AtomicPublish.read(spark, outPath)
   }
 
-  /** Data-file count of a parquet directory (compaction evidence). */
+  /** Data-file count of a parquet directory (compaction evidence);
+    * resolves the manifest first when `path` is a published table. */
   def parquetFileCount(spark: SparkSession, path: String): Int = {
-    val fs = new org.apache.hadoop.fs.Path(path)
+    val dir = AtomicPublish.currentDataDir(spark, path)
+      .map(d => s"$path/$d").getOrElse(path)
+    val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(new org.apache.hadoop.fs.Path(path))
+    fs.listStatus(new org.apache.hadoop.fs.Path(dir))
       .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
   }
 }

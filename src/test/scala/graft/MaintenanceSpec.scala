@@ -48,6 +48,63 @@ class MaintenanceSpec extends SparkSpec {
       base.collect().map(_.toString).sorted.toSeq)
   }
 
+  test("publish is atomic: a reader mid-rewrite sees old or new, never a mix") {
+    import spark.implicits._
+    import graft.ops.AtomicPublish
+    val table = graft.engine.Scratch.dir("spec_atomic_pub")
+    val v1 = Seq((1L, "one"), (2L, "two")).toDF("k", "v")
+    AtomicPublish.publish(spark, table)(p => v1.write.parquet(p))
+    def snapshot(): Set[(Long, String)] =
+      AtomicPublish.read(spark, table).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+    val oldSet = snapshot()
+    assert(oldSet === Set((1L, "one"), (2L, "two")))
+    // Second publish with the new data FULLY WRITTEN but the manifest
+    // not yet swapped: a reader in that window must still see v1
+    // completely (the window where mode("overwrite") on a live path
+    // shows a partial or empty directory).
+    val newSet = Set((10L, "ten"), (20L, "twenty"), (30L, "thirty"))
+    val wrote = new java.util.concurrent.CountDownLatch(1)
+    val proceed = new java.util.concurrent.CountDownLatch(1)
+    val publisher = new Thread(() =>
+      AtomicPublish.publish(spark, table) { p =>
+        newSet.toSeq.toDF("k", "v").write.parquet(p)
+        wrote.countDown()
+        proceed.await()
+      })
+    publisher.start()
+    wrote.await()
+    // mid-rewrite: new data on disk, commit not yet — reader sees OLD,
+    // and the table root really does hold both versioned directories
+    val mid = snapshot()
+    assert(mid === oldSet, s"mid-rewrite reader saw a mix: $mid")
+    proceed.countDown()
+    publisher.join()
+    assert(snapshot() === newSet, "post-commit reader must see the new version")
+    // third publish GCs versions older than the superseded one: at most
+    // two data-* directories remain
+    AtomicPublish.publish(spark, table)(p =>
+      Seq((99L, "x")).toDF("k", "v").write.parquet(p))
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataDirs = fs.listStatus(new org.apache.hadoop.fs.Path(table))
+      .filter(_.isDirectory).map(_.getPath.getName).filter(_.startsWith("data-"))
+    assert(dataDirs.length <= 2, s"GC left ${dataDirs.mkString(",")}")
+  }
+
+  test("upsertInto commits through the manifest; concurrent reader unaffected") {
+    import spark.implicits._
+    import graft.ops.{AtomicPublish, MergeInto}
+    val table = graft.engine.Scratch.dir("spec_atomic_merge")
+    val init = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "bal")
+    AtomicPublish.publish(spark, table)(p => init.write.parquet(p))
+    val merged = MergeInto.upsertInto(spark, table,
+      Seq((2L, 99.0), (3L, 30.0)).toDF("k", "bal"), Seq("k"))
+      .orderBy($"k").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(merged.toSeq === Seq((1L, 10.0), (2L, 99.0), (3L, 30.0)))
+    assert(AtomicPublish.read(spark, table).count() === 3)
+  }
+
   test("compaction partition count scales with real input bytes") {
     val base = graft.engine.Tables(spark, sfDir, "lineitem")
     val frag = graft.engine.Scratch.dir("spec_lineitem_frag2")
