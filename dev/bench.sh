@@ -30,7 +30,26 @@ if [ "${SPARK_GRAFT_BENCH_FORCE:-0}" != "1" ]; then
     exit 3
   fi
 fi
-echo "bench starting: load=$LOAD sibling_jvms=$SIBLINGS" >&2
+# HOST-steal gate: intermittent hypervisor steal is invisible to
+# loadavg and ps but inflates per-key walls 5-10x (two rounds of
+# committed numbers carried steal stamps). Measure the steal delta
+# (col 8 of /proc/stat's cpu line) over a 20 s idle window and refuse
+# to record when it exceeds SPARK_GRAFT_MAX_STEAL jiffies (default 20
+# = 1 jiffy/s). Override window wait with FORCE like the other gates.
+MAXSTEAL=${SPARK_GRAFT_MAX_STEAL:-20}
+if [ "${SPARK_GRAFT_BENCH_FORCE:-0}" != "1" ]; then
+  S1=$(awk '/^cpu /{print $9}' /proc/stat)
+  sleep 20
+  S2=$(awk '/^cpu /{print $9}' /proc/stat)
+  STEAL=$((S2 - S1))
+  if [ "$STEAL" -gt "$MAXSTEAL" ]; then
+    echo "REFUSING: host steal $STEAL jiffies/20s > $MAXSTEAL (rerun when quiet or SPARK_GRAFT_BENCH_FORCE=1)" >&2
+    exit 3
+  fi
+else
+  STEAL="skipped(force)"
+fi
+echo "bench starting: load=$LOAD sibling_jvms=$SIBLINGS steal20s=${STEAL:-n/a}" >&2
 
 ADD_OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \

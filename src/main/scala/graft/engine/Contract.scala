@@ -116,11 +116,44 @@ object Contract {
       }
     }
 
+  /** FILE-LAYOUT contract for the tables whose PLANNING reads parquet
+    * footers driver-side (`AnnSearch.parquetRowCount` feeds bloom, ANN
+    * and Hamming provisioning): the table path must be a flat file or
+    * directory of part files — a partitioned regeneration (nested
+    * `col=value/` subdirectories) would make the non-recursive footer
+    * walk silently count 0 and mis-provision every adaptive plan long
+    * before any key visibly failed — and the summed footer record
+    * counts must equal the engine's own count of the same path. */
+  def layoutViolations(spark: SparkSession, dir: String): Seq[String] =
+    Seq("orders", "documents", "embeddings").flatMap { t =>
+      val path = s"$dir/$t.parquet"
+      try {
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val st = fs.getFileStatus(p)
+        val nested =
+          if (st.isDirectory)
+            fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName).toSeq
+          else Seq.empty
+        val footers = graft.ops.AnnSearch.parquetRowCount(spark, path)
+        val actual = spark.read.parquet(path).count()
+        (if (nested.nonEmpty)
+           Seq(s"$t: nested directories ${nested.mkString(",")} — footer " +
+             "walk is non-recursive, planning would see 0 rows")
+         else Nil) ++
+        (if (footers <= 0 || footers != actual)
+           Seq(s"$t: footer row count $footers != scan count $actual")
+         else Nil)
+      } catch {
+        case e: Throwable => Seq(s"$t: unreadable layout (${e.getMessage})")
+      }
+    }
+
   /** Hard gate (used by EngineContractSpec): throws naming every drifted
     * column so a testdata regeneration turns into ONE red assertion
     * instead of N silently-broken keys. */
   def assertAll(spark: SparkSession, dir: String): Unit = {
-    val v = violations(spark, dir)
+    val v = violations(spark, dir) ++ layoutViolations(spark, dir)
     require(v.isEmpty,
       s"TESTDATA CONTRACT VIOLATION ($dir) — generator drift?\n  " +
         v.mkString("\n  "))

@@ -75,7 +75,9 @@ object ScaleGen {
     * Copy 0 stays byte-identical to the source.
     */
   private def rotateText(c: String, i: Int): org.apache.spark.sql.Column =
-    if (i == 0) col(c) else {
+    if (i == 0) col(c)
+    else if (TextMode == "heaps") heapsText(c, i)
+    else {
       val shuffled = expr(
         s"""array_join(
               transform(
@@ -86,6 +88,41 @@ object ScaleGen {
               ' ')""")
       concat(shuffled, lit(s" c$i"))
     }
+
+  /** SPARK_GRAFT_SCALE_TEXTMODE=heaps: decorrelation tuned for the
+    * VOCABULARY-STATISTICS decade rows (ngram_lm_counts, bigram_pmi,
+    * contamination_ngram). The default permutation mode shuffles word
+    * order per copy, which makes the BIGRAM type count grow ~linearly
+    * with copies (each copy's random adjacencies are new) — real
+    * corpora follow Heaps' law, V(n) ∝ n^β with β ≈ 0.5, so the
+    * default corpus overstates those keys' per-decade cost (round-9
+    * VERDICT: 6.6×/decade driven by the generator, not the plan).
+    *
+    * Heaps mode PRESERVES word order and mutates a 1/(4·√(i+1))
+    * fraction of word TYPES with a copy-unique suffix: new unigram
+    * types per copy ≈ V₀/(4√(i+1)) → V(C) ≈ V₀·(1 + √C/2), and with
+    * order preserved new bigram types are only those touching a
+    * mutated word — likewise ~√C. Under two-level composition
+    * (sf10 → sf100) the law compounds as ≈ V₀·(1+√C₁/2)(1+√C₂/2),
+    * still sub-linear in total copies. The trailing salt token keeps
+    * every copy's text globally unique. NOT for dedup decade rows:
+    * preserved order means copies are textual near-dups of each other
+    * by construction (the permutation mode exists precisely to avoid
+    * that); use the default for every non-vocabulary key.
+    */
+  private def heapsText(c: String, i: Int): org.apache.spark.sql.Column = {
+    val denom = math.max(2, math.round(4.0 * math.sqrt(i + 1.0)).toInt)
+    val mutated = expr(
+      s"""array_join(
+            transform(split($c, ' '),
+              w -> IF(pmod(xxhash64(w, $i), $denom) = 0,
+                      concat(w, 'h$i'), w)),
+            ' ')""")
+    concat(mutated, lit(s" c$i"))
+  }
+
+  private val TextMode =
+    sys.env.getOrElse("SPARK_GRAFT_SCALE_TEXTMODE", "permute")
 
   /** Circular element shift of the 64-dim embedding: norm-preserving,
     * distribution-preserving, decorrelating (random-ish vectors have
@@ -130,7 +167,13 @@ object ScaleGen {
       ("documents", Seq("doc_id"), Some("text"), None),
       ("embeddings", Seq("vec_id"), None, Some("embedding")))
 
-    plan.foreach { case (name, keys, textCol, vecCol) =>
+    // SPARK_GRAFT_SCALE_TABLES=documents,embeddings restricts output —
+    // the heaps-mode vocabulary corpora need only `documents`, so the
+    // decade scratch stays hundreds of MB, not a full 21 GB sf100.
+    val onlyTables = sys.env.get("SPARK_GRAFT_SCALE_TABLES")
+      .map(_.split(",").map(_.trim).toSet)
+    plan.filter(p => onlyTables.forall(_.contains(p._1)))
+      .foreach { case (name, keys, textCol, vecCol) =>
       val base = spark.read.parquet(s"$srcDir/$name.parquet")
       val scaled =
         if (keys.isEmpty) base // fixed dims are not replicated
