@@ -289,6 +289,52 @@ object LlmQueries extends QueryGroup {
                                            CAST(b.embedding AS DOUBLE[])) >= 0.45
               ORDER BY id_a, id_b""")),
 
+    // SemDeDup-shaped SEMANTIC dedup (public recipe: cluster-then-prune
+    // over embedding cosine — Abbas et al. 2023): exact cosine near-dup
+    // pairs from the adaptive dispatcher (blocked-brute here; LSH past
+    // its budget — same ladder as embed_neardup) → transitive closure
+    // (GraphX CC, iterations bounded by cluster diameter) → one keeper
+    // per semantic cluster (min id, the dedup_exact rule). Completes
+    // the embedding-dedup family: embed_neardup emits the PAIRS, this
+    // emits the per-vector cluster labels + survivor flags a pipeline
+    // actually filters on. Oracle: quadratic cosine + recursive-CTE
+    // label propagation (the dedup_cluster pattern); threshold 0.45 is
+    // far from observed pair cosines, so engine-vs-DuckDB last-ulp
+    // differences cannot flip membership.
+    GQuery("dedup_semantic",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables(s, dir, "embeddings")
+          .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+        val n = graft.ops.AnnSearch.parquetRowCount(s, s"$dir/embeddings.parquet")
+        val pairs = graft.ops.AnnSearch.neardupPairsAdaptive(s, emb, "vec_id", "e",
+            minCosine = 0.45, corpusSize = Some(n),
+            cacheKey = Some(s"embeddings:$dir"))
+          .select($"id_a", $"id_b")
+        graft.ops.DedupCluster.clusters(emb.select($"vec_id"), "vec_id", pairs)
+          .select($"doc_id".as("vec_id"), $"cluster_id", $"cluster_size",
+            $"is_keeper")
+          .orderBy($"vec_id")
+      },
+      Some("""WITH RECURSIVE pairs AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+                WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                             CAST(b.embedding AS DOUBLE[])) >= 0.45),
+              e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                    UNION SELECT id_b, id_a FROM pairs),
+              r AS (
+                SELECT vec_id AS id, vec_id AS lbl FROM embeddings
+                UNION
+                SELECT e.dst, r.lbl FROM r JOIN e ON e.src = r.id),
+              comp AS (SELECT id, MIN(lbl) AS cluster_id FROM r GROUP BY id),
+              csize AS (SELECT cluster_id, COUNT(*) AS cluster_size
+                        FROM comp GROUP BY cluster_id)
+              SELECT id AS vec_id, cluster_id, cluster_size,
+                (id = cluster_id) AS is_keeper
+              FROM comp JOIN csize USING (cluster_id)
+              ORDER BY vec_id""")),
+
     GQuery("text_stats",
       (s, dir) => {
         import s.implicits._

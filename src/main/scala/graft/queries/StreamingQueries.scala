@@ -320,7 +320,10 @@ object StreamingQueries extends QueryGroup {
           }
           .start()
         try
-          events.grouped(math.max(1, events.size / 5)).foreach { c =>
+          // 3 micro-batches: enough to exercise incremental update-mode
+          // state across batches AND per-batch redelivery; each extra
+          // batch costs ~0.7 s of fixed micro-batch machinery.
+          events.grouped(math.max(1, events.size / 3 + 1)).foreach { c =>
             input.addData(c); q.processAllAvailable()
           }
         finally q.stop()
