@@ -111,6 +111,58 @@ object LlmQueries extends QueryGroup {
               FROM h GROUP BY chunk_hash HAVING COUNT(*) > 1
               ORDER BY chunk_hash""")),
 
+    // Paragraph/line-level EXACT dedup across the corpus (the CCNet /
+    // RefinedWeb recipe: boilerplate lines survive only at their FIRST
+    // occurrence, every document keeps its unique remainder). Token
+    // soup has no newlines, so a "line" is a fixed 8-token window —
+    // same proxy family as chunk_dedup, but this op REWRITES documents
+    // instead of profiling duplication. First occurrence = min
+    // (doc_id, seg_idx) per distinct segment, computed as a map-side-
+    // combined min-of-struct hash agg — deliberately NOT a per-segment
+    // row_number window, whose partition is unboundedly hot for a
+    // boilerplate segment repeated across the corpus (the same skew
+    // class DistributedSelect armors against). Reassembly is a per-doc
+    // sort of that doc's own surviving segments (bounded by doc
+    // length). Two segment-keyed shuffles + one doc-keyed agg.
+    GQuery("line_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val segs = Tables(s, dir, "documents")
+          .select($"doc_id", split($"text", " ").as("w"))
+          .select($"doc_id", posexplode(expr(
+            """transform(sequence(0, cast(ceil(size(w) / 8.0) as int) - 1),
+               i -> array_join(slice(w, i * 8 + 1, 8), ' '))""")))
+          .toDF("doc_id", "seg_idx", "seg")
+        val firsts = segs.groupBy($"seg")
+          .agg(min(struct($"doc_id", $"seg_idx")).as("f"))
+        segs.join(firsts, "seg")
+          .withColumn("kept",
+            struct($"doc_id", $"seg_idx") === $"f")
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_seg"),
+            sum(when($"kept", 1L).otherwise(0L)).as("n_kept"),
+            array_join(transform(
+              array_sort(collect_list(when($"kept",
+                struct($"seg_idx", $"seg")))),
+              x => x.getField("seg")), " ").as("dedup_text"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+              segs AS (
+                SELECT doc_id, CAST(i AS BIGINT) AS seg_idx,
+                  array_to_string(w[i*8+1 : i*8+8], ' ') AS seg
+                FROM t, UNNEST(range(CAST(ceil(len(w) / 8.0) AS BIGINT))) AS u(i)),
+              k AS (
+                SELECT doc_id, seg_idx, seg,
+                  ROW_NUMBER() OVER (PARTITION BY seg
+                    ORDER BY doc_id, seg_idx) AS rn
+                FROM segs)
+              SELECT doc_id, COUNT(*) AS n_seg,
+                CAST(COUNT(*) FILTER (rn = 1) AS BIGINT) AS n_kept,
+                COALESCE(string_agg(seg, ' ' ORDER BY seg_idx)
+                  FILTER (rn = 1), '') AS dedup_text
+              FROM k GROUP BY doc_id ORDER BY doc_id""")),
+
     // Unigram corpus-likelihood score — the perplexity-proxy quality
     // filter (CCNet-style LM filtering, unigram model fit on the corpus
     // itself). Deliberately computed in RATIONAL space: per-doc sum of
@@ -288,6 +340,41 @@ object LlmQueries extends QueryGroup {
               WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                            CAST(b.embedding AS DOUBLE[])) >= 0.45
               ORDER BY id_a, id_b""")),
+
+    // Hard-negative mining for contrastive training (the classic dense-
+    // retrieval recipe: per anchor, the top-k most-similar vectors with
+    // a DIFFERENT label — near misses the loss learns most from).
+    // Broadcast anchors ⋈ streamed corpus with the label-mismatch
+    // predicate fused into the scan-side filter, fused codegen cosine,
+    // per-anchor top-k. RANK output (sim_search's ulp armor): a
+    // last-ulp cosine difference between engines cannot flip a hash.
+    GQuery("hard_negatives",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables(s, dir, "embeddings")
+          .select($"vec_id", $"embedding".cast("array<double>").as("e"), $"label")
+        val anchors = emb.filter($"vec_id" < 5)
+          .select($"vec_id".as("q_id"), $"e".as("qe"), $"label".as("q_label"))
+        val sim = emb.crossJoin(broadcast(anchors))
+          .filter($"vec_id" =!= $"q_id" && $"label" =!= $"q_label")
+          .withColumn("sim", graft.engine.GraftFunctions.cosineSim(s, $"qe", $"e"))
+        sim.withColumn("rank", row_number().over(
+            Window.partitionBy($"q_id").orderBy($"sim".desc, $"vec_id")).cast("long"))
+          .filter($"rank" <= 10)
+          .select($"q_id", $"rank", $"vec_id".as("neg_id"), $"label".as("neg_label"))
+          .orderBy($"q_id", $"rank")
+      },
+      Some("""SELECT q_id, rank, neg_id, neg_label FROM (
+                SELECT q.vec_id AS q_id, b.vec_id AS neg_id,
+                  b.label AS neg_label,
+                  ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])) DESC,
+                    b.vec_id) AS rank
+                FROM embeddings q JOIN embeddings b
+                  ON q.vec_id <> b.vec_id AND q.label <> b.label
+                WHERE q.vec_id < 5) t
+              WHERE rank <= 10 ORDER BY q_id, rank""")),
 
     // SemDeDup-shaped SEMANTIC dedup (public recipe: cluster-then-prune
     // over embedding cosine — Abbas et al. 2023): exact cosine near-dup
