@@ -426,15 +426,30 @@ object AnnSearch {
         s => s.getField("i")),
       1, nprobe)
 
-  /** Exact brute-force top-k with the fused cosine expression. */
+  /** Exact brute-force top-k with the fused cosine expression.
+    *
+    * Two-stage top-k, not one window per query: a single
+    * `Window.partitionBy(q_id)` funnels the ENTIRE corpus × queries
+    * stream through #queries tasks (2 M rows/task at sf100; unbounded
+    * at 100 TB). Stage 1 salts the partition key with pmod(id, 64) —
+    * deterministic, so the plan stays replayable — and keeps each
+    * salt's local top-k (64·#queries parallel window groups); stage 2
+    * ranks the surviving ≤ 64·k rows per query. EXACT: any global
+    * top-k row is necessarily in its salt's top-k, and the (sim desc,
+    * id) order is total, so the two-stage result is bit-identical to
+    * the single-window one (sim_search's hash gate re-verified). */
   def bruteTopK(spark: SparkSession, emb: DataFrame, idCol: String, eCol: String,
                 queryPred: Column, k: Int = 10): DataFrame = {
     val base = emb.select(col(idCol).as("id"), col(eCol).as("e"))
     val q = base.filter(queryPred).select(col("id").as("q_id"), col("e").as("qe"))
     val sim = base.crossJoin(broadcast(q)).filter(col("id") =!= col("q_id"))
       .withColumn("sim", GraftFunctions.cosineSim(spark, col("qe"), col("e")))
+    val wSalt = Window.partitionBy(pmod(col("id"), lit(64)), col("q_id"))
+      .orderBy(col("sim").desc, col("id"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("id"))
-    sim.withColumn("rank", row_number().over(w))
+    sim.withColumn("prank", row_number().over(wSalt))
+      .filter(col("prank") <= k)
+      .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("id").as("neighbor_id"), col("sim"))
   }

@@ -358,7 +358,13 @@ object LlmQueries extends QueryGroup {
         val sim = emb.crossJoin(broadcast(anchors))
           .filter($"vec_id" =!= $"q_id" && $"label" =!= $"q_label")
           .withColumn("sim", graft.engine.GraftFunctions.cosineSim(s, $"qe", $"e"))
-        sim.withColumn("rank", row_number().over(
+        // two-stage exact top-k (AnnSearch.bruteTopK's salt shape): the
+        // per-anchor window never sees the whole corpus in one task
+        sim.withColumn("prank", row_number().over(
+            Window.partitionBy(pmod($"vec_id", lit(64)), $"q_id")
+              .orderBy($"sim".desc, $"vec_id")))
+          .filter($"prank" <= 10)
+          .withColumn("rank", row_number().over(
             Window.partitionBy($"q_id").orderBy($"sim".desc, $"vec_id")).cast("long"))
           .filter($"rank" <= 10)
           .select($"q_id", $"rank", $"vec_id".as("neg_id"), $"label".as("neg_label"))
