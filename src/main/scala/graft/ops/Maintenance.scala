@@ -28,12 +28,31 @@ import org.apache.spark.sql.functions._
 object AtomicPublish {
   private val ManifestFile = "MANIFEST"
   private val counter = new java.util.concurrent.atomic.AtomicLong()
+  private val tableLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   /** Run `write` against a fresh versioned data directory under
     * `tablePath`, then atomically point the manifest at it.
-    * Returns the published data-directory name. */
+    * Returns the published data-directory name.
+    *
+    * Concurrency contract: READERS are always safe against any number
+    * of concurrent publishers (the manifest swap is the only mutation
+    * they observe). PUBLISHERS are serialized per table within this
+    * JVM (the GC step must not run concurrently with another commit —
+    * it could collect a directory whose manifest swap is in flight,
+    * the race a MaintenanceSpec thread test reproduces). Cross-process
+    * concurrent publishers additionally need external coordination, as
+    * with every file-based commit protocol without a lock service
+    * (Delta/Iceberg solve this with an optimistic-concurrency log);
+    * maintenance jobs are single-writer per table by design. */
   def publish(spark: SparkSession, tablePath: String)
-             (write: String => Unit): String = {
+             (write: String => Unit): String =
+    tableLocks.computeIfAbsent(tablePath, _ => new Object).synchronized {
+      publishLocked(spark, tablePath)(write)
+    }
+
+  private def publishLocked(spark: SparkSession, tablePath: String)
+                           (write: String => Unit): String = {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(tablePath)
     val fs = root.getFileSystem(conf)

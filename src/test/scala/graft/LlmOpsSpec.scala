@@ -540,6 +540,73 @@ class LlmOpsSpec extends SparkSpec {
       }
   }
 
+  test("line_dedup semantics: first occurrence survives, remainder reassembles in order") {
+    import spark.implicits._
+    // doc 1 owns segments A B; doc 2 repeats A (boilerplate) then has C;
+    // doc 3 is entirely doc 1's content. 8-token segments built exactly.
+    def seg(c: String) = (1 to 8).map(i => s"$c$i").mkString(" ")
+    val (a, b, c2) = (seg("a"), seg("b"), seg("c"))
+    val docs = Seq(
+      (1L, s"$a $b"), (2L, s"$a $c2"), (3L, s"$b $a")
+    ).toDF("doc_id", "text")
+    val segs = docs
+      .select($"doc_id", split($"text", " ").as("w"))
+      .select($"doc_id", posexplode(expr(
+        """transform(sequence(0, cast(ceil(size(w) / 8.0) as int) - 1),
+           i -> array_join(slice(w, i * 8 + 1, 8), ' '))""")))
+      .toDF("doc_id", "seg_idx", "seg")
+    val firsts = segs.groupBy($"seg")
+      .agg(min(struct($"doc_id", $"seg_idx")).as("f"))
+    val out = segs.join(firsts, "seg")
+      .withColumn("kept", struct($"doc_id", $"seg_idx") === $"f")
+      .groupBy($"doc_id")
+      .agg(sum(when($"kept", 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when($"kept", struct($"seg_idx", $"seg")))),
+          x => x.getField("seg")), " ").as("t"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out(1L) === ((2L, s"$a $b"))) // doc 1 keeps everything
+    assert(out(2L) === ((1L, c2)))       // boilerplate A deduped away
+    assert(out(3L) === ((0L, "")))       // fully-duplicated doc empties
+  }
+
+  test("hard negatives: same-label and self vectors never appear; ranks contiguous") {
+    import spark.implicits._
+    val out = graft.queries.Registry.all.find(_.key == "hard_negatives").get
+      .build(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val emb = Tables(spark, sfDir, "embeddings")
+      .select($"vec_id", $"label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    out.foreach { r =>
+      val (q, rank, neg) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(neg !== q, "anchor returned itself")
+      assert(emb(neg) !== emb(q), s"same-label negative for anchor $q")
+      assert(rank >= 1 && rank <= 10)
+    }
+    out.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq === (1L to rs.length),
+        s"ranks not contiguous for anchor $q")
+    }
+  }
+
+  test("dedup_semantic: labels are transitive-closure consistent, keepers are min ids") {
+    import spark.implicits._
+    val rows = graft.queries.Registry.all.find(_.key == "dedup_semantic").get
+      .build(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    val byCluster = rows.groupBy(_._2)
+    byCluster.foreach { case (cid, members) =>
+      assert(members.map(_._1).min === cid, "cluster_id must be the min member id")
+      assert(members.count(_._4) === 1 && members.find(_._4).get._1 === cid,
+        "exactly the min id is keeper")
+      assert(members.forall(_._3 === members.length), "cluster_size mismatch")
+    }
+    // every vector labeled exactly once
+    assert(rows.map(_._1).distinct.length === rows.length)
+  }
+
   test("multimodal feature extraction is deterministic and complete") {
     import spark.implicits._
     val media = Tables(spark, sfDir, "documents")

@@ -105,6 +105,24 @@ class MaintenanceSpec extends SparkSpec {
     assert(AtomicPublish.read(spark, table).count() === 3)
   }
 
+  test("racing publishers: last commit wins, readers always see ONE full version") {
+    import spark.implicits._
+    import graft.ops.AtomicPublish
+    val table = graft.engine.Scratch.dir("spec_atomic_race")
+    val sets = (0 until 4).map(i =>
+      (0 until 3).map(j => (i * 10L + j, s"v$i-$j")).toSet)
+    val threads = sets.map { data =>
+      new Thread(() => AtomicPublish.publish(spark, table) { p =>
+        data.toSeq.toDF("k", "v").write.parquet(p)
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val got = AtomicPublish.read(spark, table).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(sets.contains(got),
+      s"reader saw a version no single publisher wrote: $got")
+  }
+
   test("compaction partition count scales with real input bytes") {
     val base = graft.engine.Tables(spark, sfDir, "lineitem")
     val frag = graft.engine.Scratch.dir("spec_lineitem_frag2")
