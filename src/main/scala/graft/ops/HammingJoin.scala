@@ -157,28 +157,38 @@ object HammingJoin {
 
   /** Measured-occupancy planner input: (estimated Σ cnt·(cnt−1) over
     * index buckets — the product count both engines enumerate — and
-    * the estimated hottest bucket). From a Bernoulli sample of the
-    * fingerprints (deterministic seed): E[s(s−1)] = p²·cnt(cnt−1), so
-    * Σ s(s−1)/p² is unbiased for the product volume; the max estimate
-    * is s_max/p (a floor — heavy tails hide from samples, which is why
-    * the local engine also carries a hard run cap). Cost: one narrow
-    * aggregation over C(k,m)·n·frac rows — seconds where the join is
-    * minutes, and the honesty upgrade the uniform model can't give
-    * (measured: it under-counts real simhash bucket skew 100-500×). */
-  def estimateProducts(df: DataFrame, fpCol: String, maxDist: Int,
-                       blocks: Int, sampleRows: Double = 2e6,
-                       n: Long): (Double, Double) = {
-    val frac = math.min(1.0, sampleRows / math.max(1L, n))
+    * the estimated hottest bucket). Sampling is a DETERMINISTIC id-hash
+    * filter, `pmod(xxhash64(id), m) = 0` with m = round(n/sampleRows):
+    * unlike `.sample` (a Sample node ABOVE the fingerprint projection,
+    * which evaluates the fingerprint for EVERY row before discarding —
+    * measured 46 s of the sf100 plan pass), a deterministic filter on
+    * the id column pushes below the projection, so only sampled rows
+    * pay the fingerprint compute. Independence: the id hash is
+    * independent of fingerprint content, so per-bucket inclusion is
+    * i.i.d. with p = 1/m and E[s(s−1)] = p²·cnt(cnt−1) — Σ s(s−1)/p²
+    * is unbiased for the product volume; the max estimate is s_max/p
+    * (a floor — heavy tails hide from samples, which is why the local
+    * engine also carries a hard run cap). Default 200 k sampled rows:
+    * the total is a sum over ~10⁵ contributing buckets, so its
+    * relative error stays in single digits while the pass costs ~2 s
+    * where the join is minutes — the honesty upgrade the uniform model
+    * can't give (measured: it under-counts real simhash bucket skew
+    * 100-500×). */
+  def estimateProducts(df: DataFrame, idCol: String, fpCol: String,
+                       maxDist: Int, blocks: Int, n: Long,
+                       sampleRows: Double = 2e5): (Double, Double) = {
+    val m = math.max(1L, math.round(n / math.max(1.0, sampleRows)))
     val sampled =
-      if (frac >= 1.0) df.select(col(fpCol))
-      else df.select(col(fpCol)).sample(withReplacement = false, frac, seed = 42L)
+      if (m <= 1L) df.select(col(fpCol))
+      else df.filter(pmod(xxhash64(col(idCol)), lit(m)) === 0)
+        .select(col(fpCol))
     val st = bucketStats(sampled, fpCol, maxDist, blocks)
     val r = st.agg(
       sum(col("cnt") * (col("cnt") - 1)).cast("double"),
       max(col("cnt")).cast("double")).collect()(0)
     val sumP = if (r.isNullAt(0)) 0.0 else r.getDouble(0)
     val maxC = if (r.isNullAt(1)) 0.0 else r.getDouble(1)
-    (sumP / (frac * frac), maxC / frac)
+    (sumP * m.toDouble * m.toDouble, maxC * m.toDouble)
   }
 
   /** Stats-planned exact Hamming pairs. Small corpora (≤
@@ -213,7 +223,8 @@ object HammingJoin {
       val k = provisionBlocks(n, maxDist, pairsPerDoc = pairsPerDoc)
       val budget = spark.conf.getOption(MaxProductsKey)
         .map(_.toDouble).getOrElse(3e11)
-      val (products, hottest) = estimateProducts(df, fpCol, maxDist, k, n = n)
+      val (products, hottest) =
+        estimateProducts(df, idCol, fpCol, maxDist, k, n = n)
       if (products > budget) throw new IllegalArgumentException(
         f"exact Hamming join over n=$n%d fingerprints at radius $maxDist " +
           f"measures ~$products%.2g bucket products (sampled occupancy, " +

@@ -239,7 +239,8 @@ class LlmOpsSpec extends SparkSpec {
     val n = fp.count()
     // Full-sample estimate equals the true product volume exactly.
     val k = HammingJoin.provisionBlocks(n, 6, pairsPerDoc = 11.3)
-    val (est, hottest) = HammingJoin.estimateProducts(fp, "fp", 6, k, n = n)
+    val (est, hottest) =
+      HammingJoin.estimateProducts(fp, "doc_id", "fp", 6, k, n = n)
     val trueP = HammingJoin.bucketStats(fp, "fp", 6, k)
       .agg(sum($"cnt" * ($"cnt" - 1))).collect()(0).getLong(0)
     assert(est === trueP.toDouble, s"full-sample estimate $est != $trueP")
