@@ -342,6 +342,14 @@ object HammingJoin {
     * [[MaxBucketRowsKey]] (default 16 M) fails loud if a bucket
     * exceeds it — that regime means the [[estimateProducts]] gate was
     * bypassed, and the fix is radius/sharding, not a silent OOM.
+    *
+    * Parallelism follows the session's `spark.sql.shuffle.partitions`
+    * (the right knob — a cluster sizes it to cores). The product mass
+    * is bucket-skewed, so at exactly cores=partitions the longest
+    * product-heavy partition can straggle; measured at sf100/32
+    * threads, 4× oversplit bought ~10-20% (183-152 s vs ~201 s,
+    * run-to-run noise of the same order) — worth setting on a real
+    * cluster, not worth overriding the session here.
     */
   def pairsWithinLocal(df: DataFrame, idCol: String, fpCol: String,
                        maxDist: Int, blocks: Int = 0): DataFrame = {

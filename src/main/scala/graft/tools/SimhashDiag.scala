@@ -13,7 +13,8 @@ object SimhashDiag {
     val dir = if (args.length > 0) args(0) else "/root/repo/target/scratch/sf10"
     val blocks = if (args.length > 1) args(1).toInt else 0
     val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_DIAG_PARTS", "32").toInt)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
