@@ -231,6 +231,32 @@ class LlmOpsSpec extends SparkSpec {
       s"local diverged: missing=${rel -- loc}, extra=${loc -- rel}")
   }
 
+  test("local engine fuzz: equals brute force across radii, k, and fp structure") {
+    import spark.implicits._
+    import graft.ops.HammingJoin
+    val rng = new scala.util.Random(2026)
+    // mixed structure: uniform randoms + mutation chains + biased-band
+    // values (low entropy in the top bits — the hot-bucket shape)
+    val fps = Seq.fill(120)(rng.nextLong()) ++
+      (0 until 60).scanLeft(rng.nextLong())((f, i) => f ^ (1L << (i % 64))) ++
+      Seq.fill(60)(rng.nextLong() & 0x0000ffffffffffffL)
+    val df = fps.zipWithIndex.map { case (f, i) => (i.toLong, f) }
+      .toDF("doc_id", "fp")
+    val a = df.select($"doc_id".as("id_a"), $"fp".as("fp_a"))
+    val b = df.select($"doc_id".as("id_b"), $"fp".as("fp_b"))
+    for (d <- Seq(1, 4, 6, 8); k <- Seq(d + 1, d + 3)) {
+      val brute = a.join(b, $"id_a" < $"id_b")
+        .withColumn("h", bit_count($"fp_a".bitwiseXOR($"fp_b")))
+        .filter($"h" <= d)
+        .select($"id_a", $"id_b", $"h")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val loc = HammingJoin.pairsWithinLocal(df, "doc_id", "fp", d, blocks = k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(loc === brute,
+        s"d=$d k=$k: missing=${brute -- loc}, extra=${loc -- brute}")
+    }
+  }
+
   test("adaptive planner: sampled-occupancy gate refuses loudly, runs when funded") {
     import spark.implicits._
     import graft.ops.HammingJoin
