@@ -72,20 +72,32 @@ object AnnSearch {
     val base = emb.select(col(idCol).as("id"), col(eCol).as("e"))
     // One (table, bucket) equi-join against the broadcast query index —
     // id-only candidates (see neardupPairs for why), embeddings fetched
-    // back after dedup.
-    val indexed = bucketIndex(base, "e", tables, bits).select("id", "t", "bk")
+    // back afterwards. A (query, point) pair colliding in several
+    // tables (or several probes) used to be deduped through a full
+    // dropDuplicates(q_id, id) shuffle; instead both sides carry their
+    // compact bucket arrays and a zip-compare filter keeps the pair
+    // only in the FIRST table whose buckets are within the probe
+    // radius — canonical emission, zero extra shuffles, identical
+    // candidate set (multi-probe matches are exactly hamming(bk) ≤ 1).
+    val probeRadius = if (multiProbe) 1 else 0
+    val indexed = bucketIndex(base, "e", tables, bits)
+      .select("id", "bkts", "t", "bk")
     val qOwn = indexed.filter(queryPred)
-      .select(col("id").as("q_id"), col("t"), col("bk"))
+      .select(col("id").as("q_id"), col("bkts").as("q_bkts"),
+        col("t"), col("bk"))
     val qIdx =
       if (!multiProbe) qOwn
-      else qOwn.select(col("q_id"), col("t"),
+      else qOwn.select(col("q_id"), col("q_bkts"), col("t"),
         explode(array(col("bk") +:
           (0 until bits).map(i => col("bk").bitwiseXOR(lit(1 << i))): _*))
           .as("bk"))
     indexed.join(broadcast(qIdx), Seq("t", "bk"))
       .filter(col("id") =!= col("q_id"))
+      .filter(array_position(
+        zip_with(col("bkts"), col("q_bkts"),
+          (x, y) => bit_count(x.bitwiseXOR(y)) <= lit(probeRadius)),
+        true) === col("t") + 1)
       .select(col("q_id"), col("id"))
-      .dropDuplicates("q_id", "id")
   }
 
   def lshTopK(spark: SparkSession, emb: DataFrame, idCol: String, eCol: String,
@@ -327,18 +339,25 @@ object AnnSearch {
   def neardupCandidates(emb: DataFrame, idCol: String, eCol: String,
                         tables: Int, bits: Int): DataFrame = {
     val base = emb.select(col(idCol).as("id"), col(eCol).as("e"))
-    // Candidates carry ONLY ids: one (table, bucket) equi-join over the
-    // exploded index — never the embedding vectors. Shuffling the
-    // vectors through candidate generation would multiply shuffle bytes
-    // by `tables` × vector width; instead dedup the id pairs first and
-    // fetch both embeddings back with two plain joins.
-    val indexed = bucketIndex(base, "e", tables, bits).select("id", "t", "bk")
+    // Candidates carry ids + the compact bucket array (tables × 4
+    // bytes) — never the embedding vectors, whose width × tables would
+    // dominate the shuffle. The bucket array is what kills the OTHER
+    // shuffle: a pair colliding in `a` tables used to be emitted `a`
+    // times and deduped through dropDuplicates(id_a, id_b) — the exact
+    // pattern canonical emission removed from HammingJoin. Keep each
+    // pair only in its FIRST agreeing table (zip-compare filter inside
+    // the join's codegen stage); embeddings are fetched back with two
+    // plain joins afterwards.
+    val indexed = bucketIndex(base, "e", tables, bits)
+      .select("id", "bkts", "t", "bk")
     indexed.as("a")
       .join(indexed.as("b"),
         col("a.t") === col("b.t") && col("a.bk") === col("b.bk") &&
           col("a.id") < col("b.id"))
+      .filter(array_position(
+        zip_with(col("a.bkts"), col("b.bkts"), (x, y) => x === y),
+        true) === col("a.t") + 1)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
   }
 
   def neardupPairs(spark: SparkSession, emb: DataFrame, idCol: String, eCol: String,
@@ -355,13 +374,19 @@ object AnnSearch {
 
   /** One row per (id, table): the point's bucket in each hash table —
     * the exploded LSH index every bucketed op joins on. Buckets are
-    * computed once per row in one fused pass, then posexploded.
+    * computed once per row in one fused pass, then posexploded; the
+    * full per-point bucket array rides along as `bkts` (tables × 4
+    * bytes) — it is what the canonical-emission filters zip-compare to
+    * keep each colliding pair exactly once without a pair-dedup
+    * shuffle (the HammingJoin.pairsWithin rule).
     */
   def bucketIndex(df: DataFrame, eCol: String, tables: Int, bits: Int,
                   dim: Int = 64, seed: Long = 42L): DataFrame = {
     val arr = GraftFunctions.hyperplaneBuckets(
       df.sparkSession, col(eCol), tables, bits, dim, seed)
-    df.select(df.columns.map(col) :+ posexplode(arr).as(Seq("t", "bk")): _*)
+    df.withColumn("bkts", arr)
+      .select(df.columns.map(col) :+ col("bkts") :+
+        posexplode(col("bkts")).as(Seq("t", "bk")): _*)
   }
 
   /** IVF (inverted-file) ANN — the second scale path next to LSH:
@@ -406,9 +431,12 @@ object AnnSearch {
           lit(0.0), (s, x) => s + x)))
       .withColumn("cell", explode(sortByDist(nprobe)))
       .drop("__dists")
+    // No pair dedup needed: each point is assigned to exactly ONE cell
+    // and a query's nprobe probed cells are distinct, so a (q_id, id)
+    // pair joins at most once — the dropDuplicates this carried until
+    // round 11 was a pure no-op shuffle.
     val cand = assigned.join(broadcast(q), Seq("cell"))
       .filter(col("id") =!= col("q_id"))
-      .dropDuplicates("q_id", "id")
       .withColumn("sim", GraftFunctions.cosineSim(spark, col("qe"), col("e")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("id"))
     cand.withColumn("rank", row_number().over(w))

@@ -108,6 +108,22 @@ object HammingJoin {
     * means the products estimate was evaded — fail loud, not OOM). */
   val MaxBucketRowsKey = "spark.graft.hamming.maxBucketRows"
 
+  /** Conf key: partition-count multiplier for the local engine's
+    * bucket-keyed repartition. Product mass is bucket-skewed, so at
+    * exactly cores=partitions the hottest partition straggles; 4×
+    * oversplit was measured worth ~10-20% at sf100/32 threads
+    * (183-152 s vs ~201 s). Default 1 (respect the session's
+    * shuffle-partition sizing); suggest 4 on a real cluster. */
+  val OversplitKey = "spark.graft.hamming.oversplit"
+
+  /** Heavy-tail allowance multiplied onto the SAMPLED hottest-bucket
+    * estimate (s_max/p is a floor — heavy tails hide from samples)
+    * before comparing against [[MaxBucketRowsKey]] at PLAN time: a
+    * corpus whose sampled hottest bucket is already within this factor
+    * of the run cap refuses before the join starts, instead of failing
+    * the runtime abort after potentially long partial work. */
+  val HotBucketTailAllowance = 4.0
+
   /** Block layout + canonical-emission literals for one (maxDist, k,
     * width): block bit sizes/offsets and, per combination index, the
     * block-set mask and the below-its-max mask that decide canonicity. */
@@ -123,6 +139,13 @@ object HammingJoin {
     val k = if (blocks <= 0) maxDist + 1 else blocks
     require(k > maxDist && k <= width,
       s"blocks=$k must exceed maxDist=$maxDist (pigeonhole) and fit $width bits")
+    // Canonical-emission masks are Int bit-sets (one bit per block):
+    // at k >= 32 the `1 << b` shifts wrap mod 32 and the canonicity
+    // test silently drops qualifying pairs. The planner caps k at 16;
+    // direct callers asking for more must fail loud, not lose pairs.
+    require(k <= 31,
+      s"blocks=$k exceeds 31: canonical-emission masks are Int bit-sets " +
+        "(one bit per block) — use <= 31 blocks")
     val m = k - maxDist
     val sizes = Array.tabulate(k)(b => width / k + (if (b < width % k) 1 else 0))
     val offsets = sizes.scanLeft(0)(_ + _)
@@ -220,9 +243,12 @@ object HammingJoin {
         case Right(k) => pairsWithin(df, idCol, fpCol, maxDist, k)
       }
     } else {
+      requireLongIds(df, idCol, "pairsWithinAdaptive (local-engine regime)")
       val k = provisionBlocks(n, maxDist, pairsPerDoc = pairsPerDoc)
       val budget = spark.conf.getOption(MaxProductsKey)
         .map(_.toDouble).getOrElse(3e11)
+      val maxRun = spark.conf.getOption(MaxBucketRowsKey)
+        .map(_.toDouble).getOrElse(16000000.0)
       val (products, hottest) =
         estimateProducts(df, idCol, fpCol, maxDist, k, n = n)
       if (products > budget) throw new IllegalArgumentException(
@@ -233,6 +259,19 @@ object HammingJoin {
           "the corpus, call pairsWithinHalved explicitly if the corpus's " +
           "half-distance distribution is benign, or raise the budget for " +
           "a larger cluster.")
+      // Pre-empt the runtime MaxBucketRows abort: the sampled hottest
+      // bucket is a FLOOR (tails hide from samples), so refuse already
+      // when it is within the tail allowance of the run cap — after a
+      // 2 s sampling pass, not after minutes of partial join work.
+      if (hottest * HotBucketTailAllowance > maxRun)
+        throw new IllegalArgumentException(
+          f"exact Hamming join over n=$n%d fingerprints at radius " +
+            f"$maxDist: sampled hottest bucket ~$hottest%.2g rows is " +
+            f"within ${HotBucketTailAllowance}%.0f× of the " +
+            f"$maxRun%.2g-row run cap ($MaxBucketRowsKey) — and sampling " +
+            "floors heavy tails, so the runtime abort would likely fire " +
+            "mid-join. Reduce the radius, pre-shard the corpus, or raise " +
+            "the cap on a larger-memory cluster.")
       pairsWithinLocal(df, idCol, fpCol, maxDist, k)
     }
   }
@@ -344,19 +383,38 @@ object HammingJoin {
     * bypassed, and the fix is radius/sharding, not a silent OOM.
     *
     * Parallelism follows the session's `spark.sql.shuffle.partitions`
-    * (the right knob — a cluster sizes it to cores). The product mass
-    * is bucket-skewed, so at exactly cores=partitions the longest
-    * product-heavy partition can straggle; measured at sf100/32
-    * threads, 4× oversplit bought ~10-20% (183-152 s vs ~201 s,
-    * run-to-run noise of the same order) — worth setting on a real
-    * cluster, not worth overriding the session here.
+    * (the right knob — a cluster sizes it to cores), multiplied by
+    * [[OversplitKey]]: the product mass is bucket-skewed, so at
+    * exactly cores=partitions the longest product-heavy partition can
+    * straggle; measured at sf100/32 threads, 4× oversplit bought
+    * ~10-20% (183-152 s vs ~201 s, run-to-run noise of the same
+    * order). Default 1; set 4 on a real cluster.
     */
+  /** The local engine's id contract: ids ride two PRIMITIVE long
+    * arrays per bucket run — any orderable id type would force boxed
+    * rows back into the hot loop, the exact cost the engine exists to
+    * avoid. [[pairsWithin]] (relational) accepts any orderable id;
+    * callers with non-long ids either cast or stay relational. */
+  private def requireLongIds(df: DataFrame, idCol: String,
+                             where: String): Unit = {
+    val dt = df.schema(df.schema.fieldIndex(idCol)).dataType
+    require(dt == org.apache.spark.sql.types.LongType,
+      s"$where requires a BIGINT id column (ids ride primitive long " +
+        s"arrays in the popcount loop); `$idCol` is ${dt.simpleString} — " +
+        "cast ids to long first, or use the relational pairsWithin")
+  }
+
   def pairsWithinLocal(df: DataFrame, idCol: String, fpCol: String,
                        maxDist: Int, blocks: Int = 0): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    requireLongIds(df, idCol, "pairsWithinLocal")
     val L = layout(maxDist, blocks, width = 64)
-    val p = spark.sessionState.conf.numShufflePartitions
+    val oversplit = spark.conf.getOption(OversplitKey)
+      .map(_.toInt).getOrElse(1)
+    require(oversplit >= 1 && oversplit <= 64,
+      s"$OversplitKey must be in [1, 64], got $oversplit")
+    val p = spark.sessionState.conf.numShufflePartitions * oversplit
     val maxRun = spark.conf.getOption(MaxBucketRowsKey)
       .map(_.toInt).getOrElse(16000000)
     val d = maxDist

@@ -153,9 +153,15 @@ object Compact {
   def rewrite(spark: SparkSession, inPath: String, outPath: String,
               targetBytes: Long): DataFrame = {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
-    val fs = new org.apache.hadoop.fs.Path(inPath)
+    // Resolve the manifest first when the INPUT is itself a published
+    // table (chained compactions, compacting MergeInto output): its
+    // root holds only MANIFEST + data-* directories, which a raw
+    // parquet read cannot infer a schema from.
+    val inDir = AtomicPublish.currentDataDir(spark, inPath)
+      .map(d => s"$inPath/$d").getOrElse(inPath)
+    val fs = new org.apache.hadoop.fs.Path(inDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val totalBytes = fs.listStatus(new org.apache.hadoop.fs.Path(inPath))
+    val totalBytes = fs.listStatus(new org.apache.hadoop.fs.Path(inDir))
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
       .map(_.getLen).sum
     val parts = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
@@ -163,7 +169,7 @@ object Compact {
     // compaction resolves the old fragmented version until the single
     // atomic rename, never a half-written directory.
     AtomicPublish.publish(spark, outPath) { dataPath =>
-      spark.read.parquet(inPath)
+      spark.read.parquet(inDir)
         .repartition(parts)
         .write.parquet(dataPath)
     }

@@ -35,20 +35,28 @@ object MinHashDedup {
   }
 
   /** Candidate pairs via banding: docs agreeing on ALL rows of any band
-    * collide; pairs are deduped. `estJaccard` = fraction of agreeing
-    * signature components (unbiased MinHash estimate).
+    * collide. `estJaccard` = fraction of agreeing signature components
+    * (unbiased MinHash estimate).
     *
-    * The band join carries ONLY (id, band, bh) — never the signatures.
-    * Shipping sig_a/sig_b through the collision shuffle would multiply
-    * its bytes by numHashes × 8 per row (at 128 hashes on a 100 TB
-    * corpus, the dominant shuffle term); instead the (id_a, id_b) pairs
-    * are deduped first and both signatures fetched back with two plain
-    * equi-joins to compute est_jaccard once per pair — the id-only
-    * candidate pattern [[AnnSearch.neardupCandidates]] documents. The
-    * signature subtree appears in the band and fetch-back branches;
-    * its shuffle is byte-identical in each, so ReuseExchange executes
-    * it once (persist `signatures` explicitly when driving many
-    * downstream ops off one corpus).
+    * The band join carries ONLY (id, band, bh, bhs) — never the
+    * signatures. Shipping sig_a/sig_b through the collision shuffle
+    * would multiply its bytes by numHashes × 8 per row (at 128 hashes
+    * on a 100 TB corpus, the dominant shuffle term); the signatures are
+    * fetched back with two plain equi-joins to compute est_jaccard once
+    * per pair — the id-only candidate pattern
+    * [[AnnSearch.neardupCandidates]] documents.
+    *
+    * CANONICAL EMISSION (the HammingJoin.pairsWithin rule, landed here
+    * round 11): a pair agreeing on `a` of the `bands` band hashes
+    * collides `a` times, and round 10 deduped that multiplicity through
+    * a full dropDuplicates(id_a, id_b) shuffle — a pair colliding in
+    * `a` bands was shuffled `a` times and then paid a shuffle+agg to
+    * dedup. Instead each side carries its COMPACT band-hash array
+    * (`bhs`, bands × 8 bytes — the array the bands were exploded from)
+    * and the join keeps a pair only where the joined band is the FIRST
+    * index at which the two arrays agree: a zip-compare codegen filter,
+    * zero extra shuffles, pair set identical (ScalaTest-gated equality
+    * vs the dropDuplicates path in LlmOpsSpec).
     */
   def candidatePairs(docs: DataFrame, idCol: String, textCol: String,
                      numHashes: Int = 16, bands: Int = 4): DataFrame = {
@@ -57,16 +65,21 @@ object MinHashDedup {
     val sig = signatures(docs, idCol, textCol, numHashes)
 
     val banded = sig.select(col("id"),
-        posexplode(expr(
-          s"transform(sequence(0, ${bands - 1}), b -> xxhash64(slice(sig, b * $r + 1, $r)))"))
-          .as(Seq("band", "bh")))
-      .select(col("id"), col("band"), col("bh"))
+        expr(s"transform(sequence(0, ${bands - 1}), " +
+          s"b -> xxhash64(slice(sig, b * $r + 1, $r)))").as("bhs"))
+      .select(col("id"), col("bhs"), posexplode(col("bhs")).as(Seq("band", "bh")))
 
-    val a = banded.select(col("id").as("id_a"), col("band"), col("bh"))
-    val b = banded.select(col("id").as("id_b"), col("band"), col("bh"))
+    val a = banded.select(col("id").as("id_a"), col("bhs").as("bhs_a"),
+      col("band"), col("bh"))
+    val b = banded.select(col("id").as("id_b"), col("bhs").as("bhs_b"),
+      col("band"), col("bh"))
     val cand = a.join(b, Seq("band", "bh")).filter(col("id_a") < col("id_b"))
+      // first agreeing band == this band (1-based array_position vs
+      // 0-based band index) — each colliding pair survives exactly once
+      .filter(array_position(
+        zip_with(col("bhs_a"), col("bhs_b"), (x, y) => x === y),
+        true) === col("band") + 1)
       .select(col("id_a"), col("id_b"))
-      .dropDuplicates("id_a", "id_b")
 
     cand
       .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")

@@ -648,4 +648,127 @@ class LlmOpsSpec extends SparkSpec {
     // not hallucinate dimensions
     assert(feats.filter($"format" =!= "unknown" || $"width".isNotNull).count() === 0)
   }
+
+  test("canonical emission: LSH band joins equal the dropDuplicates reference") {
+    import spark.implicits._
+    // A pair colliding in `a` bands used to be shuffled `a` times and
+    // deduped through dropDuplicates(id_a, id_b); round 11 replaced
+    // that with the first-agreeing-band zip-compare filter (the
+    // HammingJoin canonical-emission rule). This pins: (1) the pair SET
+    // is identical to the dropDuplicates reference, (2) every pair is
+    // emitted exactly once — at each of the three band-join sites.
+    val docs = Tables(spark, sfDir, "documents")
+    val numHashes = 16; val bands = 4; val r = numHashes / bands
+
+    // --- MinHashDedup.candidatePairs ---
+    val sig = MinHashDedup.signatures(docs, "doc_id", "text", numHashes)
+    val bandedRef = sig.select(col("id"),
+      posexplode(expr(s"transform(sequence(0, ${bands - 1}), " +
+        s"b -> xxhash64(slice(sig, b * $r + 1, $r)))")).as(Seq("band", "bh")))
+    val ra = bandedRef.select(col("id").as("id_a"), col("band"), col("bh"))
+    val rb = bandedRef.select(col("id").as("id_b"), col("band"), col("bh"))
+    val mhRef = ra.join(rb, Seq("band", "bh")).filter($"id_a" < $"id_b")
+      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val mhRows = MinHashDedup.candidatePairs(docs, "doc_id", "text",
+        numHashes, bands)
+      .select("id_a", "id_b")
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(mhRows.toSet === mhRef,
+      s"missed: ${mhRef.diff(mhRows.toSet)}; spurious: ${mhRows.toSet.diff(mhRef)}")
+    assert(mhRows.length === mhRows.toSet.size, "pair emitted more than once")
+
+    // --- AnnSearch.neardupCandidates (self band join) ---
+    val emb = Tables(spark, sfDir, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+    val (tables, bits) = (8, 2)
+    val idx = AnnSearch.bucketIndex(
+      emb.select($"vec_id".as("id"), $"e"), "e", tables, bits)
+      .select("id", "t", "bk")
+    val ndRef = idx.as("a").join(idx.as("b"),
+        col("a.t") === col("b.t") && col("a.bk") === col("b.bk") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val ndRows = AnnSearch.neardupCandidates(emb, "vec_id", "e", tables, bits)
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(ndRows.toSet === ndRef,
+      s"missed: ${ndRef.diff(ndRows.toSet)}; spurious: ${ndRows.toSet.diff(ndRef)}")
+    assert(ndRows.length === ndRows.toSet.size, "pair emitted more than once")
+
+    // --- AnnSearch.lshCandidates (query band join, both probe modes) ---
+    for (mp <- Seq(false, true)) {
+      val idx44 = AnnSearch.bucketIndex(
+        emb.select($"vec_id".as("id"), $"e"), "e", 4, 4).select("id", "t", "bk")
+      val qOwn44 = idx44.filter(col("id") < 5)
+        .select(col("id").as("q_id"), col("t"), col("bk"))
+      val qIdx44 = if (!mp) qOwn44
+        else qOwn44.select(col("q_id"), col("t"),
+          explode(array(col("bk") +:
+            (0 until 4).map(i => col("bk").bitwiseXOR(lit(1 << i))): _*))
+            .as("bk"))
+      val lshRef = idx44.join(broadcast(qIdx44), Seq("t", "bk"))
+        .filter(col("id") =!= col("q_id"))
+        .select("q_id", "id").dropDuplicates("q_id", "id")
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      val lshRows = AnnSearch.lshCandidates(emb, "vec_id", "e",
+          col("id") < 5, tables = 4, bits = 4, multiProbe = mp)
+        .collect().map(x => (x.getLong(0), x.getLong(1)))
+      assert(lshRows.toSet === lshRef, s"multiProbe=$mp: " +
+        s"missed: ${lshRef.diff(lshRows.toSet)}; " +
+        s"spurious: ${lshRows.toSet.diff(lshRef)}")
+      assert(lshRows.length === lshRows.toSet.size,
+        s"multiProbe=$mp: pair emitted more than once")
+    }
+  }
+
+  test("hamming join guards: k>31 refuses, long-id contract, hot-bucket pre-emption, oversplit conf") {
+    import spark.implicits._
+    import graft.ops.HammingJoin
+    val fp = Tables(spark, sfDir, "documents").limit(200)
+      .select($"doc_id", GraftFunctions.simhash64(spark, split($"text", " ")).as("fp"))
+    // (1) canonical-emission masks are Int bit-sets: k >= 32 would wrap
+    // the shifts and silently drop pairs — must refuse loudly instead.
+    val e1 = intercept[IllegalArgumentException] {
+      HammingJoin.pairsWithin(fp, "doc_id", "fp", maxDist = 6, blocks = 32)
+    }
+    assert(e1.getMessage.contains("31"), e1.getMessage)
+    // (2) the local engine rides primitive long arrays: a non-long id
+    // must fail with a message naming the contract, not an opaque
+    // AnalysisException from the Dataset cast.
+    val sfp = fp.select($"doc_id".cast("string").as("sid"), $"fp")
+    val e2 = intercept[IllegalArgumentException] {
+      HammingJoin.pairsWithinLocal(sfp, "sid", "fp", maxDist = 3)
+    }
+    assert(e2.getMessage.contains("BIGINT"), e2.getMessage)
+    // (3) plan-time hot-bucket pre-emption: a sampled hottest bucket
+    // within the tail allowance of the run cap refuses BEFORE the join
+    // (the runtime abort is the backstop, not the first line of defense).
+    spark.conf.set(HammingJoin.LocalMinRowsKey, "10")
+    spark.conf.set(HammingJoin.MaxBucketRowsKey, "2")
+    try {
+      val e3 = intercept[IllegalArgumentException] {
+        HammingJoin.pairsWithinAdaptive(spark, fp, "doc_id", "fp",
+          maxDist = 6, n = 200)
+      }
+      assert(e3.getMessage.contains(HammingJoin.MaxBucketRowsKey), e3.getMessage)
+    } finally {
+      spark.conf.unset(HammingJoin.LocalMinRowsKey)
+      spark.conf.unset(HammingJoin.MaxBucketRowsKey)
+    }
+    // (4) the oversplit conf multiplies the local engine's bucket-keyed
+    // repartition (straggler defense on skewed product mass).
+    val base = spark.sessionState.conf.numShufflePartitions
+    spark.conf.set(HammingJoin.OversplitKey, "4")
+    try {
+      val parts = HammingJoin.pairsWithinLocal(fp, "doc_id", "fp", maxDist = 3)
+        .rdd.getNumPartitions
+      assert(parts === base * 4, s"expected ${base * 4} partitions, got $parts")
+    } finally spark.conf.unset(HammingJoin.OversplitKey)
+    // default (conf unset) stays at the session's sizing
+    val partsDefault = HammingJoin
+      .pairsWithinLocal(fp, "doc_id", "fp", maxDist = 3).rdd.getNumPartitions
+    assert(partsDefault === base)
+  }
 }

@@ -48,6 +48,24 @@ class MaintenanceSpec extends SparkSpec {
       base.collect().map(_.toString).sorted.toSeq)
   }
 
+  test("compaction chains: a published table is a valid compaction input") {
+    import spark.implicits._
+    // Compacting the output of a previous compaction (or of
+    // MergeInto.upsertInto) means the INPUT root holds only MANIFEST +
+    // data-* directories; rewrite must resolve the manifest, not read
+    // the root as raw parquet.
+    val base = graft.engine.Tables(spark, sfDir, "nation")
+    val frag = graft.engine.Scratch.dir("spec_chain_frag")
+    val mid = graft.engine.Scratch.dir("spec_chain_mid")
+    val out = graft.engine.Scratch.dir("spec_chain_out")
+    base.repartition(8).write.mode("overwrite").parquet(frag)
+    Compact.rewrite(spark, frag, mid, targetBytes = 64L * 1024 * 1024)
+    val rechained = Compact.rewrite(spark, mid, out,
+      targetBytes = 64L * 1024 * 1024)
+    assert(rechained.collect().map(_.toString).sorted.toSeq ===
+      base.collect().map(_.toString).sorted.toSeq)
+  }
+
   test("publish is atomic: a reader mid-rewrite sees old or new, never a mix") {
     import spark.implicits._
     import graft.ops.AtomicPublish
