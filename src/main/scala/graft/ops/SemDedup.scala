@@ -1,0 +1,343 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.graftbridge.GraftSqlBridge
+import graft.functions.NearestCells
+
+/** K-means-blocked semantic near-duplicate pairs — the SCALE regime of
+  * the SemDeDup recipe (cluster-then-prune over embedding cosine,
+  * Abbas et al. 2023), for thresholds where hyperplane LSH is
+  * degenerate and the exact n²/2 cosine budget is blown.
+  *
+  * The public recipe IS the approximation: block the corpus into
+  * k ≈ n/targetCell spherical k-means cells and compare pairs only
+  * within a cell. Boundary pairs (members split across two cells) are
+  * recovered by multi-assignment — every vector lands in its `probes`
+  * nearest cells, so a pair straddling one boundary still co-occurs in
+  * the cell either member probes second. Work is then bounded by
+  * construction, not by luck:
+  *
+  *   assignment  ≈ n·k·dim multiplies   (fused codegen, NearestCells)
+  *   pair scan   ≈ Σ_cell s²/2 · dim    ≈ n·(probes·targetCell)·dim
+  *
+  * — both linear in n at fixed targetCell, the property LSH loses at
+  * degenerate thresholds. RECALL IS NOT 1.0: a qualifying pair whose
+  * members share no probed cell is missed; the ScalaTest gate
+  * (SemDedupSpec) measures recall against the exact quadratic scan on
+  * graded corpora, and the graded exact key (`dedup_semantic`) is
+  * untouched. Everything is deterministic — hash-seeded init,
+  * exact-decimal centroid means, fixed-order dot products — so the
+  * same corpus yields the same pairs on any cluster topology.
+  *
+  * Execution shape (the 100 TB story): ONE shuffle of (id, cells,
+  * vector) keyed by cell (n·probes rows), a partition sort, and a
+  * partition-local primitive dot-product loop per cell run — the
+  * [[HammingJoin.pairsWithinLocal]] engine shape, with canonical
+  * emission (a pair sharing several probed cells is emitted only from
+  * the first common cell in the smaller id's probe order) so no
+  * pair-dedup shuffle exists. Lloyd fitting runs on a deterministic
+  * hash sample, never the full corpus.
+  */
+object SemDedup {
+
+  /** Conf: target rows per cell — k is derived as ceil(n/targetCell).
+    * Smaller cells shift cost from the pair scan to assignment;
+    * the optimum is near sqrt(n·dim / pair-cost-ratio), but the flat
+    * default keeps BOTH terms linear-in-n and is within ~2× of optimal
+    * across the graded decades (measured, BASELINE.md round 11). */
+  val TargetCellKey = "spark.graft.semdedup.targetCell"
+  val TargetCellDefault = 1024
+
+  /** Conf: hard cap on one cell's rows in the local pair loop (the run
+    * buffer holds the cell's vectors; a cell this hot means k-means
+    * collapsed — fail loud with the remedy, not OOM). */
+  val MaxCellRowsKey = "spark.graft.semdedup.maxCellRows"
+  val MaxCellRowsDefault = 65536
+
+  /** Conf: Lloyd fit sample-size ceiling (deterministic id-hash
+    * sample). The fit is a sketch of the density, not the dedup
+    * itself — 100 k vectors pin centroids well past k ≈ 2000. */
+  val FitSampleKey = "spark.graft.semdedup.fitSample"
+  val FitSampleDefault = 100000L
+
+  /** Conf: Lloyd iterations (2 moves centroids off the hash seeds and
+    * onto density; more buys little for blocking purposes). */
+  val LloydItersKey = "spark.graft.semdedup.lloydIters"
+  val LloydItersDefault = 2
+
+  /** A fitted spherical quantizer: k unit centroids, row-major. */
+  final case class Model(k: Int, dim: Int, cents: Array[Double])
+
+  // Fitted models memoized per logical corpus (same policy as
+  // AnnSearch.ivfModels: Lloyd must not rerun per query in a JVM).
+  private val models = scala.collection.concurrent.TrieMap.empty[String, Model]
+
+  private def normalized(v: Array[Double]): Array[Double] = {
+    var s = 0.0; var i = 0
+    while (i < v.length) { s += v(i) * v(i); i += 1 }
+    val n = math.sqrt(s)
+    if (n == 0.0 || n.isNaN) v else v.map(_ / n)
+  }
+
+  /** Deterministic spherical-k-means fit on an id-hash sample.
+    *
+    * Init: the k sampled vectors with the smallest xxhash64(id) —
+    * corpus-order-independent, no RNG. Iterations: assign each sampled
+    * vector to its nearest centroid by cosine ([[NearestCells]],
+    * nprobe=1), recompute each cell's mean with EXACT decimal sums
+    * (bit-identical across partitionings — the [[KMeansOps]] rule),
+    * renormalize to unit. Cells that lose all members keep their
+    * previous centroid. Driver traffic per iteration is the k×dim
+    * centroid table (the same collect MLlib's Lloyd performs).
+    */
+  def fit(spark: SparkSession, emb: DataFrame, idCol: String, eCol: String,
+          k: Int, dim: Int, n: Long,
+          cacheKey: Option[String] = None): Model = {
+    def doFit(): Model = {
+      val debug = spark.conf.getOption("spark.graft.semdedup.debug")
+        .contains("true")
+      def tl[A](tag: String)(f: => A): A = {
+        val s = System.nanoTime(); val r = f
+        if (debug) System.err.println(
+          f"[semdedup.fit] $tag ${(System.nanoTime() - s) / 1e9}%.2f s")
+        r
+      }
+      val fitSample = spark.conf.getOption(FitSampleKey)
+        .map(_.toLong).getOrElse(FitSampleDefault)
+      val iters = spark.conf.getOption(LloydItersKey)
+        .map(_.toInt).getOrElse(LloydItersDefault)
+      val m = math.max(1L, math.round(n / math.max(1.0, fitSample.toDouble)))
+      val base = emb.select(col(idCol).as("id"),
+        col(eCol).cast("array<double>").as("e"))
+      val sample =
+        (if (m <= 1L) base
+         else base.filter(pmod(xxhash64(col("id")), lit(m)) === 0))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val seeds = tl("seeds") { sample
+          .orderBy(xxhash64(lit(1L), col("id")), col("id"))
+          .limit(k)
+          .select(col("e")).collect()
+          .map(r => normalized(r.getSeq[Double](0).toArray)) }
+        require(seeds.nonEmpty, "semantic-dedup fit: empty corpus sample")
+        var cents = seeds
+        var it = 0
+        while (it < iters) {
+          val flat = cents.flatten
+          val cellCol = GraftSqlBridge.column(NearestCells(
+            GraftSqlBridge.expression(col("e")), flat, cents.length, dim, 1))
+          // the cell id must be BOUND TO AN ATTRIBUTE before the
+          // explode: written inline next to posexplode it lands in the
+          // Project ABOVE the Generate and is re-evaluated once per
+          // EXPLODED row — k·dim multiplies × dim rows, measured 40 s
+          // instead of ~2 s per Lloyd iteration at k=1954
+          val means = tl(s"lloyd iter $it") { sample
+            .select(element_at(cellCol, 1).as("cell"), col("e"))
+            .select(col("cell"), posexplode(col("e")))
+            .withColumnRenamed("col", "v")
+            .groupBy(col("cell"), col("pos"))
+            .agg((sum(col("v").cast(DecimalType(28, 12))).cast("double") /
+              count(lit(1))).as("mv"))
+            .groupBy(col("cell"))
+            .agg(array_sort(collect_list(struct(col("pos"), col("mv")))).as("pm"))
+            .select(col("cell"), expr("transform(pm, x -> x.mv)").as("mean"))
+            .collect() }
+          val next = cents.map(identity) // cells with no members keep position
+          means.foreach { r =>
+            next(r.getInt(0)) = normalized(r.getSeq[Double](1).toArray)
+          }
+          cents = next
+          it += 1
+        }
+        Model(cents.length, dim, cents.flatten)
+      } finally { sample.unpersist(); () }
+    }
+    cacheKey match {
+      case Some(ck) => models.getOrElseUpdate(s"$ck:k=$k:dim=$dim", doFit())
+      case None => doFit()
+    }
+  }
+
+  /** (id_a, id_b, sim) for every within-block pair with cosine ≥
+    * `minCosine`, id_a < id_b, each pair exactly once. Ids must be
+    * BIGINT (the pair loop rides primitive long arrays — the
+    * [[HammingJoin.pairsWithinLocal]] contract). */
+  def blockedPairs(spark: SparkSession, emb: DataFrame, idCol: String,
+                   eCol: String, minCosine: Double, dim: Int, n: Long,
+                   probes: Int = 2,
+                   cacheKey: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    val idType = emb.schema(emb.schema.fieldIndex(idCol)).dataType
+    require(idType == org.apache.spark.sql.types.LongType,
+      s"blockedPairs requires a BIGINT id column; `$idCol` is " +
+        s"${idType.simpleString} — cast ids to long first")
+    require(probes >= 1 && probes <= 8, s"probes must be in [1, 8]: $probes")
+    val targetCell = spark.conf.getOption(TargetCellKey)
+      .map(_.toInt).getOrElse(TargetCellDefault)
+    val maxCell = spark.conf.getOption(MaxCellRowsKey)
+      .map(_.toInt).getOrElse(MaxCellRowsDefault)
+    val k = math.max(math.min(probes + 1, 4),
+      math.ceil(n.toDouble / targetCell).toInt)
+    val model = fit(spark, emb, idCol, eCol, k, dim, n, cacheKey)
+    val p = spark.sessionState.conf.numShufflePartitions
+    val cellsCol = GraftSqlBridge.column(NearestCells(
+      GraftSqlBridge.expression(col(eCol).cast("array<double>")),
+      model.cents, model.k, dim, math.min(probes, model.k)))
+    val minCos = minCosine
+    val maxRun = maxCell
+    emb.select(col(idCol).as("id"), col(eCol).cast("array<double>").as("e"))
+      .withColumn("cells", cellsCol)
+      .select(col("id"), col("e"), col("cells"),
+        explode(col("cells")).as("cell"))
+      .repartition(p, col("cell"))
+      .sortWithinPartitions(col("cell"))
+      .select(col("cell"), col("id"), col("cells"), col("e"))
+      .as[(Int, Long, Array[Int], Array[Double])]
+      .mapPartitions { it =>
+        val bit = it.buffered
+        // One run = one cell's rows (consecutive after the partition
+        // sort). Pairs stream out lazily — only survivors above the
+        // cosine threshold ever materialize, so a dup-dense cell can
+        // never force an output buffer proportional to s².
+        new Iterator[(Long, Long, Double)] {
+          private var ids: Array[Long] = null
+          private var cls: Array[Array[Int]] = null
+          private var vecs: Array[Array[Double]] = null
+          private var norms: Array[Double] = null
+          private var runCell = 0
+          private var nRun = 0
+          private var i = 0
+          private var j = 1
+          private var outA = 0L; private var outB = 0L; private var outS = 0.0
+          private var ready = false
+
+          private def loadRun(): Unit = {
+            val head = bit.head
+            runCell = head._1
+            val idB = Array.newBuilder[Long]
+            val clB = Array.newBuilder[Array[Int]]
+            val veB = Array.newBuilder[Array[Double]]
+            var c = 0
+            while (bit.hasNext && bit.head._1 == runCell) {
+              val r = bit.next()
+              idB += r._2; clB += r._3; veB += r._4
+              c += 1
+              if (c > maxRun) throw new IllegalStateException(
+                s"semantic-dedup cell $runCell exceeds $maxRun rows " +
+                  s"($MaxCellRowsKey): k-means collapsed for this corpus — " +
+                  "raise k (lower " + TargetCellKey + ") or the cap")
+            }
+            ids = idB.result(); cls = clB.result(); vecs = veB.result()
+            nRun = c
+            norms = new Array[Double](c)
+            var x = 0
+            while (x < c) {
+              val v = vecs(x); var s = 0.0; var d = 0
+              while (d < v.length) { s += v(d) * v(d); d += 1 }
+              norms(x) = math.sqrt(s)
+              x += 1
+            }
+            i = 0; j = 1
+          }
+
+          /** Canonical cell of a pair: the FIRST cell in the
+            * smaller-id row's probe order that the other row also
+            * probes (probe arrays are similarity-ordered, so this is
+            * well-defined and symmetric). Emitting only from that cell
+            * makes multi-probe multiplicity die in the loop — no
+            * pair-dedup shuffle. */
+          private def canonicalCell(a: Int, b: Int): Int = {
+            val (first, second) = if (ids(a) < ids(b)) (a, b) else (b, a)
+            val ca = cls(first); val cb = cls(second)
+            var x = 0
+            while (x < ca.length) {
+              val c = ca(x)
+              var y = 0
+              while (y < cb.length) {
+                if (cb(y) == c) return c
+                y += 1
+              }
+              x += 1
+            }
+            -1
+          }
+
+          private def advance(): Unit = {
+            while (!ready) {
+              if (ids == null || i >= nRun - 1) {
+                ids = null
+                if (!bit.hasNext) return
+                loadRun()
+                if (nRun < 2) { ids = null }
+              } else {
+                val vi = vecs(i); val ni = norms(i)
+                while (!ready && j < nRun) {
+                  if (canonicalCell(i, j) == runCell) {
+                    val vj = vecs(j)
+                    var dot = 0.0
+                    val len = math.min(vi.length, vj.length)
+                    var d = 0
+                    while (d < len) { dot += vi(d) * vj(d); d += 1 }
+                    val sim = dot / (ni * norms(j))
+                    if (sim >= minCos) {
+                      val ia = ids(i); val ib = ids(j)
+                      outA = if (ia < ib) ia else ib
+                      outB = if (ia < ib) ib else ia
+                      outS = sim
+                      ready = true
+                    }
+                  }
+                  j += 1
+                }
+                if (!ready) { i += 1; j = i + 1 }
+              }
+            }
+          }
+
+          override def hasNext: Boolean = { if (!ready) advance(); ready }
+          override def next(): (Long, Long, Double) = {
+            if (!ready) advance()
+            if (!ready) throw new NoSuchElementException
+            ready = false
+            (outA, outB, outS)
+          }
+        }
+      }
+      .toDF("id_a", "id_b", "sim")
+  }
+
+  /** The full near-dup ladder, scale rung included: corpus-aware LSH
+    * when the threshold provisions sub-linearly (exact-recall
+    * blocking), the exact blocked brute join when n²/2 cosines fit the
+    * conf budget, and otherwise the kmeans-blocked path — APPROXIMATE
+    * (recall gated in SemDedupSpec, not 1.0 by construction), which is
+    * why it is a separate entry point and not a silent rung inside
+    * [[AnnSearch.neardupPairsAdaptive]]: callers of the exact
+    * dispatcher still get exact-or-refuse; callers of this one opt
+    * into the published SemDeDup trade.
+    */
+  def neardupPairsScalable(spark: SparkSession, emb: DataFrame, idCol: String,
+                           eCol: String, minCosine: Double, dim: Int,
+                           targetRecall: Double = 0.999,
+                           corpusSize: Option[Long] = None,
+                           cacheKey: Option[String] = None): DataFrame = {
+    val n = corpusSize.getOrElse(emb.count())
+    val lsh =
+      try Some(AnnSearch.provisionLshForCorpus(minCosine, n, targetRecall))
+      catch { case _: LshDegenerateException => None }
+    lsh match {
+      case Some((tables, bits)) =>
+        AnnSearch.neardupPairs(spark, emb, idCol, eCol, minCosine, tables, bits)
+      case None =>
+        val budget = spark.conf.getOption(AnnSearch.MaxBruteCosinesKey)
+          .map(_.toDouble).getOrElse(AnnSearch.MaxBruteCosinesDefault)
+        if (n.toDouble * n / 2 <= budget)
+          AnnSearch.bruteNeardupPairs(spark, emb, idCol, eCol, minCosine)
+        else
+          blockedPairs(spark, emb, idCol, eCol, minCosine, dim, n,
+            cacheKey = cacheKey)
+    }
+  }
+}

@@ -42,6 +42,49 @@ class DedupClusterSpec extends SparkSpec {
     assert(bad === 0L, "cluster_size disagrees with membership")
   }
 
+  test("all three CC engines agree: driver union-find, distributed loop, GraphX") {
+    import spark.implicits._
+    // three independent implementations of the same fixpoint; their
+    // full (doc_id, cluster_id, cluster_size, is_keeper) outputs must
+    // be identical on a real pair graph
+    val docs = Tables(spark, sfDir, "documents").filter($"doc_id" < 500)
+    val pairs = MinHashDedup.candidatePairs(docs, "doc_id", "text",
+      numHashes = 16, bands = 4)
+    def snap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSet
+    val uf = snap(DedupCluster.clusters(docs.select($"doc_id"), "doc_id", pairs))
+    val dist = snap(DedupCluster.clustersDistributed(
+      docs.select($"doc_id"), "doc_id", pairs))
+    val gx = snap(DedupCluster.clustersGraphX(docs.select($"doc_id"), "doc_id", pairs))
+    assert(uf === gx)
+    assert(dist === gx)
+    // the dispatcher takes the distributed rung past the conf ceiling —
+    // same output
+    spark.conf.set(DedupCluster.MaxDriverPairsKey, "0")
+    try {
+      val forced = snap(DedupCluster.clusters(docs.select($"doc_id"), "doc_id", pairs))
+      assert(forced === gx)
+    } finally spark.conf.unset(DedupCluster.MaxDriverPairsKey)
+  }
+
+  test("deep chain converges on both rungs (under the round cap)") {
+    import spark.implicits._
+    // a 40-hop path graph — worst case for min propagation; both rungs
+    // must collapse it to one cluster labeled by the minimum id
+    val n = 41
+    val ids = (0 until n).map(_.toLong).toDF("id")
+    val pairs = (0 until n - 1).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("id_a", "id_b")
+    for (rung <- Seq("driver", "distributed")) {
+      val out = (if (rung == "driver")
+        DedupCluster.clusters(ids, "id", pairs)
+      else DedupCluster.clustersDistributed(ids, "id", pairs)).collect()
+      assert(out.forall(_.getLong(1) === 0L), s"$rung: chain not collapsed")
+      assert(out.forall(_.getLong(2) === n.toLong), s"$rung: wrong size")
+    }
+  }
+
   test("minhash-pair clustering groups the planted near-dup families") {
     import spark.implicits._
     // documents at consecutive ids sharing long prefixes are the

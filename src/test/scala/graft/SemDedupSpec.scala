@@ -1,0 +1,168 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.engine.{GraftFunctions, Tables}
+import graft.ops.{AnnSearch, SemDedup}
+
+/** Recall, determinism, and ladder gates for the kmeans-blocked
+  * SemDeDup scale path (ops/SemDedup.scala) — the regime that replaces
+  * the round-10 plan-time refusal at LSH-degenerate thresholds past
+  * the brute-cosine budget.
+  */
+class SemDedupSpec extends SparkSpec {
+
+  private def emb() = {
+    import spark.implicits._
+    Tables(spark, sfDir, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+  }
+
+  private def brutePairs(df: org.apache.spark.sql.DataFrame,
+                         minCos: Double): Set[(Long, Long)] = {
+    import spark.implicits._
+    val a = df.select($"vec_id".as("id_a"), $"e".as("ea"))
+    val b = df.select($"vec_id".as("id_b"), $"e".as("eb"))
+    a.crossJoin(b).filter($"id_a" < $"id_b")
+      .withColumn("sim", GraftFunctions.cosineSim(spark, $"ea", $"eb"))
+      .filter($"sim" >= minCos)
+      .select($"id_a", $"id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("blocked pairs: full recall on planted near-duplicates (the SemDeDup regime)") {
+    import spark.implicits._
+    // True near-dups (cos ~ 1) are the published recipe's target: both
+    // members of such a pair sit in the same density region, so
+    // k-means blocking with 2-probe assignment must find them all.
+    val orig = emb()
+    val clones = orig.select(($"vec_id" + 100000L).as("vec_id"),
+      transform($"e", x => x + lit(0.001)).as("e"))
+    val both = orig.unionByName(clones)
+    val n = both.count()
+    val brute = brutePairs(
+      both.select($"vec_id", $"e"), 0.9)
+    assert(brute.nonEmpty)
+    val blocked = SemDedup.blockedPairs(spark, both, "vec_id", "e",
+        minCosine = 0.9, dim = 64, n = n)
+      .select($"id_a", $"id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // spurious pairs are impossible (exact cosine filter in the loop)
+    assert(blocked.subsetOf(brute), s"spurious: ${blocked.diff(brute)}")
+    val recall = blocked.size.toDouble / brute.size
+    assert(recall >= 0.99, s"planted-clone recall $recall")
+  }
+
+  test("blocked pairs at the graded degenerate threshold: recall measured and gated") {
+    import spark.implicits._
+    val e = emb()
+    val n = e.count()
+    val brute = brutePairs(e, 0.45)
+    val blocked = SemDedup.blockedPairs(spark, e, "vec_id", "e",
+        minCosine = 0.45, dim = 64, n = n)
+      .select($"id_a", $"id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked.subsetOf(brute), s"spurious: ${blocked.diff(brute)}")
+    val recall =
+      if (brute.isEmpty) 1.0 else blocked.size.toDouble / brute.size
+    info(s"graded-threshold recall: ${blocked.size}/${brute.size} = $recall (n=$n)")
+    // cos >= 0.45 admits near-random pairs — the worst case for ANY
+    // similarity blocking. Gate the floor measured on this corpus
+    // family; the EXACT graded key (dedup_semantic) is untouched.
+    assert(recall >= 0.6, s"degenerate-threshold recall $recall")
+  }
+
+  test("blocked pairs are deterministic and emitted exactly once") {
+    import spark.implicits._
+    val e = emb()
+    val n = e.count()
+    def run(df: org.apache.spark.sql.DataFrame) =
+      SemDedup.blockedPairs(spark, df, "vec_id", "e",
+        minCosine = 0.45, dim = 64, n = n, cacheKey = Some("spec:det"))
+    val r1 = run(e).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val r2 = run(e.repartition(7)).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(r1.toSet === r2.toSet, "partitioning changed the pair set")
+    assert(r1.length === r1.toSet.size, "pair emitted more than once")
+    assert(r2.length === r2.toSet.size, "pair emitted more than once (repartitioned)")
+  }
+
+  test("scalable ladder: LSH when provisionable, brute inside budget, blocked past it") {
+    import spark.implicits._
+    val e = emb()
+    val n = e.count()
+    // high threshold → LSH provisions: plan must contain the bucket join
+    val lshPlan = SemDedup.neardupPairsScalable(spark, e, "vec_id", "e",
+      minCosine = 0.99, dim = 64, corpusSize = Some(n))
+      .queryExecution.optimizedPlan.toString
+    assert(lshPlan.contains("bk"), s"expected LSH plan:\n$lshPlan")
+    // degenerate threshold, n² within budget → exact brute, equal to scan
+    val brute = brutePairs(e, 0.45)
+    val viaLadder = SemDedup.neardupPairsScalable(spark, e, "vec_id", "e",
+        minCosine = 0.45, dim = 64, corpusSize = Some(n))
+      .select($"id_a", $"id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaLadder === brute)
+    // degenerate threshold PAST the brute budget → the blocked rung
+    // runs (no refusal), stays spurious-free, and hits the gated floor
+    spark.conf.set(AnnSearch.MaxBruteCosinesKey, "100")
+    try {
+      val blocked = SemDedup.neardupPairsScalable(spark, e, "vec_id", "e",
+          minCosine = 0.45, dim = 64, corpusSize = Some(n))
+        .select($"id_a", $"id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(blocked.subsetOf(brute))
+      val recall =
+        if (brute.isEmpty) 1.0 else blocked.size.toDouble / brute.size
+      assert(recall >= 0.6, s"ladder blocked-rung recall $recall")
+    } finally spark.conf.unset(AnnSearch.MaxBruteCosinesKey)
+  }
+
+  test("NearestCells expression matches an interpreted reference") {
+    import spark.implicits._
+    val e = emb().limit(100)
+    // small deterministic centroid set: 5 unit vectors from the corpus
+    val cents = e.orderBy($"vec_id").limit(5).select($"e")
+      .collect().map { r =>
+        val v = r.getSeq[Double](0).toArray
+        val nrm = math.sqrt(v.map(x => x * x).sum)
+        v.map(_ / nrm)
+      }
+    val flat = cents.flatten
+    val cellsCol = org.apache.spark.sql.graftbridge.GraftSqlBridge.column(
+      graft.functions.NearestCells(
+        org.apache.spark.sql.graftbridge.GraftSqlBridge.expression($"e"),
+        flat, 5, 64, 2))
+    val got = e.select($"vec_id", cellsCol.as("cells")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    val vecs = e.select($"vec_id", $"e").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    vecs.foreach { case (id, v) =>
+      val dots = cents.zipWithIndex.map { case (c, ci) =>
+        (c.zip(v.take(64)).map { case (x, y) => x * y }.sum, ci)
+      }
+      // top-2 by dot desc, tie → lower cid (stable sort on -dot)
+      val expect = dots.sortBy { case (d, ci) => (-d, ci) }.take(2).map(_._2).toSeq
+      assert(got(id) === expect, s"vec $id")
+    }
+  }
+
+  test("cell-cap and id-type guards fail loud") {
+    import spark.implicits._
+    val e = emb()
+    val n = e.count()
+    val bad = e.select($"vec_id".cast("int").as("vec_id"), $"e")
+    val err = intercept[IllegalArgumentException] {
+      SemDedup.blockedPairs(spark, bad, "vec_id", "e", 0.45, dim = 64, n = n)
+    }
+    assert(err.getMessage.contains("BIGINT"))
+    spark.conf.set(SemDedup.MaxCellRowsKey, "2")
+    try {
+      val ex = intercept[Exception] {
+        SemDedup.blockedPairs(spark, e, "vec_id", "e", 0.45, dim = 64, n = n)
+          .count()
+      }
+      assert(ex.getMessage.contains(SemDedup.MaxCellRowsKey) ||
+        Option(ex.getCause).exists(_.getMessage.contains(SemDedup.MaxCellRowsKey)),
+        s"unexpected: $ex")
+    } finally spark.conf.unset(SemDedup.MaxCellRowsKey)
+  }
+}
