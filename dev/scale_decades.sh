@@ -12,6 +12,28 @@ TO=${SPARK_GRAFT_SCALE_TIMEOUT:-900}
 KEYS=${SPARK_GRAFT_SCALE_KEYS:-"groupby_highcard quartiles dedup_minhash dedup_simhash contamination_ngram"}
 DIRS="sf01:/root/testdata/sf0.1 sf1:/root/repo/target/scratch/sf1 sf10:/root/repo/target/scratch/sf10"
 
+# CONTRACT STAMP GATE (round-11 VERDICT item 7): every GENERATED corpus
+# carries a SCALEGEN.json naming the generator text mode; a decade row
+# is meaningless if it was measured against a corpus of the wrong law
+# (permute vs heaps vocabulary growth differ by orders of magnitude).
+# Refuse to bench a scratch dir whose stamp is absent or whose mode
+# differs from the requested SPARK_GRAFT_SCALE_TEXTMODE.
+WANTMODE=${SPARK_GRAFT_SCALE_TEXTMODE:-permute}
+for entry in $DIRS; do
+  sf=${entry#*:}
+  case "$sf" in /root/testdata/*) continue;; esac   # driver-generated base data is not ScaleGen output
+  stamp="$sf/SCALEGEN.json"
+  if [ ! -f "$stamp" ]; then
+    echo "REFUSING: $sf has no SCALEGEN.json stamp - regenerate with ScaleGen (it stamps provenance)" >&2
+    exit 3
+  fi
+  mode=$(python3 -c "import json;print(json.load(open('$stamp'))['textmode'])" 2>/dev/null || echo UNREADABLE)
+  if [ "$mode" != "$WANTMODE" ]; then
+    echo "REFUSING: $sf was generated with textmode=$mode but this run requests $WANTMODE - a wrong-corpus decade row must not be recordable" >&2
+    exit 3
+  fi
+done
+
 ADD_OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
          java.util java.util.concurrent java.util.concurrent.atomic \

@@ -339,6 +339,68 @@ object StreamingQueries extends QueryGroup {
               FROM events WHERE user_id < 100
               GROUP BY user_id ORDER BY user_id""")),
 
+    // The DISTRIBUTED foreachBatch sink — the shape stream_foreach_upsert's
+    // driver-side map deliberately is not. Each update-mode micro-batch
+    // MERGEs into an AtomicPublish-published parquet table via
+    // MergeInto.upsertInto: the anti-join + union + versioned write all
+    // run on executors, the driver only swaps the manifest — at 100 TB
+    // the per-batch state lives in the table, not in any process. Same
+    // at-least-once armor, applied TWICE per batch: update mode emits
+    // the new running total per key, so a re-applied MERGE rewrites the
+    // same rows to the same values and the published table converges
+    // regardless of redelivery. A reader concurrent with any commit
+    // sees a complete version (the manifest-swap guarantee the
+    // MaintenanceSpec race test pins). Graded output = the final
+    // published table; oracle = the one-pass batch aggregate.
+    GQuery("stream_foreach_merge",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        import graft.ops.{AtomicPublish, MergeInto}
+        implicit val sqlCtx = s.sqlContext
+        val events = Tables(s, dir, "events")
+          .filter($"user_id" < 100)
+          .select($"user_id", $"ts", $"value").as[graft.streaming.EventIn]
+          .collect().toSeq
+        val table = graft.engine.Scratch.dir("stream_foreach_merge_target")
+        // fresh table per execution (bench reruns share the JVM tmpdir)
+        val fsPath = new org.apache.hadoop.fs.Path(table)
+        val fs = fsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(fsPath)) fs.delete(fsPath, true)
+        // seed version 0: an EMPTY table with exactly the streaming
+        // aggregate's schema (same expressions on a false-filtered scan)
+        val proto = Tables(s, dir, "events").filter(lit(false))
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n_events"),
+            sum($"value".cast("decimal(18,2)")).as("sv"))
+        AtomicPublish.publish(s, table)(p => proto.write.parquet(p))
+        val input = MemoryStream[graft.streaming.EventIn]
+        val q = input.toDF()
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n_events"),
+            sum($"value".cast("decimal(18,2)")).as("sv"))
+          .writeStream.outputMode("update")
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            (0 until 2).foreach { _ => // simulated redelivery
+              MergeInto.upsertInto(s, table, batch, Seq("user_id")); ()
+            }
+          }
+          .start()
+        try
+          events.grouped(math.max(1, events.size / 3 + 1)).foreach { c =>
+            input.addData(c); q.processAllAvailable()
+          }
+        finally q.stop()
+        AtomicPublish.read(s, table)
+          .select($"user_id", $"n_events",
+            $"sv".cast("double").as("sum_value"))
+          .orderBy($"user_id")
+      },
+      Some(s"""SELECT user_id, COUNT(*) AS n_events,
+                ${Det.sql.dsum("value")} AS sum_value
+              FROM events WHERE user_id < 100
+              GROUP BY user_id ORDER BY user_id""")),
+
     GQuery("stream_window_nunique",
       (s, dir) => {
         import s.implicits._

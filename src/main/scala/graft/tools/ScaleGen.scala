@@ -189,6 +189,36 @@ object ScaleGen {
       out.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
       println(s"scalegen: $name -> $outDir/$name.parquet")
     }
+    // CONTRACT STAMP (round-11 VERDICT item 7): the decade tables'
+    // meaning depends on this generator's corpus law (permute vs heaps
+    // text, mutation rates, copy count). Stamp the mode + provenance +
+    // measured vocabulary into a sidecar at generation time;
+    // dev/scale_decades.sh refuses a scratch dir whose stamp does not
+    // match the requested mode, so a wrong-corpus decade row can no
+    // longer be committed silently.
+    val genTables = plan.filter(p => onlyTables.forall(_.contains(p._1)))
+      .map(_._1)
+    val vocab =
+      if (genTables.contains("documents")) {
+        import org.apache.spark.sql.functions.{countDistinct, explode, split => fsplit, col => fcol}
+        val docs = spark.read.parquet(s"$outDir/documents.parquet")
+        val toks = docs.select(explode(fsplit(fcol("text"), " ")).as("w"))
+        val uni = toks.agg(countDistinct(fcol("w"))).collect()(0).getLong(0)
+        s""""unigram_types": $uni"""
+      } else """"unigram_types": null"""
+    val stamp =
+      s"""{
+         |  "generator": "graft.tools.ScaleGen",
+         |  "textmode": "$TextMode",
+         |  "copies": $copies,
+         |  "src": "$srcDir",
+         |  "key_offset": $Off,
+         |  "tables": [${genTables.map(t => s""""$t"""").mkString(", ")}],
+         |  $vocab
+         |}""".stripMargin
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(outDir, "SCALEGEN.json"), stamp)
+    println(s"scalegen: stamped $outDir/SCALEGEN.json (textmode=$TextMode)")
     spark.stop()
   }
 }
