@@ -57,7 +57,9 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio 
          sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
-exec java $ADD_OPENS \
+# SPARK_GRAFT_BENCH_JAVA_OPTS: extra -D flags (e.g. a spark.graft.*
+# conf under test) — SparkConf absorbs system properties named spark.*
+exec java $ADD_OPENS ${SPARK_GRAFT_BENCH_JAVA_OPTS:-} \
   -Dspark.ui.enabled=false \
   -Dspark.sql.session.timeZone=UTC \
   -Xmx${SPARK_DRIVER_MEM:-48g} \

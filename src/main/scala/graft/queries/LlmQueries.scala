@@ -475,6 +475,48 @@ object LlmQueries extends QueryGroup {
               FROM comp JOIN csize USING (cluster_id)
               ORDER BY vec_id""")),
 
+    // INCREMENTAL semantic dedup — the daily-ingest shape: dedup a new
+    // batch (vec_id < 100) against the existing corpus (the rest)
+    // WITHOUT corpus². ops/SemDedup.incrementalPairs: the corpus never
+    // shuffles — its cell assignment is a codegen projection over the
+    // memoized kmeans model, the batch's multi-probe assignment is
+    // BROADCAST, one broadcast equi-join on the cell + fused cosine.
+    // Each (corpus, batch) pair joins at most once by construction
+    // (single corpus cell vs distinct batch probes), so there is no
+    // dedup stage anywhere. Same approximation contract as the
+    // blocked path (recall gate in SemDedupSpec); on the graded
+    // corpora recall is 1.0, so the exact LEFT-JOIN oracle must
+    // hash-match — a missed pair fails the gate rather than passing
+    // silently.
+    GQuery("dedup_incremental",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables(s, dir, "embeddings")
+          .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+        val batch = emb.filter($"vec_id" < 100)
+        val corpus = emb.filter($"vec_id" >= 100)
+        val n = graft.ops.AnnSearch.parquetRowCount(s, s"$dir/embeddings.parquet")
+        val pairs = graft.ops.SemDedup.incrementalPairs(s, corpus, batch,
+            "vec_id", "e", minCosine = 0.45, dim = 64,
+            corpusSize = math.max(1L, n - 100L),
+            cacheKey = Some(s"embeddings-corpus:$dir"))
+        val agg = pairs.groupBy($"b_id")
+          .agg(count(lit(1)).as("nd"), min($"c_id").as("md"))
+        batch.select($"vec_id")
+          .join(agg, $"vec_id" === $"b_id", "left")
+          .select($"vec_id", coalesce($"nd", lit(0L)).as("n_dups"),
+            $"md".as("dup_of"))
+          .orderBy($"vec_id")
+      },
+      Some("""SELECT b.vec_id, COUNT(c.vec_id) AS n_dups,
+                MIN(c.vec_id) AS dup_of
+              FROM embeddings b LEFT JOIN embeddings c
+                ON c.vec_id >= 100
+               AND list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
+                                          CAST(c.embedding AS DOUBLE[])) >= 0.45
+              WHERE b.vec_id < 100
+              GROUP BY b.vec_id ORDER BY b.vec_id""")),
+
     GQuery("text_stats",
       (s, dir) => {
         import s.implicits._

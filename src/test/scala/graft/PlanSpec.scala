@@ -573,4 +573,26 @@ class PlanSpec extends SparkSpec {
     val nEx = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(nEx === 1, s"expected exactly one key exchange, got $nEx:\n$p")
   }
+
+  test("blocked SemDeDup pair generation is ONE cell-keyed exchange, no joins") {
+    // The kmeans-blocked scale path's whole shuffle budget: assignment
+    // is a codegen projection, pair enumeration is partition-local —
+    // the only exchange in the plan is the explicit repartition by
+    // cell. No join, no pair-dedup agg anywhere.
+    import org.apache.spark.sql.functions.col
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val emb = graft.engine.Tables(spark, sfDir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      val n = emb.count()
+      val pairs = graft.ops.SemDedup.blockedPairs(spark, emb, "vec_id", "e",
+        minCosine = 0.45, dim = 64, n = n, cacheKey = Some("planspec"))
+      val p = pairs.queryExecution.executedPlan.toString
+      val nEx = "Exchange ".r.findAllIn(p).length
+      assert(nEx === 1, s"expected exactly one exchange, got $nEx:\n$p")
+      assert(!p.contains("Join"), s"unexpected join in the blocked path:\n$p")
+      assert(!p.toLowerCase.contains("aggregate"),
+        s"unexpected aggregate (pair dedup crept back?):\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }

@@ -145,6 +145,42 @@ class SemDedupSpec extends SparkSpec {
     }
   }
 
+  test("incremental pairs: batch-vs-corpus, exactly once, corpus never shuffled") {
+    import spark.implicits._
+    val e = emb()
+    val batch = e.filter($"vec_id" < 100)
+    val corpus = e.filter($"vec_id" >= 100)
+    val nCorpus = corpus.count()
+    // exact reference: quadratic batch × corpus cosine
+    val a = batch.select($"vec_id".as("b_id"), $"e".as("be"))
+    val c = corpus.select($"vec_id".as("c_id"), $"e".as("ce"))
+    val brute = c.crossJoin(broadcast(a))
+      .withColumn("sim", GraftFunctions.cosineSim(spark, $"ce", $"be"))
+      .filter($"sim" >= 0.45)
+      .select($"b_id", $"c_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inc = graft.ops.SemDedup.incrementalPairs(spark, corpus, batch,
+        "vec_id", "e", minCosine = 0.45, dim = 64, corpusSize = nCorpus)
+      .select($"b_id", $"c_id")
+    val rows = inc.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSet.subsetOf(brute), s"spurious: ${rows.toSet.diff(brute)}")
+    assert(rows.length === rows.toSet.size, "pair emitted more than once")
+    val recall = if (brute.isEmpty) 1.0 else rows.toSet.size.toDouble / brute.size
+    info(s"incremental recall: ${rows.length}/${brute.size} = $recall")
+    assert(recall >= 0.6, s"incremental recall $recall")
+    // plan shape: the corpus side must not be exchanged — the only
+    // shuffle-ish node allowed is the broadcast of the batch
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = graft.ops.SemDedup.incrementalPairs(spark, corpus, batch,
+        "vec_id", "e", 0.45, 64, nCorpus).queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"corpus-side shuffle in the incremental plan:\n$p")
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+        s"expected a broadcast join:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("cell-cap and id-type guards fail loud") {
     import spark.implicits._
     val e = emb()
