@@ -174,12 +174,9 @@ object SemDedup {
       s"blockedPairs requires a BIGINT id column; `$idCol` is " +
         s"${idType.simpleString} — cast ids to long first")
     require(probes >= 1 && probes <= 8, s"probes must be in [1, 8]: $probes")
-    val targetCell = spark.conf.getOption(TargetCellKey)
-      .map(_.toInt).getOrElse(TargetCellDefault)
     val maxCell = spark.conf.getOption(MaxCellRowsKey)
       .map(_.toInt).getOrElse(MaxCellRowsDefault)
-    val k = math.max(math.min(probes + 1, 4),
-      math.ceil(n.toDouble / targetCell).toInt)
+    val k = cellCount(spark, n, probes)
     val model = fit(spark, emb, idCol, eCol, k, dim, n, cacheKey)
     val p = spark.sessionState.conf.numShufflePartitions
     val cellsCol = GraftSqlBridge.column(NearestCells(
@@ -308,6 +305,25 @@ object SemDedup {
       .toDF("id_a", "id_b", "sim")
   }
 
+  /** The `nprobe` nearest cells of `e` under a fitted model, as a
+    * codegen column — the assignment surface shared by the batch
+    * blocked path, the incremental join, and the streaming dedup. */
+  def probeCells(model: Model, e: org.apache.spark.sql.Column,
+                 nprobe: Int): org.apache.spark.sql.Column =
+    GraftSqlBridge.column(NearestCells(
+      GraftSqlBridge.expression(e), model.cents, model.k, model.dim,
+      math.min(nprobe, model.k)))
+
+  /** The k every SemDedup entry point derives for a corpus of `n`
+    * under the session's target cell size (shared so memoized models
+    * are hit across the batch/incremental/streaming paths). */
+  def cellCount(spark: SparkSession, n: Long, probes: Int = 2): Int = {
+    val targetCell = spark.conf.getOption(TargetCellKey)
+      .map(_.toInt).getOrElse(TargetCellDefault)
+    math.max(math.min(probes + 1, 4),
+      math.ceil(n.toDouble / targetCell).toInt)
+  }
+
   /** INCREMENTAL near-dup: a new batch against an existing corpus —
     * the daily-ingest shape (dedup today's crawl against the published
     * pretraining set) where re-running corpus² is absurd. The corpus
@@ -329,10 +345,7 @@ object SemDedup {
                        idCol: String, eCol: String, minCosine: Double,
                        dim: Int, corpusSize: Long, probes: Int = 2,
                        cacheKey: Option[String] = None): DataFrame = {
-    val targetCell = spark.conf.getOption(TargetCellKey)
-      .map(_.toInt).getOrElse(TargetCellDefault)
-    val k = math.max(math.min(probes + 1, 4),
-      math.ceil(corpusSize.toDouble / targetCell).toInt)
+    val k = cellCount(spark, corpusSize, probes)
     val model = fit(spark, corpus, idCol, eCol, k, dim, corpusSize, cacheKey)
     // A tiny quantizer (k <= 4 cells — corpora up to a few thousand
     // vectors) probes ALL cells: the join then compares every batch row

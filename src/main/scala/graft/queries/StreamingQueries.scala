@@ -16,6 +16,11 @@ import graft.engine.{Det, Tables}
   */
 object StreamingQueries extends QueryGroup {
 
+  /** Per-execution memory-sink name counter: bench reruns share a JVM,
+    * and a restarted memory query must never read a predecessor's
+    * accumulated table. */
+  val sinkCounter = new java.util.concurrent.atomic.AtomicLong()
+
   def queries: Seq[GQuery] = Seq(
 
     GQuery("stream_tumbling",
@@ -381,13 +386,21 @@ object StreamingQueries extends QueryGroup {
             sum($"value".cast("decimal(18,2)")).as("sv"))
           .writeStream.outputMode("update")
           .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-            (0 until 2).foreach { _ => // simulated redelivery
-              MergeInto.upsertInto(s, table, batch, Seq("user_id")); ()
-            }
+            // the MERGE references its source twice (distinct keys +
+            // union); persist the micro-batch so the state-store
+            // output is not re-planned per reference
+            val b = batch.persist()
+            try (0 until 2).foreach { _ => // simulated redelivery
+              MergeInto.upsertInto(s, table, b, Seq("user_id")); ()
+            } finally { b.unpersist(); () }
           }
           .start()
         try
-          events.grouped(math.max(1, events.size / 3 + 1)).foreach { c =>
+          // 2 micro-batches x 2 applications = 4 distributed MERGE
+          // commits: incremental state across batches AND redelivery
+          // are both exercised; each commit is a full read+anti-join+
+          // write+manifest-swap cycle (~1 s of fixed machinery each)
+          events.grouped(math.max(1, events.size / 2 + 1)).foreach { c =>
             input.addData(c); q.processAllAvailable()
           }
         finally q.stop()
@@ -400,6 +413,59 @@ object StreamingQueries extends QueryGroup {
                 ${Det.sql.dsum("value")} AS sum_value
               FROM events WHERE user_id < 100
               GROUP BY user_id ORDER BY user_id""")),
+
+    // ONLINE semantic dedup: the stateful streaming twin of
+    // dedup_semantic_blocked. Vectors replay in id order through a
+    // MemoryStream, pre-assigned to their 2 nearest quantizer cells
+    // (same memoized fit as the batch path); flatMapGroupsWithState
+    // keyed BY CELL keeps every vector seen in the cell (keep-all —
+    // cosine is not transitive, so survivor-only state would diverge
+    // from the first-occurrence oracle) and emits a per-cell verdict;
+    // a vector survives iff EVERY probe cell kept it. A (j < i) pair
+    // is caught iff their probe sets intersect — the same recall
+    // condition as blockedPairs (measured 1.0 on graded corpora), so
+    // the exact NOT-EXISTS oracle must hash-match; a straddling pair
+    // fails the gate rather than passing silently. State lives in the
+    // checkpointable StateStore partitioned by cell — the arrival-time
+    // keep/drop verdict a 100 TB ingest pipeline needs, where batch
+    // SemDeDup would re-cluster the corpus per delivery.
+    GQuery("stream_semantic_dedup",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        import graft.streaming.{SemDedupStream, VecProbe}
+        implicit val sqlCtx = s.sqlContext
+        val emb = Tables(s, dir, "embeddings")
+          .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+        val n = graft.ops.AnnSearch.parquetRowCount(s, s"$dir/embeddings.parquet")
+        val k = graft.ops.SemDedup.cellCount(s, n)
+        val model = graft.ops.SemDedup.fit(s, emb, "vec_id", "e", k, 64, n,
+          cacheKey = Some(s"embeddings:$dir"))
+        val probeRows = emb
+          .withColumn("cells", graft.ops.SemDedup.probeCells(model, $"e", 2))
+          .select($"vec_id", explode($"cells").as("cell"), $"e")
+          .orderBy($"vec_id")
+          .as[VecProbe]
+          .collect().toSeq
+        val name = s"ssd_${StreamingQueries.sinkCounter.incrementAndGet()}"
+        val input = MemoryStream[VecProbe]
+        val q = SemDedupStream.verdicts(input.toDS(), minCosine = 0.45)
+          .writeStream.format("memory").queryName(name)
+          .outputMode("update").start()
+        try
+          probeRows.grouped(math.max(1, probeRows.size / 3 + 1)).foreach { c =>
+            input.addData(c); q.processAllAvailable()
+          }
+        finally q.stop()
+        SemDedupStream.survivors(s, name).toDF("vec_id")
+      },
+      Some("""SELECT a.vec_id FROM embeddings a
+              WHERE NOT EXISTS (
+                SELECT 1 FROM embeddings b
+                WHERE b.vec_id < a.vec_id
+                  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                             CAST(b.embedding AS DOUBLE[])) >= 0.45)
+              ORDER BY a.vec_id""")),
 
     GQuery("stream_window_nunique",
       (s, dir) => {

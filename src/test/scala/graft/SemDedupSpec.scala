@@ -181,6 +181,46 @@ class SemDedupSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("streaming semantic dedup: later-arriving clones drop across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.{SemDedupStream, VecProbe}
+    import graft.ops.SemDedup
+    implicit val sqlCtx = spark.sqlContext
+    val orig = emb()
+    val clones = orig.select(($"vec_id" + 100000L).as("vec_id"),
+      transform($"e", x => x + lit(0.001)).as("e"))
+    val all = orig.unionByName(clones)
+    val n = all.count()
+    val model = SemDedup.fit(spark, all, "vec_id", "e",
+      SemDedup.cellCount(spark, n), 64, n)
+    val rows = all
+      .withColumn("cells", SemDedup.probeCells(model, $"e", 2))
+      .select($"vec_id", explode($"cells").as("cell"), $"e")
+      .orderBy($"vec_id")
+      .as[VecProbe].collect().toSeq
+    // id order = arrival order: every original (low ids) arrives in an
+    // EARLIER micro-batch than its clone (+100000), so the clone's
+    // verdict depends on state written by a previous batch — the
+    // cross-batch recovery semantics, not within-batch comparison.
+    val input = MemoryStream[VecProbe]
+    val name = "ssd_spec_clones"
+    val q = SemDedupStream.verdicts(input.toDS(), minCosine = 0.9)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("update").start()
+    try rows.grouped(math.max(1, rows.size / 4 + 1)).foreach { c =>
+      input.addData(c); q.processAllAvailable()
+    } finally q.stop()
+    val kept = SemDedupStream.survivors(spark, name)
+      .collect().map(_.longValue).toSet
+    val origIds = orig.select($"vec_id").collect().map(_.getLong(0)).toSet
+    // cos(clone, original) ~ 1 >= 0.9 -> every clone dropped;
+    // originals are mutually near-orthogonal (max pairwise ~0.51) ->
+    // every original kept
+    assert(kept === origIds,
+      s"extra: ${kept.diff(origIds).take(5)}; missing: ${origIds.diff(kept).take(5)}")
+  }
+
   test("cell-cap and id-type guards fail loud") {
     import spark.implicits._
     val e = emb()
