@@ -23,9 +23,30 @@ object MinHashDedup {
       slice(split(text, " "), lit(2), size(split(text, " ")) - 1),
       (x, y) => concat(x, lit(" "), y)))
 
-  /** (id, sig: array<long>) MinHash signatures. */
+  /** (id, sig: array<long>) MinHash signatures, computed MAP-SIDE as a
+    * single codegen projection: `sig[j] = min over shingles s of
+    * xxhash64(j, s)`. Through round 10 this was an explode → groupBy(id)
+    * min-agg — numerically identical (the equality is ScalaTest-pinned
+    * against [[signaturesViaAgg]]), but the agg forces a full exchange
+    * of every doc id + partial sig (~(8·numHashes + id) bytes/doc: at
+    * 10¹¹ docs and 128 hashes, a >100 TB-shaped corpus pays a ~10 TB
+    * shuffle just to MATERIALIZE signatures). The projection form pays
+    * the same hash count and ZERO shuffle — the only exchange left in
+    * the whole minhash path is the band join itself. Docs with no
+    * shingles (single-word) drop, exactly as explode dropped them. */
   def signatures(docs: DataFrame, idCol: String, textCol: String,
-                 numHashes: Int): DataFrame = {
+                 numHashes: Int): DataFrame =
+    docs.select(col(idCol).as("id"), shingles(col(textCol)).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("id"), expr(
+        s"transform(sequence(0, ${numHashes - 1}), " +
+          "j -> array_min(transform(sh, s -> xxhash64(j, s))))").as("sig"))
+
+  /** The round-10 explode → groupBy reference implementation, kept ONLY
+    * as the equality oracle for the map-side [[signatures]] (LlmOpsSpec
+    * pins sig-for-sig equality on the graded corpus). */
+  private[graft] def signaturesViaAgg(docs: DataFrame, idCol: String,
+                                      textCol: String, numHashes: Int): DataFrame = {
     val sh = docs.select(col(idCol).as("id"),
       explode(shingles(col(textCol))).as("s"))
     val mins = (0 until numHashes).map(j => min(xxhash64(lit(j), col("s"))).as(s"h$j"))
@@ -87,5 +108,36 @@ object MinHashDedup {
       .select(col("id_a"), col("id_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
           bool => bool)).cast("double") / numHashes).as("est_jaccard"))
+  }
+
+  /** INCREMENTAL LSH candidates: a new batch of documents against an
+    * existing corpus — the daily-ingest text-dedup shape (the fuzzy
+    * twin of [[SemDedup.incrementalPairs]]). The corpus side NEVER
+    * shuffles: its signatures and band hashes are map-side projections
+    * (see [[signatures]]) and the batch's banded rows are explicitly
+    * `broadcast` — the band join is a broadcast hash join probed as the
+    * corpus streams by, so the whole candidate plan contains ZERO
+    * shuffle exchanges (ScalaTest plan-asserted). Canonical emission
+    * (the [[candidatePairs]] first-agreeing-band rule) makes each
+    * (corpus, batch) pair surface exactly once with no dedup stage.
+    * Returns (c_id, b_id). */
+  def incrementalCandidates(corpus: DataFrame, batch: DataFrame,
+                            idCol: String, textCol: String,
+                            numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val r = numHashes / bands
+    def banded(df: DataFrame, side: String): DataFrame =
+      signatures(df, idCol, textCol, numHashes)
+        .select(col("id").as(s"${side}_id"), expr(
+          s"transform(sequence(0, ${bands - 1}), " +
+            s"b -> xxhash64(slice(sig, b * $r + 1, $r)))").as(s"bhs_$side"))
+        .select(col(s"${side}_id"), col(s"bhs_$side"),
+          posexplode(col(s"bhs_$side")).as(Seq("band", "bh")))
+    banded(corpus, "c")
+      .join(broadcast(banded(batch, "b")), Seq("band", "bh"))
+      .filter(array_position(
+        zip_with(col("bhs_c"), col("bhs_b"), (x, y) => x === y),
+        true) === col("band") + 1)
+      .select(col("c_id"), col("b_id"))
   }
 }

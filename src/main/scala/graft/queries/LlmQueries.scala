@@ -517,6 +517,79 @@ object LlmQueries extends QueryGroup {
               WHERE b.vec_id < 100
               GROUP BY b.vec_id ORDER BY b.vec_id""")),
 
+    // INCREMENTAL fuzzy-text dedup — the minhash twin of
+    // dedup_incremental: dedup a new batch of documents (doc_id < 100)
+    // against the published corpus (the rest) WITHOUT re-running the
+    // corpus self-join. ops/MinHashDedup.incrementalCandidates: the
+    // corpus never shuffles — signatures and band hashes are map-side
+    // projections, the batch's banded rows are BROADCAST, and the band
+    // join streams the corpus through a broadcast hash join with
+    // canonical first-agreeing-band emission (no dedup stage). The
+    // graded OUTPUT is the EXACT word-bigram Jaccard over the
+    // candidates (deterministic integer-ratio doubles — SQL-identical
+    // in DuckDB), so the key carries an exact batch × corpus oracle:
+    // at 32 hashes / 8 bands every graded pair at jaccard >= 0.8
+    // collides in some band (deterministic seeded xxhash64 — verified
+    // at every graded sf, and pinned by the LlmOpsSpec recall gate);
+    // if banding ever missed one, the hash gate would fail loudly
+    // rather than pass silently.
+    GQuery("dedup_incremental_minhash",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables(s, dir, "documents")
+          .withColumn("t", split($"text", " "))
+          .withColumn("sh", array_distinct(expr(
+            "zip_with(slice(t, 1, size(t)-1), slice(t, 2, size(t)-1), (x, y) -> concat(x, ' ', y))")))
+        val batch = docs.filter($"doc_id" < 100)
+        val corpus = docs.filter($"doc_id" >= 100)
+        val cand = graft.ops.MinHashDedup.incrementalCandidates(
+          corpus, batch, "doc_id", "text")
+        // exact Jaccard on the (tiny) candidate set: candidates are
+        // broadcast BACK against the corpus to fetch shingles — the
+        // corpus side again stays map-side, zero shuffles end-to-end
+        val withB = broadcast(cand.join(
+          batch.select($"doc_id".as("b_id"), $"sh".as("sh_b")), "b_id"))
+        val hits = corpus.select($"doc_id".as("c_id"), $"sh".as("sh_c"))
+          .join(withB, "c_id")
+          .withColumn("inter", size(array_intersect($"sh_b", $"sh_c")))
+          .withColumn("jaccard",
+            $"inter" / (size($"sh_b") + size($"sh_c") - $"inter"))
+          .filter($"jaccard" >= 0.8)
+        val agg = hits.groupBy($"b_id")
+          .agg(count(lit(1)).as("nd"), min($"c_id").as("md"),
+            max($"jaccard").as("mj"))
+        batch.select($"doc_id")
+          .join(agg, $"doc_id" === $"b_id", "left")
+          .select($"doc_id", coalesce($"nd", lit(0L)).as("n_dups"),
+            $"md".as("dup_of"), $"mj".as("max_jaccard"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH d AS (
+                SELECT doc_id, list_distinct(list_transform(
+                  range(1, len(str_split(text, ' '))),
+                  i -> str_split(text, ' ')[i] || ' ' || str_split(text, ' ')[i+1])) AS sh
+                FROM documents),
+              b AS (SELECT doc_id, sh FROM d WHERE doc_id < 100),
+              c AS (SELECT doc_id, sh FROM d WHERE doc_id >= 100),
+              exb AS (SELECT doc_id, unnest(sh) AS s FROM b),
+              exc AS (SELECT doc_id, unnest(sh) AS s FROM c),
+              pairs AS (
+                SELECT eb.doc_id AS b_id, ec.doc_id AS c_id, COUNT(*) AS inter
+                FROM exb eb JOIN exc ec ON eb.s = ec.s
+                GROUP BY 1, 2),
+              hits AS (
+                SELECT b_id, c_id,
+                  inter / (len(bb.sh) + len(cc.sh) - inter) AS jaccard
+                FROM pairs
+                JOIN b bb ON bb.doc_id = b_id
+                JOIN c cc ON cc.doc_id = c_id
+                WHERE inter / (len(bb.sh) + len(cc.sh) - inter) >= 0.8)
+              SELECT bb.doc_id, COUNT(h.c_id) AS n_dups,
+                MIN(h.c_id) AS dup_of, MAX(h.jaccard) AS max_jaccard
+              FROM (SELECT doc_id FROM documents WHERE doc_id < 100) bb
+              LEFT JOIN hits h ON h.b_id = bb.doc_id
+              GROUP BY bb.doc_id ORDER BY bb.doc_id""")),
+
     GQuery("text_stats",
       (s, dir) => {
         import s.implicits._

