@@ -25,26 +25,46 @@ object MinHashDedup {
 
   /** (id, sig: array<long>) MinHash signatures, computed MAP-SIDE as a
     * single codegen projection: `sig[j] = min over shingles s of
-    * xxhash64(j, s)`. Through round 10 this was an explode → groupBy(id)
-    * min-agg — numerically identical (the equality is ScalaTest-pinned
-    * against [[signaturesViaAgg]]), but the agg forces a full exchange
-    * of every doc id + partial sig (~(8·numHashes + id) bytes/doc: at
-    * 10¹¹ docs and 128 hashes, a >100 TB-shaped corpus pays a ~10 TB
-    * shuffle just to MATERIALIZE signatures). The projection form pays
-    * the same hash count and ZERO shuffle — the only exchange left in
-    * the whole minhash path is the band join itself. Docs with no
-    * shingles (single-word) drop, exactly as explode dropped them. */
+    * xxhash64(j, s)` — numerically identical to the explode → groupBy
+    * min-agg form (the equality is ScalaTest-pinned against
+    * [[signaturesViaAgg]]) but with ZERO shuffle.
+    *
+    * WHICH FORM WHERE (both measured at sf0.1): a consumer that needs
+    * signatures ONCE or TWICE (the incremental batch-vs-corpus join)
+    * wants this projection — recompute is a single pass and the corpus
+    * never shuffles. The SELF-join path ([[candidatePairs]]) consumes
+    * signatures FOUR times (two band sides + two est-jaccard
+    * fetch-backs); there the agg form's exchange materializes the sigs
+    * once and ReusedExchange serves all four consumers, which beats 4×
+    * recompute on wall (0.69 s vs 2.8 s for dedup_minhash) — the
+    * classic shuffle-once-vs-recompute trade, decided per shape.
+    * Docs with no shingles (single-word) drop, exactly as explode
+    * dropped them.
+    *
+    * LET-BINDING GUARD: the naive `transform(seq, j -> ...sh...)` form
+    * is a trap — CollapseProject inlines the `sh` projection into the
+    * lambda body (one TEXTUAL reference, so the optimizer calls it
+    * collapse-safe), and at runtime the shingle split/distinct then
+    * re-evaluates once PER HASH INDEX per downstream branch: measured
+    * 0.69 → 41.5 s on dedup_minhash at sf0.1. Wrapping the expensive
+    * input as `transform(array(X), v -> body)[0]` binds it to a lambda
+    * variable, so even an inlined copy evaluates exactly once. Applied
+    * at every level that chains onto a prior projection (sig over
+    * shingles here, band hashes over sig in the band builders). */
   def signatures(docs: DataFrame, idCol: String, textCol: String,
                  numHashes: Int): DataFrame =
     docs.select(col(idCol).as("id"), shingles(col(textCol)).as("sh"))
       .filter(size(col("sh")) > 0)
       .select(col("id"), expr(
-        s"transform(sequence(0, ${numHashes - 1}), " +
-          "j -> array_min(transform(sh, s -> xxhash64(j, s))))").as("sig"))
+        s"transform(array(sh), shv -> transform(sequence(0, ${numHashes - 1}), " +
+          "j -> array_min(transform(shv, s -> xxhash64(j, s)))))[0]").as("sig"))
 
-  /** The round-10 explode → groupBy reference implementation, kept ONLY
-    * as the equality oracle for the map-side [[signatures]] (LlmOpsSpec
-    * pins sig-for-sig equality on the graded corpus). */
+  /** The explode → groupBy min-agg form: pays one exchange of
+    * (id, partial sig) to MATERIALIZE signatures, which ReusedExchange
+    * then serves to every consumer — the right trade when one plan
+    * references the signatures repeatedly (see [[signatures]] for the
+    * full trade-off). Also the equality oracle for the map-side form
+    * (LlmOpsSpec pins sig-for-sig equality on the graded corpus). */
   private[graft] def signaturesViaAgg(docs: DataFrame, idCol: String,
                                       textCol: String, numHashes: Int): DataFrame = {
     val sh = docs.select(col(idCol).as("id"),
@@ -83,11 +103,12 @@ object MinHashDedup {
                      numHashes: Int = 16, bands: Int = 4): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
-    val sig = signatures(docs, idCol, textCol, numHashes)
+    // agg form on purpose: this plan consumes sig 4× (see signatures)
+    val sig = signaturesViaAgg(docs, idCol, textCol, numHashes)
 
     val banded = sig.select(col("id"),
-        expr(s"transform(sequence(0, ${bands - 1}), " +
-          s"b -> xxhash64(slice(sig, b * $r + 1, $r)))").as("bhs"))
+        expr(s"transform(array(sig), sigv -> transform(sequence(0, ${bands - 1}), " +
+          s"b -> xxhash64(slice(sigv, b * $r + 1, $r))))[0]").as("bhs"))
       .select(col("id"), col("bhs"), posexplode(col("bhs")).as(Seq("band", "bh")))
 
     val a = banded.select(col("id").as("id_a"), col("bhs").as("bhs_a"),
@@ -129,8 +150,8 @@ object MinHashDedup {
     def banded(df: DataFrame, side: String): DataFrame =
       signatures(df, idCol, textCol, numHashes)
         .select(col("id").as(s"${side}_id"), expr(
-          s"transform(sequence(0, ${bands - 1}), " +
-            s"b -> xxhash64(slice(sig, b * $r + 1, $r)))").as(s"bhs_$side"))
+          s"transform(array(sig), sigv -> transform(sequence(0, ${bands - 1}), " +
+            s"b -> xxhash64(slice(sigv, b * $r + 1, $r))))[0]").as(s"bhs_$side"))
         .select(col(s"${side}_id"), col(s"bhs_$side"),
           posexplode(col(s"bhs_$side")).as(Seq("band", "bh")))
     banded(corpus, "c")
