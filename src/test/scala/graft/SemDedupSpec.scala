@@ -221,6 +221,74 @@ class SemDedupSpec extends SparkSpec {
       s"extra: ${kept.diff(origIds).take(5)}; missing: ${origIds.diff(kept).take(5)}")
   }
 
+  test("streaming semantic dedup survives process restart: clones dropped against RESTORED state") {
+    import spark.implicits._
+    import graft.streaming.{SemDedupStream, VecProbe}
+    import graft.ops.SemDedup
+    // The online dedup's upgrade story: life 1 processes the originals
+    // and dies; life 2 is a NEW query on the same checkpoint fed only
+    // the clones. Every clone's nearest neighbor lives ONLY in life-1
+    // state, so a drop in life 2 proves the StateStore round-trip, not
+    // within-life comparison. Both store providers, file-stream source.
+    val orig = emb()
+    val clones = orig.select(($"vec_id" + 100000L).as("vec_id"),
+      transform($"e", x => x + lit(0.001)).as("e"))
+    val all = orig.unionByName(clones)
+    val n = all.count()
+    val model = SemDedup.fit(spark, all, "vec_id", "e",
+      SemDedup.cellCount(spark, n), 64, n)
+    def probes(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("cells", SemDedup.probeCells(model, $"e", 2))
+      .select($"vec_id", explode($"cells").as("cell"), $"e")
+    val storeKey = "spark.sql.streaming.stateStore.providerClass"
+    for (rocks <- Seq(false, true)) {
+      if (rocks) spark.conf.set(storeKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      else spark.conf.unset(storeKey)
+      try {
+        val in = java.nio.file.Files.createTempDirectory("graft_ssd_in").toString
+        val cp = java.nio.file.Files.createTempDirectory("graft_ssd_cp").toString
+        probes(orig).coalesce(1).write.mode("append").parquet(in)
+        val schema = spark.read.parquet(in).schema
+        // update-mode memory sinks refuse checkpoint recovery;
+        // foreachBatch is the recoverable sink shape — collect each
+        // batch's verdicts keyed (vec_id, cell) (idempotent under
+        // redelivery) into a per-life map
+        def start(sink: scala.collection.concurrent.TrieMap[(Long, Int), Boolean]) =
+          SemDedupStream.verdicts(
+            spark.readStream.schema(schema).parquet(in).as[VecProbe],
+            minCosine = 0.9)
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[graft.streaming.ProbeVerdict], _: Long) =>
+            batch.collect().foreach(v => sink.put((v.vec_id, v.cell), v.kept)); ()
+          }
+          .outputMode("update")
+          .option("checkpointLocation", cp)
+          .start()
+        val tag = if (rocks) "rocks" else "hdfs"
+        val life1 = scala.collection.concurrent.TrieMap.empty[(Long, Int), Boolean]
+        val life2 = scala.collection.concurrent.TrieMap.empty[(Long, Int), Boolean]
+        val q1 = start(life1)
+        q1.processAllAvailable()
+        assert(q1.lastProgress.batchId >= 0, "no committed batch before stop")
+        q1.stop()
+        probes(clones).coalesce(1).write.mode("append").parquet(in)
+        val q2 = start(life2)
+        q2.processAllAvailable(); q2.stop()
+        // life 2 must only have read the clone chunk (old files not
+        // re-delivered by the restored source offset log)
+        assert(life2.nonEmpty && life2.keys.forall(_._1 >= 100000L),
+          s"[$tag] life 2 re-processed old rows: ${life2.keys.filter(_._1 < 100000L).take(5)}")
+        // survivor = kept in EVERY probe cell, over both lives' verdicts
+        val kept = (life1 ++ life2).groupBy(_._1._1)
+          .collect { case (id, vs) if vs.values.forall(identity) => id }.toSet
+        val origIds = orig.select($"vec_id").collect().map(_.getLong(0)).toSet
+        assert(kept === origIds,
+          s"[$tag] extra: ${kept.diff(origIds).take(5)}; missing: ${origIds.diff(kept).take(5)}")
+      } finally spark.conf.unset(storeKey)
+    }
+  }
+
   test("cell-cap and id-type guards fail loud") {
     import spark.implicits._
     val e = emb()
