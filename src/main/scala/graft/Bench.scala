@@ -106,11 +106,33 @@ object Bench {
     // reader discard exactly the contended keys, not the whole artifact.
     val timed = keys.flatMap { name =>
       val fn = SparkEntry.queries(name)
+      // MEASUREMENT HONESTY (round 11): `count()` lets Catalyst DELETE
+      // whole branches — e.g. a left outer join to a unique-keyed
+      // aggregate with no surviving right columns is eliminated
+      // wholesale (the incremental-dedup and left/asof join tails), so
+      // a count-based timing can measure a plan that never runs the
+      // graded operator (dedup_incremental_minhash read 0.6 s at sf100
+      // while the real plan takes ~20 s). Probe once, untimed: if
+      // count() drops a leaf scan vs the key's own optimized plan,
+      // time full materialization of the key's OWN plan (toRdd.count)
+      // instead; unaffected keys keep count() for historical
+      // comparability. Streaming keys do their work eagerly in
+      // build(), so the probe would re-run the whole replay to decide
+      // something that cannot hollow their timing — they keep count().
+      // graft.tools.CountPlanProbe is the standalone sweep.
+      val materialize = !name.startsWith("stream_") && (try {
+        val df = fn(spark, sfDir)
+        df.groupBy().count().queryExecution.optimizedPlan.collectLeaves().size <
+          df.queryExecution.optimizedPlan.collectLeaves().size
+      } catch { case _: Throwable => false })
       val s0 = stealJiffies()
       val runs = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
-        catch { case _: Throwable => None }
+        try {
+          val df = fn(spark, sfDir)
+          if (materialize) df.queryExecution.toRdd.count() else df.count()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case _: Throwable => None }
       }
       val ok = runs.flatten
       val sDelta = if (s0 < 0) -1L else math.max(-1L, stealJiffies() - s0)

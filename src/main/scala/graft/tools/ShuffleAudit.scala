@@ -63,7 +63,14 @@ object ShuffleAudit {
       inputRead = 0L
       val res =
         try {
-          val n = q.build(spark, dir).count()
+          val df = q.build(spark, dir)
+          // same count()-elimination guard as Bench: the audit must
+          // record the bytes of the key's REAL plan, not of a plan
+          // count() legally truncated (see Bench's probe comment)
+          val eliminated =
+            df.groupBy().count().queryExecution.optimizedPlan.collectLeaves().size <
+              df.queryExecution.optimizedPlan.collectLeaves().size
+          val n = if (eliminated) df.queryExecution.toRdd.count() else df.count()
           settle()
           f""""${q.key}":{"rows":$n,"shuffle_bytes":$shuffleWrite,"input_bytes":$inputRead}"""
         } catch {
