@@ -131,6 +131,21 @@ object MinHashDedup {
           bool => bool)).cast("double") / numHashes).as("est_jaccard"))
   }
 
+  /** (id, band, bh) band-hash rows, fully MAP-SIDE (guarded map-side
+    * [[signatures]] + let-guarded band fold + posexplode) — the
+    * blocking surface shared by the streaming dedup and direct LSH
+    * consumers. Zero shuffles. */
+  def bandHashes(docs: DataFrame, idCol: String, textCol: String,
+                 numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val r = numHashes / bands
+    signatures(docs, idCol, textCol, numHashes)
+      .select(col("id"), expr(
+        s"transform(array(sig), sigv -> transform(sequence(0, ${bands - 1}), " +
+          s"b -> xxhash64(slice(sigv, b * $r + 1, $r))))[0]").as("bhs"))
+      .select(col("id"), posexplode(col("bhs")).as(Seq("band", "bh")))
+  }
+
   /** INCREMENTAL LSH candidates: a new batch of documents against an
     * existing corpus — the daily-ingest text-dedup shape (the fuzzy
     * twin of [[SemDedup.incrementalPairs]]). The corpus side NEVER

@@ -467,6 +467,43 @@ object StreamingQueries extends QueryGroup {
                                              CAST(b.embedding AS DOUBLE[])) >= 0.45)
               ORDER BY a.vec_id""")),
 
+    // ONLINE MinHash/LSH near-dup detection — the fuzzy-TEXT twin of
+    // stream_semantic_dedup, with the state profile that actually
+    // scales to an unbounded ingest: a band bucket only remembers its
+    // FIRST arrival (one Long), so total state is 8 B × distinct band
+    // hashes regardless of corpus size — vs the semantic key's
+    // keep-all-vectors cells. Docs replay in id order pre-exploded to
+    // their 4 LSH band hashes (map-side signatures, zero shuffles);
+    // flatMapGroupsWithState keyed by (band, bh); a doc survives iff
+    // it was first in EVERY band bucket. Rows-only by design (band
+    // membership is seeded xxhash64 — no DuckDB analogue); LlmOpsSpec
+    // pins streaming ≡ the batch band-collision first-occurrence
+    // reference on the graded corpus.
+    GQuery("stream_minhash_dedup",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        import graft.streaming.{BandProbe, MinHashStream}
+        implicit val sqlCtx = s.sqlContext
+        val probeRows = graft.ops.MinHashDedup.bandHashes(
+            Tables(s, dir, "documents"), "doc_id", "text")
+          .select($"id".as("doc_id"), $"band", $"bh")
+          .orderBy($"doc_id")
+          .as[BandProbe].collect().toSeq
+        val name = s"smh_${StreamingQueries.sinkCounter.incrementAndGet()}"
+        val input = MemoryStream[BandProbe]
+        val q = MinHashStream.verdicts(input.toDS())
+          .writeStream.format("memory").queryName(name)
+          .outputMode("update").start()
+        try
+          probeRows.grouped(math.max(1, probeRows.size / 3 + 1)).foreach { c =>
+            input.addData(c); q.processAllAvailable()
+          }
+        finally q.stop()
+        MinHashStream.survivors(s, name).toDF("doc_id")
+      },
+      None),
+
     GQuery("stream_window_nunique",
       (s, dir) => {
         import s.implicits._

@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One band-hash row of a streamed document: the doc replicated into
+  * each of its LSH band buckets ([[graft.ops.MinHashDedup.bandHashes]]). */
+case class BandProbe(doc_id: Long, band: Int, bh: Long)
+
+/** Per-(doc, band) verdict: `kept` = this doc is the FIRST arrival in
+  * the band's bucket. The survivor decision is the AND over the doc's
+  * bands — a doc is a near-dup iff ANY band bucket already held an
+  * earlier doc. */
+case class BandVerdict(doc_id: Long, band: Int, bh: Long, kept: Boolean)
+
+/** ONLINE (streaming) MinHash/LSH near-dup detection — the fuzzy-text
+  * twin of [[SemDedupStream]], with the state profile that actually
+  * scales to an unbounded ingest: where semantic dedup must keep every
+  * vector per cell (cosine is not transitive), a MinHash band bucket
+  * only needs to remember THAT it is occupied — per-bucket state is
+  * one Long (the first-arrival doc id), so total state is
+  * 8 bytes × distinct band hashes regardless of corpus size, and the
+  * StateStore partitioned by (band, bh) spreads it evenly by hash.
+  *
+  * Semantics (rows-only by design — band membership is seeded
+  * xxhash64, not expressible in the DuckDB oracle): a doc is dropped
+  * iff any of its `bands` band hashes was already emitted by an
+  * earlier-arrived doc — EXACTLY the batch [[graft.ops.MinHashDedup]]
+  * banding collision rule applied in arrival order, which ScalaTest
+  * pins by equivalence against the batch band self-join
+  * (MinHashStreamSpec in LlmOpsSpec). Replay order must be
+  * non-decreasing in doc_id for "earlier" to be well-defined, same
+  * contract as [[SemDedupStream.verdicts]].
+  */
+object MinHashStream {
+
+  private implicit val probeEnc = Encoders.product[BandProbe]
+  private implicit val verdictEnc = Encoders.product[BandVerdict]
+  private implicit val keyEnc = Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong)
+  private implicit val stateEnc = Encoders.scalaLong
+
+  /** The stateful transform: probes keyed by (band, bh); per-bucket
+    * state is the min (= first-arrived) doc id. */
+  def verdicts(probes: Dataset[BandProbe]): Dataset[BandVerdict] =
+    probes.groupByKey(p => (p.band, p.bh))
+      .flatMapGroupsWithState[Long, BandVerdict](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: (Int, Long), it: Iterator[BandProbe], state: GroupState[Long]) =>
+          var first = state.getOption
+          val out = List.newBuilder[BandVerdict]
+          it.toSeq.sortBy(_.doc_id).foreach { p =>
+            out += BandVerdict(p.doc_id, key._1, key._2, first.isEmpty)
+            if (first.isEmpty) { first = Some(p.doc_id); state.update(p.doc_id) }
+          }
+          out.result().iterator
+      }
+
+  /** Batch-side survivor reduction: a doc survives iff it was first in
+    * EVERY one of its band buckets. */
+  def survivors(spark: SparkSession, verdictTable: String): Dataset[java.lang.Long] = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    spark.table(verdictTable)
+      .groupBy(col("doc_id"))
+      .agg(min(col("kept").cast("int")).as("k"))
+      .filter(col("k") === 1)
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+      .as[java.lang.Long]
+  }
+}

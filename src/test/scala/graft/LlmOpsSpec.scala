@@ -86,6 +86,39 @@ class LlmOpsSpec extends SparkSpec {
     assert(exact.subsetOf(candSet), s"banding missed: ${exact.diff(candSet).take(5)}")
   }
 
+  test("streaming minhash dedup equals the batch band-collision first-occurrence reference") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.{BandProbe, MinHashStream}
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables(spark, sfDir, "documents")
+    val banded = MinHashDedup.bandHashes(docs, "doc_id", "text")
+    // batch reference: a doc is a dup iff ANY earlier doc shares one of
+    // its band hashes; the survivor universe is the banded id set
+    // (single-word docs have no shingles and never enter either side)
+    val dupIds = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.id") > col("b.id"))
+      .select(col("a.id")).distinct().collect().map(_.getLong(0)).toSet
+    val universe = banded.select($"id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val expected = universe.diff(dupIds)
+    val rows = banded.select($"id".as("doc_id"), $"band", $"bh")
+      .orderBy($"doc_id").as[BandProbe].collect().toSeq
+    val input = MemoryStream[BandProbe]
+    val q = MinHashStream.verdicts(input.toDS())
+      .writeStream.format("memory").queryName("smh_spec")
+      .outputMode("update").start()
+    try rows.grouped(math.max(1, rows.size / 4 + 1)).foreach { c =>
+      input.addData(c); q.processAllAvailable()
+    } finally q.stop()
+    val kept = MinHashStream.survivors(spark, "smh_spec")
+      .collect().map(_.longValue).toSet
+    assert(dupIds.nonEmpty, "graded corpus has no band collision — spec is vacuous")
+    assert(kept === expected,
+      s"extra: ${kept.diff(expected).take(5)}; missing: ${expected.diff(kept).take(5)}")
+  }
+
   test("minhash candidates contain all exact duplicate pairs") {
     val docs = Tables(spark, sfDir, "documents")
     val exactDups = docs.as("a").join(docs.as("b"),
