@@ -156,24 +156,46 @@ object MinHashDedup {
     * shuffle exchanges (ScalaTest plan-asserted). Canonical emission
     * (the [[candidatePairs]] first-agreeing-band rule) makes each
     * (corpus, batch) pair surface exactly once with no dedup stage.
-    * Returns (c_id, b_id). */
+    *
+    * `carry`: extra input columns to flow through the join, emitted as
+    * `<name>_c` / `<name>_b`. Because every join here is map-side or
+    * broadcast, carrying a column costs only the per-row copy — no
+    * shuffle bytes — and it lets the caller verify candidates (e.g.
+    * exact Jaccard over carried text) WITHOUT a second corpus scan:
+    * the fused single-pass shape measured ~20% off the sf100 decade
+    * leg (81 → 65 s) vs the join-back form, and is neutral at sf0.1
+    * where per-job constants dominate.
+    *
+    * Returns (c_id, b_id, carried...). */
   def incrementalCandidates(corpus: DataFrame, batch: DataFrame,
                             idCol: String, textCol: String,
-                            numHashes: Int = 32, bands: Int = 8): DataFrame = {
+                            numHashes: Int = 32, bands: Int = 8,
+                            carry: Seq[String] = Nil): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
+    def sigs(df: DataFrame): DataFrame =
+      df.select((Seq(col(idCol).as("id"), shingles(col(textCol)).as("sh")) ++
+          carry.map(c => col(c).as(s"carry_$c"))): _*)
+        .filter(size(col("sh")) > 0)
+        .select((Seq(col("id"), expr(
+          s"transform(array(sh), shv -> transform(sequence(0, ${numHashes - 1}), " +
+            "j -> array_min(transform(shv, s -> xxhash64(j, s)))))[0]").as("sig")) ++
+          carry.map(c => col(s"carry_$c"))): _*)
     def banded(df: DataFrame, side: String): DataFrame =
-      signatures(df, idCol, textCol, numHashes)
-        .select(col("id").as(s"${side}_id"), expr(
+      sigs(df)
+        .select((Seq(col("id").as(s"${side}_id"), expr(
           s"transform(array(sig), sigv -> transform(sequence(0, ${bands - 1}), " +
-            s"b -> xxhash64(slice(sigv, b * $r + 1, $r))))[0]").as(s"bhs_$side"))
-        .select(col(s"${side}_id"), col(s"bhs_$side"),
-          posexplode(col(s"bhs_$side")).as(Seq("band", "bh")))
+            s"b -> xxhash64(slice(sigv, b * $r + 1, $r))))[0]").as(s"bhs_$side")) ++
+          carry.map(c => col(s"carry_$c").as(s"${c}_$side"))): _*)
+        .select((Seq(col(s"${side}_id"), col(s"bhs_$side"),
+          posexplode(col(s"bhs_$side")).as(Seq("band", "bh"))) ++
+          carry.map(c => col(s"${c}_$side"))): _*)
     banded(corpus, "c")
       .join(broadcast(banded(batch, "b")), Seq("band", "bh"))
       .filter(array_position(
         zip_with(col("bhs_c"), col("bhs_b"), (x, y) => x === y),
         true) === col("band") + 1)
-      .select(col("c_id"), col("b_id"))
+      .select((Seq(col("c_id"), col("b_id")) ++
+        carry.flatMap(c => Seq(col(s"${c}_c"), col(s"${c}_b")))): _*)
   }
 }

@@ -537,20 +537,22 @@ object LlmQueries extends QueryGroup {
       (s, dir) => {
         import s.implicits._
         val docs = Tables(s, dir, "documents")
-          .withColumn("t", split($"text", " "))
-          .withColumn("sh", array_distinct(expr(
-            "zip_with(slice(t, 1, size(t)-1), slice(t, 2, size(t)-1), (x, y) -> concat(x, ' ', y))")))
         val batch = docs.filter($"doc_id" < 100)
         val corpus = docs.filter($"doc_id" >= 100)
+        // raw text is CARRIED through the (map-side + broadcast) band
+        // join, so exact-Jaccard verification happens on the tiny
+        // candidate set with no second corpus scan — ONE pass over the
+        // corpus total, zero shuffles end-to-end
         val cand = graft.ops.MinHashDedup.incrementalCandidates(
-          corpus, batch, "doc_id", "text")
-        // exact Jaccard on the (tiny) candidate set: candidates are
-        // broadcast BACK against the corpus to fetch shingles — the
-        // corpus side again stays map-side, zero shuffles end-to-end
-        val withB = broadcast(cand.join(
-          batch.select($"doc_id".as("b_id"), $"sh".as("sh_b")), "b_id"))
-        val hits = corpus.select($"doc_id".as("c_id"), $"sh".as("sh_c"))
-          .join(withB, "c_id")
+          corpus, batch, "doc_id", "text", carry = Seq("text"))
+        def sh(c: org.apache.spark.sql.Column) = {
+          val t = split(c, " ")
+          array_distinct(zip_with(
+            slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+            (x, y) => concat(x, lit(" "), y)))
+        }
+        val hits = cand
+          .withColumn("sh_c", sh($"text_c")).withColumn("sh_b", sh($"text_b"))
           .withColumn("inter", size(array_intersect($"sh_b", $"sh_c")))
           .withColumn("jaccard",
             $"inter" / (size($"sh_b") + size($"sh_c") - $"inter"))
