@@ -467,6 +467,59 @@ object StreamingQueries extends QueryGroup {
                                              CAST(b.embedding AS DOUBLE[])) >= 0.45)
               ORDER BY a.vec_id""")),
 
+    // BOUNDED-STATE online semantic dedup — the TTL variant of
+    // stream_semantic_dedup, the contract an UNBOUNDED ingest actually
+    // runs: a vector is dropped only if a cosine-≥τ neighbor arrived
+    // within the last 120 s of event time (sliding-window dedup — the
+    // cosine analogue of dropDuplicatesWithinWatermark), so state is
+    // bounded by rate × ttl, not corpus size. The TTL test is applied
+    // per comparison (exact regardless of watermark lag); the
+    // watermark drives eviction: per-invocation expiry plus
+    // EventTimeTimeout whole-cell removal. Event time = vec_id
+    // seconds past a fixed epoch, so the exact NOT-EXISTS oracle
+    // expresses the window as an id difference.
+    GQuery("stream_semantic_dedup_ttl",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        import graft.streaming.{SemDedupStream, VecProbeT}
+        implicit val sqlCtx = s.sqlContext
+        val emb = Tables(s, dir, "embeddings")
+          .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+        val n = graft.ops.AnnSearch.parquetRowCount(s, s"$dir/embeddings.parquet")
+        val k = graft.ops.SemDedup.cellCount(s, n)
+        val model = graft.ops.SemDedup.fit(s, emb, "vec_id", "e", k, 64, n,
+          cacheKey = Some(s"embeddings:$dir"))
+        val probeRows = emb
+          .withColumn("cells", graft.ops.SemDedup.probeCells(model, $"e", 2))
+          .select($"vec_id", explode($"cells").as("cell"), $"e",
+            timestamp_seconds(lit(1735689600L) + $"vec_id").as("ts"))
+          .orderBy($"vec_id")
+          .as[VecProbeT]
+          .collect().toSeq
+        val name = s"ssdt_${StreamingQueries.sinkCounter.incrementAndGet()}"
+        val input = MemoryStream[VecProbeT]
+        val q = SemDedupStream.verdictsTtl(
+            input.toDS().withWatermark("ts", "10 seconds").as[VecProbeT],
+            minCosine = 0.45, ttlMs = 120000L)
+          .writeStream.format("memory").queryName(name)
+          .outputMode("update").start()
+        try
+          probeRows.grouped(math.max(1, probeRows.size / 3 + 1)).foreach { c =>
+            input.addData(c); q.processAllAvailable()
+          }
+        finally q.stop()
+        SemDedupStream.survivors(s, name).toDF("vec_id")
+      },
+      Some("""SELECT a.vec_id FROM embeddings a
+              WHERE NOT EXISTS (
+                SELECT 1 FROM embeddings b
+                WHERE b.vec_id < a.vec_id
+                  AND a.vec_id - b.vec_id <= 120
+                  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                             CAST(b.embedding AS DOUBLE[])) >= 0.45)
+              ORDER BY a.vec_id""")),
+
     // ONLINE MinHash/LSH near-dup detection — the fuzzy-TEXT twin of
     // stream_semantic_dedup, with the state profile that actually
     // scales to an unbounded ingest: a band bucket only remembers its

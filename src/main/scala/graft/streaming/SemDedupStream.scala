@@ -12,6 +12,10 @@ case class VecProbe(vec_id: Long, cell: Int, e: Array[Double])
   * decision is the AND over the vector's probe cells. */
 case class ProbeVerdict(vec_id: Long, cell: Int, kept: Boolean)
 
+/** Timestamped probe row for the TTL variant ([[SemDedupStream.verdictsTtl]]). */
+case class VecProbeT(vec_id: Long, cell: Int, e: Array[Double],
+                     ts: java.sql.Timestamp)
+
 /** ONLINE (streaming) semantic dedup — the stateful upgrade of
   * [[graft.ops.SemDedup.blockedPairs]]: vectors arrive as an unbounded
   * stream in arrival order; a vector survives iff NO earlier-arrived
@@ -60,6 +64,12 @@ object SemDedupStream {
   case class CellState(ids: List[Long], vecs: List[Array[Double]])
   private implicit val stateEnc = Encoders.product[CellState]
 
+  /** TTL-variant state: parallel entry timestamps (epoch ms) added. */
+  case class CellStateT(ids: List[Long], vecs: List[Array[Double]],
+                        tss: List[Long])
+  private implicit val stateTtlEnc = Encoders.product[CellStateT]
+  private implicit val probeTtlEnc = Encoders.product[VecProbeT]
+
   /** The stateful transform: probe rows keyed by cell; each vector is
     * checked against every EARLIER vector in the cell (state, plus
     * same-batch rows already inserted — the iterator is sorted by
@@ -87,6 +97,59 @@ object SemDedupStream {
           }
           state.update(CellState(ids, vecs))
           out.result().iterator
+      }
+
+  /** TTL variant of [[verdicts]] — the BOUNDED-STATE online dedup an
+    * unbounded ingest needs: a vector is dropped only if an
+    * earlier-arrived vector within cosine ≥ τ exists whose event time
+    * is at most `ttl` older (the sliding-window dedup contract, the
+    * cosine analogue of `dropDuplicatesWithinWatermark`). The TTL test
+    * is applied PER COMPARISON, so verdicts are exact regardless of
+    * watermark lag; the watermark only drives state hygiene — each
+    * invocation evicts entries older than watermark − ttl (no future
+    * row can match them), and a cell idle past its last event + ttl is
+    * timed out and REMOVED wholesale. State is therefore bounded by
+    * the arrival rate × ttl, not corpus size. Requires a watermark on
+    * `ts` (EventTimeTimeout). */
+  def verdictsTtl(probes: Dataset[VecProbeT], minCosine: Double,
+                  ttlMs: Long,
+                  maxCellState: Int = MaxCellStateDefault): Dataset[ProbeVerdict] =
+    probes.groupByKey(_.cell)
+      .flatMapGroupsWithState[CellStateT, ProbeVerdict](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (cell: Int, it: Iterator[VecProbeT], state: GroupState[CellStateT]) =>
+          if (state.hasTimedOut) {
+            // watermark passed lastTs + ttl: every entry is expired
+            // for any possible future row — drop the whole cell
+            state.remove()
+            Iterator.empty
+          } else {
+            val wm = state.getCurrentWatermarkMs()
+            val st = state.getOption.getOrElse(CellStateT(Nil, Nil, Nil))
+            var ids = st.ids; var vecs = st.vecs; var tss = st.tss
+            // hygiene eviction: entries no future row can match
+            if (wm > 0) {
+              val keep = (ids, vecs, tss).zipped.filter((_, _, t) => t >= wm - ttlMs)
+              ids = keep._1; vecs = keep._2; tss = keep._3
+            }
+            val out = List.newBuilder[ProbeVerdict]
+            var maxTs = if (tss.isEmpty) 0L else tss.max
+            it.toSeq.sortBy(_.vec_id).foreach { p =>
+              val pMs = p.ts.getTime
+              val matched = (vecs, tss).zipped.exists { (v, t) =>
+                pMs - t <= ttlMs && cos(v, p.e) >= minCosine
+              }
+              out += ProbeVerdict(p.vec_id, cell, !matched)
+              ids = p.vec_id :: ids; vecs = p.e :: vecs; tss = pMs :: tss
+              if (pMs > maxTs) maxTs = pMs
+              if (ids.length > maxCellState) throw new IllegalStateException(
+                s"semantic-dedup stream cell $cell exceeds $maxCellState " +
+                  s"retained vectors ($MaxCellStateKey) within one TTL window")
+            }
+            state.update(CellStateT(ids, vecs, tss))
+            state.setTimeoutTimestamp(maxTs + ttlMs + 1)
+            out.result().iterator
+          }
       }
 
   /** Batch-side survivor reduction: a vector survives iff EVERY probe

@@ -289,6 +289,46 @@ class SemDedupSpec extends SparkSpec {
     }
   }
 
+  test("TTL semantic dedup: within-window clones drop, expired ones re-admit, state evicts") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.{SemDedupStream, VecProbeT}
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1735689600L
+    def ts(sec: Long) = new java.sql.Timestamp((base + sec) * 1000L)
+    val dir = Array.fill(64)(0.1)
+    val ortho = Array.tabulate(64)(i => if (i % 2 == 0) 0.1 else -0.1)
+    // same cell for all (single-cell quantizer effect: cell id fixed).
+    // v0 at t=0; v1 (clone) at t=60 -> within 120 s TTL, drops;
+    // v2 (clone) at t=300 -> 240 s after v1, 300 s after v0: re-admitted;
+    // v3 orthogonal at t=1000 advances the watermark far past
+    // v2 + TTL so the cell's timeout fires and state is removed.
+    val rows = Seq(
+      VecProbeT(0L, 7, dir, ts(0)),
+      VecProbeT(1L, 7, dir.map(_ + 1e-6), ts(60)),
+      VecProbeT(2L, 7, dir.map(_ + 2e-6), ts(300)),
+      VecProbeT(3L, 7, ortho, ts(1000)))
+    val input = MemoryStream[VecProbeT]
+    val q = SemDedupStream.verdictsTtl(
+        input.toDS().withWatermark("ts", "0 seconds").as[VecProbeT],
+        minCosine = 0.9, ttlMs = 120000L)
+      .writeStream.format("memory").queryName("ssd_ttl_spec")
+      .outputMode("update").start()
+    try rows.foreach { r => input.addData(r); q.processAllAvailable() }
+    finally ()
+    val kept = SemDedupStream.survivors(spark, "ssd_ttl_spec")
+      .collect().map(_.longValue).toSet
+    assert(kept === Set(0L, 2L, 3L),
+      s"TTL semantics broken: kept $kept (want v1 dropped, v2 re-admitted)")
+    // state hygiene: after v3's batch, the watermark (1000 s) is past
+    // every earlier entry + TTL, so eviction leaves at most the last
+    // two arrivals in the store
+    val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+    q.stop()
+    assert(stateRows <= 2,
+      s"state not evicted: $stateRows rows retained for 4 inserts")
+  }
+
   test("cell-cap and id-type guards fail loud") {
     import spark.implicits._
     val e = emb()
