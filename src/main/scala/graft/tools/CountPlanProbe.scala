@@ -10,8 +10,9 @@ import org.apache.spark.sql.SparkSession
   * operator being graded. For every registry key this probe compares
   * the leaf scans of the query's own optimized plan against the
   * optimized plan of `count()` over it and flags every key where
-  * count() dropped a leaf: those keys must be benched by materializing
-  * the query's own physical plan instead (Registry.materializeKeys).
+  * count() dropped a leaf. Bench and ShuffleAudit run the same probe
+  * per key at runtime and switch flagged keys to full materialization
+  * (`toRdd.count()`); this tool is the standalone whole-board sweep.
   *
   * Usage: CountPlanProbe [sfDir] [singleKey]
   */

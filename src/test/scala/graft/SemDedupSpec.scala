@@ -329,6 +329,59 @@ class SemDedupSpec extends SparkSpec {
       s"state not evicted: $stateRows rows retained for 4 inserts")
   }
 
+  test("routed assignment: flat-agreement, clone recall, determinism under forced routing") {
+    import spark.implicits._
+    import graft.ops.SemDedup
+    val orig = emb()
+    val clones = orig.select(($"vec_id" + 100000L).as("vec_id"),
+      transform($"e", x => x + lit(0.001)).as("e"))
+    val both = orig.unionByName(clones)
+    val n = both.count()
+    // force enough cells for routing to be non-trivial, then force the
+    // router on (threshold 1)
+    spark.conf.set(SemDedup.TargetCellKey, "16")
+    spark.conf.set(SemDedup.RouteThresholdKey, "1")
+    try {
+      val k = SemDedup.cellCount(spark, n)
+      assert(k >= 16, s"need a multi-cell quantizer for this spec, got k=$k")
+      val model = SemDedup.fit(spark, both, "vec_id", "e", k, 64, n)
+      val flatCol = org.apache.spark.sql.graftbridge.GraftSqlBridge.column(
+        graft.functions.NearestCells(
+          org.apache.spark.sql.graftbridge.GraftSqlBridge.expression($"e"),
+          model.cents, model.k, 64, 1))
+      val routed1 = both.select($"vec_id",
+          SemDedup.assignCells(spark, model, $"e", 1).as("rc"), flatCol.as("fc"))
+        .select($"vec_id", element_at($"rc", 1).as("r"), element_at($"fc", 1).as("f"))
+        .collect()
+      // routing error is the standard IVF trade; top-1-vs-flat
+      // agreement is informational (this corpus is near-orthogonal —
+      // IVF's worst case). The property blocking RELIES on is that
+      // similar vectors route together, gated below via clone pairs.
+      val agree = routed1.count(r => r.getInt(1) == r.getInt(2))
+      assert(agree.toDouble / routed1.length >= 0.75,
+        s"routed top-1 agrees with flat only $agree/${routed1.length}")
+      // planted clones: pair recall through the FULL blocked path must
+      // stay 1.0 with the router forced on (clones route together)
+      val pairs = SemDedup.blockedPairs(spark, both, "vec_id", "e",
+          minCosine = 0.999, dim = 64, n = n)
+        .select($"id_a", $"id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expected = orig.select($"vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(0) + 100000L)).toSet
+      assert(expected.subsetOf(pairs),
+        s"routed blocking missed clone pairs: ${expected.diff(pairs).take(5)}")
+      // determinism: a second evaluation is bit-identical
+      val routed2 = both.select($"vec_id",
+          SemDedup.assignCells(spark, model, $"e", 1).as("rc"))
+        .select($"vec_id", element_at($"rc", 1)).collect()
+      assert(routed1.map(r => (r.getLong(0), r.getInt(1))).toSeq ===
+        routed2.map(r => (r.getLong(0), r.getInt(1))).toSeq)
+    } finally {
+      spark.conf.unset(SemDedup.TargetCellKey)
+      spark.conf.unset(SemDedup.RouteThresholdKey)
+    }
+  }
+
   test("cell-cap and id-type guards fail loud") {
     import spark.implicits._
     val e = emb()
