@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.functions.call_function
-import graft.functions.{BottomKSample, CosineSimilarity, HyperplaneBuckets, NGramHashes, RollingHashFingerprint, SimHash64, TokenRepetitionStats}
+import graft.functions.{BottomKSample, CosineSimilarity, HyperplaneBuckets, MinHashBands, MinHashSignature, NGramHashes, RollingHashFingerprint, SimHash64, TokenRepetitionStats}
 
 /** Registration of graft's native Catalyst expressions as SQL functions.
   *
@@ -22,6 +22,10 @@ object GraftFunctions {
     ("ngram_hashes", es => NGramHashes(es(0),
       es(1).eval().asInstanceOf[Number].intValue())),
     ("token_repetition_stats", es => TokenRepetitionStats(es(0))),
+    ("minhash_signature", es => MinHashSignature(es(0),
+      es(1).eval().asInstanceOf[Number].intValue())),
+    ("minhash_bands", es => MinHashBands(es(0),
+      es(1).eval().asInstanceOf[Number].intValue())),
     ("bottomk_sample", es => BottomKSample(es(0),
       es(1).eval().asInstanceOf[Number].intValue(),
       es(2).eval().asInstanceOf[Number].longValue()).toAggregateExpression()),
@@ -63,6 +67,18 @@ object GraftFunctions {
   def ngramHashes(spark: SparkSession, tokens: Column, n: Int): Column = {
     ensureRegistered(spark)
     call_function("ngram_hashes", tokens, org.apache.spark.sql.functions.lit(n))
+  }
+  /** One-pass codegen MinHash signature (NULL below two tokens) — see
+    * [[graft.functions.MinHashSignature]]. */
+  def minhashSignature(spark: SparkSession, text: Column, numHashes: Int): Column = {
+    ensureRegistered(spark)
+    call_function("minhash_signature", text, org.apache.spark.sql.functions.lit(numHashes))
+  }
+  /** One-pass codegen LSH band hashes of a MinHash signature — see
+    * [[graft.functions.MinHashBands]]. */
+  def minhashBands(spark: SparkSession, sig: Column, bands: Int): Column = {
+    ensureRegistered(spark)
+    call_function("minhash_bands", sig, org.apache.spark.sql.functions.lit(bands))
   }
   /** All LSH bucket ids of an embedding in one codegen'd pass — see
     * [[graft.functions.HyperplaneBuckets]]. */

@@ -24,10 +24,17 @@ object MinHashDedup {
       (x, y) => concat(x, lit(" "), y)))
 
   /** (id, sig: array<long>) MinHash signatures, computed MAP-SIDE as a
-    * single codegen projection: `sig[j] = min over shingles s of
-    * xxhash64(j, s)` — numerically identical to the explode → groupBy
-    * min-agg form (the equality is ScalaTest-pinned against
-    * [[signaturesViaAgg]]) but with ZERO shuffle.
+    * single CODEGEN projection ([[graft.functions.MinHashSignature]]):
+    * `sig[j] = min over shingles s of xxhash64(j, s)` — numerically
+    * identical to the explode → groupBy min-agg form (the equality is
+    * ScalaTest-pinned against [[signaturesViaAgg]]) but with ZERO
+    * shuffle AND zero interpreted-lambda cost: the former
+    * nested-`transform` chain was lambda-HOF territory Catalyst never
+    * codegens (measured as the dominant constant of the sf100
+    * incremental leg, ~65 s), where the native expression hashes
+    * contiguous byte slices of the text in a primitive loop inside
+    * whole-stage codegen. Docs with no shingles (single-word) return a
+    * NULL signature and drop, exactly as explode dropped them.
     *
     * WHICH FORM WHERE (both measured at sf0.1): a consumer that needs
     * signatures ONCE or TWICE (the incremental batch-vs-corpus join)
@@ -37,27 +44,13 @@ object MinHashDedup {
     * fetch-backs); there the agg form's exchange materializes the sigs
     * once and ReusedExchange serves all four consumers, which beats 4×
     * recompute on wall (0.69 s vs 2.8 s for dedup_minhash) — the
-    * classic shuffle-once-vs-recompute trade, decided per shape.
-    * Docs with no shingles (single-word) drop, exactly as explode
-    * dropped them.
-    *
-    * LET-BINDING GUARD: the naive `transform(seq, j -> ...sh...)` form
-    * is a trap — CollapseProject inlines the `sh` projection into the
-    * lambda body (one TEXTUAL reference, so the optimizer calls it
-    * collapse-safe), and at runtime the shingle split/distinct then
-    * re-evaluates once PER HASH INDEX per downstream branch: measured
-    * 0.69 → 41.5 s on dedup_minhash at sf0.1. Wrapping the expensive
-    * input as `transform(array(X), v -> body)[0]` binds it to a lambda
-    * variable, so even an inlined copy evaluates exactly once. Applied
-    * at every level that chains onto a prior projection (sig over
-    * shingles here, band hashes over sig in the band builders). */
+    * classic shuffle-once-vs-recompute trade, decided per shape. */
   def signatures(docs: DataFrame, idCol: String, textCol: String,
                  numHashes: Int): DataFrame =
-    docs.select(col(idCol).as("id"), shingles(col(textCol)).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .select(col("id"), expr(
-        s"transform(array(sh), shv -> transform(sequence(0, ${numHashes - 1}), " +
-          "j -> array_min(transform(shv, s -> xxhash64(j, s)))))[0]").as("sig"))
+    docs.select(col(idCol).as("id"),
+        graft.engine.GraftFunctions.minhashSignature(
+          docs.sparkSession, col(textCol), numHashes).as("sig"))
+      .filter(col("sig").isNotNull)
 
   /** The explode → groupBy min-agg form: pays one exchange of
     * (id, partial sig) to MATERIALIZE signatures, which ReusedExchange
@@ -102,13 +95,12 @@ object MinHashDedup {
   def candidatePairs(docs: DataFrame, idCol: String, textCol: String,
                      numHashes: Int = 16, bands: Int = 4): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
-    val r = numHashes / bands
     // agg form on purpose: this plan consumes sig 4× (see signatures)
     val sig = signaturesViaAgg(docs, idCol, textCol, numHashes)
 
     val banded = sig.select(col("id"),
-        expr(s"transform(array(sig), sigv -> transform(sequence(0, ${bands - 1}), " +
-          s"b -> xxhash64(slice(sigv, b * $r + 1, $r))))[0]").as("bhs"))
+        graft.engine.GraftFunctions.minhashBands(
+          docs.sparkSession, col("sig"), bands).as("bhs"))
       .select(col("id"), col("bhs"), posexplode(col("bhs")).as(Seq("band", "bh")))
 
     val a = banded.select(col("id").as("id_a"), col("bhs").as("bhs_a"),
@@ -131,18 +123,17 @@ object MinHashDedup {
           bool => bool)).cast("double") / numHashes).as("est_jaccard"))
   }
 
-  /** (id, band, bh) band-hash rows, fully MAP-SIDE (guarded map-side
-    * [[signatures]] + let-guarded band fold + posexplode) — the
-    * blocking surface shared by the streaming dedup and direct LSH
-    * consumers. Zero shuffles. */
+  /** (id, band, bh) band-hash rows, fully MAP-SIDE (codegen
+    * [[signatures]] + codegen band fold + posexplode) — the blocking
+    * surface shared by the streaming dedup and direct LSH consumers.
+    * Zero shuffles. */
   def bandHashes(docs: DataFrame, idCol: String, textCol: String,
                  numHashes: Int = 16, bands: Int = 4): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
-    val r = numHashes / bands
     signatures(docs, idCol, textCol, numHashes)
-      .select(col("id"), expr(
-        s"transform(array(sig), sigv -> transform(sequence(0, ${bands - 1}), " +
-          s"b -> xxhash64(slice(sigv, b * $r + 1, $r))))[0]").as("bhs"))
+      .select(col("id"),
+        graft.engine.GraftFunctions.minhashBands(
+          docs.sparkSession, col("sig"), bands).as("bhs"))
       .select(col("id"), posexplode(col("bhs")).as(Seq("band", "bh")))
   }
 
@@ -172,20 +163,17 @@ object MinHashDedup {
                             numHashes: Int = 32, bands: Int = 8,
                             carry: Seq[String] = Nil): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
-    val r = numHashes / bands
     def sigs(df: DataFrame): DataFrame =
-      df.select((Seq(col(idCol).as("id"), shingles(col(textCol)).as("sh")) ++
+      df.select((Seq(col(idCol).as("id"),
+          graft.engine.GraftFunctions.minhashSignature(
+            df.sparkSession, col(textCol), numHashes).as("sig")) ++
           carry.map(c => col(c).as(s"carry_$c"))): _*)
-        .filter(size(col("sh")) > 0)
-        .select((Seq(col("id"), expr(
-          s"transform(array(sh), shv -> transform(sequence(0, ${numHashes - 1}), " +
-            "j -> array_min(transform(shv, s -> xxhash64(j, s)))))[0]").as("sig")) ++
-          carry.map(c => col(s"carry_$c"))): _*)
+        .filter(col("sig").isNotNull)
     def banded(df: DataFrame, side: String): DataFrame =
       sigs(df)
-        .select((Seq(col("id").as(s"${side}_id"), expr(
-          s"transform(array(sig), sigv -> transform(sequence(0, ${bands - 1}), " +
-            s"b -> xxhash64(slice(sigv, b * $r + 1, $r))))[0]").as(s"bhs_$side")) ++
+        .select((Seq(col("id").as(s"${side}_id"),
+          graft.engine.GraftFunctions.minhashBands(
+            df.sparkSession, col("sig"), bands).as(s"bhs_$side")) ++
           carry.map(c => col(s"carry_$c").as(s"${c}_$side"))): _*)
         .select((Seq(col(s"${side}_id"), col(s"bhs_$side"),
           posexplode(col(s"bhs_$side")).as(Seq("band", "bh"))) ++

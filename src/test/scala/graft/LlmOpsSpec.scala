@@ -59,6 +59,38 @@ class LlmOpsSpec extends SparkSpec {
     assert(mapSide === viaAgg)
   }
 
+  test("codegen minhash_signature/minhash_bands equal the interpreted HOF chain on edge cases") {
+    import spark.implicits._
+    val texts: Seq[(Long, String)] = Seq(
+      "a b c d", "hello", "", "  leading", "trailing  ", "a  b", " ", "  ",
+      "one two", "unicode é ü 中文 test", "a b a b a b", ("x " * 50).trim,
+      "x " * 50, null.asInstanceOf[String]).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val docs = texts.toDF("doc_id", "text")
+    val nh = 16; val bands = 4; val r = nh / bands
+    // the pre-round-12 interpreted chain, verbatim (shingle zip_with →
+    // let-guarded per-j min → let-guarded band fold)
+    val ref = docs
+      .select($"doc_id", expr(
+        "array_distinct(zip_with(slice(split(text, ' '), 1, size(split(text, ' ')) - 1), " +
+          "slice(split(text, ' '), 2, size(split(text, ' ')) - 1), " +
+          "(x, y) -> concat(x, ' ', y)))").as("sh"))
+      .filter(size($"sh") > 0)
+      .select($"doc_id", expr(
+        s"transform(array(sh), shv -> transform(sequence(0, ${nh - 1}), " +
+          "j -> array_min(transform(shv, s -> xxhash64(j, s)))))[0]").as("sig"))
+      .select($"doc_id", $"sig", expr(
+        s"transform(sequence(0, ${bands - 1}), b -> xxhash64(slice(sig, b * $r + 1, $r)))").as("bhs"))
+    val fused = docs
+      .select($"doc_id", GraftFunctions.minhashSignature(spark, $"text", nh).as("sig"))
+      .filter($"sig".isNotNull)
+      .select($"doc_id", $"sig",
+        GraftFunctions.minhashBands(spark, $"sig", bands).as("bhs"))
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r0 => r0.getLong(0) -> ((r0.getSeq[Long](1), r0.getSeq[Long](2)))).toMap
+    assert(toMap(fused) === toMap(ref))
+  }
+
   test("incremental minhash: zero shuffles, and recall covers every exact pair at 0.8") {
     import spark.implicits._
     val docs = Tables(spark, sfDir, "documents")
