@@ -592,6 +592,115 @@ object LlmQueries extends QueryGroup {
               LEFT JOIN hits h ON h.b_id = bb.doc_id
               GROUP BY bb.doc_id ORDER BY bb.doc_id""")),
 
+    // INDEXED incremental semantic dedup — dedup_incremental with the
+    // corpus-derived state PERSISTED (ops/DedupIndex): the quantizer
+    // model and the (id, cell, e) assignment table land once through
+    // the AtomicPublish manifest swap, and the daily entry point
+    // (dailySemanticPairs) takes NO corpus argument at all — no refit
+    // in a fresh session, and the index read is FILTERED to the
+    // batch's probe cells over a cell-sorted layout, so scan bytes are
+    // bounded by the batch, not the corpus. Output is bit-identical to
+    // dedup_incremental (DedupIndexSpec pins it), so the key carries
+    // the SAME exact oracle.
+    GQuery("dedup_incremental_indexed",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables(s, dir, "embeddings")
+          .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+        val batch = emb.filter($"vec_id" < 100)
+        val corpus = emb.filter($"vec_id" >= 100)
+        val n = graft.ops.AnnSearch.parquetRowCount(s, s"$dir/embeddings.parquet")
+        val table = graft.ops.DedupIndex.defaultTablePath("semantic", dir)
+        graft.ops.DedupIndex.ensureSemanticIndex(s, table, corpus,
+          s"$dir/embeddings.parquet", "vec_id>=100", "vec_id", "e",
+          dim = 64, corpusSize = math.max(1L, n - 100L))
+        val pairs = graft.ops.DedupIndex.dailySemanticPairs(s, table, batch,
+          "vec_id", "e", minCosine = 0.45)
+        val agg = pairs.groupBy($"b_id")
+          .agg(count(lit(1)).as("nd"), min($"c_id").as("md"))
+        batch.select($"vec_id")
+          .join(agg, $"vec_id" === $"b_id", "left")
+          .select($"vec_id", coalesce($"nd", lit(0L)).as("n_dups"),
+            $"md".as("dup_of"))
+          .orderBy($"vec_id")
+      },
+      Some("""SELECT b.vec_id, COUNT(c.vec_id) AS n_dups,
+                MIN(c.vec_id) AS dup_of
+              FROM embeddings b LEFT JOIN embeddings c
+                ON c.vec_id >= 100
+               AND list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
+                                          CAST(c.embedding AS DOUBLE[])) >= 0.45
+              WHERE b.vec_id < 100
+              GROUP BY b.vec_id ORDER BY b.vec_id""")),
+
+    // INDEXED incremental fuzzy-text dedup — dedup_incremental_minhash
+    // with the corpus signatures PERSISTED: the (id, bhs) band-hash
+    // table (~70 B/doc of columnar longs vs ~1 KB of text, and zero
+    // re-hashing CPU) publishes once; the daily run scans the index,
+    // broadcast-joins the batch's bands (canonical first-agreeing-band
+    // emission, no dedup stage), and fetches corpus text for exact
+    // Jaccard ONLY for candidate ids via an id-pushdown read — bytes
+    // ∝ candidates, not corpus. Same exact batch × corpus oracle as
+    // the recompute twin (outputs are identical, DedupIndexSpec-pinned).
+    GQuery("dedup_incremental_minhash_indexed",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables(s, dir, "documents")
+        val batch = docs.filter($"doc_id" < 100)
+        val corpus = docs.filter($"doc_id" >= 100)
+        val table = graft.ops.DedupIndex.defaultTablePath("minhash", dir)
+        graft.ops.DedupIndex.ensureMinHashIndex(s, table, corpus,
+          s"$dir/documents.parquet", "doc_id>=100", "doc_id", "text",
+          numHashes = 32, bands = 8)
+        val cand = graft.ops.DedupIndex.dailyMinHashCandidates(s, table, batch,
+          _ => Tables(s, dir, "documents"))
+        def sh(c: org.apache.spark.sql.Column) = {
+          val t = split(c, " ")
+          array_distinct(zip_with(
+            slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+            (x, y) => concat(x, lit(" "), y)))
+        }
+        val hits = cand
+          .withColumn("sh_c", sh($"text_c")).withColumn("sh_b", sh($"text_b"))
+          .withColumn("inter", size(array_intersect($"sh_b", $"sh_c")))
+          .withColumn("jaccard",
+            $"inter" / (size($"sh_b") + size($"sh_c") - $"inter"))
+          .filter($"jaccard" >= 0.8)
+        val agg = hits.groupBy($"b_id")
+          .agg(count(lit(1)).as("nd"), min($"c_id").as("md"),
+            max($"jaccard").as("mj"))
+        batch.select($"doc_id")
+          .join(agg, $"doc_id" === $"b_id", "left")
+          .select($"doc_id", coalesce($"nd", lit(0L)).as("n_dups"),
+            $"md".as("dup_of"), $"mj".as("max_jaccard"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH d AS (
+                SELECT doc_id, list_distinct(list_transform(
+                  range(1, len(str_split(text, ' '))),
+                  i -> str_split(text, ' ')[i] || ' ' || str_split(text, ' ')[i+1])) AS sh
+                FROM documents),
+              b AS (SELECT doc_id, sh FROM d WHERE doc_id < 100),
+              c AS (SELECT doc_id, sh FROM d WHERE doc_id >= 100),
+              exb AS (SELECT doc_id, unnest(sh) AS s FROM b),
+              exc AS (SELECT doc_id, unnest(sh) AS s FROM c),
+              pairs AS (
+                SELECT eb.doc_id AS b_id, ec.doc_id AS c_id, COUNT(*) AS inter
+                FROM exb eb JOIN exc ec ON eb.s = ec.s
+                GROUP BY 1, 2),
+              hits AS (
+                SELECT b_id, c_id,
+                  inter / (len(bb.sh) + len(cc.sh) - inter) AS jaccard
+                FROM pairs
+                JOIN b bb ON bb.doc_id = b_id
+                JOIN c cc ON cc.doc_id = c_id
+                WHERE inter / (len(bb.sh) + len(cc.sh) - inter) >= 0.8)
+              SELECT bb.doc_id, COUNT(h.c_id) AS n_dups,
+                MIN(h.c_id) AS dup_of, MAX(h.jaccard) AS max_jaccard
+              FROM (SELECT doc_id FROM documents WHERE doc_id < 100) bb
+              LEFT JOIN hits h ON h.b_id = bb.doc_id
+              GROUP BY bb.doc_id ORDER BY bb.doc_id""")),
+
     GQuery("text_stats",
       (s, dir) => {
         import s.implicits._

@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+import graft.ops.{AtomicPublish, DedupIndex, MinHashDedup, SemDedup}
+
+/** The persisted incremental-dedup index: outputs bit-identical to the
+  * recompute paths, reuse without rebuild, staleness-driven rebuild,
+  * no-refit model loads, and exchange-free daily plans.
+  */
+class DedupIndexSpec extends SparkSpec {
+
+  private def tmpTable(tag: String): String = {
+    val d = java.nio.file.Paths.get("target/scratch/test-dedupindex")
+    java.nio.file.Files.createDirectories(d)
+    java.nio.file.Files.createTempDirectory(d, tag).toString
+  }
+
+  private def docs = Tables(spark, sfDir, "documents")
+  private def emb = Tables(spark, sfDir, "embeddings")
+    .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+
+  test("indexed minhash daily candidates equal the recompute path exactly") {
+    val batch = docs.filter(col("doc_id") < 100)
+    val corpus = docs.filter(col("doc_id") >= 100)
+    val table = tmpTable("mh")
+    DedupIndex.ensureMinHashIndex(spark, table, corpus,
+      s"$sfDir/documents.parquet", "doc_id>=100", "doc_id", "text", 32, 8)
+    val daily = DedupIndex.dailyMinHashCandidates(spark, table, batch,
+      _ => docs)
+    val recompute = MinHashDedup.incrementalCandidates(
+      corpus, batch, "doc_id", "text", carry = Seq("text"))
+    def toSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+      .toSet
+    val d = toSet(daily)
+    val r = toSet(recompute)
+    assert(r.nonEmpty, "graded corpus has no incremental candidate — vacuous")
+    assert(d === r, s"extra: ${d.diff(r).take(3)}; missing: ${r.diff(d).take(3)}")
+  }
+
+  test("indexed minhash: daily plan has no shuffle exchange, in both text-fetch modes") {
+    val batch = docs.filter(col("doc_id") < 100)
+    val corpus = docs.filter(col("doc_id") >= 100)
+    val table = tmpTable("mhplan")
+    DedupIndex.ensureMinHashIndex(spark, table, corpus,
+      s"$sfDir/documents.parquet", "doc_id>=100", "doc_id", "text", 32, 8)
+    def run() = DedupIndex.dailyMinHashCandidates(spark, table, batch, _ => docs)
+    val pushdown = run()
+    assert(!pushdown.queryExecution.executedPlan.toString
+      .contains("Exchange hashpartitioning"),
+      s"pushdown-mode daily plan shuffles:\n${pushdown.queryExecution.executedPlan}")
+    val pRows = pushdown.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // force the over-cap fallback (broadcast semi over full scan)
+    spark.conf.set(DedupIndex.MaxPushdownIdsKey, "0")
+    try {
+      val fallback = run()
+      assert(!fallback.queryExecution.executedPlan.toString
+        .contains("Exchange hashpartitioning"),
+        s"fallback-mode daily plan shuffles:\n${fallback.queryExecution.executedPlan}")
+      assert(fallback.collect().map(r => (r.getLong(0), r.getLong(1))).toSet === pRows)
+    } finally spark.conf.unset(DedupIndex.MaxPushdownIdsKey)
+  }
+
+  test("indexed semantic daily pairs equal incrementalPairs exactly; plan exchange-free") {
+    val batch = emb.filter(col("vec_id") < 100)
+    val corpus = emb.filter(col("vec_id") >= 100)
+    val n = corpus.count()
+    val table = tmpTable("sem")
+    DedupIndex.ensureSemanticIndex(spark, table, corpus,
+      s"$sfDir/embeddings.parquet", "vec_id>=100", "vec_id", "e",
+      dim = 64, corpusSize = n)
+    val daily = DedupIndex.dailySemanticPairs(spark, table, batch,
+      "vec_id", "e", minCosine = 0.45)
+    assert(!daily.queryExecution.executedPlan.toString
+      .contains("Exchange hashpartitioning"),
+      s"semantic daily plan shuffles:\n${daily.queryExecution.executedPlan}")
+    val recompute = SemDedup.incrementalPairs(spark, corpus, batch,
+      "vec_id", "e", minCosine = 0.45, dim = 64, corpusSize = n)
+    def toSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val d = toSet(daily)
+    val r = toSet(recompute)
+    assert(r.nonEmpty, "graded corpus has no incremental semantic dup — vacuous")
+    assert(d === r, s"extra: ${d.diff(r).take(3)}; missing: ${r.diff(d).take(3)}")
+  }
+
+  test("loaded quantizer model is bit-identical to the fitted one (no refit needed)") {
+    val corpus = emb.filter(col("vec_id") >= 100)
+    val n = corpus.count()
+    val table = tmpTable("model")
+    DedupIndex.ensureSemanticIndex(spark, table, corpus,
+      s"$sfDir/embeddings.parquet", "vec_id>=100", "vec_id", "e",
+      dim = 64, corpusSize = n)
+    val loaded = DedupIndex.loadModel(spark, table)
+    val k = SemDedup.cellCount(spark, n)
+    val fitted = SemDedup.fit(spark, corpus, "vec_id", "e", k, 64, n)
+    assert(loaded.k === fitted.k)
+    assert(loaded.dim === fitted.dim)
+    assert(java.util.Arrays.equals(loaded.cents, fitted.cents),
+      "persisted centroids differ from a fresh deterministic fit")
+  }
+
+  test("ensure* reuses a fresh index and rebuilds on identity change") {
+    val corpus = docs.filter(col("doc_id") >= 100)
+    val table = tmpTable("reuse")
+    val v1 = DedupIndex.ensureMinHashIndex(spark, table, corpus,
+      s"$sfDir/documents.parquet", "doc_id>=100", "doc_id", "text", 32, 8)
+    val v2 = DedupIndex.ensureMinHashIndex(spark, table, corpus,
+      s"$sfDir/documents.parquet", "doc_id>=100", "doc_id", "text", 32, 8)
+    assert(v1 === v2, "matching identity must NOT republish")
+    // any identity drift (here: band count) must republish a new version
+    val v3 = DedupIndex.ensureMinHashIndex(spark, table, corpus,
+      s"$sfDir/documents.parquet", "doc_id>=100", "doc_id", "text", 32, 4)
+    assert(v3 !== v2, "changed parameters must republish")
+    // and the manifest now resolves the new version
+    assert(AtomicPublish.currentDataDir(spark, table)
+      .exists(d => s"$table/$d" == v3))
+  }
+}
