@@ -120,11 +120,37 @@ object Bench {
       // build(), so the probe would re-run the whole replay to decide
       // something that cannot hollow their timing — they keep count().
       // graft.tools.CountPlanProbe is the standalone sweep.
-      val materialize = !name.startsWith("stream_") && (try {
-        val df = fn(spark, sfDir)
-        df.groupBy().count().queryExecution.optimizedPlan.collectLeaves().size <
-          df.queryExecution.optimizedPlan.collectLeaves().size
-      } catch { case _: Throwable => false })
+      //
+      // EAGER-BUILDER KEYS skip the probe (their materialize verdict is
+      // pinned below): the probe invokes fn() once untimed, and a
+      // builder that does real work at DataFrame-construction time
+      // (k-means fit + clustering for the semantic keys, index
+      // ensure/collect for the *_indexed keys) would run its whole
+      // pipeline an extra time AND pre-warm the memoized fit so no
+      // timed iteration could ever be cold. Pinned verdicts come from
+      // the CountPlanProbe sweep (the incremental keys' left-join
+      // tails ARE count()-eliminated; dedup_semantic_blocked's plan is
+      // not). Probe failures on other keys are LOGGED, not swallowed —
+      // a silent false would quietly revert a flagged key to hollow
+      // count() timing.
+      val pinnedMaterialize = Map(
+        "dedup_semantic_blocked" -> false,
+        "dedup_incremental" -> true,
+        "dedup_incremental_minhash" -> true,
+        "dedup_incremental_indexed" -> true,
+        "dedup_incremental_minhash_indexed" -> true)
+      val materialize = pinnedMaterialize.getOrElse(name,
+        !name.startsWith("stream_") && (try {
+          val df = fn(spark, sfDir)
+          df.groupBy().count().queryExecution.optimizedPlan.collectLeaves().size <
+            df.queryExecution.optimizedPlan.collectLeaves().size
+        } catch {
+          case t: Throwable =>
+            System.err.println(
+              s"[bench] count-elimination probe failed for $name " +
+                s"(falling back to count() timing): ${t.getClass.getName}: ${t.getMessage}")
+            false
+        }))
       val s0 = stealJiffies()
       val runs = (1 to iters).map { _ =>
         val t0 = System.nanoTime()

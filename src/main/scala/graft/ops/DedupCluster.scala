@@ -34,16 +34,32 @@ object DedupCluster {
     * (dup clusters are copy-cliques); fail loud rather than loop. */
   val MaxRounds = 64
 
-  /** Conf: pair-count ceiling for the driver union-find rung (ids
-    * only — ~50 bytes/pair on-heap, so the default 32 M pairs is
-    * ~1.6 GB of transient driver heap; size to the driver like every
-    * other budget conf here). The near-dup pair list is O(true
-    * duplicates) — orders of magnitude smaller than the corpus — so
-    * this rung covers every graded and decade corpus (the dup-dense
-    * ×1000 scratch emits 24.4 M pairs); past the ceiling the
-    * DISTRIBUTED label loop takes over, unchanged in semantics. */
+  /** Conf: pair-count ceiling for the driver union-find rung. The
+    * DEFAULT IS DERIVED FROM DRIVER HEAP: the rung's real transient
+    * footprint is ~[[DriverBytesPerPair]] per pair across the boxed
+    * collect, the node HashMap (up to 2 boxed entries/pair), the
+    * union-find arrays and the label rows — a flat 32 M default was
+    * several× the "~1.6 GB" it budgeted and could OOM a small driver
+    * instead of falling back. A quarter of `Runtime.maxMemory` divided
+    * by the per-pair constant keeps the rung safely inside any driver
+    * (≈5 M pairs on a 4 GB test driver, the full 32 M cap from ~38 GB
+    * up); the conf overrides either way. The near-dup pair list is
+    * O(true duplicates) — orders of magnitude smaller than the corpus
+    * — so the rung still covers every graded and decade corpus (the
+    * dup-dense ×1000 scratch emits 24.4 M pairs under -Xmx40g); past
+    * the ceiling the DISTRIBUTED label loop takes over, unchanged in
+    * semantics. */
   val MaxDriverPairsKey = "spark.graft.cc.maxDriverPairs"
-  val MaxDriverPairsDefault = 32000000L
+
+  /** Transient driver bytes per collected pair: 2 boxed longs in a
+    * tuple (~48 B), amortized HashMap entries (~120 B worst-case when
+    * both endpoints are new), two int edge slots, a node-id long, a
+    * parent int, and a (Long, Long) label row (~40 B) — ~250 B plus
+    * headroom. */
+  private val DriverBytesPerPair = 300L
+
+  def maxDriverPairsDefault: Long = math.max(1000000L,
+    math.min(32000000L, Runtime.getRuntime.maxMemory() / 4 / DriverBytesPerPair))
 
   /** Label every id with its cluster: `cluster_id` = min id in the
     * connected component, `cluster_size`, and `is_keeper` (the
@@ -70,7 +86,7 @@ object DedupCluster {
     val spark = ids.sparkSession
     import spark.implicits._
     val maxDriver = spark.conf.getOption(MaxDriverPairsKey)
-      .map(_.toLong).getOrElse(MaxDriverPairsDefault)
+      .map(_.toLong).getOrElse(maxDriverPairsDefault)
     // Persist the pair pipeline ONCE before the rung decision: the
     // count that picks the rung and the consumer (driver collect or
     // the distributed loop's edge build) both read the cache — a
@@ -124,7 +140,14 @@ object DedupCluster {
         i += 1
       }
       val lbl = (0 until m).map(x => (nodeIds(x), nodeIds(find(x))))
-      val comp = spark.createDataFrame(lbl).toDF("node", "__cluster")
+      // parallelize, NOT createDataFrame(Seq): a LocalRelation of up
+      // to 2·maxDriver label rows would be row-encoded ON THE DRIVER
+      // (a second multi-GB copy) and carried inside the plan; an RDD
+      // slice ships the labels to executors and frees them with the
+      // driver array
+      val comp = spark.createDataFrame(spark.sparkContext.parallelize(
+          lbl, math.max(1, spark.sparkContext.defaultParallelism)))
+        .toDF("node", "__cluster")
       val labeled = ids.select(col(idCol).cast("long").as("doc_id"))
         .join(broadcast(comp), col("doc_id") === col("node"), "left")
         .select(col("doc_id"),

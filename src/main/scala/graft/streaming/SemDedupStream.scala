@@ -104,13 +104,27 @@ object SemDedupStream {
     * earlier-arrived vector within cosine ≥ τ exists whose event time
     * is at most `ttl` older (the sliding-window dedup contract, the
     * cosine analogue of `dropDuplicatesWithinWatermark`). The TTL test
-    * is applied PER COMPARISON, so verdicts are exact regardless of
-    * watermark lag; the watermark only drives state hygiene — each
-    * invocation evicts entries older than watermark − ttl (no future
-    * row can match them), and a cell idle past its last event + ttl is
-    * timed out and REMOVED wholesale. State is therefore bounded by
-    * the arrival rate × ttl, not corpus size. Requires a watermark on
-    * `ts` (EventTimeTimeout). */
+    * is applied PER COMPARISON, so a row that REACHES the operator is
+    * judged exactly against every retained in-window entry; the
+    * watermark drives state hygiene — each invocation evicts entries
+    * older than watermark − ttl (no future on-time row can match
+    * them), and a cell idle past its last event + ttl is timed out and
+    * REMOVED wholesale. State is therefore bounded by the arrival rate
+    * × ttl, not corpus size.
+    *
+    * LATE-ROW CONTRACT (the bound the exactness claim lives under):
+    * Spark drops rows older than the current watermark BEFORE any
+    * EventTimeTimeout flatMapGroupsWithState operator, so a vector
+    * arriving later than the configured watermark delay gets NO
+    * verdict at all — it is absent from the survivor set, not judged.
+    * This is the standard stateful-streaming trade: the watermark
+    * delay is the lateness tolerance the caller buys, and rows beyond
+    * it are lost to the operator (count them upstream with an
+    * observation on `ts < watermark` if the pipeline must alarm).
+    * Within that tolerance, verdicts are exact: hygiene eviction keys
+    * on watermark − ttl, so an entry is only evicted once every row
+    * that could still arrive on-time is too new to match it. Requires
+    * a watermark on `ts` (EventTimeTimeout). */
   def verdictsTtl(probes: Dataset[VecProbeT], minCosine: Double,
                   ttlMs: Long,
                   maxCellState: Int = MaxCellStateDefault): Dataset[ProbeVerdict] =

@@ -198,6 +198,41 @@ object ScaleGen {
     // longer be committed silently.
     val genTables = plan.filter(p => onlyTables.forall(_.contains(p._1)))
       .map(_._1)
+    // A PARTIAL run (onlyTables) must not rewrite the stamp wholesale:
+    // that would re-attribute tables generated earlier in this dir to
+    // THIS run's mode/copies and erase their provenance —
+    // dev/scale_decades.sh validates the whole dir by the stamp, so a
+    // silent overwrite could let a wrong-corpus decade row through.
+    // Rule: a partial run MERGES into a stamp whose identity fields
+    // (textmode, copies, src) agree, and REFUSES loudly when they
+    // differ (the dir then holds tables of two different laws — the
+    // caller must regenerate fully or use a fresh dir). A full run
+    // regenerates every table and may overwrite unconditionally.
+    val stampPath = java.nio.file.Paths.get(outDir, "SCALEGEN.json")
+    val existing =
+      if (java.nio.file.Files.exists(stampPath))
+        Some(java.nio.file.Files.readString(stampPath))
+      else None
+    def field(json: String, re: String): Option[String] =
+      re.r.findFirstMatchIn(json).map(_.group(1))
+    val mergedTables = (existing, onlyTables) match {
+      case (Some(old), Some(_)) =>
+        val oldMode = field(old, "\"textmode\":\\s*\"([^\"]+)\"")
+        val oldCopies = field(old, "\"copies\":\\s*(\\d+)")
+        val oldSrc = field(old, "\"src\":\\s*\"([^\"]+)\"")
+        require(oldMode.contains(TextMode) && oldCopies.contains(copies.toString)
+            && oldSrc.contains(srcDir),
+          s"REFUSING partial regeneration into $outDir: existing stamp says " +
+            s"(textmode=${oldMode.orNull}, copies=${oldCopies.orNull}, " +
+            s"src=${oldSrc.orNull}) but this run is (textmode=$TextMode, " +
+            s"copies=$copies, src=$srcDir) — tables of two different corpus " +
+            "laws must not share a dir; regenerate fully or use a fresh dir")
+        val oldTables = field(old, "\"tables\":\\s*\\[([^\\]]*)\\]")
+          .map(_.split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+            .filter(_.nonEmpty).toSeq).getOrElse(Nil)
+        (oldTables ++ genTables).distinct
+      case _ => genTables
+    }
     val vocab =
       if (genTables.contains("documents")) {
         import org.apache.spark.sql.functions.{countDistinct, explode, split => fsplit, col => fcol}
@@ -205,7 +240,14 @@ object ScaleGen {
         val toks = docs.select(explode(fsplit(fcol("text"), " ")).as("w"))
         val uni = toks.agg(countDistinct(fcol("w"))).collect()(0).getLong(0)
         s""""unigram_types": $uni"""
-      } else """"unigram_types": null"""
+      } else {
+        // documents not regenerated: carry the measured vocabulary of
+        // the run that DID generate them (merge, don't erase)
+        val carried = existing
+          .flatMap(field(_, "\"unigram_types\":\\s*(\\d+)"))
+          .getOrElse("null")
+        s""""unigram_types": $carried"""
+      }
     val stamp =
       s"""{
          |  "generator": "graft.tools.ScaleGen",
@@ -213,11 +255,10 @@ object ScaleGen {
          |  "copies": $copies,
          |  "src": "$srcDir",
          |  "key_offset": $Off,
-         |  "tables": [${genTables.map(t => s""""$t"""").mkString(", ")}],
+         |  "tables": [${mergedTables.map(t => s""""$t"""").mkString(", ")}],
          |  $vocab
          |}""".stripMargin
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(outDir, "SCALEGEN.json"), stamp)
+    java.nio.file.Files.writeString(stampPath, stamp)
     println(s"scalegen: stamped $outDir/SCALEGEN.json (textmode=$TextMode)")
     spark.stop()
   }
