@@ -77,6 +77,24 @@ object SemDedup {
   val RouteThresholdKey = "spark.graft.semdedup.routeThreshold"
   val RouteThresholdDefault = 256
 
+  /** Conf: ceiling on the DRIVER-RESIDENT centroid bytes a fit may
+    * hold (the quantizer is a driver-side model: seeds collect,
+    * per-iteration means collect, flattened cents, and the router's
+    * regrouped copy — ~[[CentroidResidentCopies]] simultaneous k×dim×8 B
+    * arrays). k is derived as n/targetCell, so past ~10⁹ corpus
+    * vectors at the defaults the model itself outgrows a driver; the
+    * correct behavior is the house-style loud refusal with the remedy
+    * named, not an OOM mid-fit. The router's driver CPU
+    * (~4·k·√k·dim multiplies) crosses from seconds to hours in the
+    * same k range, so one ceiling guards both. */
+  val MaxDriverCentroidBytesKey = "spark.graft.semdedup.maxDriverCentroidBytes"
+  val MaxDriverCentroidBytesDefault = 2000000000L
+
+  /** Simultaneously-live driver copies of the k×dim centroid table
+    * during fit+route: seeds, cents, next (Lloyd), routedCents+coarse
+    * (router) — 4 is the measured high-water count. */
+  val CentroidResidentCopies = 4L
+
   /** Conf: coarse groups probed by the router (recall/cost knob).
     * 4 measured: top-1-vs-flat agreement 0.84 → ~0.95 on the
     * worst-case near-orthogonal graded corpus; what the BLOCKING
@@ -123,6 +141,27 @@ object SemDedup {
   def fit(spark: SparkSession, emb: DataFrame, idCol: String, eCol: String,
           k: Int, dim: Int, n: Long,
           cacheKey: Option[String] = None): Model = {
+    // SCALE RUNG (round-12): the fit is a driver-side model. Refuse
+    // loudly — with the memory model in the message — when the centroid
+    // table would not fit the driver, BEFORE any job runs. At the
+    // defaults (targetCell 1024) this triggers near k ≈ 60 M, i.e. a
+    // ~60 B-vector corpus at dim 64: past that, either shrink k
+    // (raise targetCell — cells of 10⁴-10⁵ rows still block fine and
+    // the pair loop stays partition-local), or lift the ceiling on a
+    // driver actually sized for the model. A distributed fit would
+    // also need a distributed ROUTER (the 4·k·√k·dim regrouping is
+    // driver CPU-bound first) — a deliberate refusal, not a gap.
+    val maxCentBytes = spark.conf.getOption(MaxDriverCentroidBytesKey)
+      .map(_.toLong).getOrElse(MaxDriverCentroidBytesDefault)
+    val centBytes = k.toLong * dim * 8L * CentroidResidentCopies
+    if (centBytes > maxCentBytes) throw new IllegalStateException(
+      f"semantic-dedup fit refuses: k=$k%d centroids × dim=$dim%d × 8 B × " +
+        f"$CentroidResidentCopies%d driver-resident copies = $centBytes%,d bytes " +
+        f"> $MaxDriverCentroidBytesKey=$maxCentBytes%,d (the quantizer is a " +
+        "driver-side model, and the coarse router additionally pays " +
+        f"~${4L * k * math.ceil(math.sqrt(k.toDouble)).toLong * dim}%,d driver " +
+        s"multiplies) — raise $TargetCellKey to shrink k, or raise the " +
+        "ceiling on a driver sized for the model")
     def doFit(): Model = {
       val debug = spark.conf.getOption("spark.graft.semdedup.debug")
         .contains("true")
