@@ -421,16 +421,9 @@ object AnnSearch {
     }
     val centroids = model.clusterCenters.map(_.toArray)
     val assigned = model.transform(base).select(col("id"), col("e"), col("cell"))
-    // nprobe nearest cells per query, via a literal centroid matrix —
-    // evaluated per query row only (queries are the small side).
-    val centLit = typedLit(centroids.map(_.toSeq).toSeq)
-    val q = assigned.filter(queryPred)
-      .select(col("id").as("q_id"), col("e").as("qe"))
-      .withColumn("__dists", transform(centLit, c =>
-        aggregate(zip_with(col("qe"), c, (x, y) => (x - y) * (x - y)),
-          lit(0.0), (s, x) => s + x)))
-      .withColumn("cell", explode(sortByDist(nprobe)))
-      .drop("__dists")
+    val q = probeCellsForQueries(
+      assigned.filter(queryPred).select(col("id").as("q_id"), col("e").as("qe")),
+      centroids, nprobe)
     // No pair dedup needed: each point is assigned to exactly ONE cell
     // and a query's nprobe probed cells are distinct, so a (q_id, id)
     // pair joins at most once — the dropDuplicates this carried until
@@ -442,6 +435,24 @@ object AnnSearch {
     cand.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("id").as("neighbor_id"), col("sim"))
+  }
+
+  /** (q_id, qe, cell) — each query row exploded to its `nprobe`
+    * nearest cells by squared euclidean against a LITERAL centroid
+    * matrix (evaluated per query row only — queries are the small
+    * side). Shared by [[ivfTopK]] and the persisted-index read path
+    * ([[DedupIndex.ivfTopKIndexed]]) so both assign queries with the
+    * exact same expressions — bit-identical probes from the same
+    * centroids. */
+  private[graft] def probeCellsForQueries(q: DataFrame,
+                                          centroids: Array[Array[Double]],
+                                          nprobe: Int): DataFrame = {
+    val centLit = typedLit(centroids.map(_.toSeq).toSeq)
+    q.withColumn("__dists", transform(centLit, c =>
+        aggregate(zip_with(col("qe"), c, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (s, x) => s + x)))
+      .withColumn("cell", explode(sortByDist(nprobe)))
+      .drop("__dists")
   }
 
   /** indices of the `nprobe` smallest entries of `__dists` (asc). */

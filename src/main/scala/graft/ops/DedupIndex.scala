@@ -282,6 +282,95 @@ object DedupIndex {
     SemDedup.Model(k, dim, cents)
   }
 
+  // ----------------------------------------------------------------- ivf
+
+  /** Publish (or reuse) a persisted IVF ANN index: the MLlib k-means
+    * coarse quantizer's centroids (bit-exact doubles under `model/`)
+    * and the corpus assignment `(id, cell, e)` cell-sorted under
+    * `assign/` — the [[ensureSemanticIndex]] pattern for the SEARCH
+    * family. `sim_search_ivf` memoizes its fit per JVM only; a fresh
+    * session refit Lloyd and re-assigned the whole corpus per query
+    * session. Published once, a query session pays neither. */
+  def ensureIvfIndex(spark: SparkSession, tablePath: String,
+                     corpus: DataFrame, sourcePath: String, spec: String,
+                     idCol: String, eCol: String,
+                     nlist: Int = 16, seed: Long = 42L): String = {
+    val stamp = sourceStamp(spark, sourcePath)
+    val identity = Seq(
+      "kind" -> "ivf", "nlist" -> nlist.toString, "seed" -> seed.toString,
+      "idCol" -> idCol, "eCol" -> eCol,
+      "spec" -> spec, "sourcePath" -> sourcePath, "stamp" -> stamp)
+    val fresh = readMeta(spark, tablePath).exists(m =>
+      identity.forall { case (k, v) => m.get(k).contains(v) })
+    if (!fresh) {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val base = corpus.select(col(idCol).as("id"), col(eCol).as("e"))
+        .withColumn("fv", array_to_vector(col("e")))
+      val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
+        .setFeaturesCol("fv").setPredictionCol("cell")
+        .fit(base.select(col("fv")))
+      val p = spark.sessionState.conf.numShufflePartitions
+      val assigned = model.transform(base)
+        .select(col("id"), col("e"), col("cell"))
+        .repartitionByRange(p, col("cell"))
+        .sortWithinPartitions(col("cell"))
+      import spark.implicits._
+      val cents = model.clusterCenters.map(_.toArray).zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cell", "centroid")
+      AtomicPublish.publish(spark, tablePath) { dataPath =>
+        assigned.write.parquet(s"$dataPath/assign")
+        cents.coalesce(1).write.parquet(s"$dataPath/model")
+        writeMeta(spark, dataPath, identity)
+      }
+    }
+    dataPathOf(spark, tablePath)
+  }
+
+  /** IVF top-k against a published index — NO corpus argument, NO
+    * refit, NO corpus assignment pass: centroids load from the
+    * manifest version, queries probe their `nprobe` nearest cells with
+    * the SAME expressions as [[AnnSearch.ivfTopK]] (shared helper, so
+    * probes are bit-identical), and the index read is FILTERED to the
+    * queries' probe cells over the cell-sorted layout — scan bytes
+    * bounded by the query set's footprint. One broadcast cell join +
+    * fused codegen cosine + per-query window rank; output identical to
+    * `ivfTopK` under the same centroids (DedupIndexSpec pins it). */
+  def ivfTopKIndexed(spark: SparkSession, tablePath: String,
+                     queries: DataFrame, idCol: String, eCol: String,
+                     k: Int = 10, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val meta = readMeta(spark, tablePath).getOrElse(
+      throw new IllegalStateException(s"no published ivf index at $tablePath"))
+    require(meta.get("kind").contains("ivf"),
+      s"index at $tablePath is kind=${meta.get("kind")}, expected ivf")
+    val centRows = spark.read.parquet(s"${dataPathOf(spark, tablePath)}/model")
+      .orderBy(col("cell")).collect()
+    val centroids = centRows.map(r => r.getSeq[Double](1).toArray)
+    val q = AnnSearch.probeCellsForQueries(
+        queries.select(col(idCol).as("q_id"), col(eCol).as("qe")),
+        centroids, nprobe)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val maxCells = spark.conf.getOption(MaxBatchCellsKey)
+      .map(_.toInt).getOrElse(MaxBatchCellsDefault)
+    val rawCells = q.select(col("cell")).limit(maxCells + 1).collect()
+      .map(_.getInt(0))
+    require(rawCells.length <= maxCells,
+      s"query set probes > $maxCells cells ($MaxBatchCellsKey): " +
+        "this is not a query batch — raise the cap or search in shards")
+    val idx = spark.read.parquet(s"${dataPathOf(spark, tablePath)}/assign")
+      .filter(col("cell").isInCollection(rawCells.distinct.toSeq))
+    val cand = idx.join(broadcast(q), Seq("cell"))
+      .filter(col("id") =!= col("q_id"))
+      .withColumn("sim", graft.engine.GraftFunctions.cosineSim(
+        spark, col("qe"), col("e")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("id"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("id").as("neighbor_id"), col("sim"))
+  }
+
   /** DAILY incremental semantic pairs against a published index — NO
     * corpus argument, NO refit: the model loads from the manifest
     * version, the batch (tiny) is assigned its probe cells fresh, and

@@ -1143,6 +1143,32 @@ object LlmQueries extends QueryGroup {
       },
       None),
 
+    // IVF ANN against a PERSISTED index (ops/DedupIndex.ensureIvfIndex):
+    // sim_search_ivf memoizes its k-means fit per JVM only — a fresh
+    // session refit Lloyd and re-assigned the whole corpus. Here the
+    // centroids and the cell-sorted (id, cell, e) assignment publish
+    // once through the AtomicPublish manifest; the query session loads
+    // centroids, probes nprobe cells with the SAME expressions as the
+    // fit path (shared helper — bit-identical probes), and reads ONLY
+    // the probed cells' row groups. Output ≡ sim_search_ivf under the
+    // same centroids (DedupIndexSpec pins it); rows-only like its twin
+    // (MLlib centroids are engine-specific), recall inherited from the
+    // LlmOpsSpec IVF gate.
+    GQuery("sim_search_ivf_indexed",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables(s, dir, "embeddings")
+          .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+        val table = graft.ops.DedupIndex.defaultTablePath("ivf", dir)
+        graft.ops.DedupIndex.ensureIvfIndex(s, table, emb,
+          s"$dir/embeddings.parquet", "all", "vec_id", "e")
+        graft.ops.DedupIndex.ivfTopKIndexed(s, table,
+            emb.filter($"vec_id" < 5), "vec_id", "e", k = 10)
+          .select($"q_id", $"rank", $"neighbor_id")
+          .orderBy($"q_id", $"rank")
+      },
+      None),
+
     // Multimodal feature extraction over the binary column — REAL
     // decode: each row carries genuine PNG / JPEG / GIF bytes (written
     // by the deterministic in-repo encoders; dimensions are a pure

@@ -101,6 +101,32 @@ class DedupIndexSpec extends SparkSpec {
       "persisted centroids differ from a fresh deterministic fit")
   }
 
+  test("indexed IVF top-k equals ivfTopK exactly; plan exchange-free up to the rank window") {
+    import org.apache.spark.sql.functions.col
+    val table = tmpTable("ivf")
+    DedupIndex.ensureIvfIndex(spark, table, emb,
+      s"$sfDir/embeddings.parquet", "all", "vec_id", "e")
+    val daily = DedupIndex.ivfTopKIndexed(spark, table,
+      emb.filter(col("vec_id") < 5), "vec_id", "e", k = 10)
+    val recompute = graft.ops.AnnSearch.ivfTopK(spark, emb, "vec_id", "e",
+      col("id") < 5, k = 10)
+    def toSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val d = toSet(daily)
+    val r = toSet(recompute)
+    assert(r.nonEmpty)
+    assert(d === r, s"extra: ${d.diff(r).take(3)}; missing: ${r.diff(d).take(3)}")
+    // the only exchange in the daily plan is the rank window's — the
+    // scan/join side is broadcast + cell-pruned read, no shuffle of
+    // the index stream before ranking. (AQE's toString repeats the
+    // initial plan below the final one — count the final section only.)
+    val planStr = daily.queryExecution.executedPlan.toString
+    val finalStr = planStr.split("== Initial Plan ==").head
+    val exchanges = finalStr.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 1, s"unexpected exchanges:\n$finalStr")
+  }
+
   test("ensure* reuses a fresh index and rebuilds on identity change") {
     val corpus = docs.filter(col("doc_id") >= 100)
     val table = tmpTable("reuse")
