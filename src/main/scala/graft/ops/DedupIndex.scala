@@ -110,6 +110,15 @@ object DedupIndex {
     s"$tablePath/${AtomicPublish.currentDataDir(spark, tablePath).getOrElse(
       throw new IllegalStateException(s"no published index at $tablePath"))}"
 
+  /** Every live segment's data path (base first). Indexes grow by
+    * [[AtomicPublish.appendSegment]] — daily readers must see base +
+    * every appended day. */
+  private def segmentPaths(spark: SparkSession, tablePath: String): Seq[String] = {
+    val segs = AtomicPublish.currentSegments(spark, tablePath)
+    require(segs.nonEmpty, s"no published index at $tablePath")
+    segs.map(d => s"$tablePath/$d")
+  }
+
   // ------------------------------------------------------------- minhash
 
   /** Publish (or reuse, if the stamp and every identity parameter
@@ -131,8 +140,14 @@ object DedupIndex {
       "kind" -> "minhash", "numHashes" -> numHashes.toString,
       "bands" -> bands.toString, "idCol" -> idCol, "textCol" -> textCol,
       "spec" -> spec, "sourcePath" -> sourcePath, "stamp" -> stamp)
+    // freshness additionally requires a SINGLE segment: appended days
+    // make the content base+appends, which the identity fields alone
+    // no longer describe — a caller asking to ensure "the corpus
+    // index" over an appended table gets a clean rebuild (publish
+    // collapses the segment list back to one).
     val fresh = readMeta(spark, tablePath).exists(m =>
-      identity.forall { case (k, v) => m.get(k).contains(v) })
+      identity.forall { case (k, v) => m.get(k).contains(v) }) &&
+      AtomicPublish.currentSegments(spark, tablePath).size == 1
     if (!fresh) {
       val sig = MinHashDedup.signatures(corpus, idCol, textCol, numHashes)
       val banded = sig.select(col("id"),
@@ -171,7 +186,7 @@ object DedupIndex {
     val numHashes = meta("numHashes").toInt
     val bands = meta("bands").toInt
     val idCol = meta("idCol"); val textCol = meta("textCol")
-    val idx = spark.read.parquet(dataPathOf(spark, tablePath))
+    val idx = spark.read.parquet(segmentPaths(spark, tablePath): _*)
       .select(col("id").as("c_id"), col("bhs").as("bhs_c"))
       .select(col("c_id"), col("bhs_c"),
         posexplode(col("bhs_c")).as(Seq("band", "bh")))
@@ -216,6 +231,28 @@ object DedupIndex {
       .select(col("c_id"), col("b_id"), col("text_c"), col("text_b"))
   }
 
+  /** APPEND a day's documents to a published MinHash index — the write
+    * half of the daily cycle (dedup today's batch against the index,
+    * then make today's batch part of tomorrow's index). Writes ONLY
+    * the batch's `(id, bhs)` rows as a new manifest segment
+    * ([[AtomicPublish.appendSegment]]): batch-sized IO for a
+    * batch-sized change, never a corpus rewrite. Parameters come from
+    * the index's own meta, so appended signatures are always
+    * band-compatible with the base. */
+  def appendToMinHashIndex(spark: SparkSession, tablePath: String,
+                           newDocs: DataFrame): String = {
+    val meta = readMeta(spark, tablePath).getOrElse(
+      throw new IllegalStateException(s"no published minhash index at $tablePath"))
+    require(meta.get("kind").contains("minhash"),
+      s"index at $tablePath is kind=${meta.get("kind")}, expected minhash")
+    val sig = MinHashDedup.signatures(newDocs, meta("idCol"), meta("textCol"),
+      meta("numHashes").toInt)
+    val banded = sig.select(col("id"),
+      graft.engine.GraftFunctions.minhashBands(
+        spark, col("sig"), meta("bands").toInt).as("bhs"))
+    AtomicPublish.appendSegment(spark, tablePath)(p => banded.write.parquet(p))
+  }
+
   // ------------------------------------------------------------ semantic
 
   /** Publish (or reuse) the semantic-dedup index: the fitted spherical
@@ -236,7 +273,8 @@ object DedupIndex {
       "probes" -> probes.toString, "idCol" -> idCol, "eCol" -> eCol,
       "spec" -> spec, "sourcePath" -> sourcePath, "stamp" -> stamp)
     val fresh = readMeta(spark, tablePath).exists(m =>
-      identity.forall { case (kk, v) => m.get(kk).contains(v) })
+      identity.forall { case (kk, v) => m.get(kk).contains(v) }) &&
+      AtomicPublish.currentSegments(spark, tablePath).size == 1
     if (!fresh) {
       val model = SemDedup.fit(spark, corpus, idCol, eCol, k, dim, corpusSize,
         cacheKey = Some(s"dedupindex:$tablePath:$spec"))
@@ -301,7 +339,8 @@ object DedupIndex {
       "idCol" -> idCol, "eCol" -> eCol,
       "spec" -> spec, "sourcePath" -> sourcePath, "stamp" -> stamp)
     val fresh = readMeta(spark, tablePath).exists(m =>
-      identity.forall { case (k, v) => m.get(k).contains(v) })
+      identity.forall { case (k, v) => m.get(k).contains(v) }) &&
+      AtomicPublish.currentSegments(spark, tablePath).size == 1
     if (!fresh) {
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.array_to_vector
@@ -359,7 +398,8 @@ object DedupIndex {
     require(rawCells.length <= maxCells,
       s"query set probes > $maxCells cells ($MaxBatchCellsKey): " +
         "this is not a query batch — raise the cap or search in shards")
-    val idx = spark.read.parquet(s"${dataPathOf(spark, tablePath)}/assign")
+    val idx = spark.read.parquet(
+        segmentPaths(spark, tablePath).map(p => s"$p/assign"): _*)
       .filter(col("cell").isInCollection(rawCells.distinct.toSeq))
     val cand = idx.join(broadcast(q), Seq("cell"))
       .filter(col("id") =!= col("q_id"))
@@ -369,6 +409,32 @@ object DedupIndex {
     cand.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("id").as("neighbor_id"), col("sim"))
+  }
+
+  /** APPEND a day's vectors to a published semantic index — the write
+    * half of the daily cycle. New vectors are assigned their single
+    * nearest cell UNDER THE EXISTING published model (no refit — the
+    * quantizer is the index's stable coordinate system; a drifting
+    * corpus eventually warrants a rebuild, which `ensure*` performs on
+    * any identity/stamp change), cell-sorted, and land as a new
+    * manifest segment: batch-sized IO for a batch-sized change. */
+  def appendToSemanticIndex(spark: SparkSession, tablePath: String,
+                            newVecs: DataFrame): String = {
+    val meta = readMeta(spark, tablePath).getOrElse(
+      throw new IllegalStateException(s"no published semantic index at $tablePath"))
+    require(meta.get("kind").contains("semantic"),
+      s"index at $tablePath is kind=${meta.get("kind")}, expected semantic")
+    val model = loadModel(spark, tablePath)
+    val idCol = meta("idCol"); val eCol = meta("eCol")
+    val p = spark.sessionState.conf.numShufflePartitions
+    val assigned = newVecs
+      .select(col(idCol).as("id"), col(eCol).cast("array<double>").as("e"))
+      .withColumn("cell", element_at(
+        SemDedup.assignCells(spark, model, col("e"), 1), 1))
+      .repartitionByRange(p, col("cell"))
+      .sortWithinPartitions(col("cell"))
+    AtomicPublish.appendSegment(spark, tablePath)(pth =>
+      assigned.write.parquet(s"$pth/assign"))
   }
 
   /** DAILY incremental semantic pairs against a published index — NO
@@ -405,7 +471,8 @@ object DedupIndex {
         "this is not a daily batch — dedup it as a corpus (blockedPairs) " +
         "or raise the cap")
     val batchCells = rawCells.distinct
-    val idx = spark.read.parquet(s"${dataPathOf(spark, tablePath)}/assign")
+    val idx = spark.read.parquet(
+        segmentPaths(spark, tablePath).map(p => s"$p/assign"): _*)
       .filter(col("cell").isInCollection(batchCells.toSeq))
       .select(col("id").as("c_id"), col("e").as("ce"), col("cell"))
     idx.join(broadcast(b), Seq("cell"))

@@ -57,21 +57,12 @@ object AtomicPublish {
     val root = new org.apache.hadoop.fs.Path(tablePath)
     val fs = root.getFileSystem(conf)
     fs.mkdirs(root)
-    val prev = currentDataDir(spark, tablePath)
+    val prev = currentSegments(spark, tablePath).toSet
     val dataDir =
       s"data-${System.currentTimeMillis()}-${counter.incrementAndGet()}"
     write(fs.makeQualified(new org.apache.hadoop.fs.Path(root, dataDir)).toString)
-    val tmp = new org.apache.hadoop.fs.Path(root, s".manifest-$dataDir.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(dataDir.getBytes("UTF-8")) finally out.close()
-    // The commit point: one rename, atomic-with-overwrite on the same
-    // filesystem (FileContext exposes the POSIX/HDFS semantic that
-    // FileSystem.rename hides behind delete+rename).
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, conf)
-    fc.rename(fs.makeQualified(tmp),
-      fs.makeQualified(new org.apache.hadoop.fs.Path(root, ManifestFile)),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    // GC: anything older than the version we just superseded is
+    swapManifest(fs, conf, root, dataDir)
+    // GC: anything older than the version(s) we just superseded is
     // unreachable by any reader that started after ITS supersession.
     fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName)
       .filter(d => d.startsWith("data-") && d != dataDir && !prev.contains(d))
@@ -79,31 +70,84 @@ object AtomicPublish {
     dataDir
   }
 
-  /** The data directory the manifest currently names, if published. */
-  def currentDataDir(spark: SparkSession, tablePath: String): Option[String] = {
+  private def swapManifest(fs: org.apache.hadoop.fs.FileSystem,
+                           conf: org.apache.hadoop.conf.Configuration,
+                           root: org.apache.hadoop.fs.Path,
+                           content: String): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(root,
+      s".manifest-${counter.incrementAndGet()}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    // The commit point: one rename, atomic-with-overwrite on the same
+    // filesystem (FileContext exposes the POSIX/HDFS semantic that
+    // FileSystem.rename hides behind delete+rename).
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, conf)
+    fc.rename(fs.makeQualified(tmp),
+      fs.makeQualified(new org.apache.hadoop.fs.Path(root, ManifestFile)),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** APPEND a segment: the manifest is a NEWLINE-SEPARATED SEGMENT
+    * LIST (a one-line manifest is the single-segment special case
+    * every older table already satisfies), and an append writes ONLY
+    * the new segment's data then swaps in a manifest naming old + new
+    * — the LSM shape a 100 TB daily-growing table needs, where
+    * re-publishing the whole table per day ([[publish]]) would rewrite
+    * corpus-sized data for a batch-sized change. Readers concurrent
+    * with an append resolve the old or the new segment LIST in full —
+    * never a partial segment. No GC here: every prior segment stays
+    * live; [[Compact.rewrite]] (or a fresh [[publish]]) collapses the
+    * segment list back to one and GCs. */
+  def appendSegment(spark: SparkSession, tablePath: String)
+                   (write: String => Unit): String =
+    tableLocks.computeIfAbsent(tablePath, _ => new Object).synchronized {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val root = new org.apache.hadoop.fs.Path(tablePath)
+      val fs = root.getFileSystem(conf)
+      val prev = currentSegments(spark, tablePath)
+      require(prev.nonEmpty,
+        s"appendSegment: no published version (MANIFEST) at $tablePath — " +
+          "publish a base segment first")
+      val dataDir =
+        s"data-${System.currentTimeMillis()}-${counter.incrementAndGet()}"
+      write(fs.makeQualified(new org.apache.hadoop.fs.Path(root, dataDir)).toString)
+      swapManifest(fs, conf, root, (prev :+ dataDir).mkString("\n"))
+      dataDir
+    }
+
+  /** The full segment list the manifest currently names (empty when
+    * unpublished). Single-segment tables return one entry. */
+  def currentSegments(spark: SparkSession, tablePath: String): Seq[String] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(tablePath)
     val fs = root.getFileSystem(conf)
     val m = new org.apache.hadoop.fs.Path(root, ManifestFile)
-    if (!fs.exists(m)) None
+    if (!fs.exists(m)) Nil
     else {
       val in = fs.open(m)
       try {
         val bytes = new Array[Byte](fs.getFileStatus(m).getLen.toInt)
         in.readFully(bytes)
-        Some(new String(bytes, "UTF-8").trim)
+        new String(bytes, "UTF-8").linesIterator.map(_.trim)
+          .filter(_.nonEmpty).toSeq
       } finally in.close()
     }
   }
 
-  /** Reader side of the protocol: resolve the manifest, read that
-    * version. One manifest read per query plan — the scan itself binds
-    * to the immutable versioned directory. */
+  /** The BASE data directory (first manifest segment), if published —
+    * the home of table-level sidecar metadata; data readers should use
+    * [[read]]/[[currentSegments]], which see every segment. */
+  def currentDataDir(spark: SparkSession, tablePath: String): Option[String] =
+    currentSegments(spark, tablePath).headOption
+
+  /** Reader side of the protocol: resolve the manifest, read every
+    * segment it names. One manifest read per query plan — the scan
+    * itself binds to the immutable versioned directories. */
   def read(spark: SparkSession, tablePath: String): DataFrame =
-    currentDataDir(spark, tablePath) match {
-      case Some(d) => spark.read.parquet(s"$tablePath/$d")
-      case None => throw new IllegalStateException(
+    currentSegments(spark, tablePath) match {
+      case Nil => throw new IllegalStateException(
         s"no published version (MANIFEST) at $tablePath")
+      case segs => spark.read.parquet(segs.map(d => s"$tablePath/$d"): _*)
     }
 }
 
@@ -154,22 +198,26 @@ object Compact {
               targetBytes: Long): DataFrame = {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
     // Resolve the manifest first when the INPUT is itself a published
-    // table (chained compactions, compacting MergeInto output): its
-    // root holds only MANIFEST + data-* directories, which a raw
-    // parquet read cannot infer a schema from.
-    val inDir = AtomicPublish.currentDataDir(spark, inPath)
-      .map(d => s"$inPath/$d").getOrElse(inPath)
-    val fs = new org.apache.hadoop.fs.Path(inDir)
+    // table (chained compactions, compacting MergeInto or appendSegment
+    // output): its root holds only MANIFEST + data-* directories, which
+    // a raw parquet read cannot infer a schema from. ALL segments are
+    // read — compacting a segmented table collapses it to one segment.
+    val inDirs = AtomicPublish.currentSegments(spark, inPath) match {
+      case Nil => Seq(inPath)
+      case segs => segs.map(d => s"$inPath/$d")
+    }
+    val fs = new org.apache.hadoop.fs.Path(inDirs.head)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val totalBytes = fs.listStatus(new org.apache.hadoop.fs.Path(inDir))
-      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      .map(_.getLen).sum
+    val totalBytes = inDirs.map(d =>
+      fs.listStatus(new org.apache.hadoop.fs.Path(d))
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .map(_.getLen).sum).sum
     val parts = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     // Publish through the manifest swap — a reader concurrent with the
     // compaction resolves the old fragmented version until the single
     // atomic rename, never a half-written directory.
     AtomicPublish.publish(spark, outPath) { dataPath =>
-      spark.read.parquet(inDir)
+      spark.read.parquet(inDirs: _*)
         .repartition(parts)
         .write.parquet(dataPath)
     }
@@ -177,13 +225,15 @@ object Compact {
   }
 
   /** Data-file count of a parquet directory (compaction evidence);
-    * resolves the manifest first when `path` is a published table. */
+    * resolves the manifest (all segments) when `path` is published. */
   def parquetFileCount(spark: SparkSession, path: String): Int = {
-    val dir = AtomicPublish.currentDataDir(spark, path)
-      .map(d => s"$path/$d").getOrElse(path)
-    val fs = new org.apache.hadoop.fs.Path(dir)
+    val dirs = AtomicPublish.currentSegments(spark, path) match {
+      case Nil => Seq(path)
+      case segs => segs.map(d => s"$path/$d")
+    }
+    val fs = new org.apache.hadoop.fs.Path(dirs.head)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(new org.apache.hadoop.fs.Path(dir))
-      .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    dirs.map(d => fs.listStatus(new org.apache.hadoop.fs.Path(d))
+      .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))).sum
   }
 }

@@ -701,6 +701,88 @@ object LlmQueries extends QueryGroup {
               LEFT JOIN hits h ON h.b_id = bb.doc_id
               GROUP BY bb.doc_id ORDER BY bb.doc_id""")),
 
+    // The FULL DAILY CYCLE over the persisted MinHash index: day 1
+    // dedups against the published corpus index and is then APPENDED
+    // to it (a new manifest segment — batch-sized IO, never a corpus
+    // rewrite); day 2 dedups against corpus + day 1. This is the
+    // operation a real ingest runs every day: the indexed keys above
+    // prove the read side, this key proves the index is MAINTAINABLE
+    // — grown in place by AtomicPublish.appendSegment with the same
+    // exact-Jaccard contract. Day-1 plans bind the base segment's
+    // literal paths before the append, so the append cannot
+    // contaminate them. Oracle: exact Jaccard with the comparison
+    // universe growing between days (day 1 vs corpus; day 2 vs
+    // corpus ∪ day 1).
+    GQuery("dedup_incremental_minhash_cycle",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables(s, dir, "documents")
+        val day1 = docs.filter($"doc_id" < 50)
+        val day2 = docs.filter($"doc_id" >= 50 && $"doc_id" < 100)
+        val corpus = docs.filter($"doc_id" >= 100)
+        val table = graft.ops.DedupIndex.defaultTablePath("minhash_cycle", dir)
+        // a previous run's appended segments force a clean base rebuild
+        // (ensure* refuses to reuse a multi-segment table) — each run
+        // replays the identical two-day cycle
+        graft.ops.DedupIndex.ensureMinHashIndex(s, table, corpus,
+          s"$dir/documents.parquet", "doc_id>=100#cycle", "doc_id", "text",
+          numHashes = 32, bands = 8)
+        def sh(c: org.apache.spark.sql.Column) = {
+          val t = split(c, " ")
+          array_distinct(zip_with(
+            slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+            (x, y) => concat(x, lit(" "), y)))
+        }
+        def dayVerdicts(batch: org.apache.spark.sql.DataFrame) = {
+          val cand = graft.ops.DedupIndex.dailyMinHashCandidates(s, table,
+            batch, _ => Tables(s, dir, "documents"))
+          val hits = cand
+            .withColumn("sh_c", sh($"text_c")).withColumn("sh_b", sh($"text_b"))
+            .withColumn("inter", size(array_intersect($"sh_b", $"sh_c")))
+            .withColumn("jaccard",
+              $"inter" / (size($"sh_b") + size($"sh_c") - $"inter"))
+            .filter($"jaccard" >= 0.8)
+          val agg = hits.groupBy($"b_id")
+            .agg(count(lit(1)).as("nd"), min($"c_id").as("md"),
+              max($"jaccard").as("mj"))
+          batch.select($"doc_id")
+            .join(agg, $"doc_id" === $"b_id", "left")
+            .select($"doc_id", coalesce($"nd", lit(0L)).as("n_dups"),
+              $"md".as("dup_of"), $"mj".as("max_jaccard"))
+        }
+        val out1 = dayVerdicts(day1)
+        graft.ops.DedupIndex.appendToMinHashIndex(s, table, day1)
+        val out2 = dayVerdicts(day2)
+        out1.unionByName(out2).orderBy($"doc_id")
+      },
+      Some("""WITH d AS (
+                SELECT doc_id, list_distinct(list_transform(
+                  range(1, len(str_split(text, ' '))),
+                  i -> str_split(text, ' ')[i] || ' ' || str_split(text, ' ')[i+1])) AS sh
+                FROM documents),
+              b AS (SELECT doc_id, sh FROM d WHERE doc_id < 100),
+              c AS (SELECT doc_id, sh FROM d WHERE doc_id >= 100 OR doc_id < 50),
+              exb AS (SELECT doc_id, unnest(sh) AS s FROM b),
+              exc AS (SELECT doc_id, unnest(sh) AS s FROM c),
+              pairs AS (
+                SELECT eb.doc_id AS b_id, ec.doc_id AS c_id, COUNT(*) AS inter
+                FROM exb eb JOIN exc ec ON eb.s = ec.s
+                WHERE (eb.doc_id < 50 AND ec.doc_id >= 100)
+                   OR (eb.doc_id >= 50 AND (ec.doc_id >= 100 OR ec.doc_id < 50))
+                GROUP BY 1, 2),
+              hits AS (
+                SELECT b_id, c_id,
+                  inter / (len(bb.sh) + len(cc.sh) - inter) AS jaccard
+                FROM pairs
+                JOIN b bb ON bb.doc_id = b_id
+                JOIN c cc ON cc.doc_id = c_id
+                WHERE inter / (len(bb.sh) + len(cc.sh) - inter) >= 0.8)
+              SELECT bb.doc_id, COUNT(h.c_id) AS n_dups,
+                MIN(h.c_id) AS dup_of, MAX(h.jaccard) AS max_jaccard
+              FROM (SELECT doc_id FROM documents WHERE doc_id < 100) bb
+              LEFT JOIN hits h ON h.b_id = bb.doc_id
+              GROUP BY bb.doc_id ORDER BY bb.doc_id""")),
+
     GQuery("text_stats",
       (s, dir) => {
         import s.implicits._

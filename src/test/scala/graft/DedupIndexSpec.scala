@@ -127,6 +127,58 @@ class DedupIndexSpec extends SparkSpec {
     assert(exchanges <= 1, s"unexpected exchanges:\n$finalStr")
   }
 
+  test("minhash cycle: day-2 candidates over the appended index equal recompute over corpus ∪ day-1") {
+    val day1 = docs.filter(col("doc_id") < 50)
+    val day2 = docs.filter(col("doc_id") >= 50 && col("doc_id") < 100)
+    val corpus = docs.filter(col("doc_id") >= 100)
+    val table = tmpTable("cycle")
+    DedupIndex.ensureMinHashIndex(spark, table, corpus,
+      s"$sfDir/documents.parquet", "doc_id>=100#cycle", "doc_id", "text", 32, 8)
+    // day-1 verdict plan built BEFORE the append binds base-segment
+    // paths — the append must not contaminate it
+    val day1Before = DedupIndex.dailyMinHashCandidates(spark, table, day1, _ => docs)
+    DedupIndex.appendToMinHashIndex(spark, table, day1)
+    assert(day1Before.collect().forall(_.getLong(0) >= 100L),
+      "day-1 plan leaked post-append segments")
+    val day2Daily = DedupIndex.dailyMinHashCandidates(spark, table, day2, _ => docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val day2Recompute = MinHashDedup.incrementalCandidates(
+        corpus.unionByName(day1), day2, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(day2Recompute.exists(_._1 < 50L) || day2Recompute.nonEmpty,
+      "vacuous: no day-2 candidates at all")
+    assert(day2Daily === day2Recompute,
+      s"extra: ${day2Daily.diff(day2Recompute).take(3)}; " +
+        s"missing: ${day2Recompute.diff(day2Daily).take(3)}")
+  }
+
+  test("semantic append: planted day-2 clones are caught only after day-1 lands in the index") {
+    import org.apache.spark.sql.functions._
+    val day1 = emb.filter(col("vec_id") < 50)
+    val corpus = emb.filter(col("vec_id") >= 100)
+    // day 2 = near-exact clones of day 1 (cos ~ 1), disjoint ids
+    val day2 = day1.select((col("vec_id") + 200000L).as("vec_id"),
+      transform(col("e"), x => x + lit(0.001)).as("e"))
+    val table = tmpTable("semcycle")
+    DedupIndex.ensureSemanticIndex(spark, table, corpus,
+      s"$sfDir/embeddings.parquet", "vec_id>=100#cycle", "vec_id", "e",
+      dim = 64, corpusSize = corpus.count())
+    val before = DedupIndex.dailySemanticPairs(spark, table, day2,
+      "vec_id", "e", minCosine = 0.9)
+    DedupIndex.appendToSemanticIndex(spark, table, day1)
+    // pre-append plan bound the base segment only: no day-1 partners
+    assert(before.collect().forall(_.getLong(1) >= 100L))
+    val after = DedupIndex.dailySemanticPairs(spark, table, day2,
+      "vec_id", "e", minCosine = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val day1Ids = day1.collect().map(_.getLong(0)).toSet
+    assert(day1Ids.nonEmpty)
+    // every clone finds its source (same direction → same cell, cos ~ 1)
+    val expected = day1Ids.map(id => (id + 200000L, id))
+    assert(expected.subsetOf(after),
+      s"clones missed after append: ${expected.diff(after).take(5)}")
+  }
+
   test("ensure* reuses a fresh index and rebuilds on identity change") {
     val corpus = docs.filter(col("doc_id") >= 100)
     val table = tmpTable("reuse")

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ops.{Compact, MergeInto}
+import graft.ops.{AtomicPublish, Compact, MergeInto}
 
 /** Table-maintenance semantics: MERGE upsert row accounting and plan
   * shape, compaction file-count collapse with exact content round-trip.
@@ -64,6 +64,46 @@ class MaintenanceSpec extends SparkSpec {
       targetBytes = 64L * 1024 * 1024)
     assert(rechained.collect().map(_.toString).sorted.toSeq ===
       base.collect().map(_.toString).sorted.toSeq)
+  }
+
+  test("segment append: manifest grows, readers see the union, publish collapses") {
+    import spark.implicits._
+    val table = graft.engine.Scratch.dir("spec_segments")
+    AtomicPublish.publish(spark, table)(p =>
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.parquet(p))
+    assert(AtomicPublish.currentSegments(spark, table).size === 1)
+    // append a day: only the new rows are written, the base is untouched
+    AtomicPublish.appendSegment(spark, table)(p =>
+      Seq((3L, "c")).toDF("id", "v").write.parquet(p))
+    AtomicPublish.appendSegment(spark, table)(p =>
+      Seq((4L, "d")).toDF("id", "v").write.parquet(p))
+    assert(AtomicPublish.currentSegments(spark, table).size === 3)
+    assert(AtomicPublish.read(spark, table).collect().map(_.getLong(0)).sorted
+      === Array(1L, 2L, 3L, 4L))
+    // a plan built BEFORE an append binds segment paths literally —
+    // appends cannot contaminate it
+    val before = AtomicPublish.read(spark, table)
+    AtomicPublish.appendSegment(spark, table)(p =>
+      Seq((5L, "e")).toDF("id", "v").write.parquet(p))
+    assert(before.collect().map(_.getLong(0)).sorted === Array(1L, 2L, 3L, 4L))
+    assert(AtomicPublish.read(spark, table).count() === 5L)
+    // compaction collapses the segment list back to one, content exact
+    val out = graft.engine.Scratch.dir("spec_segments_compact")
+    val compacted = Compact.rewrite(spark, table, out, 64L * 1024 * 1024)
+    assert(AtomicPublish.currentSegments(spark, out).size === 1)
+    assert(compacted.collect().map(_.getLong(0)).sorted === Array(1L, 2L, 3L, 4L, 5L))
+    // a full publish over the segmented table also collapses it
+    AtomicPublish.publish(spark, table)(p =>
+      Seq((9L, "z")).toDF("id", "v").write.parquet(p))
+    assert(AtomicPublish.currentSegments(spark, table).size === 1)
+    assert(AtomicPublish.read(spark, table).collect().map(_.getLong(0)).toSeq
+      === Seq(9L))
+    // appending to an unpublished table refuses
+    val empty = graft.engine.Scratch.dir("spec_segments_empty")
+    intercept[IllegalArgumentException] {
+      AtomicPublish.appendSegment(spark, empty)(p =>
+        Seq((1L, "x")).toDF("id", "v").write.parquet(p))
+    }
   }
 
   test("publish is atomic: a reader mid-rewrite sees old or new, never a mix") {
