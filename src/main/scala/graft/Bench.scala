@@ -138,7 +138,9 @@ object Bench {
         "dedup_incremental" -> true,
         "dedup_incremental_minhash" -> true,
         "dedup_incremental_indexed" -> true,
-        "dedup_incremental_minhash_indexed" -> true)
+        "dedup_incremental_minhash_indexed" -> true,
+        "dedup_incremental_minhash_cycle" -> true,
+        "sim_search_ivf_indexed" -> false)
       val materialize = pinnedMaterialize.getOrElse(name,
         !name.startsWith("stream_") && (try {
           val df = fn(spark, sfDir)

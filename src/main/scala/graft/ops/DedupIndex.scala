@@ -253,6 +253,25 @@ object DedupIndex {
     AtomicPublish.appendSegment(spark, tablePath)(p => banded.write.parquet(p))
   }
 
+  /** (band, bh, first_id) — one row per OCCUPIED band bucket of a
+    * published MinHash index, `first_id` the bucket's minimum doc id.
+    * This is the initial-state table for
+    * [[graft.streaming.MinHashStream.verdictsSeeded]]: loading it is
+    * ONE bucket-count-sized shuffle at stream start (state-building,
+    * paid once per query lifetime — restarts recover from the
+    * checkpoint, not from here), after which the corpus never replays
+    * through the stream. */
+  def minHashSeedState(spark: SparkSession, tablePath: String): DataFrame = {
+    val meta = readMeta(spark, tablePath).getOrElse(
+      throw new IllegalStateException(s"no published minhash index at $tablePath"))
+    require(meta.get("kind").contains("minhash"),
+      s"index at $tablePath is kind=${meta.get("kind")}, expected minhash")
+    spark.read.parquet(segmentPaths(spark, tablePath): _*)
+      .select(col("id"), posexplode(col("bhs")).as(Seq("band", "bh")))
+      .groupBy(col("band"), col("bh"))
+      .agg(min(col("id")).as("first_id"))
+  }
+
   // ------------------------------------------------------------ semantic
 
   /** Publish (or reuse) the semantic-dedup index: the fitted spherical

@@ -557,6 +557,51 @@ object StreamingQueries extends QueryGroup {
       },
       None),
 
+    // SEEDED online MinHash dedup — the streaming leg of the persisted
+    // index (round 12): band-bucket state is PRE-LOADED from the
+    // published corpus index (flatMapGroupsWithState initialState), so
+    // a streamed document's arrival-time verdict is judged against
+    // corpus ∪ earlier stream docs while the CORPUS NEVER REPLAYS
+    // through the stream — the round-11 key could only dedup the
+    // stream against itself; a real ingest dedups against everything
+    // already published. One bucket-sized shuffle loads the seeds at
+    // query start (state-building, once per query lifetime); restarts
+    // recover from the checkpoint. Rows-only like its twin (seeded
+    // xxhash64 bands); DedupIndexSpec pins stream-vs-index semantics,
+    // LlmOpsSpec pins the unseeded equivalence.
+    GQuery("stream_minhash_dedup_seeded",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        import graft.streaming.{BandProbe, MinHashStream}
+        implicit val sqlCtx = s.sqlContext
+        val docs = Tables(s, dir, "documents")
+        val table = graft.ops.DedupIndex.defaultTablePath("minhash", dir)
+        graft.ops.DedupIndex.ensureMinHashIndex(s, table,
+          docs.filter($"doc_id" >= 100), s"$dir/documents.parquet",
+          "doc_id>=100", "doc_id", "text", numHashes = 32, bands = 8)
+        val seeds = graft.ops.DedupIndex.minHashSeedState(s, table)
+          .as[(Int, Long, Long)]
+        val probeRows = graft.ops.MinHashDedup.bandHashes(
+            docs.filter($"doc_id" < 100), "doc_id", "text",
+            numHashes = 32, bands = 8)
+          .select($"id".as("doc_id"), $"band", $"bh")
+          .orderBy($"doc_id")
+          .as[BandProbe].collect().toSeq
+        val name = s"smhs_${StreamingQueries.sinkCounter.incrementAndGet()}"
+        val input = MemoryStream[BandProbe]
+        val q = MinHashStream.verdictsSeeded(input.toDS(), seeds)
+          .writeStream.format("memory").queryName(name)
+          .outputMode("update").start()
+        try
+          probeRows.grouped(math.max(1, probeRows.size / 3 + 1)).foreach { c =>
+            input.addData(c); q.processAllAvailable()
+          }
+        finally q.stop()
+        MinHashStream.survivors(s, name).toDF("doc_id")
+      },
+      None),
+
     GQuery("stream_window_nunique",
       (s, dir) => {
         import s.implicits._

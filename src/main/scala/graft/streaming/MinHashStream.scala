@@ -55,6 +55,36 @@ object MinHashStream {
           out.result().iterator
       }
 
+  /** SEEDED variant: the stream starts with its band-bucket state
+    * PRE-LOADED from a published corpus index — online incremental
+    * dedup, where a new document's arrival-time verdict is judged
+    * against corpus ∪ earlier stream docs WITHOUT the corpus ever
+    * replaying through the stream (the round-11 graded key could only
+    * dedup the stream against itself). `seeds` is one (band, bh,
+    * first_id) row per occupied corpus bucket — Spark's initial-state
+    * API requires unique keys, which the bucket-min aggregation
+    * guarantees ([[graft.ops.DedupIndex.minHashSeedState]]). Corpus
+    * occupancy always wins: a corpus-held bucket drops every streamed
+    * doc that probes it, and stream-vs-stream semantics within
+    * unoccupied buckets are exactly [[verdicts]]. */
+  def verdictsSeeded(probes: Dataset[BandProbe],
+                     seeds: Dataset[(Int, Long, Long)]): Dataset[BandVerdict] = {
+    val initial = seeds.groupByKey(s => (s._1, s._2))(keyEnc)
+      .mapValues(_._3)(stateEnc)
+    probes.groupByKey(p => (p.band, p.bh))
+      .flatMapGroupsWithState[Long, BandVerdict](
+        OutputMode.Update, GroupStateTimeout.NoTimeout, initial) {
+        (key: (Int, Long), it: Iterator[BandProbe], state: GroupState[Long]) =>
+          var first = state.getOption
+          val out = List.newBuilder[BandVerdict]
+          it.toSeq.sortBy(_.doc_id).foreach { p =>
+            out += BandVerdict(p.doc_id, key._1, key._2, first.isEmpty)
+            if (first.isEmpty) { first = Some(p.doc_id); state.update(p.doc_id) }
+          }
+          out.result().iterator
+      }
+  }
+
   /** Batch-side survivor reduction: a doc survives iff it was first in
     * EVERY one of its band buckets. */
   def survivors(spark: SparkSession, verdictTable: String): Dataset[java.lang.Long] = {

@@ -179,6 +179,48 @@ class DedupIndexSpec extends SparkSpec {
       s"clones missed after append: ${expected.diff(after).take(5)}")
   }
 
+  test("seeded streaming minhash dedup ≡ batch collisions vs corpus ∪ earlier stream") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.{BandProbe, MinHashStream}
+    implicit val sqlCtx = spark.sqlContext
+    val batch = docs.filter(col("doc_id") < 100)
+    val corpus = docs.filter(col("doc_id") >= 100)
+    val table = tmpTable("seed")
+    DedupIndex.ensureMinHashIndex(spark, table, corpus,
+      s"$sfDir/documents.parquet", "doc_id>=100", "doc_id", "text", 32, 8)
+    val seeds = DedupIndex.minHashSeedState(spark, table).as[(Int, Long, Long)]
+    val probeRows = MinHashDedup.bandHashes(batch, "doc_id", "text", 32, 8)
+      .select(col("id").as("doc_id"), col("band"), col("bh"))
+      .orderBy(col("doc_id")).as[BandProbe].collect().toSeq
+    val input = MemoryStream[BandProbe]
+    val q = MinHashStream.verdictsSeeded(input.toDS(), seeds)
+      .writeStream.format("memory").queryName("smh_seeded_spec")
+      .outputMode("update").start()
+    try probeRows.grouped(math.max(1, probeRows.size / 4 + 1)).foreach { c =>
+      input.addData(c); q.processAllAvailable()
+    } finally q.stop()
+    val kept = MinHashStream.survivors(spark, "smh_seeded_spec")
+      .collect().map(_.longValue).toSet
+    // batch reference: a stream doc is a dup iff any of its buckets is
+    // held by the corpus or by an earlier stream doc
+    val allBanded = MinHashDedup.bandHashes(docs, "doc_id", "text", 32, 8)
+    val bB = allBanded.filter(col("id") < 100)
+    val cB = allBanded.filter(col("id") >= 100)
+    val dupVsCorpus = bB.as("a").join(cB.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
+      .select(col("a.id")).collect().map(_.getLong(0)).toSet
+    val dupVsEarlier = bB.as("a").join(bB.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.id") > col("b.id"))
+      .select(col("a.id")).collect().map(_.getLong(0)).toSet
+    val universe = bB.select(col("id")).distinct().collect().map(_.getLong(0)).toSet
+    val expected = universe -- dupVsCorpus -- dupVsEarlier
+    assert(dupVsCorpus.nonEmpty, "vacuous: no stream-vs-corpus collision on graded data")
+    assert(kept === expected,
+      s"extra: ${kept.diff(expected).take(5)}; missing: ${expected.diff(kept).take(5)}")
+  }
+
   test("ensure* reuses a fresh index and rebuilds on identity change") {
     val corpus = docs.filter(col("doc_id") >= 100)
     val table = tmpTable("reuse")
