@@ -140,6 +140,7 @@ object Bench {
         "dedup_incremental_indexed" -> true,
         "dedup_incremental_minhash_indexed" -> true,
         "dedup_incremental_minhash_cycle" -> true,
+        "dedup_incremental_cycle" -> true,
         "sim_search_ivf_indexed" -> false)
       val materialize = pinnedMaterialize.getOrElse(name,
         !name.startsWith("stream_") && (try {

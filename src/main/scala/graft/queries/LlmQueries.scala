@@ -633,6 +633,54 @@ object LlmQueries extends QueryGroup {
               WHERE b.vec_id < 100
               GROUP BY b.vec_id ORDER BY b.vec_id""")),
 
+    // The SEMANTIC daily cycle — the embedding twin of
+    // dedup_incremental_minhash_cycle: day 1 (vec_id < 50) dedups
+    // against the published corpus index and is APPENDED to it
+    // (assigned under the EXISTING quantizer — no refit; a new
+    // manifest segment, batch-sized IO); day 2 (50 ≤ vec_id < 100)
+    // dedups against corpus ∪ day 1. Same blocking recall condition as
+    // dedup_incremental (qualifying pairs co-locate; measured 1.0 on
+    // graded corpora), so the exact LEFT-JOIN oracle with a GROWING
+    // comparison universe must hash-match — a straddling pair fails
+    // the gate rather than passing silently.
+    GQuery("dedup_incremental_cycle",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables(s, dir, "embeddings")
+          .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+        val day1 = emb.filter($"vec_id" < 50)
+        val day2 = emb.filter($"vec_id" >= 50 && $"vec_id" < 100)
+        val corpus = emb.filter($"vec_id" >= 100)
+        val n = graft.ops.AnnSearch.parquetRowCount(s, s"$dir/embeddings.parquet")
+        val table = graft.ops.DedupIndex.defaultTablePath("semantic_cycle", dir)
+        graft.ops.DedupIndex.ensureSemanticIndex(s, table, corpus,
+          s"$dir/embeddings.parquet", "vec_id>=100#cycle", "vec_id", "e",
+          dim = 64, corpusSize = math.max(1L, n - 100L))
+        def dayVerdicts(batch: org.apache.spark.sql.DataFrame) = {
+          val pairs = graft.ops.DedupIndex.dailySemanticPairs(s, table, batch,
+            "vec_id", "e", minCosine = 0.45)
+          val agg = pairs.groupBy($"b_id")
+            .agg(count(lit(1)).as("nd"), min($"c_id").as("md"))
+          batch.select($"vec_id")
+            .join(agg, $"vec_id" === $"b_id", "left")
+            .select($"vec_id", coalesce($"nd", lit(0L)).as("n_dups"),
+              $"md".as("dup_of"))
+        }
+        val out1 = dayVerdicts(day1)
+        graft.ops.DedupIndex.appendToSemanticIndex(s, table, day1)
+        val out2 = dayVerdicts(day2)
+        out1.unionByName(out2).orderBy($"vec_id")
+      },
+      Some("""SELECT b.vec_id, COUNT(c.vec_id) AS n_dups,
+                MIN(c.vec_id) AS dup_of
+              FROM embeddings b LEFT JOIN embeddings c
+                ON ((b.vec_id < 50 AND c.vec_id >= 100)
+                    OR (b.vec_id >= 50 AND (c.vec_id >= 100 OR c.vec_id < 50)))
+               AND list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
+                                          CAST(c.embedding AS DOUBLE[])) >= 0.45
+              WHERE b.vec_id < 100
+              GROUP BY b.vec_id ORDER BY b.vec_id""")),
+
     // INDEXED incremental fuzzy-text dedup — dedup_incremental_minhash
     // with the corpus signatures PERSISTED: the (id, bhs) band-hash
     // table (~70 B/doc of columnar longs vs ~1 KB of text, and zero
