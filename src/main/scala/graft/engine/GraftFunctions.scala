@@ -35,6 +35,14 @@ object GraftFunctions {
       es(3).eval().asInstanceOf[Number].intValue(),
       es(4).eval().asInstanceOf[Number].longValue())))
 
+  /** Extension-path registration: inject the full table (used by
+    * [[GraftExtensions]]; one source of truth with [[ensureRegistered]]). */
+  def injectAll(ext: SparkSessionExtensions): Unit =
+    fns.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name), builder))
+    }
+
   def ensureRegistered(spark: SparkSession): Unit = synchronized {
     val reg = spark.sessionState.functionRegistry
     fns.foreach { case (name, builder) =>
@@ -97,17 +105,11 @@ object GraftFunctions {
   }
 }
 
-/** `spark.sql.extensions=graft.engine.GraftExtensions` injection. */
+/** `spark.sql.extensions=graft.engine.GraftExtensions` injection —
+  * the SAME function table as [[GraftFunctions.ensureRegistered]]
+  * (shared, so the two front doors can never drift): a session built
+  * with the extension gets every native expression by SQL name. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((FunctionIdentifier("cosine_sim"),
-      new ExpressionInfo("graft.functions", "cosine_sim"),
-      (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))))
-    ext.injectFunction((FunctionIdentifier("doc_fingerprint"),
-      new ExpressionInfo("graft.functions", "doc_fingerprint"),
-      (es: Seq[Expression]) => RollingHashFingerprint(es(0))))
-    ext.injectFunction((FunctionIdentifier("simhash64"),
-      new ExpressionInfo("graft.functions", "simhash64"),
-      (es: Seq[Expression]) => SimHash64(es(0))))
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.injectAll(ext)
 }

@@ -24,4 +24,14 @@ object GraftSqlBridge {
 
   /** The Catalyst expression backing a classic Column. */
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Apply an extension collector's injected functions to a registry
+    * (`SparkSessionExtensions.registerFunctions` is private[sql]; the
+    * extension-parity spec needs it to verify injection WITHOUT
+    * rebuilding the shared test session). */
+  def registerInjectedFunctions(
+      ext: org.apache.spark.sql.SparkSessionExtensions,
+      reg: org.apache.spark.sql.catalyst.analysis.FunctionRegistry): Unit = {
+    ext.registerFunctions(reg); ()
+  }
 }
