@@ -27,9 +27,105 @@ import org.apache.spark.sql.functions._
   */
 object AtomicPublish {
   private val ManifestFile = "MANIFEST"
+  private val LockFile = "_graft_commit_lock"
   private val counter = new java.util.concurrent.atomic.AtomicLong()
   private val tableLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Conf: how long a committer waits for the cross-process lock before
+    * failing loudly (another publisher is mid-commit). */
+  val LockTimeoutMsKey = "spark.graft.manifest.lockTimeoutMs"
+  val LockTimeoutMsDefault = 60000L
+
+  /** Conf: lock age past which the holder is presumed dead (crashed
+    * mid-commit) and the lock may be broken. Must exceed the longest
+    * commit critical section (publish holds the lock through its data
+    * write); the default assumes maintenance-job commit windows. */
+  val LockStaleMsKey = "spark.graft.manifest.lockStaleMs"
+  val LockStaleMsDefault = 600000L
+
+  /** Atomic-exclusive file creation — the cross-process commit
+    * primitive. HDFS `create(overwrite=false)` is atomic server-side;
+    * the local filesystem goes through NIO `CREATE_NEW` (O_CREAT|O_EXCL)
+    * because Hadoop's LocalFileSystem `create(false)` is
+    * check-then-create (a TOCTOU window two racing drivers on one box —
+    * a scheduler retry — would hit). Returns false when the lock is
+    * already held. */
+  private def tryCreateExclusive(fs: org.apache.hadoop.fs.FileSystem,
+                                 p: org.apache.hadoop.fs.Path,
+                                 content: String): Boolean =
+    if (fs.getScheme == "file") {
+      try {
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(fs.makeQualified(p).toUri.getPath),
+          content.getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    } else {
+      try {
+        val out = fs.create(p, false)
+        try out.write(content.getBytes("UTF-8")) finally out.close()
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.io.IOException => false
+      }
+    }
+
+  /** Run `body` holding the table's CROSS-PROCESS commit lock (an
+    * exclusive-create lock file at the table root). The JVM-local
+    * `tableLocks` map serializes threads cheaply within one driver;
+    * this lease is what makes the manifest read-modify-write safe when
+    * TWO DRIVER PROCESSES commit concurrently — a scheduler retry or a
+    * backfill racing the daily appender previously lost a segment
+    * silently (last manifest swap won). A held lock is waited on up to
+    * [[LockTimeoutMsKey]], then the commit fails loudly; a lock older
+    * than [[LockStaleMsKey]] is presumed orphaned by a dead holder and
+    * broken (both breakers then race the atomic exclusive create — one
+    * wins). */
+  private def withCommitLock[A](spark: SparkSession,
+                                fs: org.apache.hadoop.fs.FileSystem,
+                                root: org.apache.hadoop.fs.Path)(body: => A): A = {
+    val lockPath = new org.apache.hadoop.fs.Path(root, LockFile)
+    val timeoutMs = spark.conf.getOption(LockTimeoutMsKey)
+      .map(_.toLong).getOrElse(LockTimeoutMsDefault)
+    val staleMs = spark.conf.getOption(LockStaleMsKey)
+      .map(_.toLong).getOrElse(LockStaleMsDefault)
+    val token = java.util.UUID.randomUUID().toString
+    val deadline = System.currentTimeMillis() + timeoutMs
+    var acquired = false
+    while (!acquired) {
+      if (tryCreateExclusive(fs, lockPath,
+        s"$token pid=${ProcessHandle.current().pid()} " +
+          s"t=${System.currentTimeMillis()}")) acquired = true
+      else {
+        val mtime =
+          try Some(fs.getFileStatus(lockPath).getModificationTime)
+          catch { case _: java.io.FileNotFoundException => None }
+        mtime match {
+          case Some(m) if System.currentTimeMillis() - m > staleMs =>
+            // presumed-dead holder: break the lock; the retry loop's
+            // exclusive create decides between concurrent breakers
+            try { fs.delete(lockPath, false); () }
+            catch { case _: java.io.IOException => () }
+          case _ =>
+            if (System.currentTimeMillis() > deadline)
+              throw new IllegalStateException(
+                s"manifest commit lock at $lockPath held past $timeoutMs ms " +
+                  s"($LockTimeoutMsKey): another publisher is committing this " +
+                  s"table — retry after it finishes, or if its holder is dead " +
+                  s"the lock breaks itself after $staleMs ms ($LockStaleMsKey)")
+            Thread.sleep(25)
+        }
+      }
+    }
+    try body
+    finally { try { fs.delete(lockPath, false); () } catch { case _: Throwable => () } }
+  }
 
   /** Run `write` against a fresh versioned data directory under
     * `tablePath`, then atomically point the manifest at it.
@@ -37,37 +133,46 @@ object AtomicPublish {
     *
     * Concurrency contract: READERS are always safe against any number
     * of concurrent publishers (the manifest swap is the only mutation
-    * they observe). PUBLISHERS are serialized per table within this
-    * JVM (the GC step must not run concurrently with another commit —
-    * it could collect a directory whose manifest swap is in flight,
-    * the race a MaintenanceSpec thread test reproduces). Cross-process
-    * concurrent publishers additionally need external coordination, as
-    * with every file-based commit protocol without a lock service
-    * (Delta/Iceberg solve this with an optimistic-concurrency log);
-    * maintenance jobs are single-writer per table by design. */
+    * they observe). PUBLISHERS are serialized per table at two levels:
+    * a JVM-local lock (threads of one driver, cheap) and — round 13 —
+    * a CROSS-PROCESS commit lock (an exclusive-create lock file at the
+    * table root, the miniature of Delta's optimistic log / Iceberg's
+    * lock-service commit), so a scheduler retry or a backfill driver
+    * racing the daily appender can no longer interleave with a commit's
+    * read-modify-write or its GC. See [[appendSegmentCrossProcess]] for
+    * the compare-and-swap this buys appends. */
   def publish(spark: SparkSession, tablePath: String)
              (write: String => Unit): String =
     tableLocks.computeIfAbsent(tablePath, _ => new Object).synchronized {
-      publishLocked(spark, tablePath)(write)
+      publishCrossProcess(spark, tablePath)(write)
     }
 
-  private def publishLocked(spark: SparkSession, tablePath: String)
-                           (write: String => Unit): String = {
+  /** The cross-process commit path of [[publish]] (no JVM fast-path
+    * lock) — package-private so the racing-writers spec can drive two
+    * simulated driver processes through it. The commit lock spans the
+    * prev-read, data write, swap, AND the GC: a concurrent appender can
+    * therefore never have its freshly-written (not yet committed)
+    * segment collected, and the prev-read can never go stale between
+    * read and swap. */
+  private[graft] def publishCrossProcess(spark: SparkSession, tablePath: String)
+                                        (write: String => Unit): String = {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(tablePath)
     val fs = root.getFileSystem(conf)
     fs.mkdirs(root)
-    val prev = currentSegments(spark, tablePath).toSet
-    val dataDir =
-      s"data-${System.currentTimeMillis()}-${counter.incrementAndGet()}"
-    write(fs.makeQualified(new org.apache.hadoop.fs.Path(root, dataDir)).toString)
-    swapManifest(fs, conf, root, dataDir)
-    // GC: anything older than the version(s) we just superseded is
-    // unreachable by any reader that started after ITS supersession.
-    fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName)
-      .filter(d => d.startsWith("data-") && d != dataDir && !prev.contains(d))
-      .foreach(d => fs.delete(new org.apache.hadoop.fs.Path(root, d), true))
-    dataDir
+    withCommitLock(spark, fs, root) {
+      val prev = currentSegments(spark, tablePath).toSet
+      val dataDir =
+        s"data-${System.currentTimeMillis()}-${counter.incrementAndGet()}"
+      write(fs.makeQualified(new org.apache.hadoop.fs.Path(root, dataDir)).toString)
+      swapManifest(fs, conf, root, dataDir)
+      // GC: anything older than the version(s) we just superseded is
+      // unreachable by any reader that started after ITS supersession.
+      fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName)
+        .filter(d => d.startsWith("data-") && d != dataDir && !prev.contains(d))
+        .foreach(d => fs.delete(new org.apache.hadoop.fs.Path(root, d), true))
+      dataDir
+    }
   }
 
   private def swapManifest(fs: org.apache.hadoop.fs.FileSystem,
@@ -101,19 +206,48 @@ object AtomicPublish {
   def appendSegment(spark: SparkSession, tablePath: String)
                    (write: String => Unit): String =
     tableLocks.computeIfAbsent(tablePath, _ => new Object).synchronized {
-      val conf = spark.sparkContext.hadoopConfiguration
-      val root = new org.apache.hadoop.fs.Path(tablePath)
-      val fs = root.getFileSystem(conf)
+      appendSegmentCrossProcess(spark, tablePath)(write)
+    }
+
+  /** The cross-process commit path of [[appendSegment]] (no JVM
+    * fast-path lock) — package-private so the racing-writers spec can
+    * simulate two DRIVER PROCESSES appending the same table. The
+    * manifest read-modify-write is a COMPARE-AND-SWAP under the
+    * cross-process commit lock: the segment list is (re-)read INSIDE
+    * the commit window, so a segment committed by a racing appender
+    * between this appender's intent and its swap lands in `prev` and
+    * survives — the pre-round-13 shape (read prev outside any
+    * cross-process coordination, then rename-with-overwrite) let the
+    * last writer silently erase the other's segment, the first thing a
+    * scheduler retry breaks in production. The post-swap read-back
+    * verifies the committed list under the same lock; a mismatch means
+    * an out-of-protocol writer touched the manifest and fails loudly. */
+  private[graft] def appendSegmentCrossProcess(spark: SparkSession,
+                                               tablePath: String)
+                                              (write: String => Unit): String = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = root.getFileSystem(conf)
+    require(currentSegments(spark, tablePath).nonEmpty,
+      s"appendSegment: no published version (MANIFEST) at $tablePath — " +
+        "publish a base segment first")
+    withCommitLock(spark, fs, root) {
       val prev = currentSegments(spark, tablePath)
       require(prev.nonEmpty,
-        s"appendSegment: no published version (MANIFEST) at $tablePath — " +
-          "publish a base segment first")
+        s"appendSegment: table at $tablePath lost its published version " +
+          "while waiting for the commit lock")
       val dataDir =
         s"data-${System.currentTimeMillis()}-${counter.incrementAndGet()}"
       write(fs.makeQualified(new org.apache.hadoop.fs.Path(root, dataDir)).toString)
       swapManifest(fs, conf, root, (prev :+ dataDir).mkString("\n"))
+      val committed = currentSegments(spark, tablePath)
+      require(committed == prev :+ dataDir,
+        s"appendSegment: manifest verify failed at $tablePath — expected " +
+          s"${(prev :+ dataDir).mkString(",")} but read ${committed.mkString(",")}; " +
+          "an out-of-protocol writer modified the manifest inside the commit window")
       dataDir
     }
+  }
 
   /** The full segment list the manifest currently names (empty when
     * unpublished). Single-segment tables return one entry. */

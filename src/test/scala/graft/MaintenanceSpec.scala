@@ -181,6 +181,80 @@ class MaintenanceSpec extends SparkSpec {
       s"reader saw a version no single publisher wrote: $got")
   }
 
+  test("racing cross-process appenders: BOTH segments survive the manifest CAS") {
+    import spark.implicits._
+    // Two appenders in DIFFERENT driver processes share no JVM lock —
+    // simulated here by driving appendSegmentCrossProcess directly
+    // (bypassing the tableLocks fast path). Before round 13 this race
+    // silently lost a segment: both read prev=[base], both swapped a
+    // two-entry manifest, last rename won. The cross-process commit
+    // lock + in-window re-read must keep every committed segment.
+    val table = graft.engine.Scratch.dir("spec_cas_race")
+    AtomicPublish.publish(spark, table)(p =>
+      Seq((0L, "base")).toDF("id", "v").write.parquet(p))
+    val writers = 4
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to writers).map { i =>
+      new Thread(() =>
+        try {
+          AtomicPublish.appendSegmentCrossProcess(spark, table)(p =>
+            Seq((i.toLong, s"w$i")).toDF("id", "v").write.parquet(p))
+          ()
+        } catch { case t: Throwable => errs.add(t); () })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"appender failed loudly (allowed is retry-able " +
+      s"timeout, got): ${errs.peek()}")
+    assert(AtomicPublish.currentSegments(spark, table).size === 1 + writers,
+      "a racing appender's segment was silently lost")
+    assert(AtomicPublish.read(spark, table).collect().map(_.getLong(0)).sorted
+      === (0L to writers.toLong).toArray)
+  }
+
+  test("held commit lock: a second committer fails loudly after the timeout") {
+    import spark.implicits._
+    val table = graft.engine.Scratch.dir("spec_lock_held")
+    AtomicPublish.publish(spark, table)(p =>
+      Seq((1L, "a")).toDF("id", "v").write.parquet(p))
+    // plant a fresh foreign lock (another live process mid-commit)
+    val lock = java.nio.file.Paths.get(table, "_graft_commit_lock")
+    java.nio.file.Files.writeString(lock, "foreign-holder")
+    spark.conf.set(AtomicPublish.LockTimeoutMsKey, "300")
+    try {
+      val e = intercept[IllegalStateException] {
+        AtomicPublish.appendSegment(spark, table)(p =>
+          Seq((2L, "b")).toDF("id", "v").write.parquet(p))
+      }
+      assert(e.getMessage.contains("commit lock"), e.getMessage)
+      assert(AtomicPublish.currentSegments(spark, table).size === 1,
+        "a blocked committer must not mutate the manifest")
+    } finally {
+      spark.conf.unset(AtomicPublish.LockTimeoutMsKey)
+      java.nio.file.Files.deleteIfExists(lock); ()
+    }
+  }
+
+  test("stale commit lock: a dead holder's lock is broken and the append lands") {
+    import spark.implicits._
+    val table = graft.engine.Scratch.dir("spec_lock_stale")
+    AtomicPublish.publish(spark, table)(p =>
+      Seq((1L, "a")).toDF("id", "v").write.parquet(p))
+    val lock = java.nio.file.Paths.get(table, "_graft_commit_lock")
+    java.nio.file.Files.writeString(lock, "crashed-holder")
+    spark.conf.set(AtomicPublish.LockStaleMsKey, "100")
+    spark.conf.set(AtomicPublish.LockTimeoutMsKey, "10000")
+    try {
+      Thread.sleep(150) // age the orphan past the stale threshold
+      AtomicPublish.appendSegment(spark, table)(p =>
+        Seq((2L, "b")).toDF("id", "v").write.parquet(p))
+      assert(AtomicPublish.currentSegments(spark, table).size === 2)
+      assert(!java.nio.file.Files.exists(lock), "lock not released")
+    } finally {
+      spark.conf.unset(AtomicPublish.LockStaleMsKey)
+      spark.conf.unset(AtomicPublish.LockTimeoutMsKey)
+    }
+  }
+
   test("compaction partition count scales with real input bytes") {
     val base = graft.engine.Tables(spark, sfDir, "lineitem")
     val frag = graft.engine.Scratch.dir("spec_lineitem_frag2")
