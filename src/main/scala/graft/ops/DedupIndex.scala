@@ -64,18 +64,35 @@ object DedupIndex {
   // ---------------------------------------------------------------- meta
 
   /** Canonical staleness stamp of a source parquet file/directory:
-    * (name, length, mtime) per data file — metadata-only, no scan. */
+    * (relative path, length, mtime) per data file — metadata-only, no
+    * scan. RECURSIVE (round 13): at 100 TB every source is
+    * hive-partitioned (data files live in subdirectories), and the
+    * previous top-level-only listing stamped such a source as
+    * empty/partial — a regenerated partition would NOT have invalidated
+    * the index, silently voiding the staleness guarantee. Hidden
+    * entries (`_`/`.` prefixed: _SUCCESS, _graft_index_meta,
+    * .manifest tmp files) are skipped AT EVERY LEVEL; flat single-level
+    * sources stamp byte-identically to the round-12 format (relative
+    * path == name), so published indexes stay fresh across this change. */
   def sourceStamp(spark: SparkSession, path: String): String = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val st = fs.getFileStatus(p)
-    val files =
-      if (st.isFile) Array(st)
-      else fs.listStatus(p).filter(_.isFile)
-        .filterNot(f => f.getPath.getName.startsWith("_") ||
-          f.getPath.getName.startsWith("."))
-    files.map(f => s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
-      .sorted.mkString(",")
+    if (st.isFile) s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}"
+    else {
+      val out = Seq.newBuilder[String]
+      def walk(dir: org.apache.hadoop.fs.Path, rel: String): Unit =
+        fs.listStatus(dir)
+          .filterNot(f => f.getPath.getName.startsWith("_") ||
+            f.getPath.getName.startsWith("."))
+          .foreach { f =>
+            if (f.isFile)
+              out += s"$rel${f.getPath.getName}:${f.getLen}:${f.getModificationTime}"
+            else walk(f.getPath, s"$rel${f.getPath.getName}/")
+          }
+      walk(p, "")
+      out.result().sorted.mkString(",")
+    }
   }
 
   private def writeMeta(spark: SparkSession, dataPath: String,
@@ -105,6 +122,81 @@ object DedupIndex {
         } finally in.close()
       }
     }
+
+  /** Freshness for `ensure*` reuse: every identity parameter matches,
+    * the table is SINGLE-SEGMENT (appended days make the content
+    * base+appends, which the identity fields alone no longer
+    * describe), and it was NOT produced by [[compactIndex]] (a
+    * compacted table is single-segment again but still holds
+    * base+appends — reusing it as "the corpus index" would dedup the
+    * batch against itself). Either way a caller asking to ensure the
+    * corpus index over a grown table gets a clean rebuild. */
+  private def isFresh(spark: SparkSession, tablePath: String,
+                      identity: Seq[(String, String)]): Boolean =
+    readMeta(spark, tablePath).exists(m =>
+      identity.forall { case (k, v) => m.get(k).contains(v) } &&
+        !m.contains("compactedFrom")) &&
+      AtomicPublish.currentSegments(spark, tablePath).size == 1
+
+  /** Conf: segment count at which an index append triggers an
+    * automatic [[compactIndex]] (the LSM compaction policy): a year of
+    * daily appends is 365 segments — 365 parquet footers per read and
+    * 365 row-group boundaries defeating the cell-sorted pruning the
+    * daily entry points rely on. 0 disables. Compaction runs OUTSIDE
+    * the append's commit lock ([[AtomicPublish]] re-acquires it), so a
+    * reader concurrent with either sees a full manifest version. */
+  val CompactAfterSegmentsKey = "spark.graft.dedupindex.compactAfterSegments"
+  val CompactAfterSegmentsDefault = 16
+
+  /** Collapse a segmented index back to ONE segment, preserving the
+    * kind-specific layout: flat `(id, bhs)` rows for minhash; the
+    * `assign/` table RE-SORTED BY CELL (appended segments were each
+    * cell-sorted internally, but row-group pruning wants the collapse
+    * globally cell-clustered again) plus the untouched `model/`
+    * centroids for semantic/ivf. Meta is carried over with a
+    * `compactedFrom` marker so `ensure*` refuses to mistake the grown
+    * table for a fresh corpus index. Readers are never disturbed — the
+    * collapse publishes through the manifest swap. */
+  def compactIndex(spark: SparkSession, tablePath: String): Unit = {
+    val meta = readMeta(spark, tablePath).getOrElse(
+      throw new IllegalStateException(s"no published index at $tablePath"))
+    val segs = segmentPaths(spark, tablePath)
+    if (segs.size <= 1) return
+    val carried = (meta - "compactedFrom").toSeq :+
+      ("compactedFrom" -> segs.size.toString)
+    meta("kind") match {
+      case "minhash" =>
+        val all = spark.read.parquet(segs: _*)
+        AtomicPublish.publish(spark, tablePath) { p =>
+          all.write.parquet(p)
+          writeMeta(spark, p, carried)
+        }
+      case "semantic" | "ivf" =>
+        val parts = spark.sessionState.conf.numShufflePartitions
+        val all = spark.read.parquet(segs.map(s => s"$s/assign"): _*)
+          .repartitionByRange(parts, col("cell"))
+          .sortWithinPartitions(col("cell"))
+        val model = spark.read.parquet(s"${dataPathOf(spark, tablePath)}/model")
+        AtomicPublish.publish(spark, tablePath) { p =>
+          all.write.parquet(s"$p/assign")
+          model.coalesce(1).write.parquet(s"$p/model")
+          writeMeta(spark, p, carried)
+        }
+      case other => throw new IllegalStateException(
+        s"compactIndex: unknown index kind `$other` at $tablePath")
+    }
+    ()
+  }
+
+  /** The append-side compaction trigger (called by every `appendTo*`
+    * after its segment commits). */
+  private def maybeCompact(spark: SparkSession, tablePath: String): Unit = {
+    val threshold = spark.conf.getOption(CompactAfterSegmentsKey)
+      .map(_.toInt).getOrElse(CompactAfterSegmentsDefault)
+    if (threshold > 0 &&
+        AtomicPublish.currentSegments(spark, tablePath).size >= threshold)
+      compactIndex(spark, tablePath)
+  }
 
   private def dataPathOf(spark: SparkSession, tablePath: String): String =
     s"$tablePath/${AtomicPublish.currentDataDir(spark, tablePath).getOrElse(
@@ -140,15 +232,7 @@ object DedupIndex {
       "kind" -> "minhash", "numHashes" -> numHashes.toString,
       "bands" -> bands.toString, "idCol" -> idCol, "textCol" -> textCol,
       "spec" -> spec, "sourcePath" -> sourcePath, "stamp" -> stamp)
-    // freshness additionally requires a SINGLE segment: appended days
-    // make the content base+appends, which the identity fields alone
-    // no longer describe — a caller asking to ensure "the corpus
-    // index" over an appended table gets a clean rebuild (publish
-    // collapses the segment list back to one).
-    val fresh = readMeta(spark, tablePath).exists(m =>
-      identity.forall { case (k, v) => m.get(k).contains(v) }) &&
-      AtomicPublish.currentSegments(spark, tablePath).size == 1
-    if (!fresh) {
+    if (!isFresh(spark, tablePath, identity)) {
       val sig = MinHashDedup.signatures(corpus, idCol, textCol, numHashes)
       val banded = sig.select(col("id"),
         graft.engine.GraftFunctions.minhashBands(spark, col("sig"), bands).as("bhs"))
@@ -216,19 +300,26 @@ object DedupIndex {
     // needs no distinct; correct, still exchange-free, just unpruned).
     val maxIds = spark.conf.getOption(MaxPushdownIdsKey)
       .map(_.toInt).getOrElse(MaxPushdownIdsDefault)
+    // Cache lifecycle: the returned plan references the persisted probe
+    // set, so the CALLER owns its release (consume the DataFrame, then
+    // spark.catalog.clearCache() or rely on LRU eviction — the block is
+    // batch-sized). Error paths release it here so a refused batch
+    // cannot leak a block per retry in a long-lived daily driver.
     val candP = cand.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val rawIds = candP.select(col("c_id")).limit(maxIds + 1).collect()
-      .map(_.getLong(0))
-    val source = readSource(meta("sourcePath"))
-    val texts =
-      (if (rawIds.length <= maxIds)
-        source.filter(col(idCol).isInCollection(rawIds.distinct.toSeq))
-      else
-        source.join(broadcast(candP.select(col("c_id").as(idCol))),
-          Seq(idCol), "left_semi"))
-        .select(col(idCol).as("c_id"), col(textCol).as("text_c"))
-    texts.join(broadcast(candP), Seq("c_id"))
-      .select(col("c_id"), col("b_id"), col("text_c"), col("text_b"))
+    try {
+      val rawIds = candP.select(col("c_id")).limit(maxIds + 1).collect()
+        .map(_.getLong(0))
+      val source = readSource(meta("sourcePath"))
+      val texts =
+        (if (rawIds.length <= maxIds)
+          source.filter(col(idCol).isInCollection(rawIds.distinct.toSeq))
+        else
+          source.join(broadcast(candP.select(col("c_id").as(idCol))),
+            Seq(idCol), "left_semi"))
+          .select(col(idCol).as("c_id"), col(textCol).as("text_c"))
+      texts.join(broadcast(candP), Seq("c_id"))
+        .select(col("c_id"), col("b_id"), col("text_c"), col("text_b"))
+    } catch { case t: Throwable => candP.unpersist(); throw t }
   }
 
   /** APPEND a day's documents to a published MinHash index — the write
@@ -250,7 +341,10 @@ object DedupIndex {
     val banded = sig.select(col("id"),
       graft.engine.GraftFunctions.minhashBands(
         spark, col("sig"), meta("bands").toInt).as("bhs"))
-    AtomicPublish.appendSegment(spark, tablePath)(p => banded.write.parquet(p))
+    val seg = AtomicPublish.appendSegment(spark, tablePath)(p =>
+      banded.write.parquet(p))
+    maybeCompact(spark, tablePath)
+    seg
   }
 
   /** (band, bh, first_id) — one row per OCCUPIED band bucket of a
@@ -272,6 +366,36 @@ object DedupIndex {
       .agg(min(col("id")).as("first_id"))
   }
 
+  /** (cell, CellState) — one row per OCCUPIED cell of a published
+    * SEMANTIC index: the initial-state table for
+    * [[graft.streaming.SemDedupStream.verdictsSeeded]]. Each cell's
+    * retained-vector state starts as the corpus vectors assigned to it
+    * (single nearest cell — exactly the assignment the daily batch
+    * path joins against, so the streaming recall condition matches
+    * `dailySemanticPairs`), and a streamed vector's arrival verdict is
+    * then judged against corpus ∪ earlier stream WITHOUT the corpus
+    * ever replaying through the stream. Loading is ONE
+    * assignment-sized shuffle at query start (state-building, paid
+    * once per query lifetime — restarts recover from the checkpoint,
+    * not from here). */
+  def semanticSeedState(spark: SparkSession, tablePath: String)
+      : org.apache.spark.sql.Dataset[(Int, graft.streaming.SemDedupStream.CellState)] = {
+    val meta = readMeta(spark, tablePath).getOrElse(
+      throw new IllegalStateException(s"no published semantic index at $tablePath"))
+    require(meta.get("kind").contains("semantic"),
+      s"index at $tablePath is kind=${meta.get("kind")}, expected semantic")
+    import spark.implicits._
+    spark.read.parquet(segmentPaths(spark, tablePath).map(p => s"$p/assign"): _*)
+      .select(col("cell").cast("int").as("cell"), col("id"), col("e"))
+      .as[(Int, Long, Array[Double])]
+      .groupByKey(_._1)
+      .mapGroups { (cell, it) =>
+        val rows = it.toList
+        (cell, graft.streaming.SemDedupStream.CellState(
+          rows.map(_._2), rows.map(_._3)))
+      }
+  }
+
   // ------------------------------------------------------------ semantic
 
   /** Publish (or reuse) the semantic-dedup index: the fitted spherical
@@ -291,10 +415,7 @@ object DedupIndex {
       "kind" -> "semantic", "k" -> k.toString, "dim" -> dim.toString,
       "probes" -> probes.toString, "idCol" -> idCol, "eCol" -> eCol,
       "spec" -> spec, "sourcePath" -> sourcePath, "stamp" -> stamp)
-    val fresh = readMeta(spark, tablePath).exists(m =>
-      identity.forall { case (kk, v) => m.get(kk).contains(v) }) &&
-      AtomicPublish.currentSegments(spark, tablePath).size == 1
-    if (!fresh) {
+    if (!isFresh(spark, tablePath, identity)) {
       val model = SemDedup.fit(spark, corpus, idCol, eCol, k, dim, corpusSize,
         cacheKey = Some(s"dedupindex:$tablePath:$spec"))
       val p = spark.sessionState.conf.numShufflePartitions
@@ -357,10 +478,7 @@ object DedupIndex {
       "kind" -> "ivf", "nlist" -> nlist.toString, "seed" -> seed.toString,
       "idCol" -> idCol, "eCol" -> eCol,
       "spec" -> spec, "sourcePath" -> sourcePath, "stamp" -> stamp)
-    val fresh = readMeta(spark, tablePath).exists(m =>
-      identity.forall { case (k, v) => m.get(k).contains(v) }) &&
-      AtomicPublish.currentSegments(spark, tablePath).size == 1
-    if (!fresh) {
+    if (!isFresh(spark, tablePath, identity)) {
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.array_to_vector
       val base = corpus.select(col(idCol).as("id"), col(eCol).as("e"))
@@ -406,28 +524,32 @@ object DedupIndex {
     val centRows = spark.read.parquet(s"${dataPathOf(spark, tablePath)}/model")
       .orderBy(col("cell")).collect()
     val centroids = centRows.map(r => r.getSeq[Double](1).toArray)
+    // Caller-owned cache (see dailyMinHashCandidates); error paths —
+    // including the cell-cap refusal — release the probe set here.
     val q = AnnSearch.probeCellsForQueries(
         queries.select(col(idCol).as("q_id"), col(eCol).as("qe")),
         centroids, nprobe)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val maxCells = spark.conf.getOption(MaxBatchCellsKey)
-      .map(_.toInt).getOrElse(MaxBatchCellsDefault)
-    val rawCells = q.select(col("cell")).limit(maxCells + 1).collect()
-      .map(_.getInt(0))
-    require(rawCells.length <= maxCells,
-      s"query set probes > $maxCells cells ($MaxBatchCellsKey): " +
-        "this is not a query batch — raise the cap or search in shards")
-    val idx = spark.read.parquet(
-        segmentPaths(spark, tablePath).map(p => s"$p/assign"): _*)
-      .filter(col("cell").isInCollection(rawCells.distinct.toSeq))
-    val cand = idx.join(broadcast(q), Seq("cell"))
-      .filter(col("id") =!= col("q_id"))
-      .withColumn("sim", graft.engine.GraftFunctions.cosineSim(
-        spark, col("qe"), col("e")))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("id"))
-    cand.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("id").as("neighbor_id"), col("sim"))
+    try {
+      val maxCells = spark.conf.getOption(MaxBatchCellsKey)
+        .map(_.toInt).getOrElse(MaxBatchCellsDefault)
+      val rawCells = q.select(col("cell")).limit(maxCells + 1).collect()
+        .map(_.getInt(0))
+      require(rawCells.length <= maxCells,
+        s"query set probes > $maxCells cells ($MaxBatchCellsKey): " +
+          "this is not a query batch — raise the cap or search in shards")
+      val idx = spark.read.parquet(
+          segmentPaths(spark, tablePath).map(p => s"$p/assign"): _*)
+        .filter(col("cell").isInCollection(rawCells.distinct.toSeq))
+      val cand = idx.join(broadcast(q), Seq("cell"))
+        .filter(col("id") =!= col("q_id"))
+        .withColumn("sim", graft.engine.GraftFunctions.cosineSim(
+          spark, col("qe"), col("e")))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("id"))
+      cand.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("q_id"), col("rank"), col("id").as("neighbor_id"), col("sim"))
+    } catch { case t: Throwable => q.unpersist(); throw t }
   }
 
   /** APPEND a day's vectors to a published semantic index — the write
@@ -452,8 +574,45 @@ object DedupIndex {
         SemDedup.assignCells(spark, model, col("e"), 1), 1))
       .repartitionByRange(p, col("cell"))
       .sortWithinPartitions(col("cell"))
-    AtomicPublish.appendSegment(spark, tablePath)(pth =>
+    val seg = AtomicPublish.appendSegment(spark, tablePath)(pth =>
       assigned.write.parquet(s"$pth/assign"))
+    maybeCompact(spark, tablePath)
+    seg
+  }
+
+  /** APPEND a day's vectors to a published IVF ANN index — the write
+    * half of the SEARCH family's daily cycle (round-12's indexes grew
+    * for the dedup kinds only; IVF was rebuild-only, forcing a full
+    * republish per day of corpus growth). New vectors are assigned
+    * their single nearest centroid UNDER THE EXISTING published model
+    * with the SAME expressions queries probe with
+    * ([[AnnSearch.probeCellsForQueries]], nprobe=1 — squared-euclidean
+    * argmin, ties to the lowest cell id, matching MLlib's assignment),
+    * cell-sorted, and land as a new manifest segment: batch-sized IO
+    * for a batch-sized change. `ensure*` still refuses to reuse a
+    * grown table as a fresh corpus index, so a drifted corpus warrants
+    * a rebuild exactly as for the dedup kinds. */
+  def appendToIvfIndex(spark: SparkSession, tablePath: String,
+                       newVecs: DataFrame): String = {
+    val meta = readMeta(spark, tablePath).getOrElse(
+      throw new IllegalStateException(s"no published ivf index at $tablePath"))
+    require(meta.get("kind").contains("ivf"),
+      s"index at $tablePath is kind=${meta.get("kind")}, expected ivf")
+    val centroids = spark.read.parquet(s"${dataPathOf(spark, tablePath)}/model")
+      .orderBy(col("cell")).collect()
+      .map(r => r.getSeq[Double](1).toArray)
+    val idCol = meta("idCol"); val eCol = meta("eCol")
+    val p = spark.sessionState.conf.numShufflePartitions
+    val assigned = AnnSearch.probeCellsForQueries(
+        newVecs.select(col(idCol).as("q_id"), col(eCol).as("qe")),
+        centroids, nprobe = 1)
+      .select(col("q_id").as("id"), col("qe").as("e"), col("cell"))
+      .repartitionByRange(p, col("cell"))
+      .sortWithinPartitions(col("cell"))
+    val seg = AtomicPublish.appendSegment(spark, tablePath)(pth =>
+      assigned.write.parquet(s"$pth/assign"))
+    maybeCompact(spark, tablePath)
+    seg
   }
 
   /** DAILY incremental semantic pairs against a published index — NO
@@ -481,23 +640,27 @@ object DedupIndex {
     // distinct() here would put an exchange in the daily plan. The cap
     // is on raw probe rows (|batch| × probes): a "batch" beyond it is
     // not a daily batch — loud refusal with the remedy, house style.
-    val maxCells = spark.conf.getOption(MaxBatchCellsKey)
-      .map(_.toInt).getOrElse(MaxBatchCellsDefault)
-    val rawCells = b.select(col("cell")).limit(maxCells + 1).collect()
-      .map(_.getInt(0))
-    require(rawCells.length <= maxCells,
-      s"daily batch probes > $maxCells cells ($MaxBatchCellsKey): " +
-        "this is not a daily batch — dedup it as a corpus (blockedPairs) " +
-        "or raise the cap")
-    val batchCells = rawCells.distinct
-    val idx = spark.read.parquet(
-        segmentPaths(spark, tablePath).map(p => s"$p/assign"): _*)
-      .filter(col("cell").isInCollection(batchCells.toSeq))
-      .select(col("id").as("c_id"), col("e").as("ce"), col("cell"))
-    idx.join(broadcast(b), Seq("cell"))
-      .withColumn("sim", graft.engine.GraftFunctions.cosineSim(
-        spark, col("ce"), col("be")))
-      .filter(col("sim") >= minCosine)
-      .select(col("b_id"), col("c_id"), col("sim"))
+    // Caller-owned cache (see dailyMinHashCandidates); error paths —
+    // including the refusal — release the persisted probe set here.
+    try {
+      val maxCells = spark.conf.getOption(MaxBatchCellsKey)
+        .map(_.toInt).getOrElse(MaxBatchCellsDefault)
+      val rawCells = b.select(col("cell")).limit(maxCells + 1).collect()
+        .map(_.getInt(0))
+      require(rawCells.length <= maxCells,
+        s"daily batch probes > $maxCells cells ($MaxBatchCellsKey): " +
+          "this is not a daily batch — dedup it as a corpus (blockedPairs) " +
+          "or raise the cap")
+      val batchCells = rawCells.distinct
+      val idx = spark.read.parquet(
+          segmentPaths(spark, tablePath).map(p => s"$p/assign"): _*)
+        .filter(col("cell").isInCollection(batchCells.toSeq))
+        .select(col("id").as("c_id"), col("e").as("ce"), col("cell"))
+      idx.join(broadcast(b), Seq("cell"))
+        .withColumn("sim", graft.engine.GraftFunctions.cosineSim(
+          spark, col("ce"), col("be")))
+        .filter(col("sim") >= minCosine)
+        .select(col("b_id"), col("c_id"), col("sim"))
+    } catch { case t: Throwable => b.unpersist(); throw t }
   }
 }

@@ -1299,6 +1299,44 @@ object LlmQueries extends QueryGroup {
       },
       None),
 
+    // The IVF index's DAILY CYCLE — the search-family twin of
+    // dedup_incremental_minhash_cycle (round-12's IVF index was
+    // rebuild-only; a growing corpus forced a full republish per day).
+    // Day-1 queries search the published corpus index; the day's
+    // corpus growth is APPENDED under the EXISTING centroids (assigned
+    // with the very expressions queries probe with — a new manifest
+    // segment, batch-sized IO, no Lloyd refit); day-2 search spans
+    // corpus ∪ day 1. Day-1 plans bind the base segment's literal
+    // paths before the append, so the append cannot contaminate them.
+    // Rows-only like its twins (MLlib centroids are engine-specific);
+    // DedupIndexSpec pins append ≡ one-shot assignment under the same
+    // centroids and that day-2 clones resolve to their appended
+    // sources.
+    GQuery("sim_search_ivf_cycle",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables(s, dir, "embeddings")
+          .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+        val corpus = emb.filter($"vec_id" >= 50)
+        val day1 = emb.filter($"vec_id" >= 10 && $"vec_id" < 50)
+        val queries = emb.filter($"vec_id" < 5)
+        val table = graft.ops.DedupIndex.defaultTablePath("ivf_cycle", dir)
+        // a previous run's appended segments force a clean base rebuild
+        // (ensure* refuses to reuse a grown table) — each run replays
+        // the identical two-day cycle
+        graft.ops.DedupIndex.ensureIvfIndex(s, table, corpus,
+          s"$dir/embeddings.parquet", "vec_id>=50#cycle", "vec_id", "e")
+        val out1 = graft.ops.DedupIndex.ivfTopKIndexed(s, table, queries,
+            "vec_id", "e", k = 10)
+          .select(lit(1).as("day"), $"q_id", $"rank", $"neighbor_id")
+        graft.ops.DedupIndex.appendToIvfIndex(s, table, day1)
+        val out2 = graft.ops.DedupIndex.ivfTopKIndexed(s, table, queries,
+            "vec_id", "e", k = 10)
+          .select(lit(2).as("day"), $"q_id", $"rank", $"neighbor_id")
+        out1.unionByName(out2).orderBy($"day", $"q_id", $"rank")
+      },
+      None),
+
     // Multimodal feature extraction over the binary column — REAL
     // decode: each row carries genuine PNG / JPEG / GIF bytes (written
     // by the deterministic in-repo encoders; dimensions are a pure

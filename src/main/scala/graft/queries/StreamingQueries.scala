@@ -520,6 +520,69 @@ object StreamingQueries extends QueryGroup {
                                              CAST(b.embedding AS DOUBLE[])) >= 0.45)
               ORDER BY a.vec_id""")),
 
+    // SEEDED online semantic dedup — the round-13 closing of the seeded
+    // family: stream_minhash_dedup_seeded pre-loads TEXT band state
+    // from the published index; this key does the same for VECTORS.
+    // Per-cell state initializes from the published semantic index's
+    // assignment table (flatMapGroupsWithState initialState — one
+    // assignment-sized shuffle at query start), so a streamed vector's
+    // arrival-time verdict is judged against corpus ∪ earlier stream
+    // while the CORPUS NEVER REPLAYS through the stream. Recall is the
+    // measured-1.0 composition of its two green twins: corpus-vs-stream
+    // pairs co-locate iff the corpus vector's single cell is among the
+    // stream vector's probes (dedup_incremental_indexed's condition),
+    // stream-vs-stream iff probe sets intersect (stream_semantic_dedup's
+    // condition) — so the EXACT NOT-EXISTS oracle with the corpus in
+    // the comparison universe must hash-match; a straddling pair fails
+    // the gate rather than passing silently.
+    GQuery("stream_semantic_dedup_seeded",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        import graft.streaming.{SemDedupStream, VecProbe}
+        implicit val sqlCtx = s.sqlContext
+        val emb = Tables(s, dir, "embeddings")
+          .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+        val corpus = emb.filter($"vec_id" >= 100)
+        val n = graft.ops.AnnSearch.parquetRowCount(s, s"$dir/embeddings.parquet")
+        val table = graft.ops.DedupIndex.defaultTablePath("semantic", dir)
+        graft.ops.DedupIndex.ensureSemanticIndex(s, table, corpus,
+          s"$dir/embeddings.parquet", "vec_id>=100", "vec_id", "e",
+          dim = 64, corpusSize = math.max(1L, n - 100L))
+        val model = graft.ops.DedupIndex.loadModel(s, table)
+        val seeds = graft.ops.DedupIndex.semanticSeedState(s, table)
+        // stream side probes its 2 nearest cells under the SAME loaded
+        // model the index assigned the corpus with (all cells when the
+        // quantizer is tiny — the dailySemanticPairs rule)
+        val effProbes = if (model.k <= 4) model.k else 2
+        val probeRows = emb.filter($"vec_id" < 100)
+          .withColumn("cells",
+            graft.ops.SemDedup.assignCells(s, model, $"e", effProbes))
+          .select($"vec_id", explode($"cells").as("cell"), $"e")
+          .orderBy($"vec_id")
+          .as[VecProbe]
+          .collect().toSeq
+        val name = s"ssds_${StreamingQueries.sinkCounter.incrementAndGet()}"
+        val input = MemoryStream[VecProbe]
+        val q = SemDedupStream.verdictsSeeded(input.toDS(), seeds,
+            minCosine = 0.45)
+          .writeStream.format("memory").queryName(name)
+          .outputMode("update").start()
+        try
+          probeRows.grouped(math.max(1, probeRows.size / 3 + 1)).foreach { c =>
+            input.addData(c); q.processAllAvailable()
+          }
+        finally q.stop()
+        SemDedupStream.survivors(s, name).toDF("vec_id")
+      },
+      Some("""SELECT a.vec_id FROM embeddings a
+              WHERE a.vec_id < 100 AND NOT EXISTS (
+                SELECT 1 FROM embeddings b
+                WHERE (b.vec_id >= 100 OR b.vec_id < a.vec_id)
+                  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                             CAST(b.embedding AS DOUBLE[])) >= 0.45)
+              ORDER BY a.vec_id""")),
+
     // ONLINE MinHash/LSH near-dup detection — the fuzzy-TEXT twin of
     // stream_semantic_dedup, with the state profile that actually
     // scales to an unbounded ingest: a band bucket only remembers its

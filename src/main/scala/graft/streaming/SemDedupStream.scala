@@ -75,29 +75,59 @@ object SemDedupStream {
     * same-batch rows already inserted — the iterator is sorted by
     * vec_id, and replay order must be non-decreasing in vec_id across
     * batches for "earlier" to mean the oracle's `vec_id <`). */
+  private def updateCell(minCosine: Double, maxCellState: Int)
+                        (cell: Int, it: Iterator[VecProbe],
+                         state: GroupState[CellState]): Iterator[ProbeVerdict] = {
+    val st = state.getOption.getOrElse(CellState(Nil, Nil))
+    var ids = st.ids
+    var vecs = st.vecs
+    // counted once per invocation, not per row — a seeded cell can
+    // start thousands deep and List.length is O(n)
+    var retained = ids.length
+    val out = List.newBuilder[ProbeVerdict]
+    it.toSeq.sortBy(_.vec_id).foreach { p =>
+      val matched = vecs.exists(v => cos(v, p.e) >= minCosine)
+      out += ProbeVerdict(p.vec_id, cell, !matched)
+      ids = p.vec_id :: ids
+      vecs = p.e :: vecs
+      retained += 1
+      if (retained > maxCellState) throw new IllegalStateException(
+        s"semantic-dedup stream cell $cell exceeds $maxCellState " +
+          s"retained vectors ($MaxCellStateKey): the quantizer " +
+          "collapsed for this stream — refit with more cells")
+    }
+    state.update(CellState(ids, vecs))
+    out.result().iterator
+  }
+
   def verdicts(probes: Dataset[VecProbe], minCosine: Double,
                maxCellState: Int = MaxCellStateDefault): Dataset[ProbeVerdict] =
     probes.groupByKey(_.cell)
       .flatMapGroupsWithState[CellState, ProbeVerdict](
-        OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        (cell: Int, it: Iterator[VecProbe], state: GroupState[CellState]) =>
-          val st = state.getOption.getOrElse(CellState(Nil, Nil))
-          var ids = st.ids
-          var vecs = st.vecs
-          val out = List.newBuilder[ProbeVerdict]
-          it.toSeq.sortBy(_.vec_id).foreach { p =>
-            val matched = vecs.exists(v => cos(v, p.e) >= minCosine)
-            out += ProbeVerdict(p.vec_id, cell, !matched)
-            ids = p.vec_id :: ids
-            vecs = p.e :: vecs
-            if (ids.length > maxCellState) throw new IllegalStateException(
-              s"semantic-dedup stream cell $cell exceeds $maxCellState " +
-                s"retained vectors ($MaxCellStateKey): the quantizer " +
-                "collapsed for this stream — refit with more cells")
-          }
-          state.update(CellState(ids, vecs))
-          out.result().iterator
-      }
+        OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        updateCell(minCosine, maxCellState))
+
+  /** SEEDED variant: the stream starts with its per-cell vector state
+    * PRE-LOADED from a published semantic index — online incremental
+    * dedup, where a vector's arrival-time verdict is judged against
+    * corpus ∪ earlier stream WITHOUT the corpus ever replaying through
+    * the stream (the fuzzy-vector twin of
+    * [[MinHashStream.verdictsSeeded]]). `seeds` is one (cell,
+    * CellState) row per occupied corpus cell — Spark's initial-state
+    * API requires unique keys, which the per-cell aggregation in
+    * [[graft.ops.DedupIndex.semanticSeedState]] guarantees. Corpus
+    * entries are by definition earlier than every streamed vector, so
+    * a streamed vector matching ANY seeded entry is dropped, and
+    * stream-vs-stream semantics are exactly [[verdicts]]. */
+  def verdictsSeeded(probes: Dataset[VecProbe],
+                     seeds: Dataset[(Int, CellState)], minCosine: Double,
+                     maxCellState: Int = MaxCellStateDefault): Dataset[ProbeVerdict] = {
+    val initial = seeds.groupByKey(_._1)(keyEnc).mapValues(_._2)(stateEnc)
+    probes.groupByKey(_.cell)
+      .flatMapGroupsWithState[CellState, ProbeVerdict](
+        OutputMode.Update, GroupStateTimeout.NoTimeout, initial)(
+        updateCell(minCosine, maxCellState))
+  }
 
   /** TTL variant of [[verdicts]] — the BOUNDED-STATE online dedup an
     * unbounded ingest needs: a vector is dropped only if an

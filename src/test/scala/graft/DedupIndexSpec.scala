@@ -145,8 +145,11 @@ class DedupIndexSpec extends SparkSpec {
     val day2Recompute = MinHashDedup.incrementalCandidates(
         corpus.unionByName(day1), day2, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(day2Recompute.exists(_._1 < 50L) || day2Recompute.nonEmpty,
-      "vacuous: no day-2 candidates at all")
+    assert(day2Recompute.nonEmpty, "vacuous: no day-2 candidates at all")
+    // the POINT of the cycle: at least one day-2 candidate's partner is
+    // a day-1 doc (the appended segment), not just the original corpus
+    assert(day2Recompute.exists(_._1 < 50L),
+      "vacuous: no day-2 candidate pairs with a day-1 (appended) partner")
     assert(day2Daily === day2Recompute,
       s"extra: ${day2Daily.diff(day2Recompute).take(3)}; " +
         s"missing: ${day2Recompute.diff(day2Daily).take(3)}")
@@ -217,6 +220,235 @@ class DedupIndexSpec extends SparkSpec {
     val universe = bB.select(col("id")).distinct().collect().map(_.getLong(0)).toSet
     val expected = universe -- dupVsCorpus -- dupVsEarlier
     assert(dupVsCorpus.nonEmpty, "vacuous: no stream-vs-corpus collision on graded data")
+    assert(kept === expected,
+      s"extra: ${kept.diff(expected).take(5)}; missing: ${expected.diff(kept).take(5)}")
+  }
+
+  test("ivf append: assignment ≡ MLlib transform under the published centroids; clones resolve; segmentation-invariant") {
+    val corpus = emb.filter(col("vec_id") >= 50)
+    val day1 = emb.filter(col("vec_id") >= 10 && col("vec_id") < 50)
+    val queries = emb.filter(col("vec_id") < 5)
+    val table = tmpTable("ivfapp")
+    DedupIndex.ensureIvfIndex(spark, table, corpus,
+      s"$sfDir/embeddings.parquet", "vec_id>=50#spec", "vec_id", "e")
+    val before = DedupIndex.ivfTopKIndexed(spark, table, queries,
+      "vec_id", "e", k = 10)
+    DedupIndex.appendToIvfIndex(spark, table, day1)
+    // pre-append plan bound the base segment's literal paths
+    assert(before.collect().forall(_.getLong(2) >= 50L),
+      "day-1 search plan leaked post-append segments")
+    // the appended segment's (id, cell) assignment is EXACTLY what
+    // MLlib's own transform computes under the same centroids — which
+    // makes append ≡ one-shot: a single-publish index over corpus ∪
+    // day1 with these centroids would hold precisely base ∪ appended
+    // rows, and ivfTopKIndexed reads the union of segments
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val fit = new KMeans().setK(16).setSeed(42L).setMaxIter(10)
+      .setFeaturesCol("fv").setPredictionCol("cell")
+      .fit(corpus.select(col("e")).withColumn("fv", array_to_vector(col("e")))
+        .select(col("fv")))
+    val expected = fit.transform(
+        day1.select(col("vec_id").as("id"), col("e"))
+          .withColumn("fv", array_to_vector(col("e"))))
+      .select(col("id"), col("cell")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val segs = AtomicPublish.currentSegments(spark, table)
+    assert(segs.size === 2, s"expected base+appended, got $segs")
+    val appended = spark.read.parquet(s"$table/${segs.last}/assign")
+      .select(col("id"), col("cell")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(appended.nonEmpty)
+    assert(appended === expected,
+      s"append assignment diverges from MLlib transform: " +
+        s"extra ${appended.diff(expected).take(3)}, " +
+        s"missing ${expected.diff(appended).take(3)}")
+    // day-2 search spans both segments: planted near-clones of the
+    // appended vectors must find their day-1 sources
+    val clones = day1.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 200000L).as("vec_id"),
+        transform(col("e"), x => x + lit(0.001)).as("e"))
+    val hits = DedupIndex.ivfTopKIndexed(spark, table, clones,
+        "vec_id", "e", k = 10)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    val cloneIds = clones.collect().map(_.getLong(0))
+    assert(cloneIds.nonEmpty)
+    cloneIds.foreach { q =>
+      assert(hits.getOrElse(q, Set.empty).contains(q - 200000L),
+        s"clone $q did not resolve its appended day-1 source in top-10")
+    }
+    // segmentation invariance: the same growth appended in TWO
+    // segments yields the identical search output
+    val table2 = tmpTable("ivfapp2")
+    DedupIndex.ensureIvfIndex(spark, table2, corpus,
+      s"$sfDir/embeddings.parquet", "vec_id>=50#spec", "vec_id", "e")
+    DedupIndex.appendToIvfIndex(spark, table2,
+      day1.filter(col("vec_id") < 30))
+    DedupIndex.appendToIvfIndex(spark, table2,
+      day1.filter(col("vec_id") >= 30))
+    def out(t: String) = DedupIndex.ivfTopKIndexed(spark, t, queries,
+        "vec_id", "e", k = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(out(table2) === out(table),
+      "search output depends on append segmentation")
+  }
+
+  test("minhash compaction: 10 appends collapse to one segment, reads bit-identical, ensure* refuses reuse") {
+    val corpus = docs.filter(col("doc_id") >= 100)
+    val table = tmpTable("mhcompact")
+    DedupIndex.ensureMinHashIndex(spark, table, corpus,
+      s"$sfDir/documents.parquet", "doc_id>=100#compact", "doc_id", "text", 32, 8)
+    spark.conf.set(DedupIndex.CompactAfterSegmentsKey, "0") // hold off
+    try {
+      (0 until 10).foreach { i =>
+        DedupIndex.appendToMinHashIndex(spark, table,
+          docs.filter(col("doc_id") >= 10L * i && col("doc_id") < 10L * (i + 1)))
+      }
+      assert(AtomicPublish.currentSegments(spark, table).size === 11)
+      def rows() = AtomicPublish.read(spark, table).collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1).toSeq
+      def daily() = DedupIndex.dailyMinHashCandidates(spark, table,
+          docs.filter(col("doc_id") < 100), _ => docs)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val m1 = rows(); val d1 = daily()
+      DedupIndex.compactIndex(spark, table)
+      assert(AtomicPublish.currentSegments(spark, table).size === 1,
+        "compaction did not collapse the segment list")
+      assert(rows() === m1, "compaction changed the index content")
+      assert(daily() === d1, "compaction changed daily candidates")
+      // reuse refusal: the compacted single-segment table still holds
+      // corpus ∪ appends — ensure* with the ORIGINAL identity must
+      // rebuild, not serve the grown table as the corpus index
+      val compactedDir = AtomicPublish.currentDataDir(spark, table).get
+      DedupIndex.ensureMinHashIndex(spark, table, corpus,
+        s"$sfDir/documents.parquet", "doc_id>=100#compact", "doc_id", "text", 32, 8)
+      assert(AtomicPublish.currentDataDir(spark, table).get !== compactedDir,
+        "ensure* reused a compacted (grown) table as a fresh corpus index")
+    } finally spark.conf.unset(DedupIndex.CompactAfterSegmentsKey)
+  }
+
+  test("semantic append auto-compacts past the conf threshold; daily pairs unchanged") {
+    val corpus = emb.filter(col("vec_id") >= 100)
+    val day1 = emb.filter(col("vec_id") < 50)
+    // batch = planted near-clones of day 1 (guaranteed pairs once day 1
+    // is in the index — the graded slice has no natural dup here)
+    val batch = day1.select((col("vec_id") + 200000L).as("vec_id"),
+      transform(col("e"), x => x + lit(0.001)).as("e"))
+    val n = corpus.count()
+    def build(tag: String, threshold: String): String = {
+      val t = tmpTable(tag)
+      DedupIndex.ensureSemanticIndex(spark, t, corpus,
+        s"$sfDir/embeddings.parquet", "vec_id>=100#auto", "vec_id", "e",
+        dim = 64, corpusSize = n)
+      spark.conf.set(DedupIndex.CompactAfterSegmentsKey, threshold)
+      try DedupIndex.appendToSemanticIndex(spark, t, day1)
+      finally spark.conf.unset(DedupIndex.CompactAfterSegmentsKey)
+      t
+    }
+    val auto = build("semauto", "2")   // trigger: base+append = 2 >= 2
+    val plain = build("semplain", "0") // disabled twin
+    assert(AtomicPublish.currentSegments(spark, auto).size === 1,
+      "append past threshold did not auto-compact")
+    assert(AtomicPublish.currentSegments(spark, plain).size === 2)
+    def pairs(t: String) = DedupIndex.dailySemanticPairs(spark, t, batch,
+        "vec_id", "e", minCosine = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val a = pairs(auto)
+    assert(a.nonEmpty, "vacuous: clones found no day-1 sources")
+    assert(a === pairs(plain), "auto-compaction changed daily pair results")
+  }
+
+  test("sourceStamp recurses: a regenerated nested partition forces republish") {
+    val src = tmpTable("psrc")
+    docs.filter(col("doc_id") < 50)
+      .withColumn("part", col("doc_id") % 2)
+      .write.partitionBy("part").mode("overwrite").parquet(src)
+    val s1 = DedupIndex.sourceStamp(spark, src)
+    assert(s1.nonEmpty, "partitioned source stamped empty (top-level-only listing)")
+    assert(s1.contains("part="), s"stamp lacks nested relative paths: $s1")
+    val table = tmpTable("pidx")
+    val corpus = spark.read.parquet(src)
+    val v1 = DedupIndex.ensureMinHashIndex(spark, table, corpus, src,
+      "all", "doc_id", "text", 32, 8)
+    // regenerate one partition (simulated: bump a nested data file's mtime)
+    val part0 = new java.io.File(src).listFiles()
+      .find(_.getName.startsWith("part=")).get
+    val nested = part0.listFiles().find(_.getName.endsWith(".parquet")).get
+    assert(nested.setLastModified(nested.lastModified() + 5000))
+    assert(DedupIndex.sourceStamp(spark, src) !== s1,
+      "nested mtime change invisible to the stamp")
+    val v2 = DedupIndex.ensureMinHashIndex(spark, table, corpus, src,
+      "all", "doc_id", "text", 32, 8)
+    assert(v2 !== v1, "regenerated nested partition did NOT force republish")
+  }
+
+  test("seeded semantic stream: file-source restart mid-replay, survivors ≡ corpus-aware oracle") {
+    import spark.implicits._
+    import graft.streaming.{SemDedupStream, VecProbe}
+    val corpus = emb.filter(col("vec_id") >= 100)
+    val streamSide = emb.filter(col("vec_id") < 100)
+    val n = corpus.count()
+    val table = tmpTable("seedsem")
+    DedupIndex.ensureSemanticIndex(spark, table, corpus,
+      s"$sfDir/embeddings.parquet", "vec_id>=100#seedstream", "vec_id", "e",
+      dim = 64, corpusSize = n)
+    val model = DedupIndex.loadModel(spark, table)
+    val seeds = DedupIndex.semanticSeedState(spark, table)
+    val effProbes = if (model.k <= 4) model.k else 2
+    val probeRows = streamSide
+      .withColumn("cells", SemDedup.assignCells(spark, model, col("e"), effProbes))
+      .select(col("vec_id"), explode(col("cells")).as("cell"), col("e"))
+      .orderBy(col("vec_id"))
+      .as[VecProbe].collect().toSeq
+    val chunks = probeRows.grouped(math.max(1, probeRows.size / 4 + 1)).toSeq
+    val in = java.nio.file.Files.createTempDirectory("graft_ssds_in").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft_ssds_cp").toString
+    def append(c: Seq[VecProbe]): Unit =
+      c.toDS().coalesce(1).write.mode("append").parquet(in)
+    append(chunks.head)
+    val schema = spark.read.parquet(in).schema
+    val sink = scala.collection.concurrent.TrieMap.empty[(Long, Int), Boolean]
+    def start() = SemDedupStream.verdictsSeeded(
+        spark.readStream.schema(schema).parquet(in).as[VecProbe],
+        seeds, minCosine = 0.45)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[graft.streaming.ProbeVerdict], _: Long) =>
+        b.collect().foreach(v => sink.put((v.vec_id, v.cell), v.kept)); ()
+      }
+      .outputMode("update")
+      .option("checkpointLocation", cp)
+      .start()
+    // life 1: 2 of 4 chunks committed, then the process "dies"
+    val q1 = start()
+    q1.processAllAvailable()
+    append(chunks(1)); q1.processAllAvailable()
+    assert(q1.lastProgress.batchId >= 0, "no committed batch before the kill")
+    q1.stop()
+    // life 2: same checkpoint (initial state must NOT re-apply), rest replayed
+    val q2 = start()
+    chunks.drop(2).foreach { c => append(c); q2.processAllAvailable() }
+    q2.stop()
+    val kept = sink.groupBy(_._1._1)
+      .collect { case (id, vs) if vs.values.forall(identity) => id }.toSet
+    // the driver's exact oracle: a stream vector survives iff NO vector
+    // in corpus ∪ earlier-stream is within cosine ≥ 0.45
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val all = emb.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val streamIds = all.keys.filter(_ < 100).toSeq.sorted
+    val expected = streamIds.filter { a =>
+      !all.exists { case (b, eb) =>
+        (b >= 100 || b < a) && b != a && cos(all(a), eb) >= 0.45
+      }
+    }.toSet
+    val dupVsCorpus = streamIds.filter(a =>
+      all.exists { case (b, eb) => b >= 100 && cos(all(a), eb) >= 0.45 })
+    assert(dupVsCorpus.nonEmpty,
+      "vacuous: no stream-vs-corpus semantic dup on graded data")
     assert(kept === expected,
       s"extra: ${kept.diff(expected).take(5)}; missing: ${expected.diff(kept).take(5)}")
   }
