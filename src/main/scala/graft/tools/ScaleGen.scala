@@ -213,13 +213,27 @@ object ScaleGen {
       if (java.nio.file.Files.exists(stampPath))
         Some(java.nio.file.Files.readString(stampPath))
       else None
-    def field(json: String, re: String): Option[String] =
-      re.r.findFirstMatchIn(json).map(_.group(1))
+    // Stamp parsing goes through a REAL JSON reader (Spark's bundled
+    // Jackson), not field regexes: a reordered field, a quote in a
+    // path, or pretty-printing drift must either parse correctly or
+    // refuse LOUDLY — a silent None here would drop carried tables or
+    // misfire the identity-mismatch refusal (round-12 ADVICE).
+    def parsed(json: String): com.fasterxml.jackson.databind.JsonNode =
+      try new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+      catch {
+        case e: Exception => throw new IllegalStateException(
+          s"SCALEGEN.json at $stampPath is not valid JSON " +
+            s"(${e.getMessage}) — regenerate the dir fully or use a fresh one")
+      }
+    def strField(n: com.fasterxml.jackson.databind.JsonNode,
+                 f: String): Option[String] =
+      Option(n.get(f)).filterNot(_.isNull).map(_.asText)
     val mergedTables = (existing, onlyTables) match {
       case (Some(old), Some(_)) =>
-        val oldMode = field(old, "\"textmode\":\\s*\"([^\"]+)\"")
-        val oldCopies = field(old, "\"copies\":\\s*(\\d+)")
-        val oldSrc = field(old, "\"src\":\\s*\"([^\"]+)\"")
+        val node = parsed(old)
+        val oldMode = strField(node, "textmode")
+        val oldCopies = strField(node, "copies")
+        val oldSrc = strField(node, "src")
         require(oldMode.contains(TextMode) && oldCopies.contains(copies.toString)
             && oldSrc.contains(srcDir),
           s"REFUSING partial regeneration into $outDir: existing stamp says " +
@@ -227,9 +241,9 @@ object ScaleGen {
             s"src=${oldSrc.orNull}) but this run is (textmode=$TextMode, " +
             s"copies=$copies, src=$srcDir) — tables of two different corpus " +
             "laws must not share a dir; regenerate fully or use a fresh dir")
-        val oldTables = field(old, "\"tables\":\\s*\\[([^\\]]*)\\]")
-          .map(_.split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
-            .filter(_.nonEmpty).toSeq).getOrElse(Nil)
+        val oldTables = Option(node.get("tables")).toSeq
+          .flatMap(t => (0 until t.size).map(i => t.get(i).asText))
+          .filter(_.nonEmpty)
         (oldTables ++ genTables).distinct
       case _ => genTables
     }
@@ -244,7 +258,7 @@ object ScaleGen {
         // documents not regenerated: carry the measured vocabulary of
         // the run that DID generate them (merge, don't erase)
         val carried = existing
-          .flatMap(field(_, "\"unigram_types\":\\s*(\\d+)"))
+          .flatMap(old => strField(parsed(old), "unigram_types"))
           .getOrElse("null")
         s""""unigram_types": $carried"""
       }
