@@ -112,9 +112,22 @@ object SemDedup {
                           routedCents: Array[Double],
                           groupStart: Array[Int], leafGid: Array[Int])
 
+  /** A DISTRIBUTED quantizer — the round-13 rung past
+    * [[MaxDriverCentroidBytesKey]]: only the k1 ≈ √k coarse centroids
+    * are driver-resident; the k leaf centroids live in a DataFrame
+    * keyed by coarse group and NEVER collect. `leaves` columns:
+    * (gid, cell, centroid) with `cell` the global leaf id. */
+  final case class BigModel(k1: Int, k2: Int, dim: Int,
+                            coarse: Array[Double],
+                            leaves: DataFrame)
+
   // Fitted models memoized per logical corpus (same policy as
   // AnnSearch.ivfModels: Lloyd must not rerun per query in a JVM).
   private val models = scala.collection.concurrent.TrieMap.empty[String, Model]
+
+  // Distributed models memoized the same way (the coarse fit + leaf
+  // Lloyd must not rerun per entry-point call).
+  private val bigModels = scala.collection.concurrent.TrieMap.empty[String, BigModel]
 
   // Routers memoized per model instance (models are themselves
   // memoized, so identity is the right key).
@@ -141,16 +154,15 @@ object SemDedup {
   def fit(spark: SparkSession, emb: DataFrame, idCol: String, eCol: String,
           k: Int, dim: Int, n: Long,
           cacheKey: Option[String] = None): Model = {
-    // SCALE RUNG (round-12): the fit is a driver-side model. Refuse
+    // CEILING (round-12): this fit is a driver-side model. Refuse
     // loudly — with the memory model in the message — when the centroid
     // table would not fit the driver, BEFORE any job runs. At the
     // defaults (targetCell 1024) this triggers near k ≈ 60 M, i.e. a
-    // ~60 B-vector corpus at dim 64: past that, either shrink k
-    // (raise targetCell — cells of 10⁴-10⁵ rows still block fine and
-    // the pair loop stays partition-local), or lift the ceiling on a
-    // driver actually sized for the model. A distributed fit would
-    // also need a distributed ROUTER (the 4·k·√k·dim regrouping is
-    // driver CPU-bound first) — a deliberate refusal, not a gap.
+    // ~60 B-vector corpus at dim 64. Past it the DISTRIBUTED RUNG
+    // takes over ([[fitBig]]/[[assignBig]] — round 13): blockedPairs
+    // routes there automatically; direct callers of fit() (the
+    // incremental/index paths, which genuinely need a driver-resident
+    // [[Model]]) get this refusal naming both remedies.
     val maxCentBytes = spark.conf.getOption(MaxDriverCentroidBytesKey)
       .map(_.toLong).getOrElse(MaxDriverCentroidBytesDefault)
     val centBytes = k.toLong * dim * 8L * CentroidResidentCopies
@@ -160,8 +172,10 @@ object SemDedup {
         f"> $MaxDriverCentroidBytesKey=$maxCentBytes%,d (the quantizer is a " +
         "driver-side model, and the coarse router additionally pays " +
         f"~${4L * k * math.ceil(math.sqrt(k.toDouble)).toLong * dim}%,d driver " +
-        s"multiplies) — raise $TargetCellKey to shrink k, or raise the " +
-        "ceiling on a driver sized for the model")
+        s"multiplies) — raise $TargetCellKey to shrink k, raise the " +
+        "ceiling on a driver sized for the model, or use the distributed " +
+        "rung (SemDedup.fitBig/assignBig — what blockedPairs does " +
+        "automatically past this ceiling)")
     def doFit(): Model = {
       val debug = spark.conf.getOption("spark.graft.semdedup.debug")
         .contains("true")
@@ -225,6 +239,153 @@ object SemDedup {
       case Some(ck) => models.getOrElseUpdate(s"$ck:k=$k:dim=$dim", doFit())
       case None => doFit()
     }
+  }
+
+  /** DISTRIBUTED quantizer fit — the rung past
+    * [[MaxDriverCentroidBytesKey]] (round 13; previously a hard
+    * refusal). Two levels, neither of which ever holds k centroids on
+    * the driver:
+    *
+    *   1. COARSE: [[fit]] with k1 = ⌈√k⌉ groups — √k×dim×8 B
+    *     driver-resident, inside the ceiling whenever k itself is out
+    *     by less than a factor of √k·copies (at the 2 GB default that
+    *     covers corpora to ~10¹⁴ vectors).
+    *   2. LEAVES: the same deterministic id-hash sample is routed to
+    *     its coarse group as a codegen projection, and each group runs
+    *     a LOCAL spherical Lloyd over its own sample rows inside one
+    *     `flatMapGroups` task (rows sorted by (xxhash64(1,id), id)
+    *     first, so seeds and iteration order — hence the leaves — are
+    *     corpus-partitioning-independent). Leaf centroids land in a
+    *     persisted DataFrame keyed by group and NEVER collect.
+    *
+    * Work: the coarse fit is the existing sample-bounded Lloyd; the
+    * leaf fit is one shuffle of the sample (n_sample rows) plus
+    * per-group O(rows·k2·dim·iters) primitive loops — the same FLOP
+    * count as the driver fit, executed where the memory is. */
+  def fitBig(spark: SparkSession, emb: DataFrame, idCol: String, eCol: String,
+             k: Int, dim: Int, n: Long,
+             cacheKey: Option[String] = None): BigModel = {
+    def doFit(): BigModel = {
+      val k1 = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+      val k2 = math.max(1, math.ceil(k.toDouble / k1).toInt)
+      val coarseModel = fit(spark, emb, idCol, eCol, k1, dim, n,
+        cacheKey.map(ck => s"$ck#coarse"))
+      val fitSample = spark.conf.getOption(FitSampleKey)
+        .map(_.toLong).getOrElse(FitSampleDefault)
+      val iters = spark.conf.getOption(LloydItersKey)
+        .map(_.toInt).getOrElse(LloydItersDefault)
+      val m = math.max(1L, math.round(n / math.max(1.0, fitSample.toDouble)))
+      val base = emb.select(col(idCol).as("id"),
+        col(eCol).cast("array<double>").as("e"))
+      val sample =
+        if (m <= 1L) base
+        else base.filter(pmod(xxhash64(col("id")), lit(m)) === 0)
+      import spark.implicits._
+      val k2Cap = k2
+      val itersCap = iters
+      val leaves = sample
+        .withColumn("gid", element_at(probeCells(coarseModel, col("e"), 1), 1))
+        .withColumn("h", xxhash64(lit(1L), col("id")))
+        .select(col("gid"), col("h"), col("id"), col("e"))
+        .as[(Int, Long, Long, Array[Double])]
+        .groupByKey(_._1)
+        .flatMapGroups { (gid: Int, it: Iterator[(Int, Long, Long, Array[Double])]) =>
+          // fixed (hash, id) order makes every double op sequence —
+          // seeds, assignment scans, mean sums — partitioning-blind
+          val rows = it.toArray.sortBy(r => (r._2, r._3))
+          val vecs = rows.map(r => normalized(r._4))
+          val kk = math.min(k2Cap, vecs.length)
+          if (kk == 0) Iterator.empty
+          else {
+            var cents = Array.tabulate(kk)(j => vecs(j).clone())
+            var iter = 0
+            while (iter < itersCap) {
+              val sums = Array.fill(kk)(new Array[Double](dim))
+              val cnt = new Array[Int](kk)
+              var r = 0
+              while (r < vecs.length) {
+                val v = vecs(r)
+                var best = 0; var bestD = Double.NegativeInfinity
+                var c = 0
+                while (c < kk) {
+                  val cc = cents(c); var d = 0.0; var i = 0
+                  while (i < dim && i < v.length) { d += cc(i) * v(i); i += 1 }
+                  if (d > bestD) { bestD = d; best = c }
+                  c += 1
+                }
+                val s = sums(best); cnt(best) += 1
+                var i2 = 0
+                while (i2 < dim && i2 < v.length) { s(i2) += v(i2); i2 += 1 }
+                r += 1
+              }
+              val next = cents.map(_.clone()) // empty cells keep position
+              var c2 = 0
+              while (c2 < kk) {
+                if (cnt(c2) > 0) {
+                  var i = 0
+                  while (i < dim) { next(c2)(i) = sums(c2)(i) / cnt(c2); i += 1 }
+                  next(c2) = normalized(next(c2))
+                }
+                c2 += 1
+              }
+              cents = next
+              iter += 1
+            }
+            (0 until kk).iterator.map(j =>
+              (gid, gid * k2Cap + j, cents(j).toSeq))
+          }
+        }
+        .toDF("gid", "cell", "centroid")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      BigModel(k1, k2, dim, coarseModel.cents, leaves)
+    }
+    cacheKey match {
+      case Some(ck) => bigModels.getOrElseUpdate(s"$ck:k=$k:dim=$dim:big", doFit())
+      case None => doFit()
+    }
+  }
+
+  /** Probe-cell assignment under a [[BigModel]] — returns
+    * `(id, e, cells)` with `cells` the `nprobe` nearest leaf cells in
+    * similarity order (the [[NearestCells]] contract the pair loop's
+    * canonical-cell rule relies on), computed WITHOUT the leaf table
+    * ever leaving the executors:
+    *
+    *   1. each vector probes its `pc` nearest coarse groups (codegen,
+    *      driver-held √k×dim coarse table — same recall knob as the
+    *      driver router's [[CoarseProbesKey]]);
+    *   2. one equi-join on `gid` against the distributed leaf table —
+    *      Catalyst picks broadcast while leaves are small and
+    *      shuffle-hash at true scale — with the fused codegen cosine
+    *      per (vector, leaf);
+    *   3. per-(id, gid) top-`nprobe` via an aggregate that needs NO
+    *      exchange (the join output is already clustered by gid, which
+    *      satisfies the (id, gid) grouping), then one batch-sized
+    *      shuffle merges the per-group tops into the global `nprobe`.
+    *
+    * Per-vector work is pc·k2 ≈ 4√k dot products — the same
+    * asymptotics as the driver router, executed distributed. */
+  def assignBig(spark: SparkSession, big: BigModel, df: DataFrame,
+                nprobe: Int): DataFrame = {
+    val coarseM = Model(big.k1, big.dim, big.coarse)
+    val pc = math.min(big.k1, math.max(spark.conf.getOption(CoarseProbesKey)
+      .map(_.toInt).getOrElse(CoarseProbesDefault), nprobe))
+    val v = df
+      .withColumn("gids", probeCells(coarseM, col("e"), pc))
+      .select(col("id"), col("e"), explode(col("gids")).as("gid"))
+    val cand = v.join(big.leaves, Seq("gid"))
+      .withColumn("negsim", -graft.engine.GraftFunctions.cosineSim(
+        spark, col("e"), col("centroid")))
+    val localTop = cand.groupBy(col("id"), col("gid"))
+      .agg(first(col("e")).as("e"),
+        slice(array_sort(collect_list(struct(col("negsim"), col("cell")))),
+          1, nprobe).as("top"))
+    localTop
+      .select(col("id"), col("e"), explode(col("top")).as("c"))
+      .groupBy(col("id"))
+      .agg(first(col("e")).as("e"),
+        expr(s"transform(slice(array_sort(collect_list(c)), 1, $nprobe), " +
+          "x -> x.cell)").as("cells"))
   }
 
   /** Coarse routing layer: group the model's k leaf centroids into
@@ -355,14 +516,40 @@ object SemDedup {
     val maxCell = spark.conf.getOption(MaxCellRowsKey)
       .map(_.toInt).getOrElse(MaxCellRowsDefault)
     val k = cellCount(spark, n, probes)
-    val model = fit(spark, emb, idCol, eCol, k, dim, n, cacheKey)
     val p = spark.sessionState.conf.numShufflePartitions
-    val cellsCol = assignCells(spark, model,
-      col(eCol).cast("array<double>"), probes)
+    val base = emb.select(col(idCol).as("id"),
+      col(eCol).cast("array<double>").as("e"))
+    // DISTRIBUTED RUNG (round 13): past the driver-centroid ceiling the
+    // quantizer fits and assigns distributed ([[fitBig]]/[[assignBig]])
+    // instead of refusing — the pair loop downstream is identical, so
+    // the only semantic delta is the quantizer's cell geometry (recall
+    // gated in SemDedupSpec under a forced-tiny ceiling). Below the
+    // ceiling the path is bit-identical to round 12.
+    val maxCentBytes = spark.conf.getOption(MaxDriverCentroidBytesKey)
+      .map(_.toLong).getOrElse(MaxDriverCentroidBytesDefault)
+    val assigned =
+      if (k.toLong * dim * 8L * CentroidResidentCopies > maxCentBytes) {
+        val big = fitBig(spark, base, "id", "e", k, dim, n, cacheKey)
+        assignBig(spark, big, base, probes)
+      } else {
+        val model = fit(spark, emb, idCol, eCol, k, dim, n, cacheKey)
+        base.withColumn("cells", assignCells(spark, model, col("e"), probes))
+          .select(col("id"), col("e"), col("cells"))
+      }
+    pairsFromAssigned(spark, assigned, minCosine, maxCell, p)
+  }
+
+  /** The partition-local pair loop over an `(id, e, cells)` assignment
+    * — shared tail of the driver-model and [[BigModel]] paths of
+    * [[blockedPairs]]. `cells` must be similarity-ordered (the
+    * canonical-cell rule depends on it). */
+  private def pairsFromAssigned(spark: SparkSession, assigned: DataFrame,
+                                minCosine: Double, maxCell: Int,
+                                p: Int): DataFrame = {
+    import spark.implicits._
     val minCos = minCosine
     val maxRun = maxCell
-    emb.select(col(idCol).as("id"), col(eCol).cast("array<double>").as("e"))
-      .withColumn("cells", cellsCol)
+    assigned
       .select(col("id"), col("e"), col("cells"),
         explode(col("cells")).as("cell"))
       .repartition(p, col("cell"))

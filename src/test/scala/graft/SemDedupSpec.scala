@@ -52,6 +52,49 @@ class SemDedupSpec extends SparkSpec {
     assert(recall >= 0.99, s"planted-clone recall $recall")
   }
 
+  test("distributed rung past the centroid ceiling: flat fit refuses, blockedPairs completes, recall holds") {
+    import spark.implicits._
+    val orig = emb()
+    val clones = orig.select(($"vec_id" + 100000L).as("vec_id"),
+      transform($"e", x => x + lit(0.001)).as("e"))
+    val both = orig.unionByName(clones)
+    val n = both.count()
+    // Force the rung: shrink targetCell so k grows, then set the
+    // ceiling BETWEEN the flat model's bytes (k·dim·8·copies — must
+    // refuse) and the coarse model's (√k-sized — must fit), exactly
+    // the regime a 60 B-vector corpus hits at the defaults.
+    spark.conf.set(SemDedup.TargetCellKey, "8")
+    try {
+      val k = SemDedup.cellCount(spark, n)
+      val flatBytes = k.toLong * 64 * 8 * SemDedup.CentroidResidentCopies
+      val k1 = math.ceil(math.sqrt(k.toDouble)).toLong
+      val coarseBytes = k1 * 64 * 8 * SemDedup.CentroidResidentCopies
+      assert(coarseBytes < flatBytes - 1, "degenerate spec setup")
+      spark.conf.set(SemDedup.MaxDriverCentroidBytesKey, (flatBytes - 1).toString)
+      // the ceiling binds: the driver-side fit refuses at these bytes
+      // with the rung named in the remedy
+      val e1 = intercept[IllegalStateException] {
+        SemDedup.fit(spark, both, "vec_id", "e", k, 64, n)
+      }
+      assert(e1.getMessage.contains("fitBig"), e1.getMessage)
+      // ...but blockedPairs routes to the distributed fit+assign and
+      // completes, with the planted-clone recall the flat path gates
+      val blocked = SemDedup.blockedPairs(spark, both, "vec_id", "e",
+          minCosine = 0.9, dim = 64, n = n)
+        .select($"id_a", $"id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val brute = brutePairs(both, 0.9)
+      assert(brute.nonEmpty)
+      assert(blocked.subsetOf(brute), s"spurious: ${blocked.diff(brute).take(5)}")
+      val recall = blocked.size.toDouble / brute.size
+      info(s"distributed-rung planted-clone recall: ${blocked.size}/${brute.size} = $recall")
+      assert(recall >= 0.99, s"distributed-rung recall $recall")
+    } finally {
+      spark.conf.unset(SemDedup.TargetCellKey)
+      spark.conf.unset(SemDedup.MaxDriverCentroidBytesKey)
+    }
+  }
+
   test("blocked pairs at the graded degenerate threshold: recall measured and gated") {
     import spark.implicits._
     val e = emb()
