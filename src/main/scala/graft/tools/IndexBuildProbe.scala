@@ -49,10 +49,25 @@ object IndexBuildProbe {
     val mhWarm = t(buildMh())
     val semCold = t(buildSem())
     val semWarm = t(buildSem())
+    // IVF: build cold, reuse check, then APPEND a ~1% "day" of vectors
+    // under the existing centroids — the round-13 append-vs-rebuild
+    // amortization evidence (a grown corpus previously forced a full
+    // ensureIvfIndex republish per day).
+    val ivfTable = graft.ops.DedupIndex.defaultTablePath("ivf_probe", dir)
+    rmrf(ivfTable)
+    def buildIvf() = graft.ops.DedupIndex.ensureIvfIndex(spark, ivfTable,
+      corpusE, s"$dir/embeddings.parquet", "vec_id>=100#probe", "vec_id", "e")
+    val ivfCold = t(buildIvf())
+    val ivfWarm = t(buildIvf())
+    val dayCap = math.max(100L, n / 100L)
+    val ivfAppend = t(graft.ops.DedupIndex.appendToIvfIndex(spark, ivfTable,
+      emb.filter(col("vec_id") < dayCap)))
     def j(d: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     println(s"""{"sf":"$dir","minhash_build_cold":${j(mhCold)},""" +
       s""""minhash_reuse_check":${j(mhWarm)},"semantic_build_cold":${j(semCold)},""" +
-      s""""semantic_reuse_check":${j(semWarm)}}""")
+      s""""semantic_reuse_check":${j(semWarm)},"ivf_build_cold":${j(ivfCold)},""" +
+      s""""ivf_reuse_check":${j(ivfWarm)},"ivf_append_day":${j(ivfAppend)},""" +
+      s""""ivf_day_rows":$dayCap}""")
     spark.stop()
   }
 }
