@@ -83,10 +83,14 @@ object AtomicPublish {
     * TWO DRIVER PROCESSES commit concurrently — a scheduler retry or a
     * backfill racing the daily appender previously lost a segment
     * silently (last manifest swap won). A held lock is waited on up to
-    * [[LockTimeoutMsKey]], then the commit fails loudly; a lock older
-    * than [[LockStaleMsKey]] is presumed orphaned by a dead holder and
-    * broken (both breakers then race the atomic exclusive create — one
-    * wins). */
+    * [[LockTimeoutMsKey]], then the commit fails loudly; a lock whose
+    * mtime is older than [[LockStaleMsKey]] is presumed orphaned by a
+    * DEAD holder and broken (both breakers then race the atomic
+    * exclusive create — one wins). Staleness keys on mtime, not
+    * creation, because a LIVE holder HEARTBEATS the lock (a daemon
+    * thread re-touches it every staleMs/3): a 100 TB publish whose
+    * data write outlives the stale threshold keeps its lease — only a
+    * holder that actually died stops refreshing and ages out. */
   private def withCommitLock[A](spark: SparkSession,
                                 fs: org.apache.hadoop.fs.FileSystem,
                                 root: org.apache.hadoop.fs.Path)(body: => A): A = {
@@ -108,8 +112,9 @@ object AtomicPublish {
           catch { case _: java.io.FileNotFoundException => None }
         mtime match {
           case Some(m) if System.currentTimeMillis() - m > staleMs =>
-            // presumed-dead holder: break the lock; the retry loop's
-            // exclusive create decides between concurrent breakers
+            // presumed-dead holder (heartbeat stopped): break the lock;
+            // the retry loop's exclusive create decides between
+            // concurrent breakers
             try { fs.delete(lockPath, false); () }
             catch { case _: java.io.IOException => () }
           case _ =>
@@ -123,8 +128,29 @@ object AtomicPublish {
         }
       }
     }
+    // lease heartbeat: keep the holder visibly alive while the commit
+    // (data write included) runs — without it a publish longer than
+    // staleMs would have its lock stolen MID-COMMIT and the race the
+    // lock exists to prevent would return exactly on the largest tables
+    val beatEvery = math.max(25L, staleMs / 3)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val beat = new Thread(() => {
+      while (!stop.get()) {
+        try fs.setTimes(lockPath, System.currentTimeMillis(), -1)
+        catch { case _: Throwable => () }
+        var waited = 0L
+        while (!stop.get() && waited < beatEvery) {
+          Thread.sleep(25); waited += 25
+        }
+      }
+    }, s"graft-manifest-lock-heartbeat")
+    beat.setDaemon(true)
+    beat.start()
     try body
-    finally { try { fs.delete(lockPath, false); () } catch { case _: Throwable => () } }
+    finally {
+      stop.set(true); beat.join(1000)
+      try { fs.delete(lockPath, false); () } catch { case _: Throwable => () }
+    }
   }
 
   /** Run `write` against a fresh versioned data directory under

@@ -12,10 +12,12 @@ class BenchGateSpec extends SparkSpec {
   test("invalid-capture gate: sibling JVMs and steal rate stamp the artifact invalid") {
     // a sibling JVM alive at start invalidates wall-clock timings
     assert(Bench.invalidReason(1, 0L, 100.0).exists(_.contains("sibling")))
-    // steal above the documented ceiling (2 jiffies/s of wall) invalidates
+    // steal above the documented ceiling (6 jiffies/s of wall — storms
+    // measure 30-117/s, healthy boards 0.4-3/s) invalidates
     assert(Bench.invalidReason(0, 1000L, 100.0).exists(_.contains("steal")))
-    // a quiet run passes (committed boards measure ~0-0.5 jiffies/s)
-    assert(Bench.invalidReason(0, 100L, 100.0).isEmpty)
+    // a healthy board passes (r13 quiet capture measured 2.9 jiffies/s
+    // of wall with headliners at the quiet anchor)
+    assert(Bench.invalidReason(0, 300L, 100.0).isEmpty)
     // probe-unavailable sentinels (-1) must not false-positive
     assert(Bench.invalidReason(-1, 0L, 100.0).isEmpty)
     assert(Bench.invalidReason(0, -1L, 100.0).isEmpty)

@@ -255,6 +255,47 @@ class MaintenanceSpec extends SparkSpec {
     }
   }
 
+  test("live holder's heartbeat keeps the lease: a slow commit is not stolen mid-write") {
+    import spark.implicits._
+    // A publish whose data write outlives the stale threshold must NOT
+    // have its lock broken (that would re-admit the lost-segment race
+    // exactly on the largest tables); only a DEAD holder — heartbeat
+    // stopped — ages out. Hold a commit open past staleMs and assert a
+    // second committer times out loudly instead of taking over.
+    val table = graft.engine.Scratch.dir("spec_lock_beat")
+    AtomicPublish.publish(spark, table)(p =>
+      Seq((1L, "base")).toDF("id", "v").write.parquet(p))
+    spark.conf.set(AtomicPublish.LockStaleMsKey, "200")
+    spark.conf.set(AtomicPublish.LockTimeoutMsKey, "700")
+    try {
+      val entered = new java.util.concurrent.CountDownLatch(1)
+      val release = new java.util.concurrent.CountDownLatch(1)
+      val slow = new Thread(() => {
+        AtomicPublish.appendSegmentCrossProcess(spark, table) { p =>
+          entered.countDown()
+          release.await()
+          Seq((2L, "slow")).toDF("id", "v").write.parquet(p)
+        }
+        ()
+      })
+      slow.start(); entered.await()
+      Thread.sleep(400) // well past staleMs since lock CREATION
+      val e = intercept[IllegalStateException] {
+        AtomicPublish.appendSegmentCrossProcess(spark, table)(p =>
+          Seq((3L, "thief")).toDF("id", "v").write.parquet(p))
+      }
+      assert(e.getMessage.contains("commit lock"), e.getMessage)
+      release.countDown(); slow.join()
+      assert(AtomicPublish.currentSegments(spark, table).size === 2,
+        "slow holder's commit must land intact")
+      assert(AtomicPublish.read(spark, table).collect().map(_.getString(1)).sorted
+        === Array("base", "slow"))
+    } finally {
+      spark.conf.unset(AtomicPublish.LockStaleMsKey)
+      spark.conf.unset(AtomicPublish.LockTimeoutMsKey)
+    }
+  }
+
   test("compaction partition count scales with real input bytes") {
     val base = graft.engine.Tables(spark, sfDir, "lineitem")
     val frag = graft.engine.Scratch.dir("spec_lineitem_frag2")
