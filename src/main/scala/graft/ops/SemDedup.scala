@@ -359,9 +359,12 @@ object SemDedup {
     *      shuffle-hash at true scale — with the fused codegen cosine
     *      per (vector, leaf);
     *   3. per-(id, gid) top-`nprobe` via an aggregate that needs NO
-    *      exchange (the join output is already clustered by gid, which
-    *      satisfies the (id, gid) grouping), then one batch-sized
-    *      shuffle merges the per-group tops into the global `nprobe`.
+    *      exchange in the rung's target regime (a shuffle join leaves
+    *      the output hash-clustered by gid, and {gid} ⊆ {id, gid}
+    *      satisfies the grouping; under a broadcast join — leaves
+    *      small enough to ship — Catalyst inserts the one exchange a
+    *      small model can afford), then one batch-sized shuffle merges
+    *      the per-group tops into the global `nprobe`.
     *
     * Per-vector work is pc·k2 ≈ 4√k dot products — the same
     * asymptotics as the driver router, executed distributed. */
