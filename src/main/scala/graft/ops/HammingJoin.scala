@@ -111,10 +111,15 @@ object HammingJoin {
   /** Conf key: partition-count multiplier for the local engine's
     * bucket-keyed repartition. Product mass is bucket-skewed, so at
     * exactly cores=partitions the hottest partition straggles; 4×
-    * oversplit was measured worth ~10-20% at sf100/32 threads
-    * (183-152 s vs ~201 s). Default 1 (respect the session's
-    * shuffle-partition sizing); suggest 4 on a real cluster. */
+    * oversplit measured TWICE at sf100/32 threads: round 10 saw
+    * 183-152 s vs ~201 s (~10-20%), and the round-13 A/B (one JVM per
+    * leg, steal-stamped: 2030 vs 6359 jiffies) read 179 s vs 289 s.
+    * DEFAULT 4 since round 13 — output is partitioning-blind
+    * (canonical emission, spec-gated), and on small inputs the extra
+    * partitions cost only scheduling noise. Set 1 to respect the
+    * session's shuffle-partition sizing exactly. */
   val OversplitKey = "spark.graft.hamming.oversplit"
+  val OversplitDefault = 4
 
   /** Heavy-tail allowance multiplied onto the SAMPLED hottest-bucket
     * estimate (s_max/p is a floor — heavy tails hide from samples)
@@ -411,7 +416,7 @@ object HammingJoin {
     requireLongIds(df, idCol, "pairsWithinLocal")
     val L = layout(maxDist, blocks, width = 64)
     val oversplit = spark.conf.getOption(OversplitKey)
-      .map(_.toInt).getOrElse(1)
+      .map(_.toInt).getOrElse(OversplitDefault)
     require(oversplit >= 1 && oversplit <= 64,
       s"$OversplitKey must be in [1, 64], got $oversplit")
     val p = spark.sessionState.conf.numShufflePartitions * oversplit

@@ -90,7 +90,15 @@ object AtomicPublish {
     * creation, because a LIVE holder HEARTBEATS the lock (a daemon
     * thread re-touches it every staleMs/3): a 100 TB publish whose
     * data write outlives the stale threshold keeps its lease — only a
-    * holder that actually died stops refreshing and ages out. */
+    * holder that actually died stops refreshing and ages out.
+    *
+    * FILESYSTEM CONTRACT: the lease needs atomic exclusive-create and
+    * `setTimes` — POSIX and HDFS both provide them. Object stores
+    * (S3 and friends) provide neither reliably; there the industry
+    * answer is an external lock service next to the commit log
+    * (Delta's S3 LogStore shape), deliberately out of scope for a
+    * dependency-free library — run maintenance single-writer per
+    * table on such stores. */
   private def withCommitLock[A](spark: SparkSession,
                                 fs: org.apache.hadoop.fs.FileSystem,
                                 root: org.apache.hadoop.fs.Path)(body: => A): A = {

@@ -862,15 +862,15 @@ class LlmOpsSpec extends SparkSpec {
     // (4) the oversplit conf multiplies the local engine's bucket-keyed
     // repartition (straggler defense on skewed product mass).
     val base = spark.sessionState.conf.numShufflePartitions
-    spark.conf.set(HammingJoin.OversplitKey, "4")
+    spark.conf.set(HammingJoin.OversplitKey, "8")
     try {
       val parts = HammingJoin.pairsWithinLocal(fp, "doc_id", "fp", maxDist = 3)
         .rdd.getNumPartitions
-      assert(parts === base * 4, s"expected ${base * 4} partitions, got $parts")
+      assert(parts === base * 8, s"expected ${base * 8} partitions, got $parts")
     } finally spark.conf.unset(HammingJoin.OversplitKey)
-    // default (conf unset) stays at the session's sizing
+    // default (conf unset) is the measured 4x straggler defense
     val partsDefault = HammingJoin
       .pairsWithinLocal(fp, "doc_id", "fp", maxDist = 3).rdd.getNumPartitions
-    assert(partsDefault === base)
+    assert(partsDefault === base * HammingJoin.OversplitDefault)
   }
 }
