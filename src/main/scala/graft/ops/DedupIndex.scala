@@ -479,13 +479,13 @@ object DedupIndex {
       "idCol" -> idCol, "eCol" -> eCol,
       "spec" -> spec, "sourcePath" -> sourcePath, "stamp" -> stamp)
     if (!isFresh(spark, tablePath, identity)) {
-      import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.array_to_vector
       val base = corpus.select(col(idCol).as("id"), col(eCol).as("e"))
         .withColumn("fv", array_to_vector(col("e")))
-      val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
-        .setFeaturesCol("fv").setPredictionCol("cell")
-        .fit(base.select(col("fv")))
+      // the SHARED quantizer fit (sample-capped at scale) — one
+      // implementation with AnnSearch.ivfTopK so the ≡-pin between the
+      // indexed and recompute twins can never drift
+      val model = AnnSearch.fitIvfModel(spark, base, nlist, seed)
       val p = spark.sessionState.conf.numShufflePartitions
       val assigned = model.transform(base)
         .select(col("id"), col("e"), col("cell"))
