@@ -95,14 +95,27 @@ object AggQueries extends QueryGroup {
       Some(s"""SELECT event_id, COUNT(*) AS n, ${Det.sql.dsum("value")} AS sum_value
               FROM events GROUP BY event_id ORDER BY event_id""")),
 
-    // HLL++ estimates differ per engine → rows-only check + ScalaTest tolerance.
+    // HLL++ estimates differ per engine, so the ESTIMATE can't be
+    // hash-compared — but the tolerance VERDICT can (SURVEY §2.4's named
+    // upgrade): emit the exact distinct count plus the boolean gate
+    // |est − exact| / exact ≤ 0.05 (HLL++'s default rsd), and the oracle
+    // asserts the same exact count with the gate literally TRUE. A
+    // drifting sketch now FAILS the hash compare instead of hiding
+    // behind a rows-only check. The exact countDistinct here is the
+    // GRADING harness, not the operator — a 100 TB user runs the
+    // approx_count_distinct alone (one pass, no distinct shuffle).
     GQuery("approx_distinct",
       (s, dir) => {
         import s.implicits._
         Tables(s, dir, "lineitem")
-          .agg(approx_count_distinct($"l_partkey").as("approx_parts"))
+          .agg(approx_count_distinct($"l_partkey").as("est"),
+               countDistinct($"l_partkey").as("exact_parts"))
+          .select($"exact_parts",
+            (abs($"est" - $"exact_parts").cast("double") /
+              $"exact_parts" <= lit(0.05)).as("within_tol"))
       },
-      None),
+      Some("""SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+              TRUE AS within_tol FROM lineitem""")),
 
     GQuery("value_counts",
       (s, dir) => {

@@ -831,6 +831,96 @@ object LlmQueries extends QueryGroup {
               LEFT JOIN hits h ON h.b_id = bb.doc_id
               GROUP BY bb.doc_id ORDER BY bb.doc_id""")),
 
+    // The LSM loop END-TO-END under grading: FOUR appended days with
+    // AUTO-COMPACTION firing TWICE mid-cycle (threshold 3: segments go
+    // 1→2→3⤵1→2→3⤵1), each day judged against a GROWING universe
+    // (day k vs corpus ∪ days < k). This is what a year of daily
+    // ingest actually does to the index — grow, collapse, keep
+    // serving — and the exact-Jaccard oracle must hash-match across
+    // both compaction boundaries: a segment dropped by the collapse, a
+    // row duplicated by it, or a day-plan broken by the swap all fail
+    // the gate. Day plans built before a compaction keep reading the
+    // superseded segment dirs safely under the manifest GC's retention
+    // window. DedupIndexSpec observes the segment-count collapse
+    // mid-cycle; compaction commits via the optimistic CAS, so a
+    // racing append could never be dropped.
+    GQuery("dedup_incremental_minhash_lsm",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables(s, dir, "documents")
+        val days = (0 until 4).map(k =>
+          docs.filter($"doc_id" >= 25 * k && $"doc_id" < 25 * (k + 1)))
+        val corpus = docs.filter($"doc_id" >= 100)
+        val table = graft.ops.DedupIndex.defaultTablePath("minhash_lsm", dir)
+        graft.ops.DedupIndex.ensureMinHashIndex(s, table, corpus,
+          s"$dir/documents.parquet", "doc_id>=100#lsm", "doc_id", "text",
+          numHashes = 32, bands = 8)
+        def sh(c: org.apache.spark.sql.Column) = {
+          val t = split(c, " ")
+          array_distinct(zip_with(
+            slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+            (x, y) => concat(x, lit(" "), y)))
+        }
+        def dayVerdicts(batch: org.apache.spark.sql.DataFrame) = {
+          val cand = graft.ops.DedupIndex.dailyMinHashCandidates(s, table,
+            batch, _ => Tables(s, dir, "documents"))
+          val hits = cand
+            .withColumn("sh_c", sh($"text_c")).withColumn("sh_b", sh($"text_b"))
+            .withColumn("inter", size(array_intersect($"sh_b", $"sh_c")))
+            .withColumn("jaccard",
+              $"inter" / (size($"sh_b") + size($"sh_c") - $"inter"))
+            .filter($"jaccard" >= 0.8)
+          val agg = hits.groupBy($"b_id")
+            .agg(count(lit(1)).as("nd"), min($"c_id").as("md"),
+              max($"jaccard").as("mj"))
+          batch.select($"doc_id")
+            .join(agg, $"doc_id" === $"b_id", "left")
+            .select($"doc_id", coalesce($"nd", lit(0L)).as("n_dups"),
+              $"md".as("dup_of"), $"mj".as("max_jaccard"))
+        }
+        val prevThreshold = s.conf.getOption(
+          graft.ops.DedupIndex.CompactAfterSegmentsKey)
+        s.conf.set(graft.ops.DedupIndex.CompactAfterSegmentsKey, "3")
+        val outs = try days.map { day =>
+          val out = dayVerdicts(day)
+          graft.ops.DedupIndex.appendToMinHashIndex(s, table, day)
+          out
+        } finally prevThreshold match {
+          case Some(v) => s.conf.set(
+            graft.ops.DedupIndex.CompactAfterSegmentsKey, v)
+          case None => s.conf.unset(
+            graft.ops.DedupIndex.CompactAfterSegmentsKey)
+        }
+        outs.reduce(_ unionByName _).orderBy($"doc_id")
+      },
+      Some("""WITH d AS (
+                SELECT doc_id, list_distinct(list_transform(
+                  range(1, len(str_split(text, ' '))),
+                  i -> str_split(text, ' ')[i] || ' ' || str_split(text, ' ')[i+1])) AS sh
+                FROM documents),
+              b AS (SELECT doc_id, sh FROM d WHERE doc_id < 100),
+              c AS (SELECT doc_id, sh FROM d WHERE doc_id >= 100 OR doc_id < 75),
+              exb AS (SELECT doc_id, unnest(sh) AS s FROM b),
+              exc AS (SELECT doc_id, unnest(sh) AS s FROM c),
+              pairs AS (
+                SELECT eb.doc_id AS b_id, ec.doc_id AS c_id, COUNT(*) AS inter
+                FROM exb eb JOIN exc ec ON eb.s = ec.s
+                WHERE ec.doc_id >= 100
+                   OR ec.doc_id < 25 * CAST(floor(eb.doc_id / 25) AS BIGINT)
+                GROUP BY 1, 2),
+              hits AS (
+                SELECT b_id, c_id,
+                  inter / (len(bb.sh) + len(cc.sh) - inter) AS jaccard
+                FROM pairs
+                JOIN b bb ON bb.doc_id = b_id
+                JOIN c cc ON cc.doc_id = c_id
+                WHERE inter / (len(bb.sh) + len(cc.sh) - inter) >= 0.8)
+              SELECT bb.doc_id, COUNT(h.c_id) AS n_dups,
+                MIN(h.c_id) AS dup_of, MAX(h.jaccard) AS max_jaccard
+              FROM (SELECT doc_id FROM documents WHERE doc_id < 100) bb
+              LEFT JOIN hits h ON h.b_id = bb.doc_id
+              GROUP BY bb.doc_id ORDER BY bb.doc_id""")),
+
     GQuery("text_stats",
       (s, dir) => {
         import s.implicits._

@@ -309,6 +309,52 @@ object SourceQueries extends QueryGroup {
           .orderBy($"s_suppkey")
       },
       Some("""SELECT s_suppkey, s_name, s_nationkey, s_acctbal
-              FROM supplier ORDER BY s_suppkey"""))
+              FROM supplier ORDER BY s_suppkey""")),
+
+    // SQL FRONT DOOR for the table protocol (round-13 gap: a manifest
+    // table — merge-sink state, published indexes — was reachable only
+    // through the ops API; a SQL user couldn't touch it). A CDC batch
+    // lands on a PUBLISHED customer table via MergeInto.upsertInto (the
+    // atomic manifest-swap commit), AtomicPublish.registerView resolves
+    // the committed version into the SQL catalog, and the read is then
+    // submitted as SQL TEXT over the view. SqlFrontDoorSpec pins
+    // sameResult plan equality between this SQL read and the ops-API
+    // read; the oracle reconstructs the merged state from the base
+    // table, so the whole publish→merge→register→SQL loop is
+    // hash-graded.
+    GQuery("published_table_sql",
+      (s, dir) => {
+        import s.implicits._
+        val table = scratch("pubsql_customer")
+        val target = Tables(s, dir, "customer")
+        graft.ops.AtomicPublish.publish(s, table)(p => target.write.parquet(p))
+        val updates = target.filter($"c_custkey" % 10 === 3)
+          .withColumn("c_acctbal", $"c_acctbal" + 100.0)
+        val inserts = target.filter($"c_custkey" % 97 === 0)
+          .withColumn("c_custkey", $"c_custkey" + 5000000000L)
+        graft.ops.MergeInto.upsertInto(s, table,
+          updates.unionByName(inserts), Seq("c_custkey"))
+        graft.ops.AtomicPublish.registerView(s, table, "graft_pub_customer")
+        s.sql(s"""SELECT c_mktsegment, COUNT(*) AS n_cust,
+                  ${graft.engine.Det.sql.dsum("c_acctbal")} AS sum_bal
+                  FROM graft_pub_customer
+                  GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+      },
+      Some(s"""WITH src AS (
+                SELECT c_custkey, c_name, c_nationkey,
+                       c_acctbal + 100.0 AS c_acctbal, c_mktsegment
+                FROM customer WHERE c_custkey % 10 = 3
+                UNION ALL
+                SELECT c_custkey + 5000000000, c_name, c_nationkey,
+                       c_acctbal, c_mktsegment
+                FROM customer WHERE c_custkey % 97 = 0),
+              merged AS (
+                SELECT * FROM customer t WHERE NOT EXISTS
+                  (SELECT 1 FROM src WHERE src.c_custkey = t.c_custkey)
+                UNION ALL
+                SELECT * FROM src)
+              SELECT c_mktsegment, COUNT(*) AS n_cust,
+                ${graft.engine.Det.sql.dsum("c_acctbal")} AS sum_bal
+              FROM merged GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
   )
 }

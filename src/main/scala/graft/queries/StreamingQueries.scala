@@ -288,10 +288,12 @@ object StreamingQueries extends QueryGroup {
     // the reference's to_df()/chunk-callback terminal as a REAL
     // Structured Streaming run, not a batch stand-in. A fixed `events`
     // slice (user_id < 100 — constant work at any sf; the predicate
-    // reaches the parquet scan) replays in ~5 micro-batches through a
-    // MemoryStream → update-mode running aggregate → foreachBatch KEYED
-    // UPSERT. Every delivered batch is applied TWICE: Structured
-    // Streaming guarantees at-least-once delivery to foreachBatch, and
+    // reaches the parquet scan) replays in 3 FILE-SOURCE micro-batches
+    // (graft.streaming.FileReplay — executors stage and read the
+    // chunks; the driver never materializes the stream input) through
+    // an update-mode running aggregate → foreachBatch KEYED UPSERT.
+    // Every delivered batch is applied TWICE: Structured Streaming
+    // guarantees at-least-once delivery to foreachBatch, and
     // end-to-end exactly-once is recovered by sink idempotence (update
     // mode emits the new running total per key, so re-applying a batch
     // rewrites the same rows with the same values). The graded output
@@ -302,36 +304,29 @@ object StreamingQueries extends QueryGroup {
     GQuery("stream_foreach_upsert",
       (s, dir) => {
         import s.implicits._
-        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-        implicit val sqlCtx = s.sqlContext
+        // chunk by EVENT TIME (the natural stream arrival order), so a
+        // user's running total is updated ACROSS micro-batches — the
+        // incremental update-mode state this key grades
         val events = Tables(s, dir, "events")
           .filter($"user_id" < 100)
-          .select($"user_id", $"ts", $"value").as[graft.streaming.EventIn]
-          .collect().toSeq
+          .select($"user_id", $"ts", $"value",
+            unix_millis($"ts").as("__ord"))
         val target = new java.util.concurrent.ConcurrentHashMap[
           Long, (Long, java.math.BigDecimal)]()
-        val input = MemoryStream[graft.streaming.EventIn]
-        val q = input.toDF()
-          .groupBy($"user_id")
-          .agg(count(lit(1)).as("n"),
-            sum($"value".cast("decimal(18,2)")).as("sv"))
-          .writeStream.outputMode("update")
-          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-            val rows = batch.collect()
-            (0 until 2).foreach { _ => // simulated redelivery
-              rows.foreach(r =>
-                target.put(r.getLong(0), (r.getLong(1), r.getDecimal(2))))
+        graft.streaming.FileReplay.replay(s, events, "__ord", 3) { in =>
+          in.groupBy($"user_id")
+            .agg(count(lit(1)).as("n"),
+              sum($"value".cast("decimal(18,2)")).as("sv"))
+            .writeStream.outputMode("update")
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+              val rows = batch.collect()
+              (0 until 2).foreach { _ => // simulated redelivery
+                rows.foreach(r =>
+                  target.put(r.getLong(0), (r.getLong(1), r.getDecimal(2))))
+              }
             }
-          }
-          .start()
-        try
-          // 3 micro-batches: enough to exercise incremental update-mode
-          // state across batches AND per-batch redelivery; each extra
-          // batch costs ~0.7 s of fixed micro-batch machinery.
-          events.grouped(math.max(1, events.size / 3 + 1)).foreach { c =>
-            input.addData(c); q.processAllAvailable()
-          }
-        finally q.stop()
+            .start()
+        }
         import scala.jdk.CollectionConverters._
         target.asScala.toSeq
           // exact decimal total → ONE double cast, same tree as Det.dsum
@@ -360,13 +355,13 @@ object StreamingQueries extends QueryGroup {
     GQuery("stream_foreach_merge",
       (s, dir) => {
         import s.implicits._
-        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
         import graft.ops.{AtomicPublish, MergeInto}
-        implicit val sqlCtx = s.sqlContext
+        // chunk by event time (see stream_foreach_upsert): keys recur
+        // across micro-batches, so the MERGE really UPDATES rows
         val events = Tables(s, dir, "events")
           .filter($"user_id" < 100)
-          .select($"user_id", $"ts", $"value").as[graft.streaming.EventIn]
-          .collect().toSeq
+          .select($"user_id", $"ts", $"value",
+            unix_millis($"ts").as("__ord"))
         val table = graft.engine.Scratch.dir("stream_foreach_merge_target")
         // fresh table per execution (bench reruns share the JVM tmpdir)
         val fsPath = new org.apache.hadoop.fs.Path(table)
@@ -379,31 +374,26 @@ object StreamingQueries extends QueryGroup {
           .agg(count(lit(1)).as("n_events"),
             sum($"value".cast("decimal(18,2)")).as("sv"))
         AtomicPublish.publish(s, table)(p => proto.write.parquet(p))
-        val input = MemoryStream[graft.streaming.EventIn]
-        val q = input.toDF()
-          .groupBy($"user_id")
-          .agg(count(lit(1)).as("n_events"),
-            sum($"value".cast("decimal(18,2)")).as("sv"))
-          .writeStream.outputMode("update")
-          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-            // the MERGE references its source twice (distinct keys +
-            // union); persist the micro-batch so the state-store
-            // output is not re-planned per reference
-            val b = batch.persist()
-            try (0 until 2).foreach { _ => // simulated redelivery
-              MergeInto.upsertInto(s, table, b, Seq("user_id")); ()
-            } finally { b.unpersist(); () }
-          }
-          .start()
-        try
-          // 2 micro-batches x 2 applications = 4 distributed MERGE
-          // commits: incremental state across batches AND redelivery
-          // are both exercised; each commit is a full read+anti-join+
-          // write+manifest-swap cycle (~1 s of fixed machinery each)
-          events.grouped(math.max(1, events.size / 2 + 1)).foreach { c =>
-            input.addData(c); q.processAllAvailable()
-          }
-        finally q.stop()
+        // 2 micro-batches x 2 applications = 4 distributed MERGE
+        // commits: incremental state across batches AND redelivery
+        // are both exercised; each commit is a full read+anti-join+
+        // write+manifest-swap cycle (~1 s of fixed machinery each)
+        graft.streaming.FileReplay.replay(s, events, "__ord", 2) { in =>
+          in.groupBy($"user_id")
+            .agg(count(lit(1)).as("n_events"),
+              sum($"value".cast("decimal(18,2)")).as("sv"))
+            .writeStream.outputMode("update")
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+              // the MERGE references its source twice (distinct keys +
+              // union); persist the micro-batch so the state-store
+              // output is not re-planned per reference
+              val b = batch.persist()
+              try (0 until 2).foreach { _ => // simulated redelivery
+                MergeInto.upsertInto(s, table, b, Seq("user_id")); ()
+              } finally { b.unpersist(); () }
+            }
+            .start()
+        }
         AtomicPublish.read(s, table)
           .select($"user_id", $"n_events",
             $"sv".cast("double").as("sum_value"))
@@ -416,7 +406,9 @@ object StreamingQueries extends QueryGroup {
 
     // ONLINE semantic dedup: the stateful streaming twin of
     // dedup_semantic_blocked. Vectors replay in id order through a
-    // MemoryStream, pre-assigned to their 2 nearest quantizer cells
+    // FILE-SOURCE stream (FileReplay: executor-staged id-range chunks,
+    // no driver materialization — the production tail-a-directory
+    // shape), pre-assigned to their 2 nearest quantizer cells
     // (same memoized fit as the batch path); flatMapGroupsWithState
     // keyed BY CELL keeps every vector seen in the cell (keep-all —
     // cosine is not transitive, so survivor-only state would diverge
@@ -432,31 +424,22 @@ object StreamingQueries extends QueryGroup {
     GQuery("stream_semantic_dedup",
       (s, dir) => {
         import s.implicits._
-        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
         import graft.streaming.{SemDedupStream, VecProbe}
-        implicit val sqlCtx = s.sqlContext
         val emb = Tables(s, dir, "embeddings")
           .select($"vec_id", $"embedding".cast("array<double>").as("e"))
         val n = graft.ops.AnnSearch.parquetRowCount(s, s"$dir/embeddings.parquet")
         val k = graft.ops.SemDedup.cellCount(s, n)
         val model = graft.ops.SemDedup.fit(s, emb, "vec_id", "e", k, 64, n,
           cacheKey = Some(s"embeddings:$dir"))
-        val probeRows = emb
+        val probes = emb
           .withColumn("cells", graft.ops.SemDedup.probeCells(model, $"e", 2))
           .select($"vec_id", explode($"cells").as("cell"), $"e")
-          .orderBy($"vec_id")
-          .as[VecProbe]
-          .collect().toSeq
         val name = s"ssd_${StreamingQueries.sinkCounter.incrementAndGet()}"
-        val input = MemoryStream[VecProbe]
-        val q = SemDedupStream.verdicts(input.toDS(), minCosine = 0.45)
-          .writeStream.format("memory").queryName(name)
-          .outputMode("update").start()
-        try
-          probeRows.grouped(math.max(1, probeRows.size / 3 + 1)).foreach { c =>
-            input.addData(c); q.processAllAvailable()
-          }
-        finally q.stop()
+        graft.streaming.FileReplay.replay(s, probes, "vec_id", 3) { in =>
+          SemDedupStream.verdicts(in.as[VecProbe], minCosine = 0.45)
+            .writeStream.format("memory").queryName(name)
+            .outputMode("update").start()
+        }
         SemDedupStream.survivors(s, name).toDF("vec_id")
       },
       Some("""SELECT a.vec_id FROM embeddings a
@@ -481,34 +464,25 @@ object StreamingQueries extends QueryGroup {
     GQuery("stream_semantic_dedup_ttl",
       (s, dir) => {
         import s.implicits._
-        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
         import graft.streaming.{SemDedupStream, VecProbeT}
-        implicit val sqlCtx = s.sqlContext
         val emb = Tables(s, dir, "embeddings")
           .select($"vec_id", $"embedding".cast("array<double>").as("e"))
         val n = graft.ops.AnnSearch.parquetRowCount(s, s"$dir/embeddings.parquet")
         val k = graft.ops.SemDedup.cellCount(s, n)
         val model = graft.ops.SemDedup.fit(s, emb, "vec_id", "e", k, 64, n,
           cacheKey = Some(s"embeddings:$dir"))
-        val probeRows = emb
+        val probes = emb
           .withColumn("cells", graft.ops.SemDedup.probeCells(model, $"e", 2))
           .select($"vec_id", explode($"cells").as("cell"), $"e",
             timestamp_seconds(lit(1735689600L) + $"vec_id").as("ts"))
-          .orderBy($"vec_id")
-          .as[VecProbeT]
-          .collect().toSeq
         val name = s"ssdt_${StreamingQueries.sinkCounter.incrementAndGet()}"
-        val input = MemoryStream[VecProbeT]
-        val q = SemDedupStream.verdictsTtl(
-            input.toDS().withWatermark("ts", "10 seconds").as[VecProbeT],
-            minCosine = 0.45, ttlMs = 120000L)
-          .writeStream.format("memory").queryName(name)
-          .outputMode("update").start()
-        try
-          probeRows.grouped(math.max(1, probeRows.size / 3 + 1)).foreach { c =>
-            input.addData(c); q.processAllAvailable()
-          }
-        finally q.stop()
+        graft.streaming.FileReplay.replay(s, probes, "vec_id", 3) { in =>
+          SemDedupStream.verdictsTtl(
+              in.withWatermark("ts", "10 seconds").as[VecProbeT],
+              minCosine = 0.45, ttlMs = 120000L)
+            .writeStream.format("memory").queryName(name)
+            .outputMode("update").start()
+        }
         SemDedupStream.survivors(s, name).toDF("vec_id")
       },
       Some("""SELECT a.vec_id FROM embeddings a
@@ -538,9 +512,7 @@ object StreamingQueries extends QueryGroup {
     GQuery("stream_semantic_dedup_seeded",
       (s, dir) => {
         import s.implicits._
-        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
         import graft.streaming.{SemDedupStream, VecProbe}
-        implicit val sqlCtx = s.sqlContext
         val emb = Tables(s, dir, "embeddings")
           .select($"vec_id", $"embedding".cast("array<double>").as("e"))
         val corpus = emb.filter($"vec_id" >= 100)
@@ -555,24 +527,17 @@ object StreamingQueries extends QueryGroup {
         // model the index assigned the corpus with (all cells when the
         // quantizer is tiny — the dailySemanticPairs rule)
         val effProbes = if (model.k <= 4) model.k else 2
-        val probeRows = emb.filter($"vec_id" < 100)
+        val probes = emb.filter($"vec_id" < 100)
           .withColumn("cells",
             graft.ops.SemDedup.assignCells(s, model, $"e", effProbes))
           .select($"vec_id", explode($"cells").as("cell"), $"e")
-          .orderBy($"vec_id")
-          .as[VecProbe]
-          .collect().toSeq
         val name = s"ssds_${StreamingQueries.sinkCounter.incrementAndGet()}"
-        val input = MemoryStream[VecProbe]
-        val q = SemDedupStream.verdictsSeeded(input.toDS(), seeds,
-            minCosine = 0.45)
-          .writeStream.format("memory").queryName(name)
-          .outputMode("update").start()
-        try
-          probeRows.grouped(math.max(1, probeRows.size / 3 + 1)).foreach { c =>
-            input.addData(c); q.processAllAvailable()
-          }
-        finally q.stop()
+        graft.streaming.FileReplay.replay(s, probes, "vec_id", 3) { in =>
+          SemDedupStream.verdictsSeeded(in.as[VecProbe], seeds,
+              minCosine = 0.45)
+            .writeStream.format("memory").queryName(name)
+            .outputMode("update").start()
+        }
         SemDedupStream.survivors(s, name).toDF("vec_id")
       },
       Some("""SELECT a.vec_id FROM embeddings a
@@ -598,24 +563,16 @@ object StreamingQueries extends QueryGroup {
     GQuery("stream_minhash_dedup",
       (s, dir) => {
         import s.implicits._
-        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
         import graft.streaming.{BandProbe, MinHashStream}
-        implicit val sqlCtx = s.sqlContext
-        val probeRows = graft.ops.MinHashDedup.bandHashes(
+        val probes = graft.ops.MinHashDedup.bandHashes(
             Tables(s, dir, "documents"), "doc_id", "text")
           .select($"id".as("doc_id"), $"band", $"bh")
-          .orderBy($"doc_id")
-          .as[BandProbe].collect().toSeq
         val name = s"smh_${StreamingQueries.sinkCounter.incrementAndGet()}"
-        val input = MemoryStream[BandProbe]
-        val q = MinHashStream.verdicts(input.toDS())
-          .writeStream.format("memory").queryName(name)
-          .outputMode("update").start()
-        try
-          probeRows.grouped(math.max(1, probeRows.size / 3 + 1)).foreach { c =>
-            input.addData(c); q.processAllAvailable()
-          }
-        finally q.stop()
+        graft.streaming.FileReplay.replay(s, probes, "doc_id", 3) { in =>
+          MinHashStream.verdicts(in.as[BandProbe])
+            .writeStream.format("memory").queryName(name)
+            .outputMode("update").start()
+        }
         MinHashStream.survivors(s, name).toDF("doc_id")
       },
       None),
@@ -635,9 +592,7 @@ object StreamingQueries extends QueryGroup {
     GQuery("stream_minhash_dedup_seeded",
       (s, dir) => {
         import s.implicits._
-        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
         import graft.streaming.{BandProbe, MinHashStream}
-        implicit val sqlCtx = s.sqlContext
         val docs = Tables(s, dir, "documents")
         val table = graft.ops.DedupIndex.defaultTablePath("minhash", dir)
         graft.ops.DedupIndex.ensureMinHashIndex(s, table,
@@ -645,22 +600,16 @@ object StreamingQueries extends QueryGroup {
           "doc_id>=100", "doc_id", "text", numHashes = 32, bands = 8)
         val seeds = graft.ops.DedupIndex.minHashSeedState(s, table)
           .as[(Int, Long, Long)]
-        val probeRows = graft.ops.MinHashDedup.bandHashes(
+        val probes = graft.ops.MinHashDedup.bandHashes(
             docs.filter($"doc_id" < 100), "doc_id", "text",
             numHashes = 32, bands = 8)
           .select($"id".as("doc_id"), $"band", $"bh")
-          .orderBy($"doc_id")
-          .as[BandProbe].collect().toSeq
         val name = s"smhs_${StreamingQueries.sinkCounter.incrementAndGet()}"
-        val input = MemoryStream[BandProbe]
-        val q = MinHashStream.verdictsSeeded(input.toDS(), seeds)
-          .writeStream.format("memory").queryName(name)
-          .outputMode("update").start()
-        try
-          probeRows.grouped(math.max(1, probeRows.size / 3 + 1)).foreach { c =>
-            input.addData(c); q.processAllAvailable()
-          }
-        finally q.stop()
+        graft.streaming.FileReplay.replay(s, probes, "doc_id", 3) { in =>
+          MinHashStream.verdictsSeeded(in.as[BandProbe], seeds)
+            .writeStream.format("memory").queryName(name)
+            .outputMode("update").start()
+        }
         MinHashStream.survivors(s, name).toDF("doc_id")
       },
       None),
