@@ -48,11 +48,26 @@ object Bench {
     * box contention that only a later quiet re-run could prove — so the
     * artifact now carries its own validity evidence: any reader can
     * adjudicate a suspicious total without re-running.
+    *
+    * ANCESTOR JVMs are excluded (round 14): a capture invoked through an
+    * sbt/CI wrapper has its own mostly-idle parent java process in the
+    * table for the entire run — the r13 driver capture stamped itself
+    * invalid on exactly that ("1 sibling JVM(s) alive at start") while
+    * its numbers bracketed the quiet board. The invoker is part of how
+    * the capture runs, not a contender; genuinely racing JVMs are never
+    * in the ancestor chain.
     */
   private def siblingJvms(): (Int, Int) = try {
     val self = ProcessHandle.current().pid().toString
+    val ancestors: Set[String] = {
+      val b = Set.newBuilder[String]
+      var h = ProcessHandle.current().parent()
+      while (h.isPresent) { b += h.get().pid().toString; h = h.get().parent() }
+      b.result()
+    }
     def pids: Seq[String] = new java.io.File("/proc").list().toSeq
-      .filter(p => p.nonEmpty && p.forall(_.isDigit) && p != self)
+      .filter(p => p.nonEmpty && p.forall(_.isDigit) && p != self &&
+        !ancestors.contains(p))
       .filter { p =>
         try Files.readString(Paths.get(s"/proc/$p/comm")).trim == "java"
         catch { case _: Throwable => false }
@@ -128,7 +143,37 @@ object Bench {
         Double.box(stealDelta / elapsedSec), Double.box(MaxStealPerSec)))
     else None
 
+  /** WAIT-FOR-QUIET (round 14, verdict item): before stamping and
+    * timing, spin — bounded by SPARK_GRAFT_BENCH_QUIET_WAIT_MS (0
+    * disables) — until non-ancestor sibling JVMs have exited and the
+    * idle steal rate settles under ~1 jiffy/s (the healthy PRE-RUN
+    * reading on this box; the in-run gate [[MaxStealPerSec]] is wider
+    * because steal tracks the bench's own load). Driver-run captures
+    * that previously landed next to a finishing test JVM stamped
+    * themselves invalid and lost the round's perf signal; now they
+    * self-heal into valid artifacts when the box clears within the
+    * window, and stamp invalid with evidence as before when it doesn't. */
+  private def waitForQuiet(maxWaitMs: Long): Unit = {
+    val deadline = System.currentTimeMillis() + maxWaitMs
+    var quiet = false
+    while (!quiet && System.currentTimeMillis() < deadline) {
+      val (sibs, sibsBusy) = siblingJvms()
+      val s0 = stealJiffies()
+      Thread.sleep(2000)
+      val rate = if (s0 < 0) 0.0 else (stealJiffies() - s0) / 2.0
+      if (sibs <= 0 && rate <= 1.0) quiet = true
+      else {
+        System.err.println(String.format(java.util.Locale.ROOT,
+          "[bench] waiting for quiet: siblings=%d (busy %d), idle steal %.1f jiffies/s",
+          Int.box(sibs), Int.box(sibsBusy), Double.box(rate)))
+        Thread.sleep(3000)
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
+    waitForQuiet(sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIET_WAIT_MS",
+      "120000").toLong)
     val wall0 = System.nanoTime()
     val loadStart = loadAvg()
     val stealStart = stealJiffies()

@@ -114,12 +114,64 @@ object HammingJoin {
     * oversplit measured TWICE at sf100/32 threads: round 10 saw
     * 183-152 s vs ~201 s (~10-20%), and the round-13 A/B (one JVM per
     * leg, steal-stamped: 2030 vs 6359 jiffies) read 179 s vs 289 s.
-    * DEFAULT 4 since round 13 — output is partitioning-blind
-    * (canonical emission, spec-gated), and on small inputs the extra
-    * partitions cost only scheduling noise. Set 1 to respect the
-    * session's shuffle-partition sizing exactly. */
+    * When SET, this conf wins everywhere. When UNSET (round 14):
+    * [[pairsWithinAdaptive]] DERIVES the factor from the sampled
+    * bucket-mass distribution it already measures
+    * ([[deriveOversplit]]), and a direct [[pairsWithinLocal]] call —
+    * which has no sample — keeps the measured default 4. Output is
+    * partitioning-blind either way (canonical emission, spec-gated). */
   val OversplitKey = "spark.graft.hamming.oversplit"
   val OversplitDefault = 4
+
+  /** Per-TASK overhead expressed in bucket-product equivalents for the
+    * oversplit makespan model: the popcount loop enumerates ~4·10⁸
+    * products/s/core and a Spark task costs ~2-5 ms of scheduling, so
+    * one extra task ≈ 2·10⁶ products of budget. This is the
+    * counterweight that keeps uniform (decorrelated) corpora — whose
+    * placement gains nothing past cores=partitions — from paying the
+    * fixed default's 4× task tax. */
+  private[graft] val TaskOverheadProducts = 2e6
+
+  /** Occupancy-DERIVED oversplit (round 14): instead of a fixed
+    * multiplier, PLACE the sampled per-bucket product masses onto
+    * B·o partitions for each candidate o — the same hash-placement
+    * shape the engine's `repartition(p, band, bits)` performs — and
+    * pick the o minimizing modeled makespan: the max partition load
+    * (the straggler that dominates wall time) plus the per-task
+    * scheduling overhead. Skew-heavy corpora split until the
+    * indivisible hottest bucket is the floor; near-uniform corpora
+    * stay at 1. Placement uses a stable splitmix64 of the bucket's
+    * sample index — statistically the engine's murmur placement, and
+    * deterministic so the plan (and the A/B evidence) reproduces. */
+  private[graft] def deriveOversplit(masses: Seq[Double], tailMass: Double,
+                                     basePartitions: Int): Int = {
+    def mix(i: Int): Long = {
+      var z = i.toLong + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    Seq(1, 2, 4, 8, 16).minBy { o =>
+      val p = math.max(1, basePartitions * o)
+      val loads = new Array[Double](p)
+      var i = 0
+      while (i < masses.length) {
+        loads(((mix(i) % p).toInt + p) % p) += masses(i)
+        i += 1
+      }
+      val perTail = tailMass / p
+      var mx = 0.0
+      loads.foreach(l => if (l + perTail > mx) mx = l + perTail)
+      mx + p * TaskOverheadProducts
+    }
+  }
+
+  /** Sampled bucket-occupancy detail (scaled to the full corpus):
+    * total product volume, hottest bucket rows, the top product-bearing
+    * bucket masses individually (the skew the oversplit placement
+    * simulates), and the remaining tail mass. */
+  final case class Occupancy(products: Double, hottest: Double,
+                             topMasses: Seq[Double], tailMass: Double)
 
   /** Heavy-tail allowance multiplied onto the SAMPLED hottest-bucket
     * estimate (s_max/p is a floor — heavy tails hide from samples)
@@ -205,18 +257,41 @@ object HammingJoin {
   def estimateProducts(df: DataFrame, idCol: String, fpCol: String,
                        maxDist: Int, blocks: Int, n: Long,
                        sampleRows: Double = 2e5): (Double, Double) = {
+    val occ = sampleOccupancy(df, idCol, fpCol, maxDist, blocks, n, sampleRows)
+    (occ.products, occ.hottest)
+  }
+
+  /** [[estimateProducts]] plus the per-bucket mass distribution the
+    * oversplit placement model needs — same single sampling pass, the
+    * product-bearing buckets (cnt ≥ 2, a tiny fraction of the index)
+    * cached across the top-K and totals aggregates. */
+  def sampleOccupancy(df: DataFrame, idCol: String, fpCol: String,
+                      maxDist: Int, blocks: Int, n: Long,
+                      sampleRows: Double = 2e5, topK: Int = 4096): Occupancy = {
     val m = math.max(1L, math.round(n / math.max(1.0, sampleRows)))
     val sampled =
       if (m <= 1L) df.select(col(fpCol))
       else df.filter(pmod(xxhash64(col(idCol)), lit(m)) === 0)
         .select(col(fpCol))
+    // only cnt >= 2 buckets carry products (cnt=1 contributes 0 to both
+    // the sum and the placement) — the filter shrinks the cached set
+    // from ~sample×combos rows to the true collision carriers
     val st = bucketStats(sampled, fpCol, maxDist, blocks)
-    val r = st.agg(
-      sum(col("cnt") * (col("cnt") - 1)).cast("double"),
-      max(col("cnt")).cast("double")).collect()(0)
-    val sumP = if (r.isNullAt(0)) 0.0 else r.getDouble(0)
-    val maxC = if (r.isNullAt(1)) 0.0 else r.getDouble(1)
-    (sumP * m.toDouble * m.toDouble, maxC * m.toDouble)
+      .filter(col("cnt") > 1)
+      .select(col("cnt").cast("double").as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val r = st.agg(
+        sum(col("cnt") * (col("cnt") - 1)).cast("double"),
+        max(col("cnt")).cast("double")).collect()(0)
+      val sumP = if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+      val maxC = if (r.isNullAt(1)) 0.0 else r.getDouble(1)
+      val top = st.orderBy(col("cnt").desc).limit(topK).collect()
+        .map { row => val c = row.getDouble(0); c * (c - 1) }.toSeq
+      val m2 = m.toDouble * m.toDouble
+      Occupancy(sumP * m2, maxC * m.toDouble,
+        top.map(_ * m2), math.max(0.0, sumP - top.sum) * m2)
+    } finally { st.unpersist(); () }
   }
 
   /** Stats-planned exact Hamming pairs. Small corpora (≤
@@ -254,8 +329,9 @@ object HammingJoin {
         .map(_.toDouble).getOrElse(3e11)
       val maxRun = spark.conf.getOption(MaxBucketRowsKey)
         .map(_.toDouble).getOrElse(16000000.0)
-      val (products, hottest) =
-        estimateProducts(df, idCol, fpCol, maxDist, k, n = n)
+      val occ = sampleOccupancy(df, idCol, fpCol, maxDist, k, n = n)
+      val products = occ.products
+      val hottest = occ.hottest
       if (products > budget) throw new IllegalArgumentException(
         f"exact Hamming join over n=$n%d fingerprints at radius $maxDist " +
           f"measures ~$products%.2g bucket products (sampled occupancy, " +
@@ -277,7 +353,12 @@ object HammingJoin {
             "floors heavy tails, so the runtime abort would likely fire " +
             "mid-join. Reduce the radius, pre-shard the corpus, or raise " +
             "the cap on a larger-memory cluster.")
-      pairsWithinLocal(df, idCol, fpCol, maxDist, k)
+      // oversplit: explicit conf wins; otherwise derive it from the
+      // bucket-mass distribution this very sampling pass measured
+      val oversplit = spark.conf.getOption(OversplitKey).map(_.toInt)
+        .getOrElse(deriveOversplit(occ.topMasses, occ.tailMass,
+          spark.sessionState.conf.numShufflePartitions))
+      pairsWithinLocal(df, idCol, fpCol, maxDist, k, oversplit)
     }
   }
 
@@ -409,14 +490,20 @@ object HammingJoin {
         "cast ids to long first, or use the relational pairsWithin")
   }
 
+  /** `oversplitOverride` > 0 pins the partition multiplier (the
+    * adaptive planner passes its occupancy-derived pick); 0 resolves
+    * the conf, falling back to the measured default. */
   def pairsWithinLocal(df: DataFrame, idCol: String, fpCol: String,
-                       maxDist: Int, blocks: Int = 0): DataFrame = {
+                       maxDist: Int, blocks: Int = 0,
+                       oversplitOverride: Int = 0): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     requireLongIds(df, idCol, "pairsWithinLocal")
     val L = layout(maxDist, blocks, width = 64)
-    val oversplit = spark.conf.getOption(OversplitKey)
-      .map(_.toInt).getOrElse(OversplitDefault)
+    val oversplit =
+      if (oversplitOverride > 0) oversplitOverride
+      else spark.conf.getOption(OversplitKey)
+        .map(_.toInt).getOrElse(OversplitDefault)
     require(oversplit >= 1 && oversplit <= 64,
       s"$OversplitKey must be in [1, 64], got $oversplit")
     val p = spark.sessionState.conf.numShufflePartitions * oversplit

@@ -398,6 +398,25 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("occupancy-derived oversplit: skewed mass splits, uniform mass stays at 1") {
+    import graft.ops.HammingJoin
+    val B = 32
+    // near-uniform tiny masses: placement gains nothing past B
+    // partitions, so the task-overhead term must keep it at 1
+    val uniform = Seq.fill(2000)(1e4)
+    assert(HammingJoin.deriveOversplit(uniform, tailMass = 1e6, B) === 1,
+      "a decorrelated corpus must not pay the oversplit task tax")
+    // heavy-tailed: a few dominant buckets among many — the sf100
+    // simhash shape (total ~1e11, hottest ~1e9); makespan drops with
+    // splits until the indivisible hottest bucket floors it
+    val skewed = Seq.fill(40)(2e9) ++ Seq.fill(4000)(5e6)
+    val o = HammingJoin.deriveOversplit(skewed, tailMass = 2e10, B)
+    assert(o >= 4, s"heavy-tailed mass derived oversplit $o < 4 " +
+      "(the A/B-measured floor for the dup-dense regime)")
+    // empty sample (no collision-bearing buckets): nothing to balance
+    assert(HammingJoin.deriveOversplit(Nil, 0.0, B) === 1)
+  }
+
   test("local engine fails loud, not OOM, when a bucket exceeds the hard cap") {
     import spark.implicits._
     import graft.ops.HammingJoin
