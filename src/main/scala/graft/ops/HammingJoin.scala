@@ -73,6 +73,12 @@ object HammingJoin {
   private def choose(k: Int, m: Int): Double =
     (0 until m).foldLeft(1.0)((a, i) => a * (k - i) / (i + 1))
 
+  /** Combination-index row count n·C(k, k−maxDist) — the sort-floor
+    * input to [[deriveOversplit]] (also used by the A/B diag to report
+    * the derived pick). */
+  private[graft] def indexRowsFor(n: Long, maxDist: Int, k: Int): Double =
+    n.toDouble * choose(k, k - maxDist)
+
   /** The provisioning cost model for one k: index rows + expected
     * bucket-collision candidates + true-pair emission multiplicity. */
   def modeledCost(n: Long, maxDist: Int, k: Int,
@@ -132,6 +138,16 @@ object HammingJoin {
     * fixed default's 4× task tax. */
   private[graft] val TaskOverheadProducts = 2e6
 
+  /** Per-partition index-row budget for the SORT floor below: the
+    * local engine sorts each partition by (band, bits) before the run
+    * scan, and a partition past ~4 M rows (~10⁸-byte UnsafeRow sort
+    * footprint) starts spilling — at which point MORE partitions beat
+    * fewer regardless of product skew. Measured on the decorrelated
+    * 5 M-fingerprint A/B: products ≈ 0 (61 true pairs) yet oversplit 4
+    * still beat 1 (287 vs 308 s) because the 4.2·10⁸-row index sort is
+    * the whole job there. */
+  private[graft] val MaxSortRowsPerPartition = 4e6
+
   /** Occupancy-DERIVED oversplit (round 14): instead of a fixed
     * multiplier, PLACE the sampled per-bucket product masses onto
     * B·o partitions for each candidate o — the same hash-placement
@@ -140,18 +156,23 @@ object HammingJoin {
     * (the straggler that dominates wall time) plus the per-task
     * scheduling overhead. Skew-heavy corpora split until the
     * indivisible hottest bucket is the floor; near-uniform corpora
-    * stay at 1. Placement uses a stable splitmix64 of the bucket's
-    * sample index — statistically the engine's murmur placement, and
-    * deterministic so the plan (and the A/B evidence) reproduces. */
+    * take only the SPILL floor — enough partitions that each
+    * (band, bits) sort fits execution memory
+    * ([[MaxSortRowsPerPartition]]), which on product-free corpora is
+    * the term that actually moves wall time. Placement uses a stable
+    * splitmix64 of the bucket's sample index — statistically the
+    * engine's murmur placement, and deterministic so the plan (and
+    * the A/B evidence) reproduces. */
   private[graft] def deriveOversplit(masses: Seq[Double], tailMass: Double,
-                                     basePartitions: Int): Int = {
+                                     basePartitions: Int,
+                                     indexRows: Double): Int = {
     def mix(i: Int): Long = {
       var z = i.toLong + 0x9E3779B97F4A7C15L
       z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
       z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
       z ^ (z >>> 31)
     }
-    Seq(1, 2, 4, 8, 16).minBy { o =>
+    val byProducts = Seq(1, 2, 4, 8, 16).minBy { o =>
       val p = math.max(1, basePartitions * o)
       val loads = new Array[Double](p)
       var i = 0
@@ -164,6 +185,9 @@ object HammingJoin {
       loads.foreach(l => if (l + perTail > mx) mx = l + perTail)
       mx + p * TaskOverheadProducts
     }
+    val bySort = math.ceil(
+      indexRows / (basePartitions * MaxSortRowsPerPartition)).toInt
+    math.min(16, math.max(1, math.max(byProducts, bySort)))
   }
 
   /** Sampled bucket-occupancy detail (scaled to the full corpus):
@@ -354,10 +378,12 @@ object HammingJoin {
             "mid-join. Reduce the radius, pre-shard the corpus, or raise " +
             "the cap on a larger-memory cluster.")
       // oversplit: explicit conf wins; otherwise derive it from the
-      // bucket-mass distribution this very sampling pass measured
+      // bucket-mass distribution this very sampling pass measured,
+      // plus the exact index-row volume n·C(k,m) for the sort floor
       val oversplit = spark.conf.getOption(OversplitKey).map(_.toInt)
         .getOrElse(deriveOversplit(occ.topMasses, occ.tailMass,
-          spark.sessionState.conf.numShufflePartitions))
+          spark.sessionState.conf.numShufflePartitions,
+          n.toDouble * choose(k, k - maxDist)))
       pairsWithinLocal(df, idCol, fpCol, maxDist, k, oversplit)
     }
   }

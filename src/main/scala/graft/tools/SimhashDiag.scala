@@ -21,6 +21,57 @@ object SimhashDiag {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
+    // mode "adaptive" / "uniform:<n>": time the FULL adaptive planner
+    // (sampled occupancy + derived-or-conf oversplit + local engine) —
+    // the A/B harness for the occupancy-derived oversplit. "adaptive"
+    // runs the graded dup-dense corpus at `dir`; "uniform:<n>" runs a
+    // DECORRELATED corpus (xxhash64 fingerprints — near-uniform bucket
+    // occupancy, the regime where a fixed 4x oversplit only pays task
+    // tax). SPARK_GRAFT_DIAG_OVERSPLIT pins the conf for the fixed leg;
+    // unset = the derived path.
+    if (args.length > 2 &&
+        (args(2) == "adaptive" || args(2).startsWith("uniform"))) {
+      sys.env.get("SPARK_GRAFT_DIAG_OVERSPLIT").foreach(v =>
+        spark.conf.set(graft.ops.HammingJoin.OversplitKey, v))
+      val raw =
+        if (args(2) == "adaptive")
+          graft.engine.Tables(spark, dir, "documents")
+            .select($"doc_id",
+              graft.engine.GraftFunctions.simhash64(spark, split($"text", " ")).as("fp"))
+        else
+          spark.range(args(2).split(":")(1).toLong)
+            .select($"id".as("doc_id"), xxhash64($"id").as("fp"))
+      val n = raw.count()
+      // report the pick the planner will (re-)derive: conf value, or a
+      // recomputation of the deterministic derivation (one extra ~2 s
+      // sampling pass — diag-only)
+      val pick = spark.conf.getOption(graft.ops.HammingJoin.OversplitKey)
+        .getOrElse {
+          val k = graft.ops.HammingJoin.provisionBlocks(n, 6, pairsPerDoc = 11.3)
+          val occ = graft.ops.HammingJoin.sampleOccupancy(
+            raw, "doc_id", "fp", 6, k, n = n)
+          "derived:" + graft.ops.HammingJoin.deriveOversplit(
+            occ.topMasses, occ.tailMass,
+            spark.sessionState.conf.numShufflePartitions,
+            graft.ops.HammingJoin.indexRowsFor(n, 6, k))
+        }
+      val s0 = try java.nio.file.Files.readString(
+          java.nio.file.Paths.get("/proc/stat")).linesIterator
+          .find(_.startsWith("cpu ")).get.trim.split("\\s+")(8).toLong
+        catch { case _: Throwable => -1L }
+      val t0 = System.nanoTime()
+      val c = graft.ops.HammingJoin
+        .pairsWithinAdaptive(spark, raw, "doc_id", "fp", 6, n, 11.3).count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val s1 = try java.nio.file.Files.readString(
+          java.nio.file.Paths.get("/proc/stat")).linesIterator
+          .find(_.startsWith("cpu ")).get.trim.split("\\s+")(8).toLong
+        catch { case _: Throwable => -1L }
+      println(f"adaptive mode=${args(2)} n=$n pairs=$c " +
+        s"oversplit=$pick " +
+        f"t=$wall%.1f s steal=${if (s0 < 0) -1 else s1 - s0}")
+      spark.stop(); return
+    }
     val fp = graft.engine.Tables(spark, dir, "documents")
       .select($"doc_id",
         graft.engine.GraftFunctions.simhash64(spark, split($"text", " ")).as("fp"))

@@ -401,20 +401,32 @@ class LlmOpsSpec extends SparkSpec {
   test("occupancy-derived oversplit: skewed mass splits, uniform mass stays at 1") {
     import graft.ops.HammingJoin
     val B = 32
-    // near-uniform tiny masses: placement gains nothing past B
-    // partitions, so the task-overhead term must keep it at 1
+    // near-uniform tiny masses on a SMALL index: placement gains
+    // nothing past B partitions and every sort fits — the
+    // task-overhead term must keep it at 1
     val uniform = Seq.fill(2000)(1e4)
-    assert(HammingJoin.deriveOversplit(uniform, tailMass = 1e6, B) === 1,
-      "a decorrelated corpus must not pay the oversplit task tax")
+    assert(HammingJoin.deriveOversplit(uniform, tailMass = 1e6, B,
+      indexRows = 1e6) === 1,
+      "a small decorrelated corpus must not pay the oversplit task tax")
+    // near-uniform masses on a LARGE index: products are not the cost,
+    // the per-partition (band,bits) SORT is — the spill floor must
+    // split until each sort fits (the measured uniform-5M A/B: 4x beat
+    // 1x by ~7% with only 61 true pairs)
+    val oU = HammingJoin.deriveOversplit(uniform, tailMass = 1e6, B,
+      indexRows = 4.2e8)
+    assert(oU >= 4, s"large uniform index derived oversplit $oU < 4 " +
+      "(per-partition sorts would spill)")
     // heavy-tailed: a few dominant buckets among many — the sf100
     // simhash shape (total ~1e11, hottest ~1e9); makespan drops with
     // splits until the indivisible hottest bucket floors it
     val skewed = Seq.fill(40)(2e9) ++ Seq.fill(4000)(5e6)
-    val o = HammingJoin.deriveOversplit(skewed, tailMass = 2e10, B)
+    val o = HammingJoin.deriveOversplit(skewed, tailMass = 2e10, B,
+      indexRows = 4.2e8)
     assert(o >= 4, s"heavy-tailed mass derived oversplit $o < 4 " +
       "(the A/B-measured floor for the dup-dense regime)")
-    // empty sample (no collision-bearing buckets): nothing to balance
-    assert(HammingJoin.deriveOversplit(Nil, 0.0, B) === 1)
+    // empty sample (no collision-bearing buckets), tiny index: nothing
+    // to balance
+    assert(HammingJoin.deriveOversplit(Nil, 0.0, B, indexRows = 1e5) === 1)
   }
 
   test("local engine fails loud, not OOM, when a bucket exceeds the hard cap") {
