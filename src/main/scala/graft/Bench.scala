@@ -102,8 +102,13 @@ object Bench {
     "dedup_incremental_minhash_indexed" -> true,
     "dedup_incremental_minhash_cycle" -> true,
     "dedup_incremental_cycle" -> true,
+    "dedup_incremental_minhash_lsm" -> true,
     "sim_search_ivf_indexed" -> false,
-    "sim_search_ivf_cycle" -> false)
+    "sim_search_ivf_cycle" -> false,
+    // eager builder (publish + MERGE at build time); its aggregate tail
+    // survives count(), but the probe would re-run the whole commit
+    // cycle untimed — pin instead
+    "published_table_sql" -> false)
 
   /** The count-elimination probe: does `df.groupBy().count()` drop a
     * leaf scan vs the key's own optimized plan? Shared by main and the

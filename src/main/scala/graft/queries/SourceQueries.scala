@@ -315,13 +315,15 @@ object SourceQueries extends QueryGroup {
     // table — merge-sink state, published indexes — was reachable only
     // through the ops API; a SQL user couldn't touch it). A CDC batch
     // lands on a PUBLISHED customer table via MergeInto.upsertInto (the
-    // atomic manifest-swap commit), AtomicPublish.registerView resolves
-    // the committed version into the SQL catalog, and the read is then
-    // submitted as SQL TEXT over the view. SqlFrontDoorSpec pins
-    // sameResult plan equality between this SQL read and the ops-API
-    // read; the oracle reconstructs the merged state from the base
-    // table, so the whole publish→merge→register→SQL loop is
-    // hash-graded.
+    // atomic manifest-swap commit), and BOTH the catalog binding and
+    // the read are then pure SQL TEXT over the DSv2 `graft` source
+    // (graft.sources.GraftTableSource — manifest-resolving paths,
+    // inherited parquet pruning/pushdown): CREATE TEMPORARY VIEW …
+    // USING graft, then a plain aggregate. SqlFrontDoorSpec pins the
+    // source's pushdown/snapshot/refusal semantics and sameResult plan
+    // equality for the registerView shim; the oracle reconstructs the
+    // merged state from the base table, so the whole
+    // publish→merge→USING graft→SQL loop is hash-graded.
     GQuery("published_table_sql",
       (s, dir) => {
         import s.implicits._
@@ -334,7 +336,8 @@ object SourceQueries extends QueryGroup {
           .withColumn("c_custkey", $"c_custkey" + 5000000000L)
         graft.ops.MergeInto.upsertInto(s, table,
           updates.unionByName(inserts), Seq("c_custkey"))
-        graft.ops.AtomicPublish.registerView(s, table, "graft_pub_customer")
+        s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW graft_pub_customer
+                  USING graft OPTIONS (path '$table')""")
         s.sql(s"""SELECT c_mktsegment, COUNT(*) AS n_cust,
                   ${graft.engine.Det.sql.dsum("c_acctbal")} AS sum_bal
                   FROM graft_pub_customer

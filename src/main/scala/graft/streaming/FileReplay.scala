@@ -59,6 +59,17 @@ object FileReplay {
     try {
       q.processAllAvailable()
       ranges.tail.foreach { r => land(r); q.processAllAvailable() }
-    } finally q.stop()
+    } finally {
+      q.stop()
+      // the staged chunks exist only to feed this query; every caller
+      // consumes results through its sink (memory table / foreachBatch
+      // target / published table), so reclaim the scratch now instead
+      // of leaking a stream-sized copy per run
+      try {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+        ()
+      } catch { case _: java.io.IOException => () }
+    }
   }
 }

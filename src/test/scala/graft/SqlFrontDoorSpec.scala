@@ -138,6 +138,46 @@ class SqlFrontDoorSpec extends SparkSpec {
       === Seq("1", "2", "3", "4"))
   }
 
+  test("graft DSv2 source: format + USING graft resolve the manifest, prune, refuse unpublished") {
+    import spark.implicits._
+    import graft.ops.AtomicPublish
+    val table = graft.engine.Scratch.dir("spec_dsv2_pub")
+    AtomicPublish.publish(spark, table)(p =>
+      Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "tag", "bal")
+        .write.parquet(p))
+    AtomicPublish.appendSegment(spark, table)(p =>
+      Seq((3L, "c", 30.0)).toDF("k", "tag", "bal").write.parquet(p))
+    // reader API: schema inferred, all segments read
+    val viaFormat = spark.read.format("graft").load(table)
+    assert(viaFormat.collect().map(_.getLong(0)).sorted === Array(1L, 2L, 3L))
+    // SQL text end-to-end: CREATE ... USING graft, then plain SELECT
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW spec_dsv2_v USING graft " +
+      s"OPTIONS (path '$table')")
+    assert(rows(spark.sql(
+      "SELECT k, bal FROM spec_dsv2_v WHERE k >= 2 ORDER BY k"))
+      === Seq("2|20.0", "3|30.0"))
+    // inherited parquet machinery: the pushed filter reaches the scan
+    val planned = spark.sql("SELECT k FROM spec_dsv2_v WHERE k = 3")
+    val scan = planned.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters") && scan.contains("EqualTo(k,3"),
+      s"filter did not reach the graft scan:\n$scan")
+    // snapshot semantics: a commit after the read binds doesn't tear it;
+    // a FRESH read sees the new version
+    val before = spark.read.format("graft").load(table)
+    AtomicPublish.appendSegment(spark, table)(p =>
+      Seq((4L, "d", 40.0)).toDF("k", "tag", "bal").write.parquet(p))
+    assert(before.collect().map(_.getLong(0)).sorted === Array(1L, 2L, 3L))
+    assert(spark.read.format("graft").load(table).count() === 4L)
+    // unpublished directory: loud refusal naming the remedy
+    val empty = graft.engine.Scratch.dir("spec_dsv2_empty")
+    new java.io.File(empty).mkdirs()
+    val e = intercept[Exception] {
+      spark.read.format("graft").load(empty).collect()
+    }
+    assert(e.getMessage.contains("MANIFEST") ||
+      Option(e.getCause).exists(_.getMessage.contains("MANIFEST")), e.getMessage)
+  }
+
   test("published index state via SQL text: kind-aware views match the ops read") {
     import graft.ops.{AtomicPublish, DedupIndex}
     import org.apache.spark.sql.functions.col
