@@ -589,11 +589,22 @@ object MergeInto {
   /** MERGE-and-commit against a published table: read the current
     * version, apply [[upsert]], publish the result as a new version
     * via [[AtomicPublish]]. A reader concurrent with the merge sees
-    * the pre-merge or post-merge table in full, never a mix. */
+    * the pre-merge or post-merge table in full, never a mix.
+    *
+    * The read of the current version binds INSIDE the commit window
+    * (the publish callback runs under the table's commit lock) —
+    * round 14 fix: binding it before the lock, as pre-round-14 code
+    * did, let two racing MERGEs both read version N and the second
+    * swap silently erase the first's changes (the read-modify-write
+    * lost-update race, the MERGE twin of the appendSegment race the
+    * round-13 CAS closed). MaintenanceSpec races 4 upserters and
+    * requires every merge to survive. */
   def upsertInto(spark: SparkSession, tablePath: String, source: DataFrame,
                  keys: Seq[String]): DataFrame = {
-    val merged = upsert(AtomicPublish.read(spark, tablePath), source, keys)
-    AtomicPublish.publish(spark, tablePath)(p => merged.write.parquet(p))
+    AtomicPublish.publish(spark, tablePath) { p =>
+      upsert(AtomicPublish.read(spark, tablePath), source, keys)
+        .write.parquet(p)
+    }
     AtomicPublish.read(spark, tablePath)
   }
 }

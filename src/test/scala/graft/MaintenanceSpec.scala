@@ -311,6 +311,34 @@ class MaintenanceSpec extends SparkSpec {
     assert(AtomicPublish.read(spark, table).count() === 3)
   }
 
+  test("racing MERGEs: every upsert survives (read binds inside the commit window)") {
+    import spark.implicits._
+    // the MERGE twin of the lost-segment race: pre-round-14,
+    // upsertInto bound its read of the current version BEFORE the
+    // commit lock — two racing merges both read version N and the
+    // later swap erased the earlier merge's rows. The read now binds
+    // inside the publish callback (under the lock), so merges
+    // serialize read-modify-write like appends do.
+    val table = graft.engine.Scratch.dir("spec_merge_race")
+    AtomicPublish.publish(spark, table)(p =>
+      Seq((0L, 0.0)).toDF("k", "bal").write.parquet(p))
+    val writers = 4
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to writers).map { i =>
+      new Thread(() =>
+        try {
+          MergeInto.upsertInto(spark, table,
+            Seq((i.toLong, i * 10.0)).toDF("k", "bal"), Seq("k"))
+          ()
+        } catch { case t: Throwable => errs.add(t); () })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"merge failed: ${errs.peek()}")
+    assert(AtomicPublish.read(spark, table).collect().map(_.getLong(0)).sorted
+      === (0L to writers.toLong).toArray,
+      "a racing MERGE's rows were erased by a later commit")
+  }
+
   test("racing publishers: last commit wins, readers always see ONE full version") {
     import spark.implicits._
     import graft.ops.AtomicPublish
