@@ -629,22 +629,29 @@ object Compact {
     // output): its root holds only MANIFEST + data-* directories, which
     // a raw parquet read cannot infer a schema from. ALL segments are
     // read — compacting a segmented table collapses it to one segment.
-    val inDirs = AtomicPublish.currentSegments(spark, inPath) match {
-      case Nil => Seq(inPath)
-      case segs => segs.map(d => s"$inPath/$d")
-    }
-    val fs = new org.apache.hadoop.fs.Path(inDirs.head)
+    def resolveInDirs(): Seq[String] =
+      AtomicPublish.currentSegments(spark, inPath) match {
+        case Nil => Seq(inPath)
+        case segs => segs.map(d => s"$inPath/$d")
+      }
+    val sizedDirs = resolveInDirs()
+    val fs = new org.apache.hadoop.fs.Path(sizedDirs.head)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val totalBytes = inDirs.map(d =>
+    val totalBytes = sizedDirs.map(d =>
       fs.listStatus(new org.apache.hadoop.fs.Path(d))
         .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
         .map(_.getLen).sum).sum
     val parts = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     // Publish through the manifest swap — a reader concurrent with the
     // compaction resolves the old fragmented version until the single
-    // atomic rename, never a half-written directory.
+    // atomic rename, never a half-written directory. The input segment
+    // list is RE-RESOLVED inside the commit window (sizing above is
+    // advisory): a self-targeted rewrite (inPath == outPath) of a live
+    // table otherwise raced appenders exactly like the pre-round-14
+    // index compaction — a segment committed between the outer resolve
+    // and the swap would be silently dropped.
     AtomicPublish.publish(spark, outPath) { dataPath =>
-      spark.read.parquet(inDirs: _*)
+      spark.read.parquet(resolveInDirs(): _*)
         .repartition(parts)
         .write.parquet(dataPath)
     }
