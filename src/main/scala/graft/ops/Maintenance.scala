@@ -485,10 +485,11 @@ object AtomicPublish {
     // older than this is conceivable only at extreme scale — raise the
     // constant in source if yours runs past a day)
     val sweepBefore = System.currentTimeMillis() - 24L * 3600 * 1000
-    fs.listStatus(root)
-      .filter(f => f.isDirectory && f.getPath.getName.startsWith(".compact-") &&
-        f.getModificationTime < sweepBefore)
-      .foreach(f => fs.delete(f.getPath, true))
+    if (fs.exists(root))
+      fs.listStatus(root)
+        .filter(f => f.isDirectory && f.getPath.getName.startsWith(".compact-") &&
+          f.getModificationTime < sweepBefore)
+        .foreach(f => fs.delete(f.getPath, true))
     var attempt = 0
     while (attempt < maxAttempts) {
       attempt += 1
@@ -549,6 +550,28 @@ object AtomicPublish {
         s"no published version (MANIFEST) at $tablePath")
       case segs => spark.read.parquet(segs.map(d => s"$tablePath/$d"): _*)
     }
+
+  /** Explicit retention reaper — the VACUUM of this protocol. GC
+    * normally piggybacks on commits ([[gcSuperseded]] runs inside
+    * every publish/compact window), so a table that KEEPS committing
+    * reaps itself; a table whose writes stop, or whose last commits
+    * all landed inside the retention window, keeps its superseded
+    * `data-*` directories until someone commits again. This runs the
+    * same tombstone-and-reap pass under the commit lock without
+    * publishing anything. Honors [[RetentionMsKey]] — a vacuum cannot
+    * delete data a lagging reader is still entitled to. */
+  def vacuum(spark: SparkSession, tablePath: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = root.getFileSystem(conf)
+    val live = currentSegments(spark, tablePath)
+    require(live.nonEmpty,
+      s"vacuum: no published version (MANIFEST) at $tablePath")
+    withCommitLock(spark, fs, root) { _ =>
+      gcSuperseded(spark, fs, root,
+        live = currentSegments(spark, tablePath).toSet)
+    }
+  }
 
   /** SQL front door for the table protocol: resolve the manifest ONCE
     * and register the version's reader as a temp view, so `spark.sql`

@@ -186,6 +186,33 @@ class MaintenanceSpec extends SparkSpec {
     } finally spark.conf.unset(AtomicPublish.RetentionMsKey)
   }
 
+  test("vacuum reaps superseded versions past retention without a commit") {
+    import spark.implicits._
+    val table = graft.engine.Scratch.dir("spec_vacuum")
+    AtomicPublish.publish(spark, table)(p =>
+      Seq((1L, "v1")).toDF("k", "v").write.parquet(p))
+    AtomicPublish.publish(spark, table)(p =>
+      Seq((2L, "v2")).toDF("k", "v").write.parquet(p))
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataDirs() = fs.listStatus(new org.apache.hadoop.fs.Path(table))
+      .filter(_.isDirectory).map(_.getPath.getName).count(_.startsWith("data-"))
+    // v1 superseded but inside the (default) retention window: a vacuum
+    // must NOT delete what a lagging reader is still entitled to
+    AtomicPublish.vacuum(spark, table)
+    assert(dataDirs() === 2, "vacuum deleted data inside the retention window")
+    // past the window (retention 0 here), the vacuum reaps WITHOUT any
+    // further commit — the case commit-time GC can never reach on a
+    // table whose writes stopped
+    spark.conf.set(AtomicPublish.RetentionMsKey, "0")
+    try {
+      AtomicPublish.vacuum(spark, table)
+      assert(dataDirs() === 1, "vacuum did not reap a superseded version")
+      assert(AtomicPublish.read(spark, table).collect().map(_.getLong(0)).toSeq
+        === Seq(2L), "vacuum touched the live version")
+    } finally spark.conf.unset(AtomicPublish.RetentionMsKey)
+  }
+
   test("fenced swap: a zombie holder's late commit fails loudly, manifest intact") {
     import spark.implicits._
     // A holder paused past the stale threshold loses its lease; before
