@@ -166,7 +166,10 @@ object Bench {
       val s0 = stealJiffies()
       Thread.sleep(2000)
       val rate = if (s0 < 0) 0.0 else (stealJiffies() - s0) / 2.0
-      if (sibs <= 0 && rate <= 1.0) quiet = true
+      // gate on BUSY siblings: a permanently idle detached daemon (an
+      // sbt/LSP server) would otherwise burn the whole wait window on
+      // every capture and the run would proceed identically anyway
+      if (sibsBusy <= 0 && rate <= 1.0) quiet = true
       else {
         System.err.println(String.format(java.util.Locale.ROOT,
           "[bench] waiting for quiet: siblings=%d (busy %d), idle steal %.1f jiffies/s",

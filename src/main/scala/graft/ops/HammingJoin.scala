@@ -383,7 +383,7 @@ object HammingJoin {
       val oversplit = spark.conf.getOption(OversplitKey).map(_.toInt)
         .getOrElse(deriveOversplit(occ.topMasses, occ.tailMass,
           spark.sessionState.conf.numShufflePartitions,
-          n.toDouble * choose(k, k - maxDist)))
+          indexRowsFor(n, maxDist, k)))
       pairsWithinLocal(df, idCol, fpCol, maxDist, k, oversplit)
     }
   }

@@ -291,6 +291,9 @@ object AtomicPublish {
       catch { case _: java.io.IOException => () }
     }
     dirs.filterNot(live).foreach { d =>
+      // the tombstone's MTIME is the supersession clock (what every
+      // later pass reads); the epoch written as content is forensics
+      // for a human inspecting the table, not a second source of truth
       val supersededAt = tombs.getOrElse(d, {
         val out = fs.create(new org.apache.hadoop.fs.Path(root, TombPrefix + d), true)
         try out.write(now.toString.getBytes("UTF-8")) finally out.close()

@@ -878,18 +878,30 @@ object LlmQueries extends QueryGroup {
             .select($"doc_id", coalesce($"nd", lit(0L)).as("n_dups"),
               $"md".as("dup_of"), $"mj".as("max_jaccard"))
         }
+        // day plans bind the segment dirs that were live when they were
+        // built; the TWO mid-cycle compactions supersede those dirs, and
+        // the plans only EVALUATE at grade/bench time after the loop —
+        // pin the retention window to a build-lifetime bound so a slow
+        // pass (or an evicted candidate cache recomputing from the old
+        // paths) can never race the GC clock at large sf
         val prevThreshold = s.conf.getOption(
           graft.ops.DedupIndex.CompactAfterSegmentsKey)
+        val prevRetention = s.conf.getOption(
+          graft.ops.AtomicPublish.RetentionMsKey)
         s.conf.set(graft.ops.DedupIndex.CompactAfterSegmentsKey, "3")
+        s.conf.set(graft.ops.AtomicPublish.RetentionMsKey,
+          (24L * 3600 * 1000).toString)
+        def restore(key: String, prev: Option[String]): Unit = prev match {
+          case Some(v) => s.conf.set(key, v)
+          case None => s.conf.unset(key)
+        }
         val outs = try days.map { day =>
           val out = dayVerdicts(day)
           graft.ops.DedupIndex.appendToMinHashIndex(s, table, day)
           out
-        } finally prevThreshold match {
-          case Some(v) => s.conf.set(
-            graft.ops.DedupIndex.CompactAfterSegmentsKey, v)
-          case None => s.conf.unset(
-            graft.ops.DedupIndex.CompactAfterSegmentsKey)
+        } finally {
+          restore(graft.ops.DedupIndex.CompactAfterSegmentsKey, prevThreshold)
+          restore(graft.ops.AtomicPublish.RetentionMsKey, prevRetention)
         }
         outs.reduce(_ unionByName _).orderBy($"doc_id")
       },

@@ -39,8 +39,15 @@ object FileReplay {
     require(nChunks >= 1, s"nChunks must be >= 1: $nChunks")
     val dir = java.nio.file.Files.createTempDirectory("graft_replay").toString
     val mm = src.agg(min(col(orderCol)).cast("long"),
-      max(col(orderCol)).cast("long")).collect().head
+      max(col(orderCol)).cast("long"),
+      count(lit(1)), count(col(orderCol))).collect().head
     require(!mm.isNullAt(0), s"replay source is empty (no $orderCol values)")
+    // range filters are null-false: a NULL order value would be staged
+    // into NO chunk and silently vanish from the stream — refuse loudly
+    require(mm.getLong(2) == mm.getLong(3),
+      s"replay order column `$orderCol` has ${mm.getLong(2) - mm.getLong(3)} " +
+        "NULL value(s): range chunking would silently drop those rows — " +
+        "filter or default them first")
     val lo = mm.getLong(0); val hi = mm.getLong(1)
     // ceil-split the id span into contiguous [from, to) ranges; the last
     // range is closed at max+1 so every row lands in exactly one chunk

@@ -33,6 +33,8 @@ object SimhashDiag {
         (args(2) == "adaptive" || args(2).startsWith("uniform"))) {
       sys.env.get("SPARK_GRAFT_DIAG_OVERSPLIT").foreach(v =>
         spark.conf.set(graft.ops.HammingJoin.OversplitKey, v))
+      require(args(2) == "adaptive" || args(2).matches("uniform:\\d+"),
+        s"mode `${args(2)}`: use `adaptive` or `uniform:<rowCount>`")
       val raw =
         if (args(2) == "adaptive")
           graft.engine.Tables(spark, dir, "documents")

@@ -176,6 +176,19 @@ class SqlFrontDoorSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("MANIFEST") ||
       Option(e.getCause).exists(_.getMessage.contains("MANIFEST")), e.getMessage)
+    // the write door is welded shut AT PLAN TIME: an overwrite through
+    // the front door would otherwise delete the manifest and every
+    // committed version before landing unmanifested parquet
+    val w = intercept[Exception] {
+      Seq((9L, "x", 0.0)).toDF("k", "tag", "bal")
+        .write.format("graft").mode("overwrite").save(table)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(w).exists(m => m != null && m.contains("AtomicPublish")),
+      s"write refusal must name the real write door: ${msgs(w)}")
+    assert(spark.read.format("graft").load(table).count() === 4L,
+      "a refused write must leave the table intact")
   }
 
   test("published index state via SQL text: kind-aware views match the ops read") {
