@@ -353,8 +353,19 @@ object AtomicPublish {
 
   /** The commit point: write the manifest content to a temp file and
     * RENAME it over `MANIFEST` — one rename, atomic-with-overwrite on
-    * the same filesystem (FileContext exposes the POSIX/HDFS semantic
-    * that FileSystem.rename hides behind delete+rename).
+    * the same filesystem.
+    *
+    * On HDFS that is `FileContext.rename(…, OVERWRITE)` (Hdfs
+    * overrides `renameInternal` with a genuinely atomic overwrite).
+    * On the LOCAL filesystem it is NIO `ATOMIC_MOVE` — round 14 found
+    * (via the streaming tail's continuous manifest polling) that the
+    * local FileContext path falls back to AbstractFileSystem's
+    * default delete-then-rename, which has a missing-MANIFEST window
+    * a concurrent reader can hit; the NIO move also skips Hadoop's
+    * `.crc` sidecars (the stale destination sidecar is removed so
+    * ChecksumFileSystem readers never verify new bytes against an old
+    * checksum). The same local-vs-HDFS dual path as
+    * [[tryCreateExclusive]].
     *
     * FENCED: immediately before the rename the lock file is re-read
     * and must still carry `fenceToken` — a holder that lost its lease
@@ -378,14 +389,29 @@ object AtomicPublish {
           "(paused past the stale threshold and the lock was broken, or an " +
           "out-of-protocol writer replaced the lock) — the manifest was NOT " +
           "swapped; re-run the commit")
-    val tmp = new org.apache.hadoop.fs.Path(root,
-      s".manifest-${counter.incrementAndGet()}.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(content.getBytes("UTF-8")) finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, conf)
-    fc.rename(fs.makeQualified(tmp),
-      fs.makeQualified(new org.apache.hadoop.fs.Path(root, ManifestFile)),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    val manifest = new org.apache.hadoop.fs.Path(root, ManifestFile)
+    if (fs.getScheme == "file") {
+      val rootLocal = java.nio.file.Paths.get(
+        fs.makeQualified(root).toUri.getPath)
+      val tmp = rootLocal.resolve(
+        s".manifest-${counter.incrementAndGet()}.tmp")
+      java.nio.file.Files.write(tmp, content.getBytes("UTF-8"))
+      // a checksum sidecar from any pre-NIO-era commit would be stale
+      // against the moved bytes — reads must never verify against it
+      java.nio.file.Files.deleteIfExists(rootLocal.resolve(s".$ManifestFile.crc"))
+      java.nio.file.Files.move(tmp, rootLocal.resolve(ManifestFile),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      ()
+    } else {
+      val tmp = new org.apache.hadoop.fs.Path(root,
+        s".manifest-${counter.incrementAndGet()}.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, conf)
+      fc.rename(fs.makeQualified(tmp), fs.makeQualified(manifest),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
   }
 
   /** APPEND a segment: the manifest is a NEWLINE-SEPARATED SEGMENT
@@ -520,22 +546,44 @@ object AtomicPublish {
   }
 
   /** The full segment list the manifest currently names (empty when
-    * unpublished). Single-segment tables return one entry. */
+    * unpublished). Single-segment tables return one entry.
+    *
+    * Tolerates the LOCAL filesystem's checksum-sidecar race: Hadoop's
+    * ChecksumFileSystem renames a file and its `.crc` in two steps, so
+    * a reader polling the manifest concurrently with a commit's rename
+    * (the streaming tail does exactly that) can transiently see the
+    * new MANIFEST against the old checksum. The read retries briefly —
+    * the window is the gap between the two renames. HDFS/object stores
+    * don't materialize client-side crc sidecars this way. */
   def currentSegments(spark: SparkSession, tablePath: String): Seq[String] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(tablePath)
     val fs = root.getFileSystem(conf)
     val m = new org.apache.hadoop.fs.Path(root, ManifestFile)
-    if (!fs.exists(m)) Nil
-    else {
-      val in = fs.open(m)
+    var attempt = 0
+    while (true) {
+      attempt += 1
       try {
-        val bytes = new Array[Byte](fs.getFileStatus(m).getLen.toInt)
-        in.readFully(bytes)
-        new String(bytes, "UTF-8").linesIterator.map(_.trim)
-          .filter(_.nonEmpty).toSeq
-      } finally in.close()
+        if (!fs.exists(m)) return Nil
+        val in = fs.open(m)
+        try {
+          val bytes = new Array[Byte](fs.getFileStatus(m).getLen.toInt)
+          in.readFully(bytes)
+          return new String(bytes, "UTF-8").linesIterator.map(_.trim)
+            .filter(_.nonEmpty).toSeq
+        } finally in.close()
+      } catch {
+        case e: org.apache.hadoop.fs.ChecksumException =>
+          if (attempt >= 40) throw e
+          Thread.sleep(25)
+        case _: java.io.FileNotFoundException =>
+          // exists↔open race with a concurrent swap: retry resolves to
+          // the new manifest
+          if (attempt >= 40) return Nil
+          Thread.sleep(25)
+      }
     }
+    throw new IllegalStateException("unreachable")
   }
 
   /** The BASE data directory (first manifest segment), if published —

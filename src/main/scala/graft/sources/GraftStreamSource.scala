@@ -1,0 +1,118 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+import graft.ops.AtomicPublish
+
+/** STREAMING TAIL of a published table —
+  * `spark.readStream.format("graft-stream").option("path", tableRoot)`
+  * turns [[AtomicPublish.appendSegment]] commits into micro-batches:
+  * the offset is the manifest's SEGMENT-PREFIX LENGTH, and each batch
+  * reads exactly the newly committed segment directories. This closes
+  * the loop between the LSM daily cycle and the streaming family — the
+  * index/merge tables the engine grows by appends become live inputs
+  * (downstream aggregation, replication, cache warming) without any
+  * scan of already-consumed data: a day's batch costs a manifest read
+  * plus that day's segments, never the corpus.
+  *
+  * Contract (the Delta streaming-source shape): the table must stay
+  * APPEND-ONLY while tailed. A compaction or full republish rewrites
+  * the prefix the offsets index, so the source verifies on every poll
+  * that the previously observed segment list is still a prefix of the
+  * current one, and FAILS LOUDLY (naming the cause and the restart
+  * remedy) instead of silently re-reading rewritten data. Restart
+  * recovery comes from the checkpoint: offsets are plain longs, and a
+  * post-restart manifest shorter than the committed offset is refused
+  * the same way.
+  *
+  * Why a V1 `Source` and a separate short name: Spark routes every
+  * `FileDataSourceV2`'s streaming resolution through its V1 fallback
+  * FileFormat, which [[GraftTableSource]] deliberately welds shut
+  * (write-door safety) — and V2 `MicroBatchStream` is not consulted
+  * for file-source providers at all. A plain [[StreamSourceProvider]]
+  * under its own name sidesteps both: batch reads stay on `graft`,
+  * streaming tails on `graft-stream`.
+  */
+class GraftStreamSource extends StreamSourceProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-stream"
+
+  private def tablePath(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-stream needs the published table root: " +
+        ".option(\"path\", tableRoot)"))
+
+  override def sourceSchema(sqlContext: SQLContext,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): (String, StructType) =
+    (shortName(), schema.getOrElse(
+      AtomicPublish.read(sqlContext.sparkSession, tablePath(parameters)).schema))
+
+  override def createSource(sqlContext: SQLContext,
+                            metadataPath: String,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): Source = {
+    val path = tablePath(parameters)
+    val spark = sqlContext.sparkSession
+    new GraftAppendTail(spark, path,
+      schema.getOrElse(AtomicPublish.read(spark, path).schema))
+  }
+}
+
+/** The V1 source instance: offset = segment-prefix length of the
+  * manifest, batch (from, to] = segment dirs [from, to). */
+private class GraftAppendTail(spark: SparkSession, tablePath: String,
+                              override val schema: StructType) extends Source {
+
+  // the longest segment list this instance has observed — the
+  // append-only witness (restarts re-arm it from the first poll; the
+  // committed-offset bound below covers the restart gap)
+  @volatile private var seen: Seq[String] = Nil
+
+  private def appendOnlyOrDie(cur: Seq[String]): Unit = {
+    val ok = cur.size >= seen.size && cur.take(seen.size) == seen
+    if (!ok) throw new IllegalStateException(
+      s"graft-stream at $tablePath: the manifest's segment prefix changed " +
+        s"under the stream (observed ${seen.size} segment(s), now " +
+        s"${cur.mkString(",")}) — the table was compacted or republished. " +
+        "A streaming tail requires append-only commits; restart the query " +
+        "with a fresh checkpoint to re-consume the rewritten table")
+    seen = cur
+  }
+
+  override def getOffset: Option[Offset] = {
+    val cur = AtomicPublish.currentSegments(spark, tablePath)
+    appendOnlyOrDie(cur)
+    if (cur.isEmpty) None else Some(LongOffset(cur.size.toLong))
+  }
+
+  private def offsetValue(o: Offset): Long = o match {
+    case l: LongOffset => l.offset
+    case other => other.json.trim.toLong // SerializedOffset after restart
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val from = start.map(offsetValue).getOrElse(0L).toInt
+    val to = offsetValue(end).toInt
+    val cur = AtomicPublish.currentSegments(spark, tablePath)
+    if (cur.size < to) throw new IllegalStateException(
+      s"graft-stream at $tablePath: the manifest names ${cur.size} " +
+        s"segment(s) but the stream has committed through $to — the table " +
+        "was compacted or republished under the stream (or across a " +
+        "restart); restart the query with a fresh checkpoint")
+    appendOnlyOrDie(cur)
+    val segs = cur.slice(from, to).map(d => s"$tablePath/$d")
+    val batch = spark.read.schema(schema).parquet(segs: _*)
+    org.apache.spark.sql.graftbridge.GraftSqlBridge
+      .internalCreateStreamingDataFrame(spark,
+        batch.queryExecution.toRdd, schema)
+  }
+
+  override def stop(): Unit = ()
+}

@@ -25,6 +25,17 @@ object GraftSqlBridge {
   /** The Catalyst expression backing a classic Column. */
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Wrap an InternalRow RDD as a STREAMING DataFrame (isStreaming =
+    * true) — the shape a V1 streaming Source's getBatch must return;
+    * `internalCreateDataFrame` is private[sql] and the built-in
+    * FileStreamSource reaches it the same way. */
+  def internalCreateStreamingDataFrame(
+      spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema, isStreaming = true)
+
   /** Apply an extension collector's injected functions to a registry
     * (`SparkSessionExtensions.registerFunctions` is private[sql]; the
     * extension-parity spec needs it to verify injection WITHOUT

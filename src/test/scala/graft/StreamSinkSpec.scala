@@ -48,4 +48,60 @@ class StreamSinkSpec extends SparkSpec {
     assert(streamed === batch)
     assert(streamed.nonEmpty)
   }
+
+  test("graft-stream tail: appends arrive as batches, restart recovers, rewrite refuses") {
+    import spark.implicits._
+    import graft.ops.AtomicPublish
+    val table = graft.engine.Scratch.dir("spec_tail")
+    val ckpt = Files.createTempDirectory("graft_tail_ckpt").toString
+    def day(k: Int) = Seq((k.toLong, s"d$k", 1.0)).toDF("k", "tag", "v")
+    AtomicPublish.publish(spark, table)(p => day(0).write.parquet(p))
+    val got = scala.collection.concurrent.TrieMap.empty[Long, String]
+    val batchSizes = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    def start() = spark.readStream.format("graft-stream")
+      .option("path", table).load()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = b.collect()
+        batchSizes.add(rows.length)
+        rows.foreach(r => got.put(r.getLong(0), r.getString(1))); ()
+      }
+      .start()
+    // life 1: base + one live append, each its own micro-batch
+    val q1 = start()
+    q1.processAllAvailable()
+    AtomicPublish.appendSegment(spark, table)(p => day(1).write.parquet(p))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(got.keySet === Set(0L, 1L))
+    // life 2: offsets recover from the checkpoint (SerializedOffset
+    // path) — only the NEW segment replays, nothing re-reads days 0-1
+    AtomicPublish.appendSegment(spark, table)(p => day(2).write.parquet(p))
+    val q2 = start()
+    q2.processAllAvailable()
+    assert(got.keySet === Set(0L, 1L, 2L))
+    import scala.jdk.CollectionConverters._
+    assert(batchSizes.asScala.sum === 3,
+      s"a segment was re-read or skipped: batch sizes ${batchSizes.asScala}")
+    // a REWRITE under the running stream (publish collapses the
+    // manifest) must fail loudly naming the cause, never silently
+    // re-consume rewritten data
+    spark.conf.set(AtomicPublish.RetentionMsKey, "0")
+    try {
+      AtomicPublish.publish(spark, table)(p => day(9).write.parquet(p))
+      AtomicPublish.appendSegment(spark, table)(p => day(10).write.parquet(p))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+        q2.awaitTermination(10000); ()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+      assert(msgs(e).exists(_.contains("compacted or republished")),
+        s"rewrite-under-stream must refuse loudly: ${msgs(e)}")
+    } finally {
+      spark.conf.unset(AtomicPublish.RetentionMsKey)
+      q2.stop()
+    }
+  }
 }
