@@ -21,6 +21,17 @@ import org.apache.spark.sql.functions._
   * plain `mode("overwrite")` to a live path deletes before it writes
   * and has no such guarantee at any scale.
   *
+  * ROUND 15: every commit now STAGES its data write under a hidden
+  * dot-prefixed directory with NO lock held and enters the
+  * cross-process commit lock only for the metadata window (rename
+  * staging → live name, sidecar writes, manifest swap, GC) — so a
+  * multi-hour 100 TB rewrite can never starve concurrent appenders
+  * into lock-timeout failures. Read-modify-write commits (compaction,
+  * copy-on-write MERGE) get their lost-update protection from the
+  * OPTIMISTIC compare-and-swap in [[casRewrite]] instead of from lock
+  * tenure; blind writes (publish = replace, append = commutative) never
+  * needed tenure in the first place.
+  *
   * Superseded versions are garbage collected by AGE, not by commit
   * count: a commit records each newly-unreferenced directory's
   * supersession time in a tombstone marker, and only directories
@@ -30,12 +41,17 @@ import org.apache.spark.sql.functions._
   * (the streaming MERGE sink) that window is SECONDS, and any
   * nontrivial concurrent scan of the table got FileNotFound mid-query.
   * The retention window makes reader safety a TIME guarantee
-  * independent of commit rate (Delta's VACUUM-retention shape).
+  * independent of commit rate (Delta's VACUUM-retention shape) — and,
+  * round 15, doubles as the TIME-TRAVEL window: every swap appends the
+  * new segment list to a version log, and [[readAt]] serves any version
+  * whose data directories the retention window still holds.
   */
 object AtomicPublish {
   private val ManifestFile = "MANIFEST"
   private val LockFile = "_graft_commit_lock"
   private val TombPrefix = "_graft_tomb_"
+  private val SegMetaPrefix = "_graft_seg_"
+  private val VersionsDir = "_graft_versions"
   private val counter = new java.util.concurrent.atomic.AtomicLong()
   private val tableLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
@@ -46,25 +62,36 @@ object AtomicPublish {
   val LockTimeoutMsDefault = 60000L
 
   /** Conf: lock age past which the holder is presumed dead (crashed
-    * mid-commit) and the lock may be broken. Must exceed the longest
-    * commit critical section (publish holds the lock through its data
-    * write); the default assumes maintenance-job commit windows. */
+    * mid-commit) and the lock may be broken. Live holders heartbeat, and
+    * since round 15 the lock spans only the METADATA window (rename +
+    * swap + GC), never a data rewrite. */
   val LockStaleMsKey = "spark.graft.manifest.lockStaleMs"
   val LockStaleMsDefault = 600000L
 
   /** Conf: how long a SUPERSEDED data version stays on disk before GC
-    * may delete it — the reader-safety window. A reader that resolved
-    * the manifest at version N keeps scanning safely while any number
-    * of later commits land, as long as its scan finishes within this
-    * window of N's supersession. Size it to the longest expected scan
-    * of the table; the storage bill is bounded by
-    * (commit rate × version size × retention) — every publish here is
-    * a FULL version, so minute-cadence sinks should keep this modest
-    * (the default retains ~10 one-minute commits), while slow-scan
-    * analytical tables should raise it. 0 restores delete-at-commit
-    * (only safe single-reader-single-writer). */
+    * may delete it — the reader-safety window AND the time-travel
+    * window. A reader that resolved the manifest at version N keeps
+    * scanning safely while any number of later commits land, as long as
+    * its scan finishes within this window of N's supersession; a
+    * [[readAt]] of version N stays valid on the same clock. Size it to
+    * the longest expected scan of the table; the storage bill is
+    * bounded by (commit rate × version size × retention) — every
+    * publish here is a FULL version, so minute-cadence sinks should
+    * keep this modest (the default retains ~10 one-minute commits),
+    * while slow-scan analytical tables should raise it. 0 restores
+    * delete-at-commit (only safe single-reader-single-writer, and
+    * forfeits time travel). */
   val RetentionMsKey = "spark.graft.manifest.retentionMs"
   val RetentionMsDefault = 600000L
+
+  /** FAULT-INJECTION SEAM, test-only: invoked at the start of every
+    * commit's METADATA window (lock held, nothing swapped yet). The
+    * fence/heartbeat specs use it to simulate a GC-pause-plus-theft
+    * inside the window — since round 15 staged the data writes outside
+    * the lock, no caller-controlled code runs inside it, so the
+    * pathological schedules the protocol defends against can only be
+    * reproduced through a seam. No-op in production. */
+  @volatile private[graft] var commitWindowFault: () => Unit = () => ()
 
   /** Atomic-exclusive file creation — the cross-process commit
     * primitive. HDFS `create(overwrite=false)` is atomic server-side;
@@ -120,8 +147,13 @@ object AtomicPublish {
     * Post-rename the displaced file's mtime is re-verified: a lock
     * refreshed between observation and rename (a heartbeat, or a new
     * holder landing in that window) is restored with a no-overwrite
-    * rename; if even the restore loses a race, the displaced holder is
-    * still protected by the swap-time fence ([[swapManifest]]). */
+    * rename, RETRIED on transient failure; if every restore attempt
+    * fails the tomb is LEFT IN PLACE (round-15 ADVICE fix) — deleting
+    * it, as pre-round-15 code did, silently vanished the live holder's
+    * lease evidence. A leftover tomb can only delay future stale-breaks
+    * (it is swept by [[sweepStaleDebris]] after a day), never admit a
+    * second holder; the displaced holder itself is still protected by
+    * the swap-time fence ([[swapManifest]]). */
   private def breakStaleLock(fs: org.apache.hadoop.fs.FileSystem,
                              conf: org.apache.hadoop.conf.Configuration,
                              root: org.apache.hadoop.fs.Path,
@@ -146,14 +178,18 @@ object AtomicPublish {
           // displaced a LIVE lease; put it back without overwriting
           // (if a new lock landed meanwhile, the displaced holder's
           // swap-time fence keeps the manifest safe)
-          try {
-            val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, conf)
-            fc.rename(fs.makeQualified(tomb), fs.makeQualified(lockPath))
-          } catch {
-            case _: Throwable =>
-              try { fs.delete(tomb, false); () }
-              catch { case _: java.io.IOException => () }
+          def restore(): Boolean =
+            try {
+              val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, conf)
+              fc.rename(fs.makeQualified(tomb), fs.makeQualified(lockPath))
+              true
+            } catch { case _: Throwable => false }
+          var attempts = 0
+          var ok = restore()
+          while (!ok && attempts < 3) {
+            attempts += 1; Thread.sleep(25); ok = restore()
           }
+          // on persistent failure the tomb STAYS — see scaladoc
         case None => ()
       }
     }
@@ -173,12 +209,10 @@ object AtomicPublish {
     * [[LockStaleMsKey]] is presumed orphaned by a DEAD holder and
     * broken atomically ([[breakStaleLock]]). Staleness keys on mtime,
     * not creation, because a LIVE holder HEARTBEATS the lock (a daemon
-    * thread re-touches it every staleMs/3): a 100 TB publish whose
-    * data write outlives the stale threshold keeps its lease — only a
-    * holder that actually died stops refreshing and ages out. The
-    * heartbeat verifies the lock still carries ITS token before each
-    * touch — a holder whose lease was stolen stops refreshing the
-    * thief's lock and is fenced at its swap.
+    * thread re-touches it every staleMs/3). Since round 15 every data
+    * rewrite is staged BEFORE the lock is taken, so lock tenure is the
+    * metadata window only — the heartbeat now guards against GC pauses
+    * and slow filesystems, not multi-hour writes.
     *
     * FILESYSTEM CONTRACT: the lease needs atomic exclusive-create,
     * atomic rename, and `setTimes` — POSIX and HDFS provide them.
@@ -226,12 +260,9 @@ object AtomicPublish {
       }
     }
     // lease heartbeat: keep the holder visibly alive while the commit
-    // (data write included) runs — without it a publish longer than
-    // staleMs would have its lock stolen MID-COMMIT and the race the
-    // lock exists to prevent would return exactly on the largest
-    // tables. Each beat first checks the lock still carries OUR token:
-    // a stolen lease (we were presumed dead during a long GC pause, a
-    // breaker reclaimed the lock, a new holder acquired) must not be
+    // runs — a holder paused past staleMs (GC pause, slow fs) would
+    // otherwise have its lock stolen MID-COMMIT. Each beat first checks
+    // the lock still carries OUR token: a stolen lease must not be
     // kept artificially fresh by its zombie.
     val beatEvery = math.max(25L, staleMs / 3)
     val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
@@ -270,7 +301,11 @@ object AtomicPublish {
     * that resolved any earlier manifest keeps its data for at least the
     * retention window no matter how fast later commits land. Tombstones
     * are `_`-prefixed (invisible to parquet readers and source
-    * stamping) and are reaped with their directory. */
+    * stamping) and are reaped with their directory, as are the
+    * directory's zonemap/upsert sidecars. Version-log entries age out
+    * on the same retention clock (all directories they reference are
+    * deleted on it — see [[readAt]]); the LATEST entry always survives,
+    * it names the live manifest. */
   private def gcSuperseded(spark: SparkSession,
                            fs: org.apache.hadoop.fs.FileSystem,
                            root: org.apache.hadoop.fs.Path,
@@ -285,11 +320,11 @@ object AtomicPublish {
       .filter(f => !f.isDirectory && f.getPath.getName.startsWith(TombPrefix))
       .map(f => f.getPath.getName.stripPrefix(TombPrefix) -> f.getModificationTime)
       .toMap
-    // orphaned markers (directory already gone) — reap
-    tombs.keys.filterNot(dirs).foreach { d =>
-      try { fs.delete(new org.apache.hadoop.fs.Path(root, TombPrefix + d), false); () }
+    def rmQuiet(name: String): Unit =
+      try { fs.delete(new org.apache.hadoop.fs.Path(root, name), false); () }
       catch { case _: java.io.IOException => () }
-    }
+    // orphaned markers (directory already gone) — reap
+    tombs.keys.filterNot(dirs).foreach(d => rmQuiet(TombPrefix + d))
     dirs.filterNot(live).foreach { d =>
       // the tombstone's MTIME is the supersession clock (what every
       // later pass reads); the epoch written as content is forensics
@@ -301,59 +336,55 @@ object AtomicPublish {
       })
       if (now - supersededAt >= retentionMs) {
         fs.delete(new org.apache.hadoop.fs.Path(root, d), true)
-        try { fs.delete(new org.apache.hadoop.fs.Path(root, TombPrefix + d), false); () }
+        rmQuiet(TombPrefix + d)
+        rmQuiet(SegMetaPrefix + d)
+        rmQuiet(ZoneMaps.ZonePrefix + d)
+      }
+    }
+    // version-log retention: an entry older than the window references
+    // only directories the window has already released (every version
+    // naming a dir predates that dir's supersession), except the latest
+    // entry, which IS the live manifest
+    val vd = new org.apache.hadoop.fs.Path(root, VersionsDir)
+    if (fs.exists(vd)) {
+      val vfiles = fs.listStatus(vd).filter(!_.isDirectory)
+      if (vfiles.nonEmpty) {
+        val latest = vfiles.map(_.getPath.getName).max
+        vfiles.filter(f => f.getPath.getName != latest &&
+            now - f.getModificationTime >= retentionMs)
+          .foreach(f =>
+            try { fs.delete(f.getPath, false); () }
+            catch { case _: java.io.IOException => () })
+      }
+    }
+  }
+
+  /** Sweep hidden debris a crashed committer abandoned: staging
+    * directories (`.pub-*` / `.seg-*` / `.compact-*` — data writes
+    * staged outside the lock that never committed) and broken-lock
+    * tombs, all older than a day. A LIVE rewrite older than that is
+    * conceivable only at extreme scale — raise the constant in source
+    * if yours runs past a day. */
+  private def sweepStaleDebris(fs: org.apache.hadoop.fs.FileSystem,
+                               root: org.apache.hadoop.fs.Path): Unit = {
+    val before = System.currentTimeMillis() - 24L * 3600 * 1000
+    if (!fs.exists(root)) return
+    fs.listStatus(root).foreach { f =>
+      val n = f.getPath.getName
+      val staging = f.isDirectory && (n.startsWith(".pub-") ||
+        n.startsWith(".seg-") || n.startsWith(".compact-"))
+      val tomb = !f.isDirectory && n.startsWith(s".$LockFile.broken-")
+      if ((staging || tomb) && f.getModificationTime < before) {
+        try { fs.delete(f.getPath, staging); () }
         catch { case _: java.io.IOException => () }
       }
     }
   }
 
-  /** Run `write` against a fresh versioned data directory under
-    * `tablePath`, then atomically point the manifest at it.
-    * Returns the published data-directory name.
-    *
-    * Concurrency contract: READERS are always safe against any number
-    * of concurrent publishers (the manifest swap is the only mutation
-    * they observe). PUBLISHERS are serialized per table at two levels:
-    * a JVM-local lock (threads of one driver, cheap) and — round 13 —
-    * a CROSS-PROCESS commit lock (an exclusive-create lock file at the
-    * table root, the miniature of Delta's optimistic log / Iceberg's
-    * lock-service commit), so a scheduler retry or a backfill driver
-    * racing the daily appender can no longer interleave with a commit's
-    * read-modify-write or its GC. See [[appendSegmentCrossProcess]] for
-    * the compare-and-swap this buys appends. */
-  def publish(spark: SparkSession, tablePath: String)
-             (write: String => Unit): String =
-    tableLocks.computeIfAbsent(tablePath, _ => new Object).synchronized {
-      publishCrossProcess(spark, tablePath)(write)
-    }
-
-  /** The cross-process commit path of [[publish]] (no JVM fast-path
-    * lock) — package-private so the racing-writers spec can drive two
-    * simulated driver processes through it. The commit lock spans the
-    * prev-read, data write, swap, AND the GC: a concurrent appender can
-    * therefore never have its freshly-written (not yet committed)
-    * segment collected, and the prev-read can never go stale between
-    * read and swap. */
-  private[graft] def publishCrossProcess(spark: SparkSession, tablePath: String)
-                                        (write: String => Unit): String = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val root = new org.apache.hadoop.fs.Path(tablePath)
-    val fs = root.getFileSystem(conf)
-    fs.mkdirs(root)
-    withCommitLock(spark, fs, root) { token =>
-      val dataDir =
-        s"data-${System.currentTimeMillis()}-${counter.incrementAndGet()}"
-      write(fs.makeQualified(new org.apache.hadoop.fs.Path(root, dataDir)).toString)
-      swapManifest(fs, conf, root, dataDir, token)
-      // age-based GC of everything the new manifest no longer references
-      gcSuperseded(spark, fs, root, live = Set(dataDir))
-      dataDir
-    }
-  }
-
   /** The commit point: write the manifest content to a temp file and
     * RENAME it over `MANIFEST` — one rename, atomic-with-overwrite on
-    * the same filesystem.
+    * the same filesystem — then append the committed segment list to
+    * the version log (time travel's clock; see [[readAt]]).
     *
     * On HDFS that is `FileContext.rename(…, OVERWRITE)` (Hdfs
     * overrides `renameInternal` with a genuinely atomic overwrite).
@@ -376,7 +407,13 @@ object AtomicPublish {
     * closing that needs a filesystem with compare-and-swap or an
     * external lock service (the Delta/Iceberg endgame); the fence
     * narrows the zombie-writer window from the WHOLE commit to one
-    * read-rename gap. */
+    * read-rename gap.
+    *
+    * The version-log append runs AFTER the successful rename: a crash
+    * in between leaves one committed version without a log entry —
+    * time travel to it is unavailable (loud error), the next commit
+    * logs normally, and the manifest itself (the correctness surface)
+    * was never at risk. */
   private def swapManifest(fs: org.apache.hadoop.fs.FileSystem,
                            conf: org.apache.hadoop.conf.Configuration,
                            root: org.apache.hadoop.fs.Path,
@@ -412,7 +449,92 @@ object AtomicPublish {
       fc.rename(fs.makeQualified(tmp), fs.makeQualified(manifest),
         org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     }
+    // version log: one immutable numbered snapshot per commit, written
+    // under the same lock every swap holds, so numbering races can't
+    // happen by construction
+    try {
+      val vd = new org.apache.hadoop.fs.Path(root, VersionsDir)
+      fs.mkdirs(vd)
+      val next = latestVersionIn(fs, root).map(_._1).getOrElse(0L) + 1
+      val out = fs.create(new org.apache.hadoop.fs.Path(vd, f"$next%012d"), true)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+    } catch {
+      case _: java.io.IOException => () // log-only failure: see scaladoc
+    }
   }
+
+  private def latestVersionIn(fs: org.apache.hadoop.fs.FileSystem,
+                              root: org.apache.hadoop.fs.Path)
+      : Option[(Long, org.apache.hadoop.fs.Path)] = {
+    val vd = new org.apache.hadoop.fs.Path(root, VersionsDir)
+    if (!fs.exists(vd)) None
+    else fs.listStatus(vd).filter(!_.isDirectory)
+      .flatMap(f => f.getPath.getName.toLongOption.map(_ -> f.getPath))
+      .sortBy(_._1).lastOption
+  }
+
+  /** Run `write` against a fresh versioned data directory under
+    * `tablePath`, then atomically point the manifest at it.
+    * Returns the published data-directory name.
+    *
+    * Concurrency contract: READERS are always safe against any number
+    * of concurrent publishers (the manifest swap is the only mutation
+    * they observe). PUBLISHERS of one table serialize only for the
+    * METADATA window: the data write runs against a hidden `.pub-*`
+    * staging directory with NO lock held (round 15 — a huge publish no
+    * longer starves appenders), then the commit lock covers rename +
+    * swap + GC. publish REPLACES the table, so racing publishers are
+    * last-writer-wins by design — read-modify-write flows must use
+    * [[appendSegment]] (commutative) or [[casRewrite]]/[[compactSegments]]
+    * (optimistic CAS) instead. */
+  def publish(spark: SparkSession, tablePath: String)
+             (write: String => Unit): String =
+    tableLocks.computeIfAbsent(tablePath, _ => new Object).synchronized {
+      publishCrossProcess(spark, tablePath)(write)
+    }
+
+  /** The cross-process commit path of [[publish]] (no JVM fast-path
+    * lock) — package-private so the racing-writers spec can drive two
+    * simulated driver processes through it. */
+  private[graft] def publishCrossProcess(spark: SparkSession, tablePath: String)
+                                        (write: String => Unit): String = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = root.getFileSystem(conf)
+    fs.mkdirs(root)
+    sweepStaleDebris(fs, root)
+    val stamp = s"${System.currentTimeMillis()}-${counter.incrementAndGet()}"
+    val staging = new org.apache.hadoop.fs.Path(root, s".pub-$stamp")
+    val dataDir = s"data-$stamp"
+    // the (possibly enormous) data write: NO lock held
+    try write(fs.makeQualified(staging).toString)
+    catch { case t: Throwable => fs.delete(staging, true); throw t }
+    val zones = ZoneMaps.harvestSegment(spark,
+      fs.makeQualified(staging).toString)
+    commitStaged(fs, staging) { withCommitLock(spark, fs, root) { token =>
+      commitWindowFault()
+      require(fs.rename(staging, new org.apache.hadoop.fs.Path(root, dataDir)),
+        s"publish: staging rename failed at $staging")
+      ZoneMaps.write(fs, root, dataDir, zones)
+      swapManifest(fs, conf, root, dataDir, token)
+      // age-based GC of everything the new manifest no longer references
+      gcSuperseded(spark, fs, root, live = Set(dataDir))
+      dataDir
+    } }
+  }
+
+  /** Reclaim an orphaned staging directory when the commit step itself
+    * fails (lock timeout, fence) — the staged bytes were never
+    * published and would otherwise linger until the day-old sweep. */
+  private def commitStaged[A](fs: org.apache.hadoop.fs.FileSystem,
+                              staging: org.apache.hadoop.fs.Path)
+                             (commit: => A): A =
+    try commit
+    catch {
+      case t: Throwable =>
+        try { fs.delete(staging, true); () } catch { case _: Throwable => () }
+        throw t
+    }
 
   /** APPEND a segment: the manifest is a NEWLINE-SEPARATED SEGMENT
     * LIST (a one-line manifest is the single-segment special case
@@ -423,7 +545,7 @@ object AtomicPublish {
     * corpus-sized data for a batch-sized change. Readers concurrent
     * with an append resolve the old or the new segment LIST in full —
     * never a partial segment. No GC here: every prior segment stays
-    * live; [[Compact.rewrite]] (or a fresh [[publish]]) collapses the
+    * live; [[compactSegments]] (or a fresh [[publish]]) collapses the
     * segment list back to one and GCs. */
   def appendSegment(spark: SparkSession, tablePath: String)
                    (write: String => Unit): String =
@@ -433,34 +555,91 @@ object AtomicPublish {
 
   /** The cross-process commit path of [[appendSegment]] (no JVM
     * fast-path lock) — package-private so the racing-writers spec can
-    * simulate two DRIVER PROCESSES appending the same table. The
-    * manifest read-modify-write is a COMPARE-AND-SWAP under the
-    * cross-process commit lock: the segment list is (re-)read INSIDE
-    * the commit window, so a segment committed by a racing appender
-    * between this appender's intent and its swap lands in `prev` and
-    * survives — the pre-round-13 shape (read prev outside any
-    * cross-process coordination, then rename-with-overwrite) let the
-    * last writer silently erase the other's segment, the first thing a
-    * scheduler retry breaks in production. The post-swap read-back
-    * verifies the committed list under the same lock; a mismatch means
-    * an out-of-protocol writer touched the manifest and fails loudly. */
+    * simulate two DRIVER PROCESSES appending the same table. The data
+    * write stages under a hidden `.seg-*` directory with NO lock held;
+    * the manifest read-modify-write is then a COMPARE-AND-SWAP under
+    * the cross-process commit lock: the segment list is (re-)read
+    * INSIDE the commit window, so a segment committed by a racing
+    * appender between this appender's intent and its swap lands in
+    * `prev` and survives — the pre-round-13 shape (read prev outside
+    * any cross-process coordination, then rename-with-overwrite) let
+    * the last writer silently erase the other's segment, the first
+    * thing a scheduler retry breaks in production. The post-swap
+    * read-back verifies the committed list under the same lock; a
+    * mismatch means an out-of-protocol writer touched the manifest and
+    * fails loudly. */
   private[graft] def appendSegmentCrossProcess(spark: SparkSession,
                                                tablePath: String)
-                                              (write: String => Unit): String = {
+                                              (write: String => Unit): String =
+    appendSegmentCore(spark, tablePath, upsertKeys = None)(write)
+
+  /** Append an UPSERT segment — the merge-on-read write path
+    * ([[MergeInto.upsertInto]]): the batch lands as a normal segment
+    * plus a `_graft_seg_<dir>` sidecar marking it `upsert` on `keys`.
+    * [[read]]/[[readOver]] reconcile at scan time (a row survives iff
+    * no LATER upsert segment claims its key), and
+    * [[MergeInto.compactMerged]] folds the reconciliation into a fresh
+    * base via the optimistic CAS. Per-commit cost is ∝ THE BATCH —
+    * never the table — which is what a per-micro-batch MERGE sink
+    * needs at 100 TB.
+    *
+    * Schema contract (round-15 evolution support): the source may ADD
+    * columns only when [[MergeInto.AllowEvolutionKey]] is set (readers
+    * null-backfill older segments); a source MISSING existing columns
+    * is refused loudly — silently dropping a column under merge
+    * semantics corrupts every non-matched row. All upsert segments of
+    * one table must agree on `keys`. */
+  def appendUpsertSegment(spark: SparkSession, tablePath: String,
+                          keys: Seq[String])
+                         (write: String => Unit): String = {
+    require(keys.nonEmpty, "appendUpsertSegment: empty key list")
+    tableLocks.computeIfAbsent(tablePath, _ => new Object).synchronized {
+      appendSegmentCore(spark, tablePath, upsertKeys = Some(keys))(write)
+    }
+  }
+
+  private def appendSegmentCore(spark: SparkSession, tablePath: String,
+                                upsertKeys: Option[Seq[String]])
+                               (write: String => Unit): String = {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(tablePath)
     val fs = root.getFileSystem(conf)
     require(currentSegments(spark, tablePath).nonEmpty,
       s"appendSegment: no published version (MANIFEST) at $tablePath — " +
         "publish a base segment first")
-    withCommitLock(spark, fs, root) { token =>
+    sweepStaleDebris(fs, root)
+    val stamp = s"${System.currentTimeMillis()}-${counter.incrementAndGet()}"
+    val staging = new org.apache.hadoop.fs.Path(root, s".seg-$stamp")
+    val dataDir = s"data-$stamp"
+    // batch-sized data write: NO lock held
+    try write(fs.makeQualified(staging).toString)
+    catch { case t: Throwable => fs.delete(staging, true); throw t }
+    upsertKeys.foreach { keys =>
+      try checkUpsertContract(spark, tablePath, fs, root,
+        fs.makeQualified(staging).toString, keys)
+      catch { case t: Throwable => fs.delete(staging, true); throw t }
+    }
+    val zones = ZoneMaps.harvestSegment(spark,
+      fs.makeQualified(staging).toString)
+    commitStaged(fs, staging) { withCommitLock(spark, fs, root) { token =>
+      commitWindowFault()
       val prev = currentSegments(spark, tablePath)
       require(prev.nonEmpty,
         s"appendSegment: table at $tablePath lost its published version " +
           "while waiting for the commit lock")
-      val dataDir =
-        s"data-${System.currentTimeMillis()}-${counter.incrementAndGet()}"
-      write(fs.makeQualified(new org.apache.hadoop.fs.Path(root, dataDir)).toString)
+      require(fs.rename(staging, new org.apache.hadoop.fs.Path(root, dataDir)),
+        s"appendSegment: staging rename failed at $staging")
+      // the upsert sidecar must be durable BEFORE the swap: a reader
+      // that resolves the new manifest but missed the marker would
+      // union the batch as plain appends — duplicate keys instead of
+      // overrides
+      upsertKeys.foreach { keys =>
+        val out = fs.create(
+          new org.apache.hadoop.fs.Path(root, SegMetaPrefix + dataDir), true)
+        try out.write(s"upsert\t${keys.mkString(",")}".getBytes("UTF-8"))
+        finally out.close()
+      }
+      ZoneMaps.write(fs, root, dataDir, zones)
       swapManifest(fs, conf, root, (prev :+ dataDir).mkString("\n"), token)
       val committed = currentSegments(spark, tablePath)
       require(committed == prev :+ dataDir,
@@ -468,15 +647,58 @@ object AtomicPublish {
           s"${(prev :+ dataDir).mkString(",")} but read ${committed.mkString(",")}; " +
           "an out-of-protocol writer modified the manifest inside the commit window")
       dataDir
+    } }
+  }
+
+  /** Pre-commit contract checks for an upsert segment (against the
+    * STAGED write, before anything becomes visible): key presence, key
+    * agreement with prior upsert segments, and the schema-evolution
+    * rules of [[appendUpsertSegment]]. */
+  private def checkUpsertContract(spark: SparkSession, tablePath: String,
+                                  fs: org.apache.hadoop.fs.FileSystem,
+                                  root: org.apache.hadoop.fs.Path,
+                                  stagedPath: String,
+                                  keys: Seq[String]): Unit = {
+    val staged = spark.read.parquet(stagedPath).schema
+    val stagedNames = staged.fieldNames.map(_.toLowerCase).toSet
+    keys.foreach(k => require(stagedNames.contains(k.toLowerCase),
+      s"upsert into $tablePath: merge key `$k` missing from the source batch"))
+    val existingUpserts = upsertSidecarsFor(spark, tablePath,
+      currentSegments(spark, tablePath))
+    existingUpserts.values.headOption.foreach { priorKeys =>
+      require(priorKeys.map(_.toLowerCase) == keys.map(_.toLowerCase),
+        s"upsert into $tablePath: pending upsert segments merge on " +
+          s"(${priorKeys.mkString(",")}) but this batch merges on " +
+          s"(${keys.mkString(",")}) — fold the table first " +
+          "(MergeInto.compactMerged) before changing merge keys")
+    }
+    val current = read(spark, tablePath).schema
+    val currentNames = current.fieldNames.map(_.toLowerCase).toSet
+    val dropped = current.fieldNames.filterNot(n =>
+      stagedNames.contains(n.toLowerCase))
+    require(dropped.isEmpty,
+      s"upsert into $tablePath: source batch is MISSING existing column(s) " +
+        s"${dropped.mkString(", ")} — a merge that silently dropped them " +
+        "would corrupt every non-matched row; align the source schema")
+    val added = staged.fieldNames.filterNot(n =>
+      currentNames.contains(n.toLowerCase))
+    if (added.nonEmpty) {
+      val allow = spark.conf.getOption(MergeInto.AllowEvolutionKey)
+        .exists(_.toBoolean)
+      require(allow,
+        s"upsert into $tablePath: source batch ADDS column(s) " +
+          s"${added.mkString(", ")}; set ${MergeInto.AllowEvolutionKey}=true " +
+          "to accept schema evolution (existing rows read back NULL there)")
     }
   }
 
-  /** Outcome of [[compactSegments]]'s optimistic commit. */
+  /** Outcome of [[compactSegments]]/[[casRewrite]]'s optimistic commit. */
   sealed trait CompactOutcome
   object CompactOutcome {
     /** The rewrite committed; `dataDir` is the new single segment. */
     final case class Compacted(dataDir: String) extends CompactOutcome
-    /** The table already had ≤ 1 segment — nothing to do. */
+    /** The table had fewer segments than the rewrite's minimum —
+      * nothing to do. */
     case object AlreadyCompact extends CompactOutcome
     /** Every attempt found the segment list changed between its read
       * and its commit window (the table is being appended faster than
@@ -485,60 +707,68 @@ object AtomicPublish {
   }
 
   /** Collapse a SEGMENTED table to one fresh segment under OPTIMISTIC
-    * concurrency: read the segment list, run the (possibly huge)
+    * concurrency — [[casRewrite]] with the ≥2-segments guard. NOTE:
+    * the caller-provided `write` receives the observed segment PATHS
+    * raw; tables carrying pending UPSERT segments must reconcile
+    * (use [[MergeInto.compactMerged]], whose rewrite is the reconciled
+    * [[readOver]]) — a plain union re-materializes overridden rows. */
+  def compactSegments(spark: SparkSession, tablePath: String,
+                      maxAttempts: Int = 3)
+                     (write: (Seq[String], String) => Unit): CompactOutcome =
+    casRewrite(spark, tablePath, maxAttempts, minSegments = 2)(write)
+
+  /** REWRITE a table's data under OPTIMISTIC concurrency: read the
+    * segment list, run the (possibly huge)
     * `write(observedSegmentPaths, stagingPath)` rewrite with NO lock
-    * held, then re-acquire the commit lock and swap ONLY IF the segment
+    * held, then take the commit lock and swap ONLY IF the segment
     * list is still exactly what the rewrite consumed — otherwise
     * discard the staging output and retry against the new list. Two
     * hazards die here at once: (a) a segment committed by a racing
     * appender between the list read and the swap can no longer be
     * silently dropped from the manifest (the CAS aborts instead), and
-    * (b) the commit lock is held only for the read+rename+GC window
+    * (b) the commit lock is held only for the rename+swap+GC window
     * (milliseconds), never for the rewrite itself — so a multi-hour
     * 100 TB compaction cannot starve concurrent daily appends into
     * lock-timeout failures.
     *
-    * The rewrite stages under a hidden `.compact-*` directory (invisible
-    * to [[gcSuperseded]], which only considers `data-*`), renamed into
-    * the live namespace inside the commit window — a metadata-only move.
-    * A holder that crashes mid-rewrite leaks its staging directory;
-    * entry sweeps `.compact-*` leftovers older than 24 h. */
-  def compactSegments(spark: SparkSession, tablePath: String,
-                      maxAttempts: Int = 3)
-                     (write: (Seq[String], String) => Unit): CompactOutcome = {
+    * The rewrite stages under a hidden `.compact-*` directory
+    * (invisible to [[gcSuperseded]], which only considers `data-*`),
+    * renamed into the live namespace inside the commit window — a
+    * metadata-only move. A holder that crashes mid-rewrite leaks its
+    * staging directory; entry sweeps day-old leftovers. */
+  private[graft] def casRewrite(spark: SparkSession, tablePath: String,
+                                maxAttempts: Int, minSegments: Int)
+                               (write: (Seq[String], String) => Unit): CompactOutcome = {
     require(maxAttempts >= 1, s"maxAttempts must be >= 1: $maxAttempts")
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(tablePath)
     val fs = root.getFileSystem(conf)
-    // reclaim staging dirs a crashed compactor abandoned (a LIVE rewrite
-    // older than this is conceivable only at extreme scale — raise the
-    // constant in source if yours runs past a day)
-    val sweepBefore = System.currentTimeMillis() - 24L * 3600 * 1000
-    if (fs.exists(root))
-      fs.listStatus(root)
-        .filter(f => f.isDirectory && f.getPath.getName.startsWith(".compact-") &&
-          f.getModificationTime < sweepBefore)
-        .foreach(f => fs.delete(f.getPath, true))
+    sweepStaleDebris(fs, root)
     var attempt = 0
     while (attempt < maxAttempts) {
       attempt += 1
       val observed = currentSegments(spark, tablePath)
-      if (observed.size <= 1) return CompactOutcome.AlreadyCompact
+      if (observed.size < minSegments) return CompactOutcome.AlreadyCompact
       val stamp = s"${System.currentTimeMillis()}-${counter.incrementAndGet()}"
       val staging = new org.apache.hadoop.fs.Path(root, s".compact-$stamp")
       val dataDir = s"data-$stamp"
       try write(observed.map(d => s"$tablePath/$d"),
         fs.makeQualified(staging).toString)
       catch { case t: Throwable => fs.delete(staging, true); throw t }
-      val committed = withCommitLock(spark, fs, root) { token =>
+      val zones = ZoneMaps.harvestSegment(spark,
+        fs.makeQualified(staging).toString)
+      val committed = commitStaged(fs, staging) {
+        withCommitLock(spark, fs, root) { token =>
+        commitWindowFault()
         if (currentSegments(spark, tablePath) == observed) {
           require(fs.rename(staging, new org.apache.hadoop.fs.Path(root, dataDir)),
-            s"compactSegments: staging rename failed at $staging")
+            s"casRewrite: staging rename failed at $staging")
+          ZoneMaps.write(fs, root, dataDir, zones)
           swapManifest(fs, conf, root, dataDir, token)
           gcSuperseded(spark, fs, root, live = Set(dataDir))
           true
         } else false
-      }
+      } }
       if (committed) return CompactOutcome.Compacted(dataDir)
       fs.delete(staging, true) // lost the race: discard, re-observe
     }
@@ -592,15 +822,157 @@ object AtomicPublish {
   def currentDataDir(spark: SparkSession, tablePath: String): Option[String] =
     currentSegments(spark, tablePath).headOption
 
+  /** Upsert sidecars among `segs`: dir name → merge keys. One root
+    * listing, opened only for segments actually marked. */
+  def upsertSidecarsFor(spark: SparkSession, tablePath: String,
+                        segs: Seq[String]): Map[String, Seq[String]] = {
+    val root = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Map.empty
+    val marked = fs.listStatus(root)
+      .filter(f => !f.isDirectory && f.getPath.getName.startsWith(SegMetaPrefix))
+      .map(_.getPath.getName.stripPrefix(SegMetaPrefix)).toSet
+    segs.filter(marked).flatMap { d =>
+      try {
+        val p = new org.apache.hadoop.fs.Path(root, SegMetaPrefix + d)
+        val in = fs.open(p)
+        val bytes =
+          try {
+            val b = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+            in.readFully(b); b
+          } finally in.close()
+        val parts = new String(bytes, "UTF-8").split("\t", 2)
+        if (parts.length == 2 && parts(0) == "upsert")
+          Some(d -> parts(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        else None
+      } catch { case _: java.io.IOException => None }
+    }.toMap
+  }
+
   /** Reader side of the protocol: resolve the manifest, read every
-    * segment it names. One manifest read per query plan — the scan
-    * itself binds to the immutable versioned directories. */
+    * segment it names, and RECONCILE pending merge-on-read upsert
+    * segments (see [[readOver]]). One manifest read per query plan —
+    * the scan itself binds to the immutable versioned directories. */
   def read(spark: SparkSession, tablePath: String): DataFrame =
     currentSegments(spark, tablePath) match {
       case Nil => throw new IllegalStateException(
         s"no published version (MANIFEST) at $tablePath")
-      case segs => spark.read.parquet(segs.map(d => s"$tablePath/$d"): _*)
+      case segs => readOver(spark, tablePath, segs)
     }
+
+  /** Read an explicit segment list of a table, reconciling any of its
+    * segments marked `upsert` ([[appendUpsertSegment]]).
+    *
+    * Plain tables (no upsert sidecars among `segs`) take the zero-cost
+    * path: one multi-directory parquet scan, byte-identical to every
+    * pre-round-15 read. Merge-on-read tables pay ONE extra join:
+    *
+    *   survivors = rows whose key is NOT claimed by any LATER upsert
+    *   segment (the segment ordinal is the version clock)
+    *
+    * planned as rows ⟕ (distinct upsert keys → max claiming ordinal),
+    * filtered on `claimOrd ≤ rowOrd`. The right side is ∝ the upsert
+    * batches landed SINCE THE LAST FOLD — compaction keeps it small, so
+    * AQE broadcasts it and the reconciliation never reshuffles the
+    * corpus. Rows with NULL merge keys are never overridden (SQL join
+    * semantics) — they always accumulate, documented behavior.
+    *
+    * Schema evolution: segments are union'd BY NAME with null backfill
+    * for columns a segment predates; column order is first-appearance
+    * (base segment's order, then additions in commit order). Only
+    * reachable when [[MergeInto.AllowEvolutionKey]] admitted the
+    * evolution at write time. */
+  def readOver(spark: SparkSession, tablePath: String,
+               segs: Seq[String]): DataFrame = {
+    require(segs.nonEmpty, s"readOver: empty segment list for $tablePath")
+    val ups = upsertSidecarsFor(spark, tablePath, segs)
+    if (ups.isEmpty)
+      spark.read.parquet(segs.map(d => s"$tablePath/$d"): _*)
+    else {
+      val keys = ups.values.head // key agreement enforced at write
+      val perSeg = segs.map(d => spark.read.parquet(s"$tablePath/$d"))
+      val canon = perSeg.foldLeft(Vector.empty[String]) { (acc, df) =>
+        acc ++ df.schema.fieldNames.filterNot(n =>
+          acc.exists(_.equalsIgnoreCase(n)))
+      }
+      val ordCol = "__graft_seg_ord"
+      val claimCol = "__graft_claim_ord"
+      require(!canon.exists(c => c.equalsIgnoreCase(ordCol) ||
+          c.equalsIgnoreCase(claimCol)),
+        s"readOver: table at $tablePath uses reserved column name " +
+          s"$ordCol/$claimCol")
+      val tagged = perSeg.zipWithIndex
+        .map { case (df, i) => df.withColumn(ordCol, lit(i)) }
+        .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+      val claims = segs.zipWithIndex
+        .collect { case (d, i) if ups.contains(d) =>
+          spark.read.parquet(s"$tablePath/$d")
+            .select(keys.map(col): _*)
+            .withColumn(claimCol, lit(i))
+        }
+        .reduce(_ unionByName _)
+        .groupBy(keys.map(col): _*)
+        .agg(max(col(claimCol)).as(claimCol))
+      tagged.join(claims, keys, "left")
+        .filter(col(claimCol).isNull || col(claimCol) <= col(ordCol))
+        .select(canon.map(col): _*)
+    }
+  }
+
+  // -----------------------------------------------------------------
+  // Time travel
+  // -----------------------------------------------------------------
+
+  /** The table's current commit version per the version log (1-based;
+    * None when never published or the log is missing). */
+  def currentVersion(spark: SparkSession, tablePath: String): Option[Long] = {
+    val root = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    latestVersionIn(fs, root).map(_._1)
+  }
+
+  /** The segment list committed as `version`, if the version log still
+    * holds it AND the retention window still holds its data. Loud on
+    * both failure modes — a silent fallback to another version is the
+    * one thing a time-travel read must never do. */
+  def segmentsAt(spark: SparkSession, tablePath: String,
+                 version: Long): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vp = new org.apache.hadoop.fs.Path(root,
+      new org.apache.hadoop.fs.Path(VersionsDir, f"$version%012d").toString)
+    if (!fs.exists(vp)) {
+      val latest = latestVersionIn(fs, root).map(_._1)
+      throw new IllegalStateException(
+        s"time travel: version $version of $tablePath is not in the " +
+          s"version log (latest: ${latest.getOrElse("none")}) — either it " +
+          s"never committed or it aged past $RetentionMsKey")
+    }
+    val in = fs.open(vp)
+    val segs =
+      try {
+        val bytes = new Array[Byte](fs.getFileStatus(vp).getLen.toInt)
+        in.readFully(bytes)
+        new String(bytes, "UTF-8").linesIterator.map(_.trim)
+          .filter(_.nonEmpty).toSeq
+      } finally in.close()
+    val missing = segs.filterNot(d =>
+      fs.exists(new org.apache.hadoop.fs.Path(root, d)))
+    if (missing.nonEmpty) throw new IllegalStateException(
+      s"time travel: version $version of $tablePath references " +
+        s"${missing.mkString(", ")}, already garbage-collected — raise " +
+        s"$RetentionMsKey to lengthen the travel window")
+    segs
+  }
+
+  /** Read the table AS OF a committed version — valid within the
+    * retention window ([[RetentionMsKey]]; superseded data directories
+    * are kept exactly that long, so the bytes are already there).
+    * Reconciles upsert segments exactly like [[read]]: a version
+    * captured mid-merge-on-read reproduces that moment's merged view.
+    * SQL surface: `OPTIONS (versionAsOf 'N')` on the `graft` source. */
+  def readAt(spark: SparkSession, tablePath: String, version: Long): DataFrame =
+    readOver(spark, tablePath, segmentsAt(spark, tablePath, version))
 
   /** Explicit retention reaper — the VACUUM of this protocol. GC
     * normally piggybacks on commits ([[gcSuperseded]] runs inside
@@ -631,6 +1003,8 @@ object AtomicPublish {
     * view binds the immutable versioned directories — a later commit
     * does not contaminate queries against this registration (the same
     * snapshot semantic [[read]] gives plans); re-register to advance.
+    * Unlike the path-based `graft` DSv2 source, this view RECONCILES
+    * pending upsert segments (it binds [[read]]'s plan, join and all).
     * SqlFrontDoorSpec pins `sameResult` plan equality between SQL text
     * over the view and the ops-API read. */
   def registerView(spark: SparkSession, tablePath: String,
@@ -642,6 +1016,29 @@ object AtomicPublish {
 }
 
 object MergeInto {
+
+  /** Conf: MERGE write strategy. `mor` (merge-on-read, default) lands
+    * each source batch as an upsert SEGMENT — per-commit cost ∝ the
+    * batch — and defers reconciliation to read time / the next fold;
+    * `cow` (copy-on-write) rewrites the whole reconciled table per
+    * merge under the optimistic CAS — per-commit cost ∝ the table, but
+    * reads stay join-free. The lakehouse trade, selectable per
+    * session. */
+  val ModeKey = "spark.graft.merge.mode"
+  val ModeDefault = "mor"
+
+  /** Conf: fold (compact) a merge-on-read table once its segment count
+    * reaches this, amortizing reconciliation cost across merges the
+    * way an LSM folds levels. 0 disables auto-folding (explicit
+    * [[compactMerged]] only). */
+  val CompactAfterKey = "spark.graft.merge.compactAfterSegments"
+  val CompactAfterDefault = 16
+
+  /** Conf: accept source batches that ADD columns (readers
+    * null-backfill rows that predate them). Off by default — silent
+    * schema drift is a pipeline bug more often than a feature. Dropped
+    * columns are always refused loudly. */
+  val AllowEvolutionKey = "spark.graft.merge.allowSchemaEvolution"
 
   /** SCD-1 MERGE INTO: rows of `source` win on key match (UPDATE),
     * land on no match (INSERT); unmatched `target` rows pass through.
@@ -660,27 +1057,113 @@ object MergeInto {
       .join(source.select(keys.map(col): _*).distinct(), keys, "left_anti")
       .unionByName(source)
 
-  /** MERGE-and-commit against a published table: read the current
-    * version, apply [[upsert]], publish the result as a new version
-    * via [[AtomicPublish]]. A reader concurrent with the merge sees
-    * the pre-merge or post-merge table in full, never a mix.
+  /** MERGE-and-commit against a published table.
     *
-    * The read of the current version binds INSIDE the commit window
-    * (the publish callback runs under the table's commit lock) —
-    * round 14 fix: binding it before the lock, as pre-round-14 code
-    * did, let two racing MERGEs both read version N and the second
-    * swap silently erase the first's changes (the read-modify-write
-    * lost-update race, the MERGE twin of the appendSegment race the
-    * round-13 CAS closed). MaintenanceSpec races 4 upserters and
-    * requires every merge to survive. */
+    * Default (merge-on-read, [[ModeKey]]=`mor`): the batch lands as an
+    * UPSERT SEGMENT ([[AtomicPublish.appendUpsertSegment]]) — write ∝
+    * THE BATCH, the commit lock held only for the manifest CAS — and
+    * readers reconcile (latest upsert segment wins per key) until
+    * [[compactMerged]] folds the segments back to one base, which
+    * happens automatically at [[CompactAfterKey]] segments. This is
+    * the shape that keeps a per-micro-batch MERGE sink's recurring
+    * cost FLAT as the table grows to 100 TB; the pre-round-15
+    * copy-on-write default re-wrote the ENTIRE table inside the commit
+    * lock on every merge — recurring cost ∝ corpus, and a long merge
+    * starved concurrent appenders into lock timeouts.
+    *
+    * Copy-on-write ([[ModeKey]]=`cow`) still exists for read-hot
+    * tables: the reconciled table + batch is rewritten under the
+    * optimistic CAS ([[AtomicPublish.casRewrite]]) — the rewrite holds
+    * NO lock, racing appends abort the swap and the merge retries
+    * against the new list, so the round-14 lost-update protection
+    * survives without the round-14 lock tenure.
+    *
+    * Either way a reader concurrent with the merge sees the pre-merge
+    * or post-merge table in full, never a mix. */
   def upsertInto(spark: SparkSession, tablePath: String, source: DataFrame,
                  keys: Seq[String]): DataFrame = {
-    AtomicPublish.publish(spark, tablePath) { p =>
-      upsert(AtomicPublish.read(spark, tablePath), source, keys)
-        .write.parquet(p)
+    val mode = spark.conf.getOption(ModeKey).getOrElse(ModeDefault)
+    mode match {
+      case "mor" =>
+        AtomicPublish.appendUpsertSegment(spark, tablePath, keys) { p =>
+          source.write.parquet(p)
+        }
+        val foldAt = spark.conf.getOption(CompactAfterKey)
+          .map(_.toInt).getOrElse(CompactAfterDefault)
+        if (foldAt > 0 &&
+            AtomicPublish.currentSegments(spark, tablePath).size >= foldAt) {
+          compactMerged(spark, tablePath) // best-effort; LostRace = next merge retries
+          ()
+        }
+      case "cow" =>
+        val outcome = AtomicPublish.casRewrite(spark, tablePath,
+          maxAttempts = 5, minSegments = 1) { (paths, staging) =>
+          val dirs = paths.map(p => p.substring(p.lastIndexOf('/') + 1))
+          val target = AtomicPublish.readOver(spark, tablePath, dirs)
+          val aligned = alignForEvolution(spark, tablePath, target, source)
+          upsert(aligned._1, aligned._2, keys).write.parquet(staging)
+        }
+        outcome match {
+          case AtomicPublish.CompactOutcome.LostRace =>
+            throw new IllegalStateException(
+              s"upsertInto(cow) at $tablePath: 5 attempts each found the " +
+                "segment list changed under the rewrite — the table is being " +
+                "appended faster than a copy-on-write merge can land; use " +
+                s"$ModeKey=mor for this workload")
+          case AtomicPublish.CompactOutcome.AlreadyCompact =>
+            throw new IllegalStateException(
+              s"upsertInto: no published version (MANIFEST) at $tablePath")
+          case _ => ()
+        }
+      case other =>
+        throw new IllegalArgumentException(
+          s"$ModeKey must be `mor` or `cow`, got `$other`")
     }
     AtomicPublish.read(spark, tablePath)
   }
+
+  /** Apply the evolution contract to a (target, source) pair for the
+    * copy-on-write path: refuse dropped columns loudly; null-backfill
+    * the target for added ones when [[AllowEvolutionKey]] admits them.
+    * (The merge-on-read path enforces the same contract at segment
+    * commit — AtomicPublish.checkUpsertContract.) */
+  private def alignForEvolution(spark: SparkSession, tablePath: String,
+                                target: DataFrame, source: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val tNames = target.schema.fieldNames
+    val sNames = source.schema.fieldNames
+    val dropped = tNames.filterNot(n => sNames.exists(_.equalsIgnoreCase(n)))
+    require(dropped.isEmpty,
+      s"upsert into $tablePath: source batch is MISSING existing column(s) " +
+        s"${dropped.mkString(", ")} — align the source schema")
+    val added = source.schema.fields.filterNot(f =>
+      tNames.exists(_.equalsIgnoreCase(f.name)))
+    if (added.isEmpty) (target, source)
+    else {
+      val allow = spark.conf.getOption(AllowEvolutionKey).exists(_.toBoolean)
+      require(allow,
+        s"upsert into $tablePath: source batch ADDS column(s) " +
+          s"${added.map(_.name).mkString(", ")}; set $AllowEvolutionKey=true " +
+          "to accept schema evolution")
+      val widened = added.foldLeft(target)((df, f) =>
+        df.withColumn(f.name, lit(null).cast(f.dataType)))
+      (widened, source)
+    }
+  }
+
+  /** FOLD a merge-on-read table: rewrite the reconciled view
+    * ([[AtomicPublish.readOver]]) as one fresh base segment under the
+    * optimistic CAS — the LSM compaction that keeps read-time
+    * reconciliation bounded. Zero lock tenure during the rewrite;
+    * a LostRace leaves the table untouched (the next merge or an
+    * explicit retry folds it). */
+  def compactMerged(spark: SparkSession, tablePath: String,
+                    maxAttempts: Int = 3): AtomicPublish.CompactOutcome =
+    AtomicPublish.casRewrite(spark, tablePath, maxAttempts,
+      minSegments = 2) { (paths, staging) =>
+      val dirs = paths.map(p => p.substring(p.lastIndexOf('/') + 1))
+      AtomicPublish.readOver(spark, tablePath, dirs).write.parquet(staging)
+    }
 }
 
 object Compact {
@@ -702,12 +1185,18 @@ object Compact {
     // table (chained compactions, compacting MergeInto or appendSegment
     // output): its root holds only MANIFEST + data-* directories, which
     // a raw parquet read cannot infer a schema from. ALL segments are
-    // read — compacting a segmented table collapses it to one segment.
+    // read — compacting a segmented table collapses it to one segment —
+    // and pending upsert segments are RECONCILED (readOver), never
+    // re-materialized as duplicates.
     def resolveInDirs(): Seq[String] =
       AtomicPublish.currentSegments(spark, inPath) match {
         case Nil => Seq(inPath)
         case segs => segs.map(d => s"$inPath/$d")
       }
+    def readInput(dirs: Seq[String]): DataFrame =
+      if (dirs == Seq(inPath)) spark.read.parquet(inPath)
+      else AtomicPublish.readOver(spark, inPath,
+        dirs.map(p => p.substring(p.lastIndexOf('/') + 1)))
     val sizedDirs = resolveInDirs()
     val fs = new org.apache.hadoop.fs.Path(sizedDirs.head)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -716,18 +1205,32 @@ object Compact {
         .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
         .map(_.getLen).sum).sum
     val parts = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    // Publish through the manifest swap — a reader concurrent with the
-    // compaction resolves the old fragmented version until the single
-    // atomic rename, never a half-written directory. The input segment
-    // list is RE-RESOLVED inside the commit window (sizing above is
-    // advisory): a self-targeted rewrite (inPath == outPath) of a live
-    // table otherwise raced appenders exactly like the pre-round-14
-    // index compaction — a segment committed between the outer resolve
-    // and the swap would be silently dropped.
-    AtomicPublish.publish(spark, outPath) { dataPath =>
-      spark.read.parquet(resolveInDirs(): _*)
-        .repartition(parts)
-        .write.parquet(dataPath)
+    val selfTarget = inPath == outPath &&
+      AtomicPublish.currentSegments(spark, inPath).nonEmpty
+    if (selfTarget) {
+      // self-compaction of a live table: the optimistic CAS is what
+      // makes racing appenders safe — a segment committed during the
+      // rewrite aborts the swap and the rewrite retries against the
+      // new list (pre-round-15: the whole rewrite ran under the commit
+      // lock, starving appenders instead)
+      AtomicPublish.casRewrite(spark, inPath, maxAttempts = 3,
+        minSegments = 1) { (paths, staging) =>
+        readInput(paths).repartition(parts).write.parquet(staging)
+      } match {
+        case AtomicPublish.CompactOutcome.LostRace =>
+          throw new IllegalStateException(
+            s"Compact.rewrite at $inPath: segment list kept changing under " +
+              "the rewrite (3 attempts) — retry when the append rate drops")
+        case _ => ()
+      }
+    } else {
+      // cross-table rewrite: publish REPLACES outPath; the input plan
+      // binds inside the callback so the freshest input list is read
+      AtomicPublish.publish(spark, outPath) { dataPath =>
+        readInput(resolveInDirs())
+          .repartition(parts)
+          .write.parquet(dataPath)
+      }
     }
     AtomicPublish.read(spark, outPath)
   }

@@ -98,21 +98,30 @@ object AggQueries extends QueryGroup {
     // HLL++ estimates differ per engine, so the ESTIMATE can't be
     // hash-compared — but the tolerance VERDICT can (SURVEY §2.4's named
     // upgrade): emit the exact distinct count plus the boolean gate
-    // |est − exact| / exact ≤ 0.05 (HLL++'s default rsd), and the oracle
-    // asserts the same exact count with the gate literally TRUE. A
-    // drifting sketch now FAILS the hash compare instead of hiding
-    // behind a rows-only check. The exact countDistinct here is the
-    // GRADING harness, not the operator — a 100 TB user runs the
-    // approx_count_distinct alone (one pass, no distinct shuffle).
+    // |est − exact| / exact ≤ 3×rsd, and the oracle asserts the same
+    // exact count with the gate literally TRUE. A drifting sketch now
+    // FAILS the hash compare instead of hiding behind a rows-only
+    // check. The rsd is PINNED in the query (0.05, HLL++'s default)
+    // and the gate is three standard deviations of the sketch's
+    // designed relative error (round-15 ADVICE fix: the previous 1×rsd
+    // gate was ~1σ — deterministic per dataset, but at an unvalidated
+    // scale factor the estimate can legitimately sit past 1σ and the
+    // key would permanently fail; 3σ bounds the false-failure rate at
+    // ~0.3% while still catching a broken sketch. Validated green at
+    // sf0.001/0.01/0.1: observed |err| ≤ 1.2% of exact there). The
+    // exact countDistinct here is the GRADING harness, not the
+    // operator — a 100 TB user runs the approx_count_distinct alone
+    // (one pass, no distinct shuffle).
     GQuery("approx_distinct",
       (s, dir) => {
         import s.implicits._
+        val rsd = 0.05 // pinned: approx_count_distinct's default
         Tables(s, dir, "lineitem")
-          .agg(approx_count_distinct($"l_partkey").as("est"),
+          .agg(approx_count_distinct($"l_partkey", rsd).as("est"),
                countDistinct($"l_partkey").as("exact_parts"))
           .select($"exact_parts",
             (abs($"est" - $"exact_parts").cast("double") /
-              $"exact_parts" <= lit(0.05)).as("within_tol"))
+              $"exact_parts" <= lit(3 * rsd)).as("within_tol"))
       },
       Some("""SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
               TRUE AS within_tol FROM lineitem""")),

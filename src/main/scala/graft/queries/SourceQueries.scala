@@ -314,16 +314,21 @@ object SourceQueries extends QueryGroup {
     // SQL FRONT DOOR for the table protocol (round-13 gap: a manifest
     // table — merge-sink state, published indexes — was reachable only
     // through the ops API; a SQL user couldn't touch it). A CDC batch
-    // lands on a PUBLISHED customer table via MergeInto.upsertInto (the
-    // atomic manifest-swap commit), and BOTH the catalog binding and
-    // the read are then pure SQL TEXT over the DSv2 `graft` source
+    // lands on a PUBLISHED customer table via MergeInto.upsertInto
+    // (round 15: merge-on-read — the batch commits as an UPSERT
+    // segment, write ∝ batch), the table is then FOLDED
+    // (MergeInto.compactMerged, the optimistic-CAS compaction) — the
+    // path-based SQL source deliberately refuses unfolded
+    // merge-on-read tables, the boundary Delta draws for path readers
+    // of deletion-vector tables — and BOTH the catalog binding and the
+    // read are then pure SQL TEXT over the DSv2 `graft` source
     // (graft.sources.GraftTableSource — manifest-resolving paths,
     // inherited parquet pruning/pushdown): CREATE TEMPORARY VIEW …
     // USING graft, then a plain aggregate. SqlFrontDoorSpec pins the
     // source's pushdown/snapshot/refusal semantics and sameResult plan
     // equality for the registerView shim; the oracle reconstructs the
     // merged state from the base table, so the whole
-    // publish→merge→USING graft→SQL loop is hash-graded.
+    // publish→merge→fold→USING graft→SQL loop is hash-graded.
     GQuery("published_table_sql",
       (s, dir) => {
         import s.implicits._
@@ -336,6 +341,7 @@ object SourceQueries extends QueryGroup {
           .withColumn("c_custkey", $"c_custkey" + 5000000000L)
         graft.ops.MergeInto.upsertInto(s, table,
           updates.unionByName(inserts), Seq("c_custkey"))
+        graft.ops.MergeInto.compactMerged(s, table)
         s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW graft_pub_customer
                   USING graft OPTIONS (path '$table')""")
         s.sql(s"""SELECT c_mktsegment, COUNT(*) AS n_cust,

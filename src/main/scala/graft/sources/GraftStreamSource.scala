@@ -60,20 +60,58 @@ class GraftStreamSource extends StreamSourceProvider with DataSourceRegister {
                             parameters: Map[String, String]): Source = {
     val path = tablePath(parameters)
     val spark = sqlContext.sparkSession
+    // ADMISSION CONTROL (round 15): `maxSegmentsPerBatch` caps how many
+    // newly-committed segments one micro-batch may ingest — without it
+    // a tail started against a long-established table (or resuming
+    // after downtime) ingests the whole backlog as ONE batch, the exact
+    // failure Delta's maxFilesPerTrigger exists for. `startingOffset`
+    // = `latest` arms the tail at the CURRENT manifest length (consume
+    // only future appends — replication/cache-warming tails);
+    // `earliest` (default) replays from segment 0.
+    val maxPer = parameters.get("maxSegmentsPerBatch").map { raw =>
+      val n = raw.trim.toIntOption.getOrElse(throw new IllegalArgumentException(
+        s"graft-stream: maxSegmentsPerBatch must be a positive int, got `$raw`"))
+      require(n >= 1,
+        s"graft-stream: maxSegmentsPerBatch must be >= 1, got $n")
+      n
+    }
+    val startLatest = parameters.getOrElse("startingOffset", "earliest") match {
+      case "earliest" => false
+      case "latest" => true
+      case other => throw new IllegalArgumentException(
+        s"graft-stream: startingOffset must be `earliest` or `latest`, got `$other`")
+    }
     new GraftAppendTail(spark, path,
-      schema.getOrElse(AtomicPublish.read(spark, path).schema))
+      schema.getOrElse(AtomicPublish.read(spark, path).schema),
+      maxPer, startLatest)
   }
 }
 
 /** The V1 source instance: offset = segment-prefix length of the
-  * manifest, batch (from, to] = segment dirs [from, to). */
+  * manifest, batch (from, to] = segment dirs [from, to).
+  *
+  * `maxSegmentsPerBatch` caps each reported offset at
+  * lastBatchEnd + cap; `startLatest` arms the initial floor at the
+  * manifest length observed at source creation. On restart the engine
+  * replays the last committed batch through [[getBatch]] before
+  * polling [[getOffset]], which heals `lastBatchEnd` past the
+  * checkpoint — and offsets never regress (`getBatch` ratchets it with
+  * max, and an inverted slice reads empty rather than re-reading). */
 private class GraftAppendTail(spark: SparkSession, tablePath: String,
-                              override val schema: StructType) extends Source {
+                              override val schema: StructType,
+                              maxSegmentsPerBatch: Option[Int],
+                              startLatest: Boolean) extends Source {
 
   // the longest segment list this instance has observed — the
   // append-only witness (restarts re-arm it from the first poll; the
   // committed-offset bound below covers the restart gap)
   @volatile private var seen: Seq[String] = Nil
+
+  private val initialFloor: Long =
+    if (startLatest) AtomicPublish.currentSegments(spark, tablePath).size.toLong
+    else 0L
+
+  @volatile private var lastBatchEnd: Long = initialFloor
 
   private def appendOnlyOrDie(cur: Seq[String]): Unit = {
     val ok = cur.size >= seen.size && cur.take(seen.size) == seen
@@ -86,10 +124,34 @@ private class GraftAppendTail(spark: SparkSession, tablePath: String,
     seen = cur
   }
 
+  /** Refuse UPSERT segments in the tailed range: an upsert is an
+    * UPDATE, not an append — delivering its rows as appends silently
+    * corrupts every downstream aggregate (the Delta
+    * ignoreChanges-unset behavior). Checked only over newly-arrived /
+    * about-to-be-served segments, so the steady-state poll cost stays
+    * one manifest read. */
+  private def refuseUpserts(segs: Seq[String]): Unit =
+    if (segs.nonEmpty) {
+      val ups = AtomicPublish.upsertSidecarsFor(spark, tablePath, segs)
+      if (ups.nonEmpty) throw new IllegalStateException(
+        s"graft-stream at $tablePath: segment(s) ${ups.keys.mkString(", ")} " +
+          "are merge-on-read UPSERTS (MergeInto.upsertInto) — a streaming " +
+          "tail delivers appends only, and serving updates as appends would " +
+          "corrupt downstream state. Fold the table and restart the tail " +
+          "from a fresh checkpoint, or tail an append-only table")
+    }
+
   override def getOffset: Option[Offset] = {
     val cur = AtomicPublish.currentSegments(spark, tablePath)
+    val fresh = cur.drop(seen.size)
     appendOnlyOrDie(cur)
-    if (cur.isEmpty) None else Some(LongOffset(cur.size.toLong))
+    refuseUpserts(fresh)
+    val avail = cur.size.toLong
+    val capped = maxSegmentsPerBatch match {
+      case Some(m) => math.min(avail, math.max(lastBatchEnd, initialFloor) + m)
+      case None => avail
+    }
+    if (capped <= initialFloor) None else Some(LongOffset(capped))
   }
 
   private def offsetValue(o: Offset): Long = o match {
@@ -98,7 +160,7 @@ private class GraftAppendTail(spark: SparkSession, tablePath: String,
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val from = start.map(offsetValue).getOrElse(0L).toInt
+    val from = start.map(offsetValue).getOrElse(initialFloor).toInt
     val to = offsetValue(end).toInt
     val cur = AtomicPublish.currentSegments(spark, tablePath)
     if (cur.size < to) throw new IllegalStateException(
@@ -107,8 +169,15 @@ private class GraftAppendTail(spark: SparkSession, tablePath: String,
         "was compacted or republished under the stream (or across a " +
         "restart); restart the query with a fresh checkpoint")
     appendOnlyOrDie(cur)
-    val segs = cur.slice(from, to).map(d => s"$tablePath/$d")
-    val batch = spark.read.schema(schema).parquet(segs: _*)
+    lastBatchEnd = math.max(lastBatchEnd, to.toLong)
+    val segDirs = cur.slice(from, to)
+    refuseUpserts(segDirs)
+    val segs = segDirs.map(d => s"$tablePath/$d")
+    val batch =
+      if (segs.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          schema)
+      else spark.read.schema(schema).parquet(segs: _*)
     org.apache.spark.sql.graftbridge.GraftSqlBridge
       .internalCreateStreamingDataFrame(spark,
         batch.queryExecution.toRdd, schema)

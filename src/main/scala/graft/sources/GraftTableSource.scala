@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetDataSourceV2
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-import graft.ops.AtomicPublish
+import graft.ops.{AtomicPublish, ZoneMaps}
 
 /** DataSource V2 front door for [[graft.ops.AtomicPublish]] tables —
   * `spark.read.format("graft").load(tableRoot)` and SQL text
@@ -12,15 +12,34 @@ import graft.ops.AtomicPublish
   * directories. This upgrades the round-14 `registerView` temp-view
   * shim into a first-class source: schema inference, column pruning,
   * filter pushdown, partitioned reads — all inherited from the
-  * built-in parquet DSv2 implementation; the ONLY graft-specific step
-  * is path resolution (manifest → versioned `data-*` dirs), which is
-  * exactly the protocol's reader contract ([[AtomicPublish.read]]).
+  * built-in parquet DSv2 implementation; the graft-specific steps are
+  * path resolution (manifest → versioned `data-*` dirs — exactly the
+  * protocol's reader contract, [[AtomicPublish.read]]) and, round 15,
+  * SEGMENT PRUNING: the scan consults each segment's zonemap sidecar
+  * ([[ZoneMaps]], stamped at commit from parquet footers) and drops
+  * whole segments whose min/max ranges cannot satisfy the query's
+  * pushed data filters — the manifest-level analogue of parquet
+  * row-group skipping, so a date predicate over a 10k-segment
+  * daily-append table schedules tasks for the handful of segments the
+  * range admits, not the corpus.
   *
   * Snapshot semantics: the manifest is resolved when the relation's
   * paths are computed (plan creation), so a query binds one committed
   * version in full — never a torn mix — and under the retention-window
   * GC its files outlive any later commits for the configured window.
-  * Re-create the view / re-issue the read to advance.
+  * Re-create the view / re-issue the read to advance. TIME TRAVEL:
+  * `OPTIONS (versionAsOf 'N')` resolves version N from the commit log
+  * instead ([[AtomicPublish.segmentsAt]]), valid within the retention
+  * window.
+  *
+  * MERGE-ON-READ REFUSAL: a table carrying pending upsert segments
+  * ([[graft.ops.MergeInto.upsertInto]]) needs per-key reconciliation —
+  * a join — which a path-listing source cannot express; reading its
+  * paths raw would re-materialize overridden rows. Such tables are
+  * REFUSED loudly here: fold first (MergeInto.compactMerged) or bind
+  * the reconciled plan via [[AtomicPublish.registerView]]. (The same
+  * boundary Delta draws for path-based readers of tables with deletion
+  * vectors.)
   *
   * READ door only, ENFORCED: writes must go through [[AtomicPublish]]
   * (publish / appendSegment / compactSegments), which is what provides
@@ -48,18 +67,53 @@ class GraftTableSource extends ParquetDataSourceV2 {
       : Class[_ <: org.apache.spark.sql.execution.datasources.FileFormat] =
     classOf[GraftWriteRefused]
 
+  private def resolveSegments(root: String,
+                              map: CaseInsensitiveStringMap): Seq[String] = {
+    val versionAsOf = Option(map.get("versionAsOf")).map { raw =>
+      raw.trim.toLongOption.getOrElse(throw new IllegalArgumentException(
+        s"graft source: versionAsOf must be a commit version number, got `$raw`"))
+    }
+    val segs = versionAsOf match {
+      case Some(v) => AtomicPublish.segmentsAt(sparkSession, root, v)
+      case None => AtomicPublish.currentSegments(sparkSession, root)
+    }
+    if (segs.isEmpty) throw new IllegalStateException(
+      s"no published version (MANIFEST) at $root — the graft format reads " +
+        "AtomicPublish tables; for plain parquet directories use " +
+        "format(\"parquet\")")
+    val pending = AtomicPublish.upsertSidecarsFor(sparkSession, root, segs)
+    if (pending.nonEmpty) throw new IllegalStateException(
+      s"graft source at $root: the table carries ${pending.size} pending " +
+        "merge-on-read upsert segment(s) — a path-based scan cannot apply " +
+        "key reconciliation and would re-materialize overridden rows. Fold " +
+        "the table first (graft.ops.MergeInto.compactMerged) or query the " +
+        "reconciled view (graft.ops.AtomicPublish.registerView)")
+    segs
+  }
+
   override def getPaths(map: CaseInsensitiveStringMap): Seq[String] = {
     val roots = super.getPaths(map)
     require(roots.nonEmpty,
       "graft source needs a table root: .load(path) or OPTIONS (path '…')")
+    roots.flatMap(root => resolveSegments(root, map).map(d => s"$root/$d"))
+  }
+
+  /** Zonemap sidecars for every resolved segment, keyed by segment dir
+    * name — loaded once at table construction (driver-side, one small
+    * JSON per segment), consulted per scan in
+    * [[GraftZonePruningFileIndex]]. */
+  private def loadZones(map: CaseInsensitiveStringMap)
+      : Map[String, Map[String, ZoneMaps.ColZone]] = {
+    val roots = super.getPaths(map)
     roots.flatMap { root =>
-      val segs = AtomicPublish.currentSegments(sparkSession, root)
-      if (segs.isEmpty) throw new IllegalStateException(
-        s"no published version (MANIFEST) at $root — the graft format reads " +
-          "AtomicPublish tables; for plain parquet directories use " +
-          "format(\"parquet\")")
-      segs.map(d => s"$root/$d")
-    }
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      val fs = rootPath.getFileSystem(
+        sparkSession.sparkContext.hadoopConfiguration)
+      resolveSegments(root, map).flatMap { d =>
+        val z = ZoneMaps.read(fs, rootPath, d)
+        if (z.isEmpty) None else Some(d -> z)
+      }
+    }.toMap
   }
 
   override def getTable(options: CaseInsensitiveStringMap)
@@ -68,7 +122,7 @@ class GraftTableSource extends ParquetDataSourceV2 {
     val tableName = getTableName(options, paths)
     val optionsWithoutPaths = getOptionsWithoutPaths(options)
     new GraftReadOnlyTable(tableName, sparkSession, optionsWithoutPaths,
-      paths, None, fallbackFileFormat)
+      paths, None, fallbackFileFormat, loadZones(options))
   }
 
   override def getTable(options: CaseInsensitiveStringMap,
@@ -78,7 +132,7 @@ class GraftTableSource extends ParquetDataSourceV2 {
     val tableName = getTableName(options, paths)
     val optionsWithoutPaths = getOptionsWithoutPaths(options)
     new GraftReadOnlyTable(tableName, sparkSession, optionsWithoutPaths,
-      paths, Some(schema), fallbackFileFormat)
+      paths, Some(schema), fallbackFileFormat, loadZones(options))
   }
 }
 
@@ -95,19 +149,35 @@ class GraftWriteRefused
       "MergeInto.upsertInto")
 }
 
-/** The parquet DSv2 table with the write door welded shut: refusing in
-  * `newWriteBuilder` covers the catalog V2 write routes (the V1
+/** The parquet DSv2 table with the write door welded shut (refusing in
+  * `newWriteBuilder` covers the catalog V2 write routes; the V1
   * DataFrameWriter route is refused even earlier, at fallback
-  * instantiation — see [[GraftWriteRefused]]). */
+  * instantiation — see [[GraftWriteRefused]]) and the file index
+  * swapped for the zonemap-pruning one. */
 private class GraftReadOnlyTable(
     name: String,
     sparkSession: org.apache.spark.sql.SparkSession,
     options: CaseInsensitiveStringMap,
     paths: Seq[String],
     userSpecifiedSchema: Option[org.apache.spark.sql.types.StructType],
-    fallbackFileFormat: Class[_ <: org.apache.spark.sql.execution.datasources.FileFormat])
+    fallbackFileFormat: Class[_ <: org.apache.spark.sql.execution.datasources.FileFormat],
+    zones: Map[String, Map[String, ZoneMaps.ColZone]])
   extends org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable(
     name, sparkSession, options, paths, userSpecifiedSchema, fallbackFileFormat) {
+
+  // Replaces FileTable's InMemoryFileIndex with the zonemap-pruning
+  // subclass. Faithful to the parent's construction for this source's
+  // inputs: graft paths are concrete existing directories (no globs,
+  // no streaming-sink metadata), so the glob/stream-metadata branches
+  // of FileTable.fileIndex can't apply to them.
+  override lazy val fileIndex
+      : org.apache.spark.sql.execution.datasources.PartitioningAwareFileIndex = {
+    import scala.jdk.CollectionConverters._
+    val caseSensitiveMap = options.asCaseSensitiveMap.asScala.toMap
+    new GraftZonePruningFileIndex(sparkSession,
+      paths.map(new org.apache.hadoop.fs.Path(_)),
+      caseSensitiveMap, userSpecifiedSchema, zones)
+  }
 
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -117,4 +187,42 @@ private class GraftReadOnlyTable(
         "through it would bypass the manifest commit protocol (atomic swap, " +
         "cross-process lock, retention GC) — write via graft.ops.AtomicPublish " +
         "(publish / appendSegment) or MergeInto.upsertInto")
+}
+
+/** File index that drops whole SEGMENTS whose zonemap proves no row
+  * can satisfy the scan's pushed data filters. `zones` is keyed by
+  * segment directory name (the file's parent); segments without a
+  * sidecar are always kept — absence of evidence is never pruning
+  * evidence. Pruning happens inside `listFiles`, which Spark's V2
+  * FileScan calls with the pushed partition AND data filters when it
+  * plans input partitions — so the dropped segments cost zero tasks,
+  * zero footer reads, zero scheduler work. PlanSpec pins the
+  * file-count reduction. */
+private class GraftZonePruningFileIndex(
+    spark: org.apache.spark.sql.SparkSession,
+    rootPaths: Seq[org.apache.hadoop.fs.Path],
+    parameters: Map[String, String],
+    userSpecifiedSchema: Option[org.apache.spark.sql.types.StructType],
+    zones: Map[String, Map[String, ZoneMaps.ColZone]])
+  extends org.apache.spark.sql.execution.datasources.InMemoryFileIndex(
+    spark, rootPaths, parameters, userSpecifiedSchema) {
+
+  override def listFiles(
+      partitionFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      dataFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Seq[org.apache.spark.sql.execution.datasources.PartitionDirectory] = {
+    val base = super.listFiles(partitionFilters, dataFilters)
+    if (zones.isEmpty || dataFilters.isEmpty) base
+    else base.map { pd =>
+      val kept = pd.files.filter { f =>
+        val seg = f.getPath.getParent
+        if (seg == null) true
+        else zones.get(seg.getName) match {
+          case Some(zm) => ZoneMaps.mightMatch(zm, dataFilters)
+          case None => true
+        }
+      }
+      if (kept.length == pd.files.length) pd else pd.copy(files = kept)
+    }
+  }
 }

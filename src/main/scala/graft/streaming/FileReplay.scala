@@ -37,6 +37,19 @@ object FileReplay {
   def replay(spark: SparkSession, src: DataFrame, orderCol: String,
              nChunks: Int)(start: DataFrame => StreamingQuery): Unit = {
     require(nChunks >= 1, s"nChunks must be >= 1: $nChunks")
+    // INTEGRAL order column required up front: the chunk bounds are
+    // computed on a long cast but the range filters apply to the RAW
+    // column — a fractional order value below the truncated minimum
+    // (e.g. -3.7 vs lo=-3) would be staged into NO chunk and silently
+    // vanish, the exact hazard the NULL guard below refuses loudly.
+    locally {
+      import org.apache.spark.sql.types._
+      val dt = src.schema(orderCol).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"replay order column `$orderCol` must be an integral type " +
+          s"(byte/short/int/long), got $dt — cast it (unix_millis for " +
+          "timestamps) so range chunking is exact")
+    }
     val dir = java.nio.file.Files.createTempDirectory("graft_replay").toString
     val mm = src.agg(min(col(orderCol)).cast("long"),
       max(col(orderCol)).cast("long"),

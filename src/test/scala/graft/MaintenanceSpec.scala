@@ -224,15 +224,22 @@ class MaintenanceSpec extends SparkSpec {
     AtomicPublish.publish(spark, table)(p =>
       Seq((1L, "base")).toDF("id", "v").write.parquet(p))
     val lock = java.nio.file.Paths.get(table, "_graft_commit_lock")
-    val e = intercept[IllegalStateException] {
-      AtomicPublish.appendSegmentCrossProcess(spark, table) { p =>
-        Seq((2L, "zombie")).toDF("id", "v").write.parquet(p)
-        // simulate the theft mid-commit: GC-pause past staleMs, lock
-        // broken by a waiter, NEW holder acquires
-        java.nio.file.Files.delete(lock)
-        java.nio.file.Files.writeString(lock, "new-holder-token pid=0 t=0")
-      }
+    // since round 15 the data write stages OUTSIDE the lock, so the
+    // theft is injected through the commit-window fault seam — the
+    // only code that runs between lock acquisition and the swap
+    AtomicPublish.commitWindowFault = () => {
+      // simulate the theft mid-commit: GC-pause past staleMs, lock
+      // broken by a waiter, NEW holder acquires
+      java.nio.file.Files.delete(lock)
+      java.nio.file.Files.writeString(lock, "new-holder-token pid=0 t=0")
+      ()
     }
+    val e =
+      try intercept[IllegalStateException] {
+        AtomicPublish.appendSegmentCrossProcess(spark, table) { p =>
+          Seq((2L, "zombie")).toDF("id", "v").write.parquet(p)
+        }
+      } finally AtomicPublish.commitWindowFault = () => ()
     assert(e.getMessage.contains("fenced"), e.getMessage)
     assert(AtomicPublish.currentSegments(spark, table).size === 1,
       "the zombie's manifest swap must not land")
@@ -458,30 +465,75 @@ class MaintenanceSpec extends SparkSpec {
     }
   }
 
-  test("live holder's heartbeat keeps the lease: a slow commit is not stolen mid-write") {
+  test("slow data write never starves a concurrent appender (staged outside the lock)") {
     import spark.implicits._
-    // A publish whose data write outlives the stale threshold must NOT
-    // have its lock broken (that would re-admit the lost-segment race
-    // exactly on the largest tables); only a DEAD holder — heartbeat
-    // stopped — ages out. Hold a commit open past staleMs and assert a
-    // second committer times out loudly instead of taking over.
+    // Round 15: the data write stages with NO lock held, so a commit
+    // whose write outlives any timeout cannot push concurrent
+    // appenders into lock-timeout failures — the starvation the
+    // pre-round-15 write-under-lock shape had. Hold one appender's
+    // WRITE open well past the lock timeout while a second appender
+    // commits; both must land, neither may time out or lose a segment.
+    val table = graft.engine.Scratch.dir("spec_lock_nostarve")
+    AtomicPublish.publish(spark, table)(p =>
+      Seq((1L, "base")).toDF("id", "v").write.parquet(p))
+    spark.conf.set(AtomicPublish.LockTimeoutMsKey, "400")
+    try {
+      val entered = new java.util.concurrent.CountDownLatch(1)
+      val release = new java.util.concurrent.CountDownLatch(1)
+      val slowErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      val slow = new Thread(() => {
+        try AtomicPublish.appendSegmentCrossProcess(spark, table) { p =>
+          entered.countDown()
+          release.await() // write held open FAR past the lock timeout
+          Seq((2L, "slow")).toDF("id", "v").write.parquet(p)
+        } catch { case t: Throwable => slowErr.set(t) }
+        ()
+      })
+      slow.start(); entered.await()
+      Thread.sleep(600) // past the 400 ms lock timeout, mid-slow-write
+      // the concurrent appender sails through: no lock is held
+      AtomicPublish.appendSegmentCrossProcess(spark, table)(p =>
+        Seq((3L, "fast")).toDF("id", "v").write.parquet(p))
+      release.countDown(); slow.join()
+      assert(slowErr.get() == null,
+        s"slow appender must not fail: ${slowErr.get()}")
+      assert(AtomicPublish.currentSegments(spark, table).size === 3,
+        "both appends plus the base must be in the manifest")
+      assert(AtomicPublish.read(spark, table).collect().map(_.getString(1)).sorted
+        === Array("base", "fast", "slow"))
+    } finally spark.conf.unset(AtomicPublish.LockTimeoutMsKey)
+  }
+
+  test("live holder's heartbeat keeps the lease: a slow commit WINDOW is not stolen") {
+    import spark.implicits._
+    // Only the metadata window holds the lock now, but a holder paused
+    // there (GC pause, slow fs) past staleMs must STILL not have its
+    // lock broken while its heartbeat refreshes — only a DEAD holder
+    // ages out. Hold the commit WINDOW open via the fault seam and
+    // assert a second committer times out loudly instead of taking over.
     val table = graft.engine.Scratch.dir("spec_lock_beat")
     AtomicPublish.publish(spark, table)(p =>
       Seq((1L, "base")).toDF("id", "v").write.parquet(p))
     spark.conf.set(AtomicPublish.LockStaleMsKey, "200")
     spark.conf.set(AtomicPublish.LockTimeoutMsKey, "700")
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val entered = new java.util.concurrent.CountDownLatch(1)
     try {
-      val entered = new java.util.concurrent.CountDownLatch(1)
-      val release = new java.util.concurrent.CountDownLatch(1)
+      AtomicPublish.commitWindowFault = () => {
+        entered.countDown()
+        release.await()
+      }
       val slow = new Thread(() => {
         AtomicPublish.appendSegmentCrossProcess(spark, table) { p =>
-          entered.countDown()
-          release.await()
           Seq((2L, "slow")).toDF("id", "v").write.parquet(p)
         }
         ()
       })
       slow.start(); entered.await()
+      // the slow holder is INSIDE the lock window now; disarm the seam
+      // so the second committer (and the slow holder's own completion)
+      // don't trip it
+      AtomicPublish.commitWindowFault = () => ()
       Thread.sleep(400) // well past staleMs since lock CREATION
       val e = intercept[IllegalStateException] {
         AtomicPublish.appendSegmentCrossProcess(spark, table)(p =>
@@ -494,6 +546,8 @@ class MaintenanceSpec extends SparkSpec {
       assert(AtomicPublish.read(spark, table).collect().map(_.getString(1)).sorted
         === Array("base", "slow"))
     } finally {
+      AtomicPublish.commitWindowFault = () => ()
+      release.countDown()
       spark.conf.unset(AtomicPublish.LockStaleMsKey)
       spark.conf.unset(AtomicPublish.LockTimeoutMsKey)
     }
