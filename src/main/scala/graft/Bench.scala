@@ -105,10 +105,13 @@ object Bench {
     "dedup_incremental_minhash_lsm" -> true,
     "sim_search_ivf_indexed" -> false,
     "sim_search_ivf_cycle" -> false,
-    // eager builder (publish + MERGE at build time); its aggregate tail
-    // survives count(), but the probe would re-run the whole commit
-    // cycle untimed — pin instead
-    "published_table_sql" -> false)
+    // eager builders (publish + MERGE / fold / appends at build time);
+    // their aggregate or reconciled-read tails survive count(), but
+    // the probe would re-run the whole commit cycle untimed — pin
+    "published_table_sql" -> false,
+    "snapshot_read" -> false,
+    "scan_manifest_pruned" -> false,
+    "merge_upsert_evolved" -> false)
 
   /** The count-elimination probe: does `df.groupBy().count()` drop a
     * leaf scan vs the key's own optimized plan? Shared by main and the
@@ -129,6 +132,15 @@ object Bench {
     * 30-117 /s and inflate keys 5-30×. The per-key `queries_steal` map
     * remains the fine-grained signal for salvaging individual keys. */
   private[graft] val MaxStealPerSec = 6.0
+
+  /** Is a single run's steal delta benign for its wall time? Absolute
+    * floor of 4 jiffies (the healthy per-key reading on accepted
+    * boards; one jiffy is 10 ms, so sub-second keys trip a pure rate
+    * gate on measurement noise) OR the documented [[MaxStealPerSec]]
+    * rate for longer keys. */
+  private[graft] def quietRun(stealDelta: Long, sec: Double): Boolean =
+    stealDelta < 0 || // no steal counter on this box: no evidence to act on
+      (sec > 0 && (stealDelta <= 4 || stealDelta / sec <= MaxStealPerSec))
 
   /** VALIDITY GATE (round 13): the r12 driver capture ran with a
     * sibling JVM alive at start and showed 5-8× inflation on three
@@ -211,10 +223,12 @@ object Bench {
     val keys = SparkEntry.queries.keys.toSeq.sorted
       .filter(k => only.forall(_.contains(k)))
     var failed = List.empty[String]
-    // Per-key validity: the steal-jiffies delta spanning the key's
-    // iterations (+ loadavg after it). Four rounds of driver captures
-    // ran hot and only whole-run stamps existed — per-key deltas let a
-    // reader discard exactly the contended keys, not the whole artifact.
+    // Per-key validity: the steal-jiffies delta of the KEPT run — the
+    // iteration whose time is reported (round 15; through round 14 the
+    // stamp spanned all iterations, so one hot iteration tainted a
+    // key whose reported minimum came from a quiet one). Four rounds
+    // of driver captures ran hot with only whole-run stamps — per-key
+    // deltas let a reader judge exactly the numbers in the artifact.
     val timed = keys.flatMap { name =>
       val fn = SparkEntry.queries(name)
       // MEASUREMENT HONESTY (round 11): `count()` lets Catalyst DELETE
@@ -254,20 +268,42 @@ object Bench {
                 s"(falling back to count() timing): ${t.getClass.getName}: ${t.getMessage}")
             false
         }))
-      val s0 = stealJiffies()
-      val runs = (1 to iters).map { _ =>
+      // Per-RUN steal deltas (round 15): each iteration carries its own
+      // steal reading, and the key's reported steal stamp is the delta
+      // of the RUN THAT PRODUCED the reported (minimum) time — the
+      // number a reader actually needs to judge that number. When the
+      // fastest run is still steal-tainted, up to
+      // SPARK_GRAFT_BENCH_STEAL_RETRIES extra runs (default 2) are
+      // taken, stopping at the first quiet one — the driver's capture
+      // self-heals through transient steal bursts instead of stamping
+      // the whole artifact invalid (see the healed-validity stamp in
+      // main). Steal inflates wall-clock, so extra quiet runs can only
+      // LOWER the reported minimum, never flatter it.
+      def oneRun(): (Option[Double], Long) = {
+        val r0 = stealJiffies()
         val t0 = System.nanoTime()
-        try {
-          val df = fn(spark, sfDir)
-          if (materialize) df.queryExecution.toRdd.count() else df.count()
-          Some((System.nanoTime() - t0) / 1e9)
-        } catch { case _: Throwable => None }
+        val res =
+          try {
+            val df = fn(spark, sfDir)
+            if (materialize) df.queryExecution.toRdd.count() else df.count()
+            Some((System.nanoTime() - t0) / 1e9)
+          } catch { case _: Throwable => None }
+        (res, if (r0 < 0) -1L else math.max(-1L, stealJiffies() - r0))
       }
-      val ok = runs.flatten
-      val sDelta = if (s0 < 0) -1L else math.max(-1L, stealJiffies() - s0)
+      var runs = (1 to iters).map(_ => oneRun()).toVector
+      def kept: Option[(Double, Long)] =
+        runs.collect { case (Some(t), sd) => (t, sd) }.sortBy(_._1).headOption
+      val extraN = sys.env.getOrElse("SPARK_GRAFT_BENCH_STEAL_RETRIES", "2").toInt
+      var extras = 0
+      while (extras < extraN && kept.exists { case (t, sd) => !quietRun(sd, t) }) {
+        extras += 1
+        runs :+= oneRun()
+      }
       val ld = loadAvg()
-      if (ok.isEmpty) { failed ::= name; None }
-      else Some((name, ok.min, sDelta, ld))
+      kept match {
+        case None => failed ::= name; None
+        case Some((t, sd)) => Some((name, t, sd, ld))
+      }
     }
     val total = timed.map(_._2).sum
     // Validity stamp: a loaded box or sibling JVMs invalidate wall-clock
@@ -283,9 +319,22 @@ object Bench {
     // The gate verdict rides IN the artifact: a contaminated capture
     // still writes its numbers (a reader may salvage quiet keys via the
     // per-key steal map) but can never silently grade as a regression.
-    val invalid = invalidReason(sibsStart, stealDelta, elapsedSec)
+    val rawInvalid = invalidReason(sibsStart, stealDelta, elapsedSec)
+    // HEALED VALIDITY (round 15, verdict item 8): two rounds of driver
+    // captures stamped themselves invalid on sustained whole-run steal
+    // even though the numbers a reader would take from them were fine.
+    // With per-run steal stamps and the steal-retry loop above, the
+    // whole-run gate can be refined: if EVERY reported key's kept run
+    // was quiet, the artifact's numbers are quiet-window measurements
+    // regardless of what the box did between them — stamp valid, carry
+    // the raw reason as evidence. Sibling-JVM contamination is never
+    // healed (contention leaves no counter trail to refute).
+    val perKeyQuiet = timed.nonEmpty &&
+      timed.forall { case (_, t, sd, _) => quietRun(sd, t) }
+    val healed = rawInvalid.exists(_.contains("host steal")) && perKeyQuiet
+    val invalid = if (healed) None else rawInvalid
     val validity =
-      s""""load":${jnum(loadStart)},"load_end":${jnum(loadEnd)},"siblings_start":$sibsStart,"siblings_start_busy":$sibsStartBusy,"siblings":$sibs,"siblings_busy":$sibsBusy,"steal_jiffies":$stealDelta,"elapsed_sec":${jnum(elapsedSec)},"invalid":${invalid.nonEmpty},"invalid_reason":${invalid.map(r => "\"" + r + "\"").getOrElse("null")}"""
+      s""""load":${jnum(loadStart)},"load_end":${jnum(loadEnd)},"siblings_start":$sibsStart,"siblings_start_busy":$sibsStartBusy,"siblings":$sibs,"siblings_busy":$sibsBusy,"steal_jiffies":$stealDelta,"elapsed_sec":${jnum(elapsedSec)},"invalid":${invalid.nonEmpty},"invalid_reason":${invalid.map(r => "\"" + r + "\"").getOrElse("null")},"steal_healed":$healed${rawInvalid.filter(_ => healed).map(r => s""","healed_from":"$r"""").getOrElse("")}"""
     invalid.foreach(r => System.err.println(s"[bench] INVALID capture: $r"))
     val detailJson = timed.map { case (k, v, _, _) => s"\"$k\":${jnum(v)}" }
       .mkString("{", ",", "}")

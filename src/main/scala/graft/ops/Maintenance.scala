@@ -53,8 +53,14 @@ object AtomicPublish {
   private val SegMetaPrefix = "_graft_seg_"
   private val VersionsDir = "_graft_versions"
   private val counter = new java.util.concurrent.atomic.AtomicLong()
-  private val tableLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  // NOTE (round 15): the per-table JVM monitor that used to wrap whole
+  // commits is GONE — it serialized the STAGED DATA WRITE too, which
+  // re-created in-process exactly the starvation the staged/lock-free
+  // commit shape removes cross-process (a slow merge staging held the
+  // monitor and parked every same-table appender of the driver). The
+  // cross-process lock file is atomic within one JVM as well
+  // (exclusive-create), covers only the metadata window, and is the
+  // single serialization point for every committer.
 
   /** Conf: how long a committer waits for the cross-process lock before
     * failing loudly (another publisher is mid-commit). */
@@ -199,12 +205,12 @@ object AtomicPublish {
     * exclusive-create lock file at the table root); `body` receives the
     * holder's FENCING TOKEN (also written into the lock file), which
     * [[swapManifest]] re-verifies immediately before the commit rename.
-    * The JVM-local `tableLocks` map serializes threads cheaply within
-    * one driver; this lease is what makes the manifest
-    * read-modify-write safe when TWO DRIVER PROCESSES commit
-    * concurrently — a scheduler retry or a backfill racing the daily
-    * appender previously lost a segment silently (last manifest swap
-    * won). A held lock is waited on up to [[LockTimeoutMsKey]], then
+    * The exclusive-create is atomic for THREADS of one driver and for
+    * separate DRIVER PROCESSES alike — one serialization point; this
+    * lease is what makes the manifest read-modify-write safe when two
+    * committers race — a scheduler retry or a backfill racing the
+    * daily appender previously lost a segment silently (last manifest
+    * swap won). A held lock is waited on up to [[LockTimeoutMsKey]], then
     * the commit fails loudly; a lock whose mtime is older than
     * [[LockStaleMsKey]] is presumed orphaned by a DEAD holder and
     * broken atomically ([[breakStaleLock]]). Staleness keys on mtime,
@@ -489,9 +495,7 @@ object AtomicPublish {
     * (optimistic CAS) instead. */
   def publish(spark: SparkSession, tablePath: String)
              (write: String => Unit): String =
-    tableLocks.computeIfAbsent(tablePath, _ => new Object).synchronized {
-      publishCrossProcess(spark, tablePath)(write)
-    }
+    publishCrossProcess(spark, tablePath)(write)
 
   /** The cross-process commit path of [[publish]] (no JVM fast-path
     * lock) — package-private so the racing-writers spec can drive two
@@ -549,9 +553,7 @@ object AtomicPublish {
     * segment list back to one and GCs. */
   def appendSegment(spark: SparkSession, tablePath: String)
                    (write: String => Unit): String =
-    tableLocks.computeIfAbsent(tablePath, _ => new Object).synchronized {
-      appendSegmentCrossProcess(spark, tablePath)(write)
-    }
+    appendSegmentCrossProcess(spark, tablePath)(write)
 
   /** The cross-process commit path of [[appendSegment]] (no JVM
     * fast-path lock) — package-private so the racing-writers spec can
@@ -593,9 +595,7 @@ object AtomicPublish {
                           keys: Seq[String])
                          (write: String => Unit): String = {
     require(keys.nonEmpty, "appendUpsertSegment: empty key list")
-    tableLocks.computeIfAbsent(tablePath, _ => new Object).synchronized {
-      appendSegmentCore(spark, tablePath, upsertKeys = Some(keys))(write)
-    }
+    appendSegmentCore(spark, tablePath, upsertKeys = Some(keys))(write)
   }
 
   private def appendSegmentCore(spark: SparkSession, tablePath: String,

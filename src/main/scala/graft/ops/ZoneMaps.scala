@@ -70,6 +70,16 @@ object ZoneMaps {
     try {
       val acc = scala.collection.mutable.Map
         .empty[String, (String, Option[(String, String)], Boolean, Boolean)]
+      // seed every supported column from the SCHEMA with empty bounds:
+      // a zero-row file (an empty slice published as a segment) then
+      // still yields a zonemap whose bound-less columns PRUNE under any
+      // comparison — no rows can match anything
+      reader.getFooter.getFileMetaData.getSchema.getFields.asScala.foreach { f =>
+        if (f.isPrimitive)
+          tagOf(f.asPrimitiveType()).foreach { tag =>
+            acc(f.getName) = (tag, None, false, true)
+          }
+      }
       reader.getFooter.getBlocks.asScala.foreach { block =>
         block.getColumns.asScala.foreach { chunk =>
           if (chunk.getPath.size == 1) {
@@ -296,7 +306,10 @@ object ZoneMaps {
         Some(BigDecimal(l.value.asInstanceOf[org.apache.spark.sql.types.Decimal]
           .toJavaBigDecimal))
       case ("date", DateType) => Some(BigDecimal(l.value.toString))
-      case ("ts", TimestampType) => Some(BigDecimal(l.value.toString))
+      // both timestamp flavors carry epoch micros as Long — the same
+      // domain the INT64 MICROS footer stats live in
+      case ("ts", TimestampType | TimestampNTZType) =>
+        Some(BigDecimal(l.value.toString))
       case _ => None
     }
   }
@@ -347,8 +360,10 @@ object ZoneMaps {
         vs.exists(v => evalOne(zones, EqualTo(a, v.asInstanceOf[Literal])))
       case InSet(a: Attribute, hset) =>
         zoneFor(zones, a) match {
+          // InSet carries INTERNAL catalyst values — build the Literal
+          // with the raw constructor (Literal.create would re-convert)
           case Some(z) => hset.exists { raw =>
-            litValue(z.tag, Literal.create(raw, a.dataType))
+            litValue(z.tag, Literal(raw, a.dataType))
               .forall(v => someEq(z, v))
           }
           case None => true

@@ -412,6 +412,39 @@ object JoinQueries extends QueryGroup {
                 SELECT * FROM src)
               ORDER BY c_custkey""")),
 
+    // SCHEMA EVOLUTION ON MERGE (round 15): the CDC batch ADDS a column
+    // the published table never had (a re-labeling pass stamping a
+    // review flag — the commonest evolution in a training-data
+    // pipeline). Behind spark.graft.merge.allowSchemaEvolution the
+    // merge-on-read commit accepts it; the reconciled read unions BY
+    // NAME with null backfill, so every pre-evolution row reads back
+    // NULL in the new column and every merged row carries its value.
+    // Dropped columns stay a loud refusal (MaintenanceSpec) — silently
+    // losing a column under merge semantics corrupts every non-matched
+    // row. The oracle reconstructs the whole evolved table in SQL, so
+    // the backfill semantics are hash-graded end to end.
+    GQuery("merge_upsert_evolved",
+      (s, dir) => {
+        import s.implicits._
+        val table = graft.engine.Scratch.dir("evolve_customer")
+        val target = Tables(s, dir, "customer")
+        graft.ops.AtomicPublish.publish(s, table)(p => target.write.parquet(p))
+        val src = target.filter($"c_custkey" % 10 === 3)
+          .withColumn("c_acctbal", $"c_acctbal" + 100.0)
+          .withColumn("review_flag", lit(1L))
+        s.conf.set(graft.ops.MergeInto.AllowEvolutionKey, "true")
+        try graft.ops.MergeInto.upsertInto(s, table, src, Seq("c_custkey"))
+        finally s.conf.unset(graft.ops.MergeInto.AllowEvolutionKey)
+        graft.ops.AtomicPublish.read(s, table).orderBy($"c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name, c_nationkey,
+                CASE WHEN c_custkey % 10 = 3
+                     THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal,
+                c_mktsegment,
+                CASE WHEN c_custkey % 10 = 3
+                     THEN CAST(1 AS BIGINT) ELSE NULL END AS review_flag
+              FROM customer ORDER BY c_custkey""")),
+
     // Banding join: orders classified into literal price bands (range predicate).
     GQuery("join_range",
       (s, dir) => {

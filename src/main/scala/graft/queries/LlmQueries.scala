@@ -1303,6 +1303,69 @@ object LlmQueries extends QueryGroup {
       },
       None),
 
+    // TOLERANCE VERDICT for the minhash family (round 15, the
+    // approx_distinct pattern): the banded candidates themselves are
+    // seeded-hash-specific and can never hash-match another engine —
+    // but their RECALL against the exact-Jaccard truth can be graded.
+    // The key computes the truth set (word-bigram Jaccard ≥ 0.8 over a
+    // fixed 1000-doc slice — the same grading harness
+    // dedup_exact_jaccard pays), intersects it with the LSH candidate
+    // pairs (bands only, no estimator filter), and emits the truth
+    // count plus `recall_ok` = recall ≥ 0.9; the oracle recomputes the
+    // truth count in DuckDB and asserts TRUE. The signature seeds are
+    // FIXED, so recall is deterministic per dataset — the floor is
+    // pinned from measurements at the graded scales (sf0.001/0.01:
+    // recall 1.0; theory floor for 4 bands × 4 rows at J=0.8 is 0.878
+    // per pair, and the dup-dense corpus sits near J≈1 where banding
+    // is ~certain). A broken shingle/band/hash chain now FAILS the
+    // hash compare instead of hiding behind a rows-only check. The
+    // exact join is the GRADING harness — a 100 TB user runs
+    // candidatePairs alone.
+    GQuery("dedup_minhash_recall",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables(s, dir, "documents").filter($"doc_id" < 1000)
+        val withSh = docs
+          .withColumn("t", split($"text", " "))
+          .withColumn("sh", array_distinct(expr(
+            "zip_with(slice(t, 1, size(t)-1), slice(t, 2, size(t)-1), (x, y) -> concat(x, ' ', y))")))
+        val sizes = withSh.select($"doc_id", size($"sh").as("nsh"))
+        val ex = withSh.select($"doc_id", explode($"sh").as("s"))
+        val truth = ex.as("a").join(ex.as("b"),
+            $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
+          .groupBy($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
+          .agg(count(lit(1)).as("inter"))
+          .join(sizes.select($"doc_id".as("id_a"), $"nsh".as("na")), "id_a")
+          .join(sizes.select($"doc_id".as("id_b"), $"nsh".as("nb")), "id_b")
+          .filter($"inter" / ($"na" + $"nb" - $"inter") >= 0.8)
+          .select($"id_a", $"id_b")
+        val cand = graft.ops.MinHashDedup.candidatePairs(
+            docs, "doc_id", "text", numHashes = 16, bands = 4)
+          .select($"id_a", $"id_b")
+        truth.join(cand, Seq("id_a", "id_b"), "left_semi")
+          .agg(count(lit(1)).as("n_hit"))
+          .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+          .select($"n_truth",
+            ($"n_hit".cast("double") / $"n_truth" >= lit(0.9)).as("recall_ok"))
+      },
+      Some("""WITH d AS (
+                SELECT doc_id, list_distinct(list_transform(
+                  range(1, len(str_split(text, ' '))),
+                  i -> str_split(text, ' ')[i] || ' ' || str_split(text, ' ')[i+1])) AS sh
+                FROM documents WHERE doc_id < 1000),
+              ex AS (SELECT doc_id, unnest(sh) AS s FROM d),
+              sizes AS (SELECT doc_id, len(sh) AS nsh FROM d),
+              truth AS (
+                SELECT id_a, id_b FROM (
+                  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+                  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2) p
+                JOIN sizes sa ON sa.doc_id = id_a
+                JOIN sizes sb ON sb.doc_id = id_b
+                WHERE inter / (sa.nsh + sb.nsh - inter) >= 0.8)
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_truth, TRUE AS recall_ok
+              FROM truth""")),
+
     // SimHash fingerprints + low-hamming-distance pairs (no SQL oracle).
     // Candidates via the EXACT multi-index pigeonhole (7 bands for
     // d ≤ 6 → equi-join), not an all-pairs scan: same output, ~linear

@@ -364,6 +364,80 @@ object SourceQueries extends QueryGroup {
                 SELECT * FROM src)
               SELECT c_mktsegment, COUNT(*) AS n_cust,
                 ${graft.engine.Det.sql.dsum("c_acctbal")} AS sum_bal
-              FROM merged GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+              FROM merged GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // TIME TRAVEL (round 15): every manifest swap logs its segment list
+    // to a version log; `versionAsOf` on the graft source resolves any
+    // version the retention window still holds. The key publishes a
+    // base (version N), MERGES an update batch on top (merge-on-read
+    // upsert segment), FOLDS it — then reads version N back BY SQL and
+    // aggregates. The oracle is the same aggregate over the ORIGINAL
+    // table: if time travel silently served the merged state (the +100
+    // balance updates), sum_bal differs and the hash fails — the one
+    // thing a snapshot read must never do. At 100 TB the travel window
+    // is pure metadata: superseded directories are already retained for
+    // readers (RetentionMsKey); the log adds one manifest-sized file
+    // per commit.
+    GQuery("snapshot_read",
+      (s, dir) => {
+        import s.implicits._
+        val table = scratch("snap_customer")
+        val target = Tables(s, dir, "customer")
+        graft.ops.AtomicPublish.publish(s, table)(p => target.write.parquet(p))
+        val base = graft.ops.AtomicPublish.currentVersion(s, table)
+          .getOrElse(sys.error("version log missing after publish"))
+        val updates = target.filter($"c_custkey" % 10 === 3)
+          .withColumn("c_acctbal", $"c_acctbal" + 100.0)
+        graft.ops.MergeInto.upsertInto(s, table, updates, Seq("c_custkey"))
+        graft.ops.MergeInto.compactMerged(s, table)
+        s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW graft_snap_customer
+                  USING graft OPTIONS (path '$table', versionAsOf '$base')""")
+        s.sql(s"""SELECT c_mktsegment, COUNT(*) AS n_cust,
+                  ${graft.engine.Det.sql.dsum("c_acctbal")} AS sum_bal
+                  FROM graft_snap_customer
+                  GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+      },
+      Some(s"""SELECT c_mktsegment, COUNT(*) AS n_cust,
+              ${graft.engine.Det.sql.dsum("c_acctbal")} AS sum_bal
+              FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // MANIFEST ZONEMAP PRUNING (round 15): commits stamp per-segment
+    // column min/max sidecars from the parquet footers already written
+    // (no second scan); the graft source's file index drops whole
+    // segments whose range cannot satisfy the pushed data filters —
+    // parquet row-group skipping lifted to the manifest level, so a
+    // date predicate over a daily-append table schedules tasks for the
+    // matching days only, never the corpus. Here orders lands as three
+    // date-range segments (one publish + two appends — the LSM shape),
+    // and the SQL predicate admits only the last; PlanSpec asserts the
+    // scan's file count actually dropped, this key hash-grades that
+    // pruning never changes RESULTS (the conservative-only contract).
+    GQuery("scan_manifest_pruned",
+      (s, dir) => {
+        import s.implicits._
+        val table = scratch("zonemap_orders")
+        val orders = Tables(s, dir, "orders")
+        def slice(lo: String, hi: String) = orders.filter(
+          $"o_orderdate" >= lit(lo).cast("timestamp") &&
+            $"o_orderdate" < lit(hi).cast("timestamp"))
+        graft.ops.AtomicPublish.publish(s, table)(p =>
+          slice("1970-01-01", "1997-01-01").write.parquet(p))
+        graft.ops.AtomicPublish.appendSegment(s, table)(p =>
+          slice("1997-01-01", "1999-01-01").write.parquet(p))
+        graft.ops.AtomicPublish.appendSegment(s, table)(p =>
+          slice("1999-01-01", "2031-01-01").write.parquet(p))
+        s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW graft_zone_orders
+                  USING graft OPTIONS (path '$table')""")
+        s.sql(s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
+                  ${graft.engine.Det.sql.dsum("o_totalprice")} AS sum_price
+                  FROM graft_zone_orders
+                  WHERE o_orderdate >= TIMESTAMP '1999-06-01 00:00:00'
+                  GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+      },
+      Some(s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
+              ${graft.engine.Det.sql.dsum("o_totalprice")} AS sum_price
+              FROM orders
+              WHERE o_orderdate >= TIMESTAMP '1999-06-01 00:00:00'
+              GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
   )
 }

@@ -46,12 +46,36 @@ class GraftStreamSource extends StreamSourceProvider with DataSourceRegister {
       "graft-stream needs the published table root: " +
         ".option(\"path\", tableRoot)"))
 
+  /** Parse-and-validate the admission-control options. Called from
+    * BOTH sourceSchema (plan creation — so a bad option fails the
+    * `load()` synchronously, not the async stream thread) and
+    * createSource (the values that actually drive the tail). */
+  private def admissionOptions(parameters: Map[String, String])
+      : (Option[Int], Boolean) = {
+    val maxPer = parameters.get("maxSegmentsPerBatch").map { raw =>
+      val n = raw.trim.toIntOption.getOrElse(throw new IllegalArgumentException(
+        s"graft-stream: maxSegmentsPerBatch must be a positive int, got `$raw`"))
+      require(n >= 1,
+        s"graft-stream: maxSegmentsPerBatch must be >= 1, got $n")
+      n
+    }
+    val startLatest = parameters.getOrElse("startingOffset", "earliest") match {
+      case "earliest" => false
+      case "latest" => true
+      case other => throw new IllegalArgumentException(
+        s"graft-stream: startingOffset must be `earliest` or `latest`, got `$other`")
+    }
+    (maxPer, startLatest)
+  }
+
   override def sourceSchema(sqlContext: SQLContext,
                             schema: Option[StructType],
                             providerName: String,
-                            parameters: Map[String, String]): (String, StructType) =
+                            parameters: Map[String, String]): (String, StructType) = {
+    admissionOptions(parameters) // validate at plan creation — loud, synchronous
     (shortName(), schema.getOrElse(
       AtomicPublish.read(sqlContext.sparkSession, tablePath(parameters)).schema))
+  }
 
   override def createSource(sqlContext: SQLContext,
                             metadataPath: String,
@@ -68,19 +92,7 @@ class GraftStreamSource extends StreamSourceProvider with DataSourceRegister {
     // = `latest` arms the tail at the CURRENT manifest length (consume
     // only future appends — replication/cache-warming tails);
     // `earliest` (default) replays from segment 0.
-    val maxPer = parameters.get("maxSegmentsPerBatch").map { raw =>
-      val n = raw.trim.toIntOption.getOrElse(throw new IllegalArgumentException(
-        s"graft-stream: maxSegmentsPerBatch must be a positive int, got `$raw`"))
-      require(n >= 1,
-        s"graft-stream: maxSegmentsPerBatch must be >= 1, got $n")
-      n
-    }
-    val startLatest = parameters.getOrElse("startingOffset", "earliest") match {
-      case "earliest" => false
-      case "latest" => true
-      case other => throw new IllegalArgumentException(
-        s"graft-stream: startingOffset must be `earliest` or `latest`, got `$other`")
-    }
+    val (maxPer, startLatest) = admissionOptions(parameters)
     new GraftAppendTail(spark, path,
       schema.getOrElse(AtomicPublish.read(spark, path).schema),
       maxPer, startLatest)

@@ -350,9 +350,10 @@ class MaintenanceSpec extends SparkSpec {
     // the MERGE twin of the lost-segment race: pre-round-14,
     // upsertInto bound its read of the current version BEFORE the
     // commit lock — two racing merges both read version N and the
-    // later swap erased the earlier merge's rows. The read now binds
-    // inside the publish callback (under the lock), so merges
-    // serialize read-modify-write like appends do.
+    // later swap erased the earlier merge's rows. Round 15: merges
+    // land as UPSERT SEGMENTS through the append CAS, so racing
+    // merges are commutative appends — each batch survives by
+    // construction and the reconciled read folds them in commit order.
     val table = graft.engine.Scratch.dir("spec_merge_race")
     AtomicPublish.publish(spark, table)(p =>
       Seq((0L, 0.0)).toDF("k", "bal").write.parquet(p))
@@ -563,5 +564,234 @@ class MaintenanceSpec extends SparkSpec {
     Compact.rewrite(spark, frag, out, targetBytes = tiny)
     assert(Compact.parquetFileCount(spark, out) > 1,
       "tiny target must yield multiple output files")
+  }
+
+  // -----------------------------------------------------------------
+  // Round 15: merge-on-read, time travel, schema evolution
+  // -----------------------------------------------------------------
+
+  test("merge-on-read: upsert segments accumulate, reads reconcile, fold collapses") {
+    import spark.implicits._
+    val table = graft.engine.Scratch.dir("spec_mor")
+    AtomicPublish.publish(spark, table)(p =>
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v").write.parquet(p))
+    MergeInto.upsertInto(spark, table,
+      Seq((2L, "b2"), (10L, "j")).toDF("k", "v"), Seq("k"))
+    MergeInto.upsertInto(spark, table,
+      Seq((2L, "b3"), (11L, "k")).toDF("k", "v"), Seq("k"))
+    // below the auto-fold threshold: THREE segments, two marked upsert
+    val segs = AtomicPublish.currentSegments(spark, table)
+    assert(segs.size === 3, s"expected base + 2 upsert segments: $segs")
+    assert(AtomicPublish.upsertSidecarsFor(spark, table, segs).size === 2)
+    def state() = AtomicPublish.read(spark, table).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1).toSeq
+    val reconciled = state()
+    assert(reconciled === Seq(1L -> "a", 2L -> "b3", 3L -> "c",
+      10L -> "j", 11L -> "k"), s"latest upsert segment must win: $reconciled")
+    // fold: one base segment, no sidecars, identical content
+    MergeInto.compactMerged(spark, table) match {
+      case AtomicPublish.CompactOutcome.Compacted(_) => ()
+      case other => fail(s"fold did not commit: $other")
+    }
+    val after = AtomicPublish.currentSegments(spark, table)
+    assert(after.size === 1)
+    assert(AtomicPublish.upsertSidecarsFor(spark, table, after).isEmpty)
+    assert(state() === reconciled, "fold changed the reconciled content")
+  }
+
+  test("merge-on-read auto-fold fires at the configured segment count") {
+    import spark.implicits._
+    val table = graft.engine.Scratch.dir("spec_mor_autofold")
+    spark.conf.set(MergeInto.CompactAfterKey, "3")
+    try {
+      AtomicPublish.publish(spark, table)(p =>
+        Seq((1L, 1.0)).toDF("k", "x").write.parquet(p))
+      MergeInto.upsertInto(spark, table, Seq((2L, 2.0)).toDF("k", "x"), Seq("k"))
+      assert(AtomicPublish.currentSegments(spark, table).size === 2)
+      // third segment reaches the threshold: the merge folds in-line
+      MergeInto.upsertInto(spark, table, Seq((1L, 9.0)).toDF("k", "x"), Seq("k"))
+      assert(AtomicPublish.currentSegments(spark, table).size === 1,
+        "auto-fold must collapse the table at the threshold")
+      assert(AtomicPublish.read(spark, table).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).sortBy(_._1).toSeq
+        === Seq(1L -> 9.0, 2L -> 2.0))
+    } finally spark.conf.unset(MergeInto.CompactAfterKey)
+  }
+
+  test("copy-on-write merge mode: CAS rewrite, same semantics, one segment") {
+    import spark.implicits._
+    val table = graft.engine.Scratch.dir("spec_cow")
+    AtomicPublish.publish(spark, table)(p =>
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v").write.parquet(p))
+    spark.conf.set(MergeInto.ModeKey, "cow")
+    try {
+      MergeInto.upsertInto(spark, table,
+        Seq((2L, "b2"), (3L, "c")).toDF("k", "v"), Seq("k"))
+      assert(AtomicPublish.currentSegments(spark, table).size === 1,
+        "cow merge must leave a single rewritten segment")
+      assert(AtomicPublish.read(spark, table).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1).toSeq
+        === Seq(1L -> "a", 2L -> "b2", 3L -> "c"))
+    } finally spark.conf.unset(MergeInto.ModeKey)
+  }
+
+  test("casRewrite: an append landing mid-rewrite aborts the swap and the retry wins") {
+    import spark.implicits._
+    // the optimistic-concurrency engine under compactMerged and
+    // cow-mode upsertInto: attempt 1's rewrite races an append (here
+    // self-inflicted from the rewrite callback), the CAS sees the
+    // changed segment list and DISCARDS the staging, attempt 2
+    // rewrites against the full list — nothing lost, no lock held
+    // during either rewrite
+    val table = graft.engine.Scratch.dir("spec_cas_retry")
+    AtomicPublish.publish(spark, table)(p =>
+      Seq((1L, "a")).toDF("k", "v").write.parquet(p))
+    AtomicPublish.appendSegment(spark, table)(p =>
+      Seq((2L, "b")).toDF("k", "v").write.parquet(p))
+    val raced = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val outcome = AtomicPublish.casRewrite(spark, table,
+      maxAttempts = 3, minSegments = 1) { (paths, staging) =>
+      attempts.incrementAndGet()
+      if (raced.compareAndSet(false, true))
+        AtomicPublish.appendSegment(spark, table)(p =>
+          Seq((3L, "landed-mid-rewrite")).toDF("k", "v").write.parquet(p))
+      spark.read.parquet(paths: _*).write.parquet(staging)
+    }
+    assert(outcome.isInstanceOf[AtomicPublish.CompactOutcome.Compacted],
+      s"retry must commit: $outcome")
+    assert(attempts.get === 2, "first attempt must lose the CAS and retry")
+    assert(AtomicPublish.read(spark, table).collect()
+      .map(_.getLong(0)).sorted === Array(1L, 2L, 3L),
+      "the mid-rewrite append must survive the compaction")
+    assert(AtomicPublish.currentSegments(spark, table).size === 1)
+  }
+
+  test("slow MERGE staging and a concurrent append both commit, neither times out") {
+    import spark.implicits._
+    // the round-14 ADVICE starvation case, closed: the upsert
+    // segment's data write holds NO lock, so a merge staging far past
+    // the lock timeout cannot push a concurrent appender into
+    // lock-timeout failure — and the append CAS keeps both commits
+    val table = graft.engine.Scratch.dir("spec_merge_nostarve")
+    AtomicPublish.publish(spark, table)(p =>
+      Seq((1L, "base")).toDF("k", "v").write.parquet(p))
+    spark.conf.set(AtomicPublish.LockTimeoutMsKey, "400")
+    try {
+      val entered = new java.util.concurrent.CountDownLatch(1)
+      val release = new java.util.concurrent.CountDownLatch(1)
+      val mergeErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      val merge = new Thread(() => {
+        try AtomicPublish.appendUpsertSegment(spark, table, Seq("k")) { p =>
+          entered.countDown()
+          release.await() // staging held open far past the lock timeout
+          Seq((1L, "merged")).toDF("k", "v").write.parquet(p)
+        } catch { case t: Throwable => mergeErr.set(t) }
+        ()
+      })
+      merge.start(); entered.await()
+      Thread.sleep(600)
+      AtomicPublish.appendSegment(spark, table)(p =>
+        Seq((2L, "appended")).toDF("k", "v").write.parquet(p))
+      release.countDown(); merge.join()
+      assert(mergeErr.get() == null, s"merge must not fail: ${mergeErr.get()}")
+      val rows = AtomicPublish.read(spark, table).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1).toSeq
+      // the upsert segment committed AFTER the append, so k=1 is merged
+      assert(rows === Seq(1L -> "merged", 2L -> "appended"), rows.toString)
+    } finally spark.conf.unset(AtomicPublish.LockTimeoutMsKey)
+  }
+
+  test("upsert schema contract: dropped refused, added conf-gated, keys must agree") {
+    import spark.implicits._
+    val table = graft.engine.Scratch.dir("spec_mor_schema")
+    AtomicPublish.publish(spark, table)(p =>
+      Seq((1L, "a", 1.0)).toDF("k", "v", "w").write.parquet(p))
+    // dropped column: always loud
+    val eDrop = intercept[IllegalArgumentException] {
+      MergeInto.upsertInto(spark, table, Seq((1L, "x")).toDF("k", "v"), Seq("k"))
+    }
+    assert(eDrop.getMessage.contains("MISSING existing column"), eDrop.getMessage)
+    // added column without the conf: loud, names the conf
+    val eAdd = intercept[IllegalArgumentException] {
+      MergeInto.upsertInto(spark, table,
+        Seq((1L, "x", 1.0, 7L)).toDF("k", "v", "w", "extra"), Seq("k"))
+    }
+    assert(eAdd.getMessage.contains(MergeInto.AllowEvolutionKey), eAdd.getMessage)
+    // with the conf: accepted; old rows read back NULL in the new column
+    spark.conf.set(MergeInto.AllowEvolutionKey, "true")
+    try MergeInto.upsertInto(spark, table,
+      Seq((2L, "b", 2.0, 7L)).toDF("k", "v", "w", "extra"), Seq("k"))
+    finally spark.conf.unset(MergeInto.AllowEvolutionKey)
+    val rows = AtomicPublish.read(spark, table)
+      .select(col("k"), col("extra")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .sortBy(_._1).toSeq
+    assert(rows === Seq(1L -> -1L, 2L -> 7L), rows.toString)
+    // merge keys must agree with pending upsert segments
+    val eKeys = intercept[IllegalArgumentException] {
+      AtomicPublish.appendUpsertSegment(spark, table, Seq("v"))(p =>
+        Seq((9L, "z", 9.0, 9L)).toDF("k", "v", "w", "extra").write.parquet(p))
+    }
+    assert(eKeys.getMessage.contains("merge on"), eKeys.getMessage)
+  }
+
+  test("time travel: readAt serves any retained version, loud outside the window") {
+    import spark.implicits._
+    val table = graft.engine.Scratch.dir("spec_timetravel")
+    AtomicPublish.publish(spark, table)(p =>
+      Seq((1L, "a")).toDF("k", "v").write.parquet(p))
+    val v1 = AtomicPublish.currentVersion(spark, table).get
+    AtomicPublish.appendSegment(spark, table)(p =>
+      Seq((2L, "b")).toDF("k", "v").write.parquet(p))
+    MergeInto.upsertInto(spark, table,
+      Seq((1L, "a2")).toDF("k", "v"), Seq("k"))
+    val v3 = AtomicPublish.currentVersion(spark, table).get
+    assert(v3 === v1 + 2)
+    def at(v: Long) = AtomicPublish.readAt(spark, table, v).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1).toSeq
+    assert(at(v1) === Seq(1L -> "a"))
+    assert(at(v1 + 1) === Seq(1L -> "a", 2L -> "b"))
+    // a version captured mid-merge-on-read reconciles its upserts
+    assert(at(v3) === Seq(1L -> "a2", 2L -> "b"))
+    val eMissing = intercept[IllegalStateException] {
+      AtomicPublish.readAt(spark, table, v3 + 50)
+    }
+    assert(eMissing.getMessage.contains("version log"), eMissing.getMessage)
+    // outside the retention window: versions (and their bytes) age out
+    spark.conf.set(AtomicPublish.RetentionMsKey, "0")
+    try {
+      MergeInto.compactMerged(spark, table)
+      AtomicPublish.vacuum(spark, table)
+      val eGone = intercept[IllegalStateException] {
+        AtomicPublish.readAt(spark, table, v1)
+      }
+      assert(eGone.getMessage.contains("time travel"), eGone.getMessage)
+      // the CURRENT version always stays readable
+      val vNow = AtomicPublish.currentVersion(spark, table).get
+      assert(at(vNow) === Seq(1L -> "a2", 2L -> "b"))
+    } finally spark.conf.unset(AtomicPublish.RetentionMsKey)
+  }
+
+  test("graft source refuses pending upsert segments; fold reopens the path door") {
+    import spark.implicits._
+    val table = graft.engine.Scratch.dir("spec_graft_refuse_mor")
+    AtomicPublish.publish(spark, table)(p =>
+      Seq((1L, 1.0)).toDF("k", "x").write.parquet(p))
+    MergeInto.upsertInto(spark, table, Seq((1L, 2.0)).toDF("k", "x"), Seq("k"))
+    val e = intercept[Exception] {
+      spark.read.format("graft").load(table).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("merge-on-read upsert segment")),
+      s"path source must refuse reconciliation-needing tables: ${msgs(e)}")
+    // the reconciling view is the sanctioned SQL door while unfolded
+    AtomicPublish.registerView(spark, table, "spec_refuse_mor_v")
+    assert(spark.sql("SELECT x FROM spec_refuse_mor_v WHERE k = 1")
+      .collect().head.getDouble(0) === 2.0)
+    MergeInto.compactMerged(spark, table)
+    assert(spark.read.format("graft").load(table).collect()
+      .map(_.getDouble(1)).toSeq === Seq(2.0))
   }
 }

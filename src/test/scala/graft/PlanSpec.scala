@@ -595,4 +595,35 @@ class PlanSpec extends SparkSpec {
         s"unexpected aggregate (pair dedup crept back?):\n$p")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  test("scan_manifest_pruned: zonemaps drop whole segments' files from the scan") {
+    // Build the key's published table (3 date-range segments); the key
+    // itself hash-grades that pruning never changes RESULTS — this pins
+    // that pruning actually HAPPENS: the date predicate must shrink the
+    // scan's file list (zonemap sidecars consulted in listFiles), since
+    // plain InMemoryFileIndex ignores data filters entirely, any
+    // file-count reduction here is segment pruning.
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import org.apache.spark.sql.execution.datasources.FilePartition
+    Registry.byKey("scan_manifest_pruned").build(spark, sfDir).collect()
+    def files(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.sparkPlan.collect { case b: BatchScanExec =>
+        b.inputPartitions.map {
+          case fp: FilePartition => fp.files.length
+          case _ => 0
+        }.sum
+      }.sum
+    val all = spark.sql("SELECT o_orderkey FROM graft_zone_orders")
+    val pruned = spark.sql(
+      """SELECT o_orderkey FROM graft_zone_orders
+         WHERE o_orderdate >= TIMESTAMP '1999-06-01 00:00:00'""")
+    val (fAll, fPruned) = (files(all), files(pruned))
+    assert(fAll > 0, "unfiltered scan lists no files?")
+    assert(fPruned > 0, "pruned scan must still read the matching segment")
+    assert(fPruned < fAll,
+      s"zonemap pruning did not drop files: $fPruned of $fAll")
+    // both non-matching segments must be gone wholesale, not one file
+    assert(fPruned <= fAll - 2,
+      s"expected at least the two non-matching segments pruned: $fPruned of $fAll")
+  }
 }

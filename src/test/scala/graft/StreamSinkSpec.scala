@@ -104,4 +104,71 @@ class StreamSinkSpec extends SparkSpec {
       q2.stop()
     }
   }
+
+  test("graft-stream admission control: bounded batches, latest start, upsert refusal") {
+    import spark.implicits._
+    import graft.ops.AtomicPublish
+    val table = graft.engine.Scratch.dir("spec_tail_admission")
+    def day(k: Int) = Seq((k.toLong, s"d$k")).toDF("k", "tag")
+    AtomicPublish.publish(spark, table)(p => day(0).write.parquet(p))
+    (1 to 5).foreach(k =>
+      AtomicPublish.appendSegment(spark, table)(p => day(k).write.parquet(p)))
+    // (a) maxSegmentsPerBatch caps backlog ingestion: 6 segments drain
+    // in ceil(6/2)=3 bounded micro-batches, never one monster batch —
+    // Delta's maxFilesPerTrigger shape for the tail
+    val sizes = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val got = scala.collection.concurrent.TrieMap.empty[Long, String]
+    val q1 = spark.readStream.format("graft-stream")
+      .option("path", table).option("maxSegmentsPerBatch", "2").load()
+      .writeStream
+      .option("checkpointLocation", Files.createTempDirectory("adm1").toString)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = b.collect()
+        sizes.add(rows.length)
+        rows.foreach(r => got.put(r.getLong(0), r.getString(1))); ()
+      }
+      .start()
+    q1.processAllAvailable(); q1.stop()
+    import scala.jdk.CollectionConverters._
+    assert(got.keySet === (0L to 5L).toSet, s"backlog incomplete: ${got.keySet}")
+    assert(sizes.asScala.forall(_ <= 2),
+      s"a batch exceeded maxSegmentsPerBatch: ${sizes.asScala}")
+    assert(sizes.asScala.count(_ > 0) >= 3,
+      s"the backlog must drain across several bounded batches: ${sizes.asScala}")
+    // (b) startingOffset=latest arms at the current manifest length:
+    // the 6-segment history is never replayed, only future appends land
+    val got2 = scala.collection.concurrent.TrieMap.empty[Long, String]
+    val q2 = spark.readStream.format("graft-stream")
+      .option("path", table).option("startingOffset", "latest").load()
+      .writeStream
+      .option("checkpointLocation", Files.createTempDirectory("adm2").toString)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r => got2.put(r.getLong(0), r.getString(1))); ()
+      }
+      .start()
+    q2.processAllAvailable()
+    assert(got2.isEmpty, s"latest-start must not replay history: $got2")
+    AtomicPublish.appendSegment(spark, table)(p => day(6).write.parquet(p))
+    q2.processAllAvailable()
+    assert(got2.keySet === Set(6L), s"only the live append may arrive: $got2")
+    // (c) an UPSERT segment is an update, not an append — the tail
+    // must refuse loudly rather than corrupt downstream state
+    graft.ops.MergeInto.upsertInto(spark, table,
+      Seq((0L, "mutated")).toDF("k", "tag"), Seq("k"))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+      q2.awaitTermination(10000); ()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("UPSERTS")),
+      s"tail must refuse upsert segments loudly: ${msgs(e)}")
+    q2.stop()
+    val eBadOpt = intercept[Exception] {
+      spark.readStream.format("graft-stream")
+        .option("path", table).option("maxSegmentsPerBatch", "0").load()
+        .writeStream.format("noop").start()
+    }
+    assert(msgs(eBadOpt).exists(_.contains("maxSegmentsPerBatch")), msgs(eBadOpt))
+  }
 }
