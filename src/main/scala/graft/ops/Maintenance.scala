@@ -659,8 +659,8 @@ object AtomicPublish {
                                   root: org.apache.hadoop.fs.Path,
                                   stagedPath: String,
                                   keys: Seq[String]): Unit = {
-    val staged = spark.read.parquet(stagedPath).schema
-    val stagedNames = staged.fieldNames.map(_.toLowerCase).toSet
+    val stagedFields = segmentFieldNames(spark, stagedPath)
+    val stagedNames = stagedFields.map(_.toLowerCase).toSet
     keys.foreach(k => require(stagedNames.contains(k.toLowerCase),
       s"upsert into $tablePath: merge key `$k` missing from the source batch"))
     val existingUpserts = upsertSidecarsFor(spark, tablePath,
@@ -672,15 +672,21 @@ object AtomicPublish {
           s"(${keys.mkString(",")}) — fold the table first " +
           "(MergeInto.compactMerged) before changing merge keys")
     }
-    val current = read(spark, tablePath).schema
-    val currentNames = current.fieldNames.map(_.toLowerCase).toSet
-    val dropped = current.fieldNames.filterNot(n =>
+    // column-NAME set of the current table, from one parquet FOOTER per
+    // segment — building the reconciled read's plan here (as the first
+    // cut did) costs ~0.5 s of datasource resolution PER MERGE and
+    // grows with pending segments; names are all the contract needs
+    // (type incompatibilities fail loudly at read time via unionByName)
+    val currentFields: Seq[String] = currentSegments(spark, tablePath)
+      .flatMap(d => segmentFieldNames(spark, s"$tablePath/$d")).distinct
+    val currentNames = currentFields.map(_.toLowerCase).toSet
+    val dropped = currentFields.filterNot(n =>
       stagedNames.contains(n.toLowerCase))
     require(dropped.isEmpty,
       s"upsert into $tablePath: source batch is MISSING existing column(s) " +
         s"${dropped.mkString(", ")} — a merge that silently dropped them " +
         "would corrupt every non-matched row; align the source schema")
-    val added = staged.fieldNames.filterNot(n =>
+    val added = stagedFields.filterNot(n =>
       currentNames.contains(n.toLowerCase))
     if (added.nonEmpty) {
       val allow = spark.conf.getOption(MergeInto.AllowEvolutionKey)
@@ -890,33 +896,83 @@ object AtomicPublish {
       spark.read.parquet(segs.map(d => s"$tablePath/$d"): _*)
     else {
       val keys = ups.values.head // key agreement enforced at write
-      val perSeg = segs.map(d => spark.read.parquet(s"$tablePath/$d"))
-      val canon = perSeg.foldLeft(Vector.empty[String]) { (acc, df) =>
-        acc ++ df.schema.fieldNames.filterNot(n =>
-          acc.exists(_.equalsIgnoreCase(n)))
-      }
       val ordCol = "__graft_seg_ord"
       val claimCol = "__graft_claim_ord"
-      require(!canon.exists(c => c.equalsIgnoreCase(ordCol) ||
-          c.equalsIgnoreCase(claimCol)),
-        s"readOver: table at $tablePath uses reserved column name " +
-          s"$ordCol/$claimCol")
-      val tagged = perSeg.zipWithIndex
-        .map { case (df, i) => df.withColumn(ordCol, lit(i)) }
-        .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
-      val claims = segs.zipWithIndex
-        .collect { case (d, i) if ups.contains(d) =>
-          spark.read.parquet(s"$tablePath/$d")
-            .select(keys.map(col): _*)
-            .withColumn(claimCol, lit(i))
+      def checkReserved(names: Seq[String]): Unit =
+        require(!names.exists(c => c.equalsIgnoreCase(ordCol) ||
+            c.equalsIgnoreCase(claimCol)),
+          s"readOver: table at $tablePath uses reserved column name " +
+            s"$ordCol/$claimCol")
+      def reconcile(tagged: DataFrame, canon: Seq[String]): DataFrame = {
+        val claims = tagged
+          .filter(col(ordCol).isin(
+            segs.zipWithIndex.collect { case (d, i) if ups.contains(d) => i }: _*))
+          .groupBy(keys.map(col): _*)
+          .agg(max(col(ordCol)).as(claimCol))
+        tagged.join(claims, keys, "left")
+          .filter(col(claimCol).isNull || col(claimCol) <= col(ordCol))
+          .select(canon.map(col): _*)
+      }
+      // uniform-schema fast path (the common, un-evolved case, decided
+      // from one parquet FOOTER per segment — milliseconds): ONE
+      // datasource resolution over all segment dirs, with the segment
+      // ordinal derived from input_file_name. The per-segment
+      // resolution below costs ~0.1 s PER SEGMENT of driver time —
+      // a per-micro-batch MERGE sink constructs this plan on every
+      // commit, so construction cost is a recurring constant worth
+      // engineering down.
+      val fieldsPerSeg = segs.map(d => segmentFieldNames(spark, s"$tablePath/$d"))
+      if (fieldsPerSeg.nonEmpty && fieldsPerSeg.forall(_ == fieldsPerSeg.head)) {
+        val all = spark.read.parquet(segs.map(d => s"$tablePath/$d"): _*)
+        val canon = all.schema.fieldNames.toSeq
+        checkReserved(canon)
+        // dir names are unique (timestamp+counter), so the parent-dir
+        // substring identifies the segment; a file outside every known
+        // segment fails LOUDLY instead of silently mis-reconciling
+        val ordExpr = segs.zipWithIndex.foldRight(
+          raise_error(concat(lit(s"readOver: file outside known segments of " +
+            s"$tablePath: "), input_file_name())).cast("int")) { (di, acc) =>
+          when(input_file_name().contains(s"/${di._1}/"), lit(di._2))
+            .otherwise(acc)
         }
-        .reduce(_ unionByName _)
-        .groupBy(keys.map(col): _*)
-        .agg(max(col(claimCol)).as(claimCol))
-      tagged.join(claims, keys, "left")
-        .filter(col(claimCol).isNull || col(claimCol) <= col(ordCol))
-        .select(canon.map(col): _*)
+        reconcile(all.withColumn(ordCol, ordExpr), canon)
+      } else {
+        // evolved segments: per-segment reads union'd BY NAME with null
+        // backfill; column order is first-appearance (base order, then
+        // additions in commit order)
+        val perSeg = segs.map(d => spark.read.parquet(s"$tablePath/$d"))
+        val canon = perSeg.foldLeft(Vector.empty[String]) { (acc, df) =>
+          acc ++ df.schema.fieldNames.filterNot(n =>
+            acc.exists(_.equalsIgnoreCase(n)))
+        }
+        checkReserved(canon)
+        val tagged = perSeg.zipWithIndex
+          .map { case (df, i) => df.withColumn(ordCol, lit(i)) }
+          .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+        reconcile(tagged, canon)
+      }
     }
+  }
+
+  /** Column-name list of a segment from ONE parquet footer (segments
+    * are single-write, schema-uniform). Milliseconds vs the ~0.1 s a
+    * full datasource resolution costs — the difference between a
+    * per-commit constant and a per-commit scan of the planner. */
+  private def segmentFieldNames(spark: SparkSession, segPath: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val sp = new org.apache.hadoop.fs.Path(segPath)
+    val fs = sp.getFileSystem(conf)
+    fs.listStatus(sp)
+      .find(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .toSeq.flatMap { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(f.getPath, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getFooter.getFileMetaData.getSchema.getFields.asScala
+          .map(_.getName).toSeq
+        finally r.close()
+      }
   }
 
   // -----------------------------------------------------------------
