@@ -573,7 +573,7 @@ object AtomicPublish {
   private[graft] def appendSegmentCrossProcess(spark: SparkSession,
                                                tablePath: String)
                                               (write: String => Unit): String =
-    appendSegmentCore(spark, tablePath, upsertKeys = None)(write)
+    appendSegmentCore(spark, tablePath, marker = None)(write)
 
   /** Append an UPSERT segment — the merge-on-read write path
     * ([[MergeInto.upsertInto]]): the batch lands as a normal segment
@@ -595,11 +595,30 @@ object AtomicPublish {
                           keys: Seq[String])
                          (write: String => Unit): String = {
     require(keys.nonEmpty, "appendUpsertSegment: empty key list")
-    appendSegmentCore(spark, tablePath, upsertKeys = Some(keys))(write)
+    appendSegmentCore(spark, tablePath,
+      marker = Some(("upsert", keys)))(write)
+  }
+
+  /** Append a DELETE (tombstone) segment — the merge-on-read row-level
+    * DELETE write path ([[MergeInto.deleteFrom]]): the segment holds
+    * ONLY the key columns of the rows to remove, plus a
+    * `_graft_seg_<dir>` sidecar marking it `delete` on `keys`. Readers
+    * drop any earlier row whose key a later tombstone claims (a later
+    * upsert RE-INSERTS the key — the ordinal is the version clock),
+    * and [[MergeInto.compactMerged]] folds tombstones away entirely.
+    * Per-commit cost is ∝ THE DELETED-KEY SET — a 1-row delete against
+    * a 100 TB table writes one tiny parquet file and swaps a manifest;
+    * the Iceberg equality-delete shape. */
+  def appendDeleteSegment(spark: SparkSession, tablePath: String,
+                          keys: Seq[String])
+                         (write: String => Unit): String = {
+    require(keys.nonEmpty, "appendDeleteSegment: empty key list")
+    appendSegmentCore(spark, tablePath,
+      marker = Some(("delete", keys)))(write)
   }
 
   private def appendSegmentCore(spark: SparkSession, tablePath: String,
-                                upsertKeys: Option[Seq[String]])
+                                marker: Option[(String, Seq[String])])
                                (write: String => Unit): String = {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(tablePath)
@@ -614,9 +633,9 @@ object AtomicPublish {
     // batch-sized data write: NO lock held
     try write(fs.makeQualified(staging).toString)
     catch { case t: Throwable => fs.delete(staging, true); throw t }
-    upsertKeys.foreach { keys =>
-      try checkUpsertContract(spark, tablePath, fs, root,
-        fs.makeQualified(staging).toString, keys)
+    marker.foreach { case (tag, keys) =>
+      try checkMergeContract(spark, tablePath, fs, root,
+        fs.makeQualified(staging).toString, tag, keys)
       catch { case t: Throwable => fs.delete(staging, true); throw t }
     }
     val zones = ZoneMaps.harvestSegment(spark,
@@ -629,14 +648,15 @@ object AtomicPublish {
           "while waiting for the commit lock")
       require(fs.rename(staging, new org.apache.hadoop.fs.Path(root, dataDir)),
         s"appendSegment: staging rename failed at $staging")
-      // the upsert sidecar must be durable BEFORE the swap: a reader
+      // the merge sidecar must be durable BEFORE the swap: a reader
       // that resolves the new manifest but missed the marker would
       // union the batch as plain appends — duplicate keys instead of
-      // overrides
-      upsertKeys.foreach { keys =>
+      // overrides (upsert), or tombstone keys surfacing as DATA ROWS
+      // (delete)
+      marker.foreach { case (tag, keys) =>
         val out = fs.create(
           new org.apache.hadoop.fs.Path(root, SegMetaPrefix + dataDir), true)
-        try out.write(s"upsert\t${keys.mkString(",")}".getBytes("UTF-8"))
+        try out.write(s"$tag\t${keys.mkString(",")}".getBytes("UTF-8"))
         finally out.close()
       }
       ZoneMaps.write(fs, root, dataDir, zones)
@@ -650,27 +670,41 @@ object AtomicPublish {
     } }
   }
 
-  /** Pre-commit contract checks for an upsert segment (against the
-    * STAGED write, before anything becomes visible): key presence, key
-    * agreement with prior upsert segments, and the schema-evolution
-    * rules of [[appendUpsertSegment]]. */
-  private def checkUpsertContract(spark: SparkSession, tablePath: String,
-                                  fs: org.apache.hadoop.fs.FileSystem,
-                                  root: org.apache.hadoop.fs.Path,
-                                  stagedPath: String,
-                                  keys: Seq[String]): Unit = {
+  /** Pre-commit contract checks for a merge-on-read segment (against
+    * the STAGED write, before anything becomes visible): key presence,
+    * key agreement with prior upsert/delete segments, and — for
+    * upserts — the schema-evolution rules of [[appendUpsertSegment]].
+    * Delete tombstones must be EXACTLY the key columns: extra columns
+    * in a tombstone are dead bytes at best and a mis-projected source
+    * (the caller deleted the wrong thing) at worst, so they fail
+    * loudly. */
+  private def checkMergeContract(spark: SparkSession, tablePath: String,
+                                 fs: org.apache.hadoop.fs.FileSystem,
+                                 root: org.apache.hadoop.fs.Path,
+                                 stagedPath: String,
+                                 tag: String,
+                                 keys: Seq[String]): Unit = {
     val stagedFields = segmentFieldNames(spark, stagedPath)
     val stagedNames = stagedFields.map(_.toLowerCase).toSet
     keys.foreach(k => require(stagedNames.contains(k.toLowerCase),
-      s"upsert into $tablePath: merge key `$k` missing from the source batch"))
-    val existingUpserts = upsertSidecarsFor(spark, tablePath,
+      s"$tag into $tablePath: merge key `$k` missing from the source batch"))
+    val existingMarked = mergeSidecarsFor(spark, tablePath,
       currentSegments(spark, tablePath))
-    existingUpserts.values.headOption.foreach { priorKeys =>
+    existingMarked.values.headOption.foreach { case (_, priorKeys) =>
       require(priorKeys.map(_.toLowerCase) == keys.map(_.toLowerCase),
-        s"upsert into $tablePath: pending upsert segments merge on " +
-          s"(${priorKeys.mkString(",")}) but this batch merges on " +
+        s"$tag into $tablePath: pending merge segments key on " +
+          s"(${priorKeys.mkString(",")}) but this batch keys on " +
           s"(${keys.mkString(",")}) — fold the table first " +
           "(MergeInto.compactMerged) before changing merge keys")
+    }
+    if (tag == "delete") {
+      val extra = stagedFields.filterNot(n =>
+        keys.exists(_.equalsIgnoreCase(n)))
+      require(extra.isEmpty,
+        s"delete into $tablePath: tombstone batch carries non-key " +
+          s"column(s) ${extra.mkString(", ")} — project to exactly " +
+          s"(${keys.mkString(",")}) before appendDeleteSegment")
+      return
     }
     // column-NAME set of the current table, from one parquet FOOTER per
     // segment — building the reconciled read's plan here (as the first
@@ -830,8 +864,13 @@ object AtomicPublish {
 
   /** Upsert sidecars among `segs`: dir name → merge keys. One root
     * listing, opened only for segments actually marked. */
-  def upsertSidecarsFor(spark: SparkSession, tablePath: String,
-                        segs: Seq[String]): Map[String, Seq[String]] = {
+  /** Merge-on-read sidecars (`upsert` or `delete` markers) among
+    * `segs`: dir → (tag, merge keys). Any marker — either tag — means
+    * the segment list needs read-time reconciliation ([[readOver]]);
+    * the tag decides whether the segment's rows are DATA (upsert) or
+    * pure tombstones (delete). */
+  def mergeSidecarsFor(spark: SparkSession, tablePath: String,
+                       segs: Seq[String]): Map[String, (String, Seq[String])] = {
     val root = new org.apache.hadoop.fs.Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return Map.empty
@@ -848,12 +887,23 @@ object AtomicPublish {
             in.readFully(b); b
           } finally in.close()
         val parts = new String(bytes, "UTF-8").split("\t", 2)
-        if (parts.length == 2 && parts(0) == "upsert")
-          Some(d -> parts(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        if (parts.length == 2 && (parts(0) == "upsert" || parts(0) == "delete"))
+          Some(d -> (parts(0),
+            parts(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq))
         else None
       } catch { case _: java.io.IOException => None }
     }.toMap
   }
+
+  /** Segments among `segs` carrying ANY merge-on-read marker (upsert
+    * OR delete), dir → merge keys. The "does this segment list need
+    * reconciliation / must this consumer refuse it" predicate — the
+    * streaming tail and the path-based SQL source both key on it. */
+  def upsertSidecarsFor(spark: SparkSession, tablePath: String,
+                        segs: Seq[String]): Map[String, Seq[String]] =
+    mergeSidecarsFor(spark, tablePath, segs).map {
+      case (d, (_, keys)) => d -> keys
+    }
 
   /** Reader side of the protocol: resolve the manifest, read every
     * segment it names, and RECONCILE pending merge-on-read upsert
@@ -891,22 +941,46 @@ object AtomicPublish {
   def readOver(spark: SparkSession, tablePath: String,
                segs: Seq[String]): DataFrame = {
     require(segs.nonEmpty, s"readOver: empty segment list for $tablePath")
-    val ups = upsertSidecarsFor(spark, tablePath, segs)
-    if (ups.isEmpty)
+    val side = mergeSidecarsFor(spark, tablePath, segs)
+    if (side.isEmpty)
       spark.read.parquet(segs.map(d => s"$tablePath/$d"): _*)
     else {
-      val keys = ups.values.head // key agreement enforced at write
+      val keys = side.values.head._2 // key agreement enforced at write
       val ordCol = "__graft_seg_ord"
       val claimCol = "__graft_claim_ord"
+      val segOrd = segs.zipWithIndex.toMap
+      // DELETE tombstone segments hold only the key columns and are
+      // never data — they contribute CLAIMS (read separately, below)
+      // while the data scan spans the non-delete segments only, so the
+      // uniform-schema fast path survives tombstones.
+      val delSegs = segs.filter(d => side.get(d).exists(_._1 == "delete"))
+      val dataSegs = segs.filterNot(d => side.get(d).exists(_._1 == "delete"))
+      require(dataSegs.nonEmpty,
+        s"readOver: segment list of $tablePath is all delete tombstones — " +
+          "the base segment is missing (corrupt manifest?)")
       def checkReserved(names: Seq[String]): Unit =
         require(!names.exists(c => c.equalsIgnoreCase(ordCol) ||
             c.equalsIgnoreCase(claimCol)),
           s"readOver: table at $tablePath uses reserved column name " +
             s"$ordCol/$claimCol")
+      val delClaims: Option[DataFrame] =
+        if (delSegs.isEmpty) None
+        else Some(delSegs.map { d =>
+          spark.read.parquet(s"$tablePath/$d")
+            .select(keys.map(col): _*)
+            .withColumn(ordCol, lit(segOrd(d)))
+        }.reduce(_ unionByName _))
       def reconcile(tagged: DataFrame, canon: Seq[String]): DataFrame = {
-        val claims = tagged
-          .filter(col(ordCol).isin(
-            segs.zipWithIndex.collect { case (d, i) if ups.contains(d) => i }: _*))
+        val upOrds = dataSegs.collect {
+          case d if side.contains(d) => segOrd(d)
+        }
+        val upClaims: Option[DataFrame] =
+          if (upOrds.isEmpty) None
+          else Some(tagged
+            .filter(col(ordCol).isin(upOrds: _*))
+            .select(keys.map(col) :+ col(ordCol): _*))
+        val events = (upClaims.toSeq ++ delClaims.toSeq).reduce(_ unionByName _)
+        val claims = events
           .groupBy(keys.map(col): _*)
           .agg(max(col(ordCol)).as(claimCol))
         tagged.join(claims, keys, "left")
@@ -921,18 +995,19 @@ object AtomicPublish {
       // a per-micro-batch MERGE sink constructs this plan on every
       // commit, so construction cost is a recurring constant worth
       // engineering down.
-      val fieldsPerSeg = segs.map(d => segmentFieldNames(spark, s"$tablePath/$d"))
+      val fieldsPerSeg = dataSegs.map(d =>
+        segmentFieldNames(spark, s"$tablePath/$d"))
       if (fieldsPerSeg.nonEmpty && fieldsPerSeg.forall(_ == fieldsPerSeg.head)) {
-        val all = spark.read.parquet(segs.map(d => s"$tablePath/$d"): _*)
+        val all = spark.read.parquet(dataSegs.map(d => s"$tablePath/$d"): _*)
         val canon = all.schema.fieldNames.toSeq
         checkReserved(canon)
         // dir names are unique (timestamp+counter), so the parent-dir
         // substring identifies the segment; a file outside every known
         // segment fails LOUDLY instead of silently mis-reconciling
-        val ordExpr = segs.zipWithIndex.foldRight(
+        val ordExpr = dataSegs.foldRight(
           raise_error(concat(lit(s"readOver: file outside known segments of " +
-            s"$tablePath: "), input_file_name())).cast("int")) { (di, acc) =>
-          when(input_file_name().contains(s"/${di._1}/"), lit(di._2))
+            s"$tablePath: "), input_file_name())).cast("int")) { (d, acc) =>
+          when(input_file_name().contains(s"/$d/"), lit(segOrd(d)))
             .otherwise(acc)
         }
         reconcile(all.withColumn(ordCol, ordExpr), canon)
@@ -940,14 +1015,14 @@ object AtomicPublish {
         // evolved segments: per-segment reads union'd BY NAME with null
         // backfill; column order is first-appearance (base order, then
         // additions in commit order)
-        val perSeg = segs.map(d => spark.read.parquet(s"$tablePath/$d"))
+        val perSeg = dataSegs.map(d => spark.read.parquet(s"$tablePath/$d"))
         val canon = perSeg.foldLeft(Vector.empty[String]) { (acc, df) =>
           acc ++ df.schema.fieldNames.filterNot(n =>
             acc.exists(_.equalsIgnoreCase(n)))
         }
         checkReserved(canon)
-        val tagged = perSeg.zipWithIndex
-          .map { case (df, i) => df.withColumn(ordCol, lit(i)) }
+        val tagged = perSeg.zip(dataSegs)
+          .map { case (df, d) => df.withColumn(ordCol, lit(segOrd(d))) }
           .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
         reconcile(tagged, canon)
       }
@@ -1029,6 +1104,143 @@ object AtomicPublish {
     * SQL surface: `OPTIONS (versionAsOf 'N')` on the `graft` source. */
   def readAt(spark: SparkSession, tablePath: String, version: Long): DataFrame =
     readOver(spark, tablePath, segmentsAt(spark, tablePath, version))
+
+  /** CHANGE DATA FEED, derived at read time from the version log: the
+    * row-level changes committed after `fromVersion` up to and
+    * including `toVersion`, stamped `_change_type`
+    * (`insert` / `update_postimage` / `delete`) and `_commit_version`.
+    * The consumer contract is Delta's `table_changes` shape: feed a
+    * downstream table by applying the changes in `_commit_version`
+    * order.
+    *
+    * Derivation rules (documented, not configurable):
+    *  - plain append commits emit every row as `insert` (append
+    *    semantics accumulate duplicates — an append is never an
+    *    update);
+    *  - upsert commits emit `update_postimage` when the key was live
+    *    at the previous commit, else `insert`; a key's liveness chain
+    *    is (snapshot at `fromVersion`) → events in commit order, a
+    *    delete killing it and any append/upsert reviving it;
+    *  - delete commits emit one `delete` record per key that was live
+    *    — KEY COLUMNS ONLY, non-key columns NULL (tombstones don't
+    *    store preimages; reconstruct one with a join against
+    *    `readAt(version-1)` if needed). Deleting a dead key emits
+    *    nothing.
+    *  - NULL merge keys are never overridden or deleted
+    *    ([[readOver]]'s contract), so null-key upsert rows emit
+    *    `insert`.
+    *
+    * Scale shape: one KEY-PRUNED scan of the `fromVersion` snapshot
+    * (only when the window contains merge commits), the new segments
+    * themselves (∝ the changes), and one window shuffle over the event
+    * keys — never a full-width scan of the corpus. The feed is only
+    * derivable across append/merge commits: a compaction or republish
+    * inside the window rewrites history the log can no longer diff,
+    * and this fails LOUDLY rather than guessing. */
+  def changesBetween(spark: SparkSession, tablePath: String,
+                     fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion < toVersion,
+      s"changesBetween: need fromVersion < toVersion, got " +
+        s"$fromVersion ≥ $toVersion")
+    val segsFrom = segmentsAt(spark, tablePath, fromVersion)
+    val segsTo = segmentsAt(spark, tablePath, toVersion)
+    require(segsTo.take(segsFrom.length) == segsFrom,
+      s"changesBetween: versions $fromVersion → $toVersion of $tablePath " +
+        "span a compaction or republish (segment histories diverge) — the " +
+        "change feed is derivable only across append/merge commits; diff " +
+        "snapshots via readAt instead")
+    val newSegs = segsTo.drop(segsFrom.length)
+    require(newSegs.size == toVersion - fromVersion,
+      s"changesBetween: $tablePath grew ${newSegs.size} segments across " +
+        s"${toVersion - fromVersion} commits — an out-of-protocol writer " +
+        "touched the manifest")
+    val side = mergeSidecarsFor(spark, tablePath, segsTo)
+    val canonSchema = readOver(spark, tablePath, segsTo).schema
+    val ctCol = "_change_type"
+    val cvCol = "_commit_version"
+    require(!canonSchema.fieldNames.exists(c =>
+        c.equalsIgnoreCase(ctCol) || c.equalsIgnoreCase(cvCol)),
+      s"changesBetween: table at $tablePath uses reserved column $ctCol/$cvCol")
+    // project to the canonical schema with null backfill (evolution)
+    def align(df: DataFrame): DataFrame =
+      df.select(canonSchema.fields.map { f =>
+        if (df.schema.fieldNames.exists(_.equalsIgnoreCase(f.name)))
+          col(f.name).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }.toSeq: _*)
+    val newWithVer: Seq[(String, Long)] = newSegs.zipWithIndex
+      .map { case (d, i) => (d, fromVersion + 1 + i) }
+    if (!newSegs.exists(side.contains)) {
+      // pure appends — every row an insert; no snapshot scan needed
+      return newWithVer.map { case (d, v) =>
+        align(spark.read.parquet(s"$tablePath/$d"))
+          .withColumn(ctCol, lit("insert"))
+          .withColumn(cvCol, lit(v))
+      }.reduce(_ unionByName _)
+    }
+    val keys = side.values.head._2
+    val kCols = keys.map(col)
+    val anyKeyNull = keys.map(col(_).isNull).reduce(_ || _)
+    val ordCol = "__graft_evt_ord"
+    val kindCol = "__graft_evt_kind" // 0 append/snapshot, 1 upsert, 2 delete
+    val prevCol = "__graft_evt_prev"
+    // liveness chain: the fromVersion snapshot's keys (key-pruned scan)
+    // then one distinct (key, version) event per new segment
+    val priorKeys = readOver(spark, tablePath, segsFrom)
+      .select(kCols: _*).filter(!anyKeyNull).distinct()
+      .withColumn(ordCol, lit(fromVersion))
+      .withColumn(kindCol, lit(0))
+    val events = newWithVer.map { case (d, v) =>
+      val kind = side.get(d).map(_._1) match {
+        case Some("delete") => 2
+        case Some(_)        => 1
+        case None           => 0
+      }
+      spark.read.parquet(s"$tablePath/$d")
+        .select(kCols: _*).filter(!anyKeyNull).distinct()
+        .withColumn(ordCol, lit(v))
+        .withColumn(kindCol, lit(kind))
+    }.foldLeft(priorKeys)(_ unionByName _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(kCols: _*).orderBy(col(ordCol))
+    val classified = events
+      .withColumn(prevCol, lag(col(kindCol), 1).over(w))
+      .filter(col(ordCol) > fromVersion)
+      .withColumn(ctCol,
+        when(col(kindCol) === 2,
+          when(col(prevCol).isNotNull && col(prevCol) =!= 2, lit("delete"))
+            .otherwise(lit(null)))
+          .when(col(kindCol) === 1,
+            when(col(prevCol).isNotNull && col(prevCol) =!= 2,
+              lit("update_postimage")).otherwise(lit("insert")))
+          .otherwise(lit("insert")))
+      .filter(col(ctCol).isNotNull)
+      .select(kCols :+ col(ordCol) :+ col(kindCol) :+ col(ctCol): _*)
+    val perSeg: Seq[DataFrame] = newWithVer.map { case (d, v) =>
+      val raw = spark.read.parquet(s"$tablePath/$d")
+      side.get(d).map(_._1) match {
+        case None => // plain append: all rows insert
+          align(raw).withColumn(ctCol, lit("insert"))
+            .withColumn(cvCol, lit(v))
+        case Some("upsert") =>
+          val cls = classified
+            .filter(col(ordCol) === v && col(kindCol) === 1)
+            .select(kCols :+ col(ctCol): _*)
+          val keyed = align(raw).filter(!anyKeyNull)
+            .join(cls, keys, "inner")
+          val nullKeyed = align(raw).filter(anyKeyNull)
+            .withColumn(ctCol, lit("insert"))
+          keyed.unionByName(nullKeyed).withColumn(cvCol, lit(v))
+        case Some(_) => // delete: key-only records for live keys
+          align(classified.filter(col(ordCol) === v && col(kindCol) === 2)
+              .select(kCols: _*))
+            .withColumn(ctCol, lit("delete"))
+            .withColumn(cvCol, lit(v))
+      }
+    }
+    perSeg.reduce(_ unionByName _)
+      .select(canonSchema.fieldNames.map(col).toSeq :+ col(ctCol) :+ col(cvCol): _*)
+  }
 
   /** Explicit retention reaper — the VACUUM of this protocol. GC
     * normally piggybacks on commits ([[gcSuperseded]] runs inside
@@ -1176,6 +1388,83 @@ object MergeInto {
           s"$ModeKey must be `mor` or `cow`, got `$other`")
     }
     AtomicPublish.read(spark, tablePath)
+  }
+
+  /** Row-level DELETE by key against a published table — the
+    * merge-on-read twin of [[upsertInto]].
+    *
+    * Default ([[ModeKey]]=`mor`): the distinct keys of `keysSource`
+    * land as a DELETE TOMBSTONE segment
+    * ([[AtomicPublish.appendDeleteSegment]]) — write ∝ THE DELETED-KEY
+    * SET, the commit lock held only for the manifest CAS. Readers drop
+    * any earlier row the tombstone claims (a LATER upsert re-inserts
+    * the key); [[compactMerged]] folds tombstones away, auto-firing at
+    * [[CompactAfterKey]] like the upsert path. A 1-row delete against
+    * a 100 TB table writes one tiny parquet file — the Iceberg
+    * equality-delete shape; the pre-tombstone alternative (rewrite the
+    * table minus the rows) costs the corpus per delete.
+    *
+    * Copy-on-write ([[ModeKey]]=`cow`): the reconciled table MINUS the
+    * keys is rewritten under the optimistic CAS — no lock tenure,
+    * racing appends abort the swap and the delete retries.
+    *
+    * Rows with NULL merge keys are never deleted (SQL join semantics),
+    * matching [[upsertInto]]'s never-overridden contract for them. */
+  def deleteFrom(spark: SparkSession, tablePath: String,
+                 keysSource: DataFrame, keys: Seq[String]): DataFrame = {
+    val tombstones = keysSource.select(keys.map(col): _*).distinct()
+    val mode = spark.conf.getOption(ModeKey).getOrElse(ModeDefault)
+    mode match {
+      case "mor" =>
+        AtomicPublish.appendDeleteSegment(spark, tablePath, keys) { p =>
+          tombstones.write.parquet(p)
+        }
+        val foldAt = spark.conf.getOption(CompactAfterKey)
+          .map(_.toInt).getOrElse(CompactAfterDefault)
+        if (foldAt > 0 &&
+            AtomicPublish.currentSegments(spark, tablePath).size >= foldAt) {
+          compactMerged(spark, tablePath) // best-effort; LostRace = next merge retries
+          ()
+        }
+      case "cow" =>
+        val outcome = AtomicPublish.casRewrite(spark, tablePath,
+          maxAttempts = 5, minSegments = 1) { (paths, staging) =>
+          val dirs = paths.map(p => p.substring(p.lastIndexOf('/') + 1))
+          val target = AtomicPublish.readOver(spark, tablePath, dirs)
+          target.join(tombstones, keys, "left_anti").write.parquet(staging)
+        }
+        outcome match {
+          case AtomicPublish.CompactOutcome.LostRace =>
+            throw new IllegalStateException(
+              s"deleteFrom(cow) at $tablePath: 5 attempts each found the " +
+                "segment list changed under the rewrite; use " +
+                s"$ModeKey=mor for this workload")
+          case AtomicPublish.CompactOutcome.AlreadyCompact =>
+            throw new IllegalStateException(
+              s"deleteFrom: no published version (MANIFEST) at $tablePath")
+          case _ => ()
+        }
+      case other =>
+        throw new IllegalArgumentException(
+          s"$ModeKey must be `mor` or `cow`, got `$other`")
+    }
+    AtomicPublish.read(spark, tablePath)
+  }
+
+  /** DELETE WHERE: evaluate `predicate` against the current reconciled
+    * snapshot, land the matching keys as a tombstone
+    * ([[deleteFrom]]). The snapshot read is key+predicate
+    * column-pruned and its output is ∝ the MATCHED key set — the scan
+    * is the irreducible cost of turning a predicate into keys.
+    * Snapshot semantics: rows landing concurrently with the scan are
+    * not covered (the tombstone binds to observed keys), the standard
+    * read-committed DELETE contract. */
+  def deleteWhere(spark: SparkSession, tablePath: String,
+                  predicate: org.apache.spark.sql.Column,
+                  keys: Seq[String]): DataFrame = {
+    val matched = AtomicPublish.read(spark, tablePath)
+      .filter(predicate).select(keys.map(col): _*)
+    deleteFrom(spark, tablePath, matched, keys)
   }
 
   /** Apply the evolution contract to a (target, source) pair for the

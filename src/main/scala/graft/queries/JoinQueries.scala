@@ -445,6 +445,91 @@ object JoinQueries extends QueryGroup {
                      THEN CAST(1 AS BIGINT) ELSE NULL END AS review_flag
               FROM customer ORDER BY c_custkey""")),
 
+    // ROW-LEVEL DELETE (round 15): merge-on-read tombstones — GDPR
+    // erasure, toxic-document retraction, label recalls — the write
+    // costs ∝ THE DELETED-KEY SET (one tiny parquet file + manifest
+    // CAS; the Iceberg equality-delete shape), never the corpus. The
+    // key exercises the full ordinal clock: publish → DELETE WHERE
+    // (predicate → observed keys → tombstone) → a LATER upsert
+    // re-inserting half the deleted keys (tombstones must not eat
+    // subsequent re-inserts). The oracle reconstructs the surviving
+    // set + re-inserted values in SQL, so tombstone claim semantics
+    // are hash-graded end to end.
+    GQuery("merge_delete",
+      (s, dir) => {
+        import s.implicits._
+        val table = graft.engine.Scratch.dir("del_customer")
+        val target = Tables(s, dir, "customer")
+        graft.ops.AtomicPublish.publish(s, table)(p => target.write.parquet(p))
+        graft.ops.MergeInto.deleteWhere(s, table,
+          $"c_custkey" % 7 === 0, Seq("c_custkey"))
+        val reinserts = target.filter($"c_custkey" % 14 === 0)
+          .withColumn("c_acctbal", $"c_acctbal" + 500.0)
+        graft.ops.MergeInto.upsertInto(s, table, reinserts, Seq("c_custkey"))
+        graft.ops.AtomicPublish.read(s, table).orderBy($"c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name, c_nationkey,
+                CASE WHEN c_custkey % 14 = 0
+                     THEN c_acctbal + 500.0 ELSE c_acctbal END AS c_acctbal,
+                c_mktsegment
+              FROM customer
+              WHERE c_custkey % 7 <> 0 OR c_custkey % 14 = 0
+              ORDER BY c_custkey""")),
+
+    // CHANGE DATA FEED (round 15): the row-level changes between two
+    // commits, derived from the version log + merge sidecars at READ
+    // time (no per-write change files) — the Delta `table_changes`
+    // consumer shape for feeding downstream tables without re-scanning
+    // the corpus. Window: append (always `insert`, even for a key that
+    // already exists — appends accumulate), upsert (`update_postimage`
+    // when the key was live, `insert` when never seen), delete
+    // (key-only `delete` records for live keys; dead keys emit
+    // nothing). The oracle reconstructs every classification in SQL
+    // over the same deterministic slices; `commit_step` = commits
+    // since the window start, so the key is version-base independent.
+    GQuery("table_changes",
+      (s, dir) => {
+        import s.implicits._
+        val table = graft.engine.Scratch.dir("cdf_customer")
+        val cust = Tables(s, dir, "customer")
+        graft.ops.AtomicPublish.publish(s, table)(p =>
+          cust.filter($"c_custkey" % 3 === 0).write.parquet(p))
+        val v1 = graft.ops.AtomicPublish.currentVersion(s, table)
+          .getOrElse(sys.error("version log missing after publish"))
+        graft.ops.AtomicPublish.appendSegment(s, table)(p =>
+          cust.filter($"c_custkey" % 3 === 1).write.parquet(p))
+        val ups = cust.filter($"c_custkey" % 6 === 0)
+          .withColumn("c_acctbal", $"c_acctbal" + 100.0)
+          .unionByName(cust.filter($"c_custkey" % 3 === 2 &&
+            $"c_custkey" % 2 === 0))
+        graft.ops.MergeInto.upsertInto(s, table, ups, Seq("c_custkey"))
+        graft.ops.MergeInto.deleteFrom(s, table,
+          cust.filter($"c_custkey" % 9 === 0).select($"c_custkey"),
+          Seq("c_custkey"))
+        val vNow = graft.ops.AtomicPublish.currentVersion(s, table).get
+        graft.ops.AtomicPublish.changesBetween(s, table, v1, vNow)
+          .select($"c_custkey", $"c_name", $"c_acctbal",
+            col("_change_type").as("change_type"),
+            (col("_commit_version") - v1).as("commit_step"))
+          .orderBy($"commit_step", $"c_custkey", $"change_type")
+      },
+      Some("""SELECT * FROM (
+                SELECT c_custkey, c_name, c_acctbal,
+                       'insert' AS change_type, CAST(1 AS BIGINT) AS commit_step
+                FROM customer WHERE c_custkey % 3 = 1
+                UNION ALL
+                SELECT c_custkey, c_name, c_acctbal + 100.0,
+                       'update_postimage', 2
+                FROM customer WHERE c_custkey % 6 = 0
+                UNION ALL
+                SELECT c_custkey, c_name, c_acctbal, 'insert', 2
+                FROM customer WHERE c_custkey % 3 = 2 AND c_custkey % 2 = 0
+                UNION ALL
+                SELECT c_custkey, CAST(NULL AS VARCHAR),
+                       CAST(NULL AS DOUBLE), 'delete', 3
+                FROM customer WHERE c_custkey % 9 = 0)
+              ORDER BY commit_step, c_custkey, change_type""")),
+
     // Banding join: orders classified into literal price bands (range predicate).
     GQuery("join_range",
       (s, dir) => {

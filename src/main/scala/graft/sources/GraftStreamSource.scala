@@ -50,8 +50,13 @@ class GraftStreamSource extends StreamSourceProvider with DataSourceRegister {
     * BOTH sourceSchema (plan creation — so a bad option fails the
     * `load()` synchronously, not the async stream thread) and
     * createSource (the values that actually drive the tail). */
+  private sealed trait StartMode
+  private case object StartEarliest extends StartMode
+  private case object StartLatest extends StartMode
+  private final case class StartVersion(v: Long) extends StartMode
+
   private def admissionOptions(parameters: Map[String, String])
-      : (Option[Int], Boolean) = {
+      : (Option[Int], StartMode) = {
     val maxPer = parameters.get("maxSegmentsPerBatch").map { raw =>
       val n = raw.trim.toIntOption.getOrElse(throw new IllegalArgumentException(
         s"graft-stream: maxSegmentsPerBatch must be a positive int, got `$raw`"))
@@ -59,13 +64,22 @@ class GraftStreamSource extends StreamSourceProvider with DataSourceRegister {
         s"graft-stream: maxSegmentsPerBatch must be >= 1, got $n")
       n
     }
-    val startLatest = parameters.getOrElse("startingOffset", "earliest") match {
-      case "earliest" => false
-      case "latest" => true
-      case other => throw new IllegalArgumentException(
-        s"graft-stream: startingOffset must be `earliest` or `latest`, got `$other`")
+    val startVersion = parameters.get("startingVersion").map { raw =>
+      val v = raw.trim.toLongOption.getOrElse(throw new IllegalArgumentException(
+        s"graft-stream: startingVersion must be a commit version, got `$raw`"))
+      require(v >= 1, s"graft-stream: startingVersion must be >= 1, got $v")
+      require(!parameters.contains("startingOffset"),
+        "graft-stream: startingOffset and startingVersion are mutually exclusive")
+      StartVersion(v)
     }
-    (maxPer, startLatest)
+    val start = startVersion.getOrElse(
+      parameters.getOrElse("startingOffset", "earliest") match {
+        case "earliest" => StartEarliest
+        case "latest" => StartLatest
+        case other => throw new IllegalArgumentException(
+          s"graft-stream: startingOffset must be `earliest` or `latest`, got `$other`")
+      })
+    (maxPer, start)
   }
 
   override def sourceSchema(sqlContext: SQLContext,
@@ -91,11 +105,22 @@ class GraftStreamSource extends StreamSourceProvider with DataSourceRegister {
     // failure Delta's maxFilesPerTrigger exists for. `startingOffset`
     // = `latest` arms the tail at the CURRENT manifest length (consume
     // only future appends — replication/cache-warming tails);
-    // `earliest` (default) replays from segment 0.
-    val (maxPer, startLatest) = admissionOptions(parameters)
+    // `earliest` (default) replays from segment 0;
+    // `startingVersion` = v arms it at commit v (consume v and later —
+    // the Delta startingVersion shape, resolved through the version
+    // log, loud if the log no longer holds v−1).
+    val (maxPer, start) = admissionOptions(parameters)
+    val startFloor: Long = start match {
+      case StartEarliest => 0L
+      case StartLatest =>
+        AtomicPublish.currentSegments(spark, path).size.toLong
+      case StartVersion(v) =>
+        if (v == 1L) 0L
+        else AtomicPublish.segmentsAt(spark, path, v - 1).size.toLong
+    }
     new GraftAppendTail(spark, path,
       schema.getOrElse(AtomicPublish.read(spark, path).schema),
-      maxPer, startLatest)
+      maxPer, startFloor)
   }
 }
 
@@ -103,8 +128,9 @@ class GraftStreamSource extends StreamSourceProvider with DataSourceRegister {
   * manifest, batch (from, to] = segment dirs [from, to).
   *
   * `maxSegmentsPerBatch` caps each reported offset at
-  * lastBatchEnd + cap; `startLatest` arms the initial floor at the
-  * manifest length observed at source creation. On restart the engine
+  * lastBatchEnd + cap; `startFloor` arms the initial floor (0 =
+  * earliest, manifest length at creation = latest, version-log
+  * resolution = startingVersion). On restart the engine
   * replays the last committed batch through [[getBatch]] before
   * polling [[getOffset]], which heals `lastBatchEnd` past the
   * checkpoint — and offsets never regress (`getBatch` ratchets it with
@@ -112,16 +138,14 @@ class GraftStreamSource extends StreamSourceProvider with DataSourceRegister {
 private class GraftAppendTail(spark: SparkSession, tablePath: String,
                               override val schema: StructType,
                               maxSegmentsPerBatch: Option[Int],
-                              startLatest: Boolean) extends Source {
+                              startFloor: Long) extends Source {
 
   // the longest segment list this instance has observed — the
   // append-only witness (restarts re-arm it from the first poll; the
   // committed-offset bound below covers the restart gap)
   @volatile private var seen: Seq[String] = Nil
 
-  private val initialFloor: Long =
-    if (startLatest) AtomicPublish.currentSegments(spark, tablePath).size.toLong
-    else 0L
+  private val initialFloor: Long = startFloor
 
   @volatile private var lastBatchEnd: Long = initialFloor
 
@@ -136,21 +160,23 @@ private class GraftAppendTail(spark: SparkSession, tablePath: String,
     seen = cur
   }
 
-  /** Refuse UPSERT segments in the tailed range: an upsert is an
-    * UPDATE, not an append — delivering its rows as appends silently
-    * corrupts every downstream aggregate (the Delta
-    * ignoreChanges-unset behavior). Checked only over newly-arrived /
-    * about-to-be-served segments, so the steady-state poll cost stays
-    * one manifest read. */
+  /** Refuse UPSERT/DELETE segments in the tailed range: a merge
+    * segment is an UPDATE or a RETRACTION, not an append — delivering
+    * its rows as appends (or silently skipping a tombstone) corrupts
+    * every downstream aggregate (the Delta ignoreChanges-unset
+    * behavior; use AtomicPublish.changesBetween for a change feed).
+    * Checked only over newly-arrived / about-to-be-served segments, so
+    * the steady-state poll cost stays one manifest read. */
   private def refuseUpserts(segs: Seq[String]): Unit =
     if (segs.nonEmpty) {
       val ups = AtomicPublish.upsertSidecarsFor(spark, tablePath, segs)
       if (ups.nonEmpty) throw new IllegalStateException(
         s"graft-stream at $tablePath: segment(s) ${ups.keys.mkString(", ")} " +
-          "are merge-on-read UPSERTS (MergeInto.upsertInto) — a streaming " +
-          "tail delivers appends only, and serving updates as appends would " +
-          "corrupt downstream state. Fold the table and restart the tail " +
-          "from a fresh checkpoint, or tail an append-only table")
+          "are merge-on-read segments (MergeInto.upsertInto / deleteFrom) — " +
+          "a streaming tail delivers appends only, and serving updates or " +
+          "deletes as appends would corrupt downstream state. Fold the " +
+          "table and restart the tail from a fresh checkpoint, tail an " +
+          "append-only table, or consume AtomicPublish.changesBetween")
     }
 
   override def getOffset: Option[Offset] = {

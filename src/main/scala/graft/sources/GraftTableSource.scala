@@ -84,10 +84,11 @@ class GraftTableSource extends ParquetDataSourceV2 {
     val pending = AtomicPublish.upsertSidecarsFor(sparkSession, root, segs)
     if (pending.nonEmpty) throw new IllegalStateException(
       s"graft source at $root: the table carries ${pending.size} pending " +
-        "merge-on-read upsert segment(s) — a path-based scan cannot apply " +
-        "key reconciliation and would re-materialize overridden rows. Fold " +
-        "the table first (graft.ops.MergeInto.compactMerged) or query the " +
-        "reconciled view (graft.ops.AtomicPublish.registerView)")
+        "merge-on-read segment(s) (upsert or delete tombstone) — a " +
+        "path-based scan cannot apply key reconciliation and would " +
+        "re-materialize overridden or deleted rows. Fold the table first " +
+        "(graft.ops.MergeInto.compactMerged) or query the reconciled view " +
+        "(graft.ops.AtomicPublish.registerView)")
     segs
   }
 

@@ -261,10 +261,14 @@ class MaintenanceSpec extends SparkSpec {
       Seq((0L, "base")).toDF("id", "v").write.parquet(p))
     val lock = java.nio.file.Paths.get(table, "_graft_commit_lock")
     java.nio.file.Files.writeString(lock, "crashed-holder")
-    spark.conf.set(AtomicPublish.LockStaleMsKey, "100")
+    // stale threshold must leave the heartbeat (staleMs/3 cadence)
+    // real slack under full-suite load: at 100 ms a LIVE holder's beat
+    // thread scheduled 100 ms late looked dead and its commit got
+    // fenced — an availability flake, not the race this test pins
+    spark.conf.set(AtomicPublish.LockStaleMsKey, "500")
     spark.conf.set(AtomicPublish.LockTimeoutMsKey, "30000")
     try {
-      Thread.sleep(150) // age the orphan past the stale threshold
+      Thread.sleep(650) // age the orphan past the stale threshold
       val writers = 4
       val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
       val threads = (1 to writers).map { i =>
@@ -733,7 +737,7 @@ class MaintenanceSpec extends SparkSpec {
       AtomicPublish.appendUpsertSegment(spark, table, Seq("v"))(p =>
         Seq((9L, "z", 9.0, 9L)).toDF("k", "v", "w", "extra").write.parquet(p))
     }
-    assert(eKeys.getMessage.contains("merge on"), eKeys.getMessage)
+    assert(eKeys.getMessage.contains("fold the table first"), eKeys.getMessage)
   }
 
   test("time travel: readAt serves any retained version, loud outside the window") {
@@ -784,7 +788,7 @@ class MaintenanceSpec extends SparkSpec {
     }
     def msgs(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
-    assert(msgs(e).exists(_.contains("merge-on-read upsert segment")),
+    assert(msgs(e).exists(_.contains("merge-on-read segment")),
       s"path source must refuse reconciliation-needing tables: ${msgs(e)}")
     // the reconciling view is the sanctioned SQL door while unfolded
     AtomicPublish.registerView(spark, table, "spec_refuse_mor_v")
@@ -793,5 +797,174 @@ class MaintenanceSpec extends SparkSpec {
     MergeInto.compactMerged(spark, table)
     assert(spark.read.format("graft").load(table).collect()
       .map(_.getDouble(1)).toSeq === Seq(2.0))
+  }
+
+  // ------------------------------------------------------------------
+  // Row-level DELETE (merge-on-read tombstones)
+  // ------------------------------------------------------------------
+
+  test("deleteFrom: tombstone drops claimed keys, later upsert re-inserts, fold erases") {
+    import spark.implicits._
+    val table = graft.engine.Scratch.dir("spec_del_mor")
+    AtomicPublish.publish(spark, table)(p =>
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "v")
+        .write.parquet(p))
+    def state() = AtomicPublish.read(spark, table).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1).toSeq
+    // tombstone two keys: write ∝ the key set, not the table
+    MergeInto.deleteFrom(spark, table, Seq(2L, 3L).toDF("k"), Seq("k"))
+    assert(state() === Seq(1L -> "a", 4L -> "d"))
+    // a LATER upsert re-inserts one deleted key (ordinal is the clock)
+    MergeInto.upsertInto(spark, table, Seq((3L, "c2")).toDF("k", "v"), Seq("k"))
+    assert(state() === Seq(1L -> "a", 3L -> "c2", 4L -> "d"))
+    // and an EARLIER-keyed delete never touches the re-insert; deleting
+    // a dead key (2) is a no-op
+    MergeInto.deleteFrom(spark, table, Seq(2L, 4L).toDF("k"), Seq("k"))
+    val reconciled = state()
+    assert(reconciled === Seq(1L -> "a", 3L -> "c2"))
+    // fold: tombstones erased, one base segment, identical content
+    MergeInto.compactMerged(spark, table) match {
+      case AtomicPublish.CompactOutcome.Compacted(_) => ()
+      case other => fail(s"fold did not commit: $other")
+    }
+    val after = AtomicPublish.currentSegments(spark, table)
+    assert(after.size === 1)
+    assert(AtomicPublish.upsertSidecarsFor(spark, table, after).isEmpty)
+    assert(state() === reconciled, "fold changed the reconciled content")
+  }
+
+  test("deleteWhere: predicate delete binds to the observed snapshot; cow parity") {
+    import spark.implicits._
+    val table = graft.engine.Scratch.dir("spec_del_where")
+    AtomicPublish.publish(spark, table)(p =>
+      Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "x").write.parquet(p))
+    MergeInto.deleteWhere(spark, table, col("x") >= 20.0, Seq("k"))
+    assert(AtomicPublish.read(spark, table).collect()
+      .map(r => r.getLong(0)).sorted.toSeq === Seq(1L))
+    // cow mode: same semantics, single rewritten segment, no sidecars
+    val cow = graft.engine.Scratch.dir("spec_del_cow")
+    AtomicPublish.publish(spark, cow)(p =>
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v").write.parquet(p))
+    spark.conf.set(MergeInto.ModeKey, "cow")
+    try MergeInto.deleteFrom(spark, cow, Seq(2L).toDF("k"), Seq("k"))
+    finally spark.conf.unset(MergeInto.ModeKey)
+    val segs = AtomicPublish.currentSegments(spark, cow)
+    assert(segs.size === 1 &&
+      AtomicPublish.upsertSidecarsFor(spark, cow, segs).isEmpty)
+    assert(AtomicPublish.read(spark, cow).collect()
+      .map(_.getLong(0)).sorted.toSeq === Seq(1L, 3L))
+  }
+
+  test("delete contract: non-key columns refused, key agreement enforced, tail refuses") {
+    import spark.implicits._
+    val table = graft.engine.Scratch.dir("spec_del_contract")
+    AtomicPublish.publish(spark, table)(p =>
+      Seq((1L, "a")).toDF("k", "v").write.parquet(p))
+    // a tombstone carrying data columns is a mis-projected source
+    val e1 = intercept[IllegalArgumentException] {
+      AtomicPublish.appendDeleteSegment(spark, table, Seq("k")) { p =>
+        Seq((1L, "a")).toDF("k", "v").write.parquet(p)
+      }
+    }
+    assert(e1.getMessage.contains("non-key column"), e1.getMessage)
+    // key agreement across PENDING upsert and delete segments
+    MergeInto.upsertInto(spark, table, Seq((2L, "b")).toDF("k", "v"), Seq("k"))
+    val e2 = intercept[IllegalArgumentException] {
+      MergeInto.deleteFrom(spark, table, Seq("a").toDF("v"), Seq("v"))
+    }
+    assert(e2.getMessage.contains("fold the table first"), e2.getMessage)
+    // the streaming tail refuses tombstones in the tailed range like
+    // upserts: a delete is a retraction, not an append
+    MergeInto.deleteFrom(spark, table, Seq(1L).toDF("k"), Seq("k"))
+    val tail = spark.readStream.format("graft-stream").load(table)
+    val q = tail.writeStream.format("memory")
+      .queryName("spec_del_tail").option("checkpointLocation",
+        graft.engine.Scratch.dir("spec_del_tail_ckpt")).start()
+    val e3 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    q.stop()
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e3).exists(_.contains("appends only")), msgs(e3).mkString("|"))
+  }
+
+  // ------------------------------------------------------------------
+  // Change data feed
+  // ------------------------------------------------------------------
+
+  test("changesBetween: insert/update/delete classified along the liveness chain") {
+    import spark.implicits._
+    val table = graft.engine.Scratch.dir("spec_cdf")
+    // v1 base
+    AtomicPublish.publish(spark, table)(p =>
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v").write.parquet(p))
+    val v1 = AtomicPublish.currentVersion(spark, table).get
+    // v2 plain append (k=3 new, k=2 duplicate — appends are ALWAYS inserts)
+    AtomicPublish.appendSegment(spark, table)(p =>
+      Seq((3L, "c"), (2L, "b_dup")).toDF("k", "v").write.parquet(p))
+    // v3 upsert: k=2 update (live at v1), k=9 insert (never seen)
+    MergeInto.upsertInto(spark, table,
+      Seq((2L, "b2"), (9L, "i")).toDF("k", "v"), Seq("k"))
+    // v4 delete: k=1 live → delete record; k=77 dead → nothing
+    MergeInto.deleteFrom(spark, table, Seq(1L, 77L).toDF("k"), Seq("k"))
+    // v5 upsert of a key deleted IN the window: insert, not update
+    MergeInto.upsertInto(spark, table, Seq((1L, "a2")).toDF("k", "v"), Seq("k"))
+    val v5 = AtomicPublish.currentVersion(spark, table).get
+    assert(v5 === v1 + 4)
+    val feed = AtomicPublish.changesBetween(spark, table, v1, v5)
+      .collect()
+      .map(r => (r.getAs[Long]("k"), Option(r.getAs[String]("v")),
+        r.getAs[String]("_change_type"), r.getAs[Long]("_commit_version")))
+      .sortBy(t => (t._4, t._1, t._2.getOrElse("")))
+      .toSeq
+    assert(feed === Seq(
+      (2L, Some("b_dup"), "insert", v1 + 1),
+      (3L, Some("c"), "insert", v1 + 1),
+      (2L, Some("b2"), "update_postimage", v1 + 2),
+      (9L, Some("i"), "insert", v1 + 2),
+      (1L, None, "delete", v1 + 3),
+      (1L, Some("a2"), "insert", v1 + 4)), s"got: $feed")
+    // applying the feed to the v1 snapshot reproduces the v5 snapshot
+    // (the consumer contract): upserts/deletes keyed, inserts appended
+    val replayed = feed.foldLeft(
+      AtomicPublish.readAt(spark, table, v1).collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toVector) {
+      case (acc, (k, v, "insert", _)) => acc :+ (k -> v)
+      case (acc, (k, v, "update_postimage", _)) =>
+        acc.filterNot(_._1 == k) :+ (k -> v)
+      case (acc, (k, _, "delete", _)) => acc.filterNot(_._1 == k)
+      case (acc, _) => acc
+    }.sortBy(t => (t._1, t._2.getOrElse("")))
+    val now = AtomicPublish.read(spark, table).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toVector
+      .sortBy(t => (t._1, t._2.getOrElse("")))
+    assert(replayed === now, s"feed replay diverged: $replayed vs $now")
+  }
+
+  test("changesBetween: append-only windows skip the snapshot scan; compaction is loud") {
+    import spark.implicits._
+    val table = graft.engine.Scratch.dir("spec_cdf_bounds")
+    AtomicPublish.publish(spark, table)(p =>
+      Seq((1L, "a")).toDF("k", "v").write.parquet(p))
+    val v1 = AtomicPublish.currentVersion(spark, table).get
+    AtomicPublish.appendSegment(spark, table)(p =>
+      Seq((2L, "b")).toDF("k", "v").write.parquet(p))
+    val v2 = AtomicPublish.currentVersion(spark, table).get
+    val feed = AtomicPublish.changesBetween(spark, table, v1, v2)
+    // pure-append fast path: no join, no window exchange in the plan
+    val plan = feed.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Window"),
+      s"append-only feed must not scan/join the snapshot:\n$plan")
+    assert(feed.collect().map(r => (r.getLong(0),
+      r.getAs[String]("_change_type"))).toSeq === Seq((2L, "insert")))
+    // compaction inside the window rewrites history: loud, never a guess
+    MergeInto.upsertInto(spark, table, Seq((1L, "a2")).toDF("k", "v"), Seq("k"))
+    MergeInto.compactMerged(spark, table)
+    val vNow = AtomicPublish.currentVersion(spark, table).get
+    val e = intercept[IllegalArgumentException] {
+      AtomicPublish.changesBetween(spark, table, v1, vNow)
+    }
+    assert(e.getMessage.contains("compaction or republish"), e.getMessage)
   }
 }

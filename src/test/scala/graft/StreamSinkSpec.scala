@@ -161,7 +161,7 @@ class StreamSinkSpec extends SparkSpec {
     }
     def msgs(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
-    assert(msgs(e).exists(_.contains("UPSERTS")),
+    assert(msgs(e).exists(_.contains("appends only")),
       s"tail must refuse upsert segments loudly: ${msgs(e)}")
     q2.stop()
     val eBadOpt = intercept[Exception] {
@@ -170,5 +170,43 @@ class StreamSinkSpec extends SparkSpec {
         .writeStream.format("noop").start()
     }
     assert(msgs(eBadOpt).exists(_.contains("maxSegmentsPerBatch")), msgs(eBadOpt))
+  }
+
+  test("graft-stream startingVersion: consume from a commit, exclusive with startingOffset") {
+    import spark.implicits._
+    import graft.ops.AtomicPublish
+    val table = graft.engine.Scratch.dir("spec_tail_startver")
+    def day(k: Int) = Seq((k.toLong, s"d$k")).toDF("k", "tag")
+    AtomicPublish.publish(spark, table)(p => day(0).write.parquet(p)) // v1
+    (1 to 3).foreach(k =>
+      AtomicPublish.appendSegment(spark, table)(p => day(k).write.parquet(p)))
+    val v = AtomicPublish.currentVersion(spark, table).get // = 4
+    // arm at commit v-1: the tail serves commits v-1..v (days 2-3) and
+    // future appends, never the older history — the Delta
+    // startingVersion shape resolved through the version log
+    val got = scala.collection.concurrent.TrieMap.empty[Long, String]
+    val q = spark.readStream.format("graft-stream")
+      .option("path", table).option("startingVersion", (v - 1).toString).load()
+      .writeStream
+      .option("checkpointLocation", Files.createTempDirectory("sv1").toString)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r => got.put(r.getLong(0), r.getString(1))); ()
+      }
+      .start()
+    q.processAllAvailable()
+    assert(got.keySet === Set(2L, 3L),
+      s"startingVersion=${v - 1} must serve commits ${v - 1}+ only: $got")
+    AtomicPublish.appendSegment(spark, table)(p => day(7).write.parquet(p))
+    q.processAllAvailable(); q.stop()
+    assert(got.keySet === Set(2L, 3L, 7L), s"live appends must land: $got")
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    val eBoth = intercept[Exception] {
+      spark.readStream.format("graft-stream")
+        .option("path", table).option("startingVersion", "2")
+        .option("startingOffset", "latest").load()
+        .writeStream.format("noop").start()
+    }
+    assert(msgs(eBoth).exists(_.contains("mutually exclusive")), msgs(eBoth))
   }
 }
