@@ -345,6 +345,7 @@ object AtomicPublish {
         rmQuiet(TombPrefix + d)
         rmQuiet(SegMetaPrefix + d)
         rmQuiet(ZoneMaps.ZonePrefix + d)
+        rmQuiet(BloomMaps.BloomPrefix + d)
       }
     }
     // version-log retention: an entry older than the window references
@@ -515,11 +516,14 @@ object AtomicPublish {
     catch { case t: Throwable => fs.delete(staging, true); throw t }
     val zones = ZoneMaps.harvestSegment(spark,
       fs.makeQualified(staging).toString)
+    val blooms = BloomMaps.harvestSegment(spark,
+      fs.makeQualified(staging).toString)
     commitStaged(fs, staging) { withCommitLock(spark, fs, root) { token =>
       commitWindowFault()
       require(fs.rename(staging, new org.apache.hadoop.fs.Path(root, dataDir)),
         s"publish: staging rename failed at $staging")
       ZoneMaps.write(fs, root, dataDir, zones)
+      BloomMaps.write(fs, root, dataDir, blooms)
       swapManifest(fs, conf, root, dataDir, token)
       // age-based GC of everything the new manifest no longer references
       gcSuperseded(spark, fs, root, live = Set(dataDir))
@@ -640,6 +644,8 @@ object AtomicPublish {
     }
     val zones = ZoneMaps.harvestSegment(spark,
       fs.makeQualified(staging).toString)
+    val blooms = BloomMaps.harvestSegment(spark,
+      fs.makeQualified(staging).toString)
     commitStaged(fs, staging) { withCommitLock(spark, fs, root) { token =>
       commitWindowFault()
       val prev = currentSegments(spark, tablePath)
@@ -660,6 +666,7 @@ object AtomicPublish {
         finally out.close()
       }
       ZoneMaps.write(fs, root, dataDir, zones)
+      BloomMaps.write(fs, root, dataDir, blooms)
       swapManifest(fs, conf, root, (prev :+ dataDir).mkString("\n"), token)
       val committed = currentSegments(spark, tablePath)
       require(committed == prev :+ dataDir,
@@ -797,6 +804,8 @@ object AtomicPublish {
       catch { case t: Throwable => fs.delete(staging, true); throw t }
       val zones = ZoneMaps.harvestSegment(spark,
         fs.makeQualified(staging).toString)
+      val blooms = BloomMaps.harvestSegment(spark,
+        fs.makeQualified(staging).toString)
       val committed = commitStaged(fs, staging) {
         withCommitLock(spark, fs, root) { token =>
         commitWindowFault()
@@ -804,6 +813,7 @@ object AtomicPublish {
           require(fs.rename(staging, new org.apache.hadoop.fs.Path(root, dataDir)),
             s"casRewrite: staging rename failed at $staging")
           ZoneMaps.write(fs, root, dataDir, zones)
+          BloomMaps.write(fs, root, dataDir, blooms)
           swapManifest(fs, conf, root, dataDir, token)
           gcSuperseded(spark, fs, root, live = Set(dataDir))
           true

@@ -438,6 +438,43 @@ object SourceQueries extends QueryGroup {
               ${graft.engine.Det.sql.dsum("o_totalprice")} AS sum_price
               FROM orders
               WHERE o_orderdate >= TIMESTAMP '1999-06-01 00:00:00'
-              GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+              GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // BLOOM-SIDECAR POINT LOOKUP (round 15): zonemaps prune RANGES —
+    // useless for an id probe when every segment spans the full key
+    // range (hash/arrival-ordered appends, the common LSM layout; here
+    // customer lands as three `% 3` slices, so min/max overlap
+    // completely). Opt-in per-column bloom sidecars
+    // (spark.graft.manifest.bloom, harvested at commit with one
+    // column-pruned scan of THE SEGMENT) answer the equality question:
+    // the IN-probe schedules only the segments whose filter fires —
+    // the Iceberg/Delta stats-file shape for needle lookups over a
+    // 10k-segment table. PlanSpec pins the scan's file count actually
+    // dropped; this key hash-grades that pruning never changes RESULTS
+    // (bloom false-negatives are impossible by construction).
+    GQuery("scan_bloom_pruned",
+      (s, dir) => {
+        import s.implicits._
+        val table = scratch("bloom_customer")
+        val cust = Tables(s, dir, "customer")
+        s.conf.set(graft.ops.BloomMaps.BloomColsKey, "c_custkey")
+        try {
+          graft.ops.AtomicPublish.publish(s, table)(p =>
+            cust.filter($"c_custkey" % 3 === 0).write.parquet(p))
+          graft.ops.AtomicPublish.appendSegment(s, table)(p =>
+            cust.filter($"c_custkey" % 3 === 1).write.parquet(p))
+          graft.ops.AtomicPublish.appendSegment(s, table)(p =>
+            cust.filter($"c_custkey" % 3 === 2).write.parquet(p))
+        } finally s.conf.unset(graft.ops.BloomMaps.BloomColsKey)
+        s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW graft_bloom_customer
+                  USING graft OPTIONS (path '$table')""")
+        s.sql("""SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+                 FROM graft_bloom_customer
+                 WHERE c_custkey IN (3, 5, 11, 42, 97)
+                 ORDER BY c_custkey""")
+      },
+      Some("""SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+              FROM customer WHERE c_custkey IN (3, 5, 11, 42, 97)
+              ORDER BY c_custkey"""))
   )
 }

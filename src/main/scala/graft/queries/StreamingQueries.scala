@@ -667,6 +667,87 @@ object StreamingQueries extends QueryGroup {
               FROM events WHERE user_id < 100
               GROUP BY event_type ORDER BY event_type""")),
 
+    // STREAMING CDC REPLICATION (round 15): the change feed as a live
+    // source — `graft-cdf` turns every upstream commit into a
+    // micro-batch of typed changes (insert / update_postimage /
+    // delete + _commit_version), and the key APPLIES them to a
+    // replica table in commit order (upserts via MergeInto.upsertInto,
+    // deletes via deleteFrom). This is the door the plain append tail
+    // refuses: a MERGEd table's commits become consumable as what they
+    // are. The graded read is the REPLICA's final state — if the feed
+    // dropped, misclassified, or double-delivered a change, the
+    // replica diverges from the oracle's reconstruction of the
+    // upstream state and the hash fails. At 100 TB each feed batch is
+    // ∝ its commits' changes plus (for merge commits) one key-pruned
+    // baseline scan; the replica writes are merge-on-read, ∝ the batch.
+    GQuery("stream_cdf_replicate",
+      (s, dir) => {
+        import s.implicits._
+        import graft.ops.{AtomicPublish, MergeInto}
+        val cust = Tables(s, dir, "customer")
+        val up = graft.engine.Scratch.dir("cdf_upstream")
+        val down = graft.engine.Scratch.dir("cdf_replica")
+        Seq(up, down).foreach { t =>
+          val fsPath = new org.apache.hadoop.fs.Path(t)
+          val fs = fsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (fs.exists(fsPath)) fs.delete(fsPath, true)
+        }
+        val base = cust.filter($"c_custkey" % 3 === 0)
+        AtomicPublish.publish(s, up)(p => base.write.parquet(p))
+        AtomicPublish.publish(s, down)(p => base.write.parquet(p))
+        val q = s.readStream.format("graft-cdf").option("path", up).load()
+          .writeStream
+          .option("checkpointLocation",
+            graft.engine.Scratch.dir(s"cdf_replicate_ckpt_" +
+              StreamingQueries.sinkCounter.incrementAndGet()))
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            val b = batch.persist()
+            try {
+              // a batch may span several commits: apply in commit order
+              val versions = b.select($"_commit_version").distinct()
+                .collect().map(_.getLong(0)).sorted
+              versions.foreach { v =>
+                val rows = b.filter($"_commit_version" === v)
+                val dels = rows.filter($"_change_type" === "delete")
+                  .select($"c_custkey")
+                val upserts = rows.filter($"_change_type" =!= "delete")
+                  .drop("_change_type", "_commit_version")
+                if (!upserts.isEmpty) {
+                  MergeInto.upsertInto(s, down, upserts, Seq("c_custkey")); ()
+                }
+                if (!dels.isEmpty) {
+                  MergeInto.deleteFrom(s, down, dels, Seq("c_custkey")); ()
+                }
+              }
+            } finally { b.unpersist(); () }
+          }
+          .start()
+        try {
+          q.processAllAvailable()
+          AtomicPublish.appendSegment(s, up)(p =>
+            cust.filter($"c_custkey" % 3 === 1).write.parquet(p))
+          q.processAllAvailable()
+          MergeInto.upsertInto(s, up,
+            cust.filter($"c_custkey" % 6 === 0)
+              .withColumn("c_acctbal", $"c_acctbal" + 100.0),
+            Seq("c_custkey"))
+          q.processAllAvailable()
+          MergeInto.deleteFrom(s, up,
+            cust.filter($"c_custkey" % 9 === 0).select($"c_custkey"),
+            Seq("c_custkey"))
+          q.processAllAvailable()
+        } finally q.stop()
+        AtomicPublish.read(s, down).orderBy($"c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name, c_nationkey,
+                CASE WHEN c_custkey % 6 = 0
+                     THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal,
+                c_mktsegment
+              FROM customer
+              WHERE (c_custkey % 3 = 0 AND c_custkey % 9 <> 0)
+                 OR c_custkey % 3 = 1
+              ORDER BY c_custkey""")),
+
     GQuery("stream_window_nunique",
       (s, dir) => {
         import s.implicits._

@@ -117,13 +117,29 @@ class GraftTableSource extends ParquetDataSourceV2 {
     }.toMap
   }
 
+  /** Bloom sidecars (point-lookup pruning, [[graft.ops.BloomMaps]]) for
+    * every resolved segment — same lifecycle as the zonemaps. */
+  private def loadBlooms(map: CaseInsensitiveStringMap)
+      : Map[String, Map[String, graft.ops.BloomMaps.ColBloom]] = {
+    val roots = super.getPaths(map)
+    roots.flatMap { root =>
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      val fs = rootPath.getFileSystem(
+        sparkSession.sparkContext.hadoopConfiguration)
+      resolveSegments(root, map).flatMap { d =>
+        val b = graft.ops.BloomMaps.read(fs, rootPath, d)
+        if (b.isEmpty) None else Some(d -> b)
+      }
+    }.toMap
+  }
+
   override def getTable(options: CaseInsensitiveStringMap)
       : org.apache.spark.sql.connector.catalog.Table = {
     val paths = getPaths(options)
     val tableName = getTableName(options, paths)
     val optionsWithoutPaths = getOptionsWithoutPaths(options)
     new GraftReadOnlyTable(tableName, sparkSession, optionsWithoutPaths,
-      paths, None, fallbackFileFormat, loadZones(options))
+      paths, None, fallbackFileFormat, loadZones(options), loadBlooms(options))
   }
 
   override def getTable(options: CaseInsensitiveStringMap,
@@ -133,7 +149,8 @@ class GraftTableSource extends ParquetDataSourceV2 {
     val tableName = getTableName(options, paths)
     val optionsWithoutPaths = getOptionsWithoutPaths(options)
     new GraftReadOnlyTable(tableName, sparkSession, optionsWithoutPaths,
-      paths, Some(schema), fallbackFileFormat, loadZones(options))
+      paths, Some(schema), fallbackFileFormat, loadZones(options),
+      loadBlooms(options))
   }
 }
 
@@ -162,7 +179,8 @@ private class GraftReadOnlyTable(
     paths: Seq[String],
     userSpecifiedSchema: Option[org.apache.spark.sql.types.StructType],
     fallbackFileFormat: Class[_ <: org.apache.spark.sql.execution.datasources.FileFormat],
-    zones: Map[String, Map[String, ZoneMaps.ColZone]])
+    zones: Map[String, Map[String, ZoneMaps.ColZone]],
+    blooms: Map[String, Map[String, graft.ops.BloomMaps.ColBloom]])
   extends org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable(
     name, sparkSession, options, paths, userSpecifiedSchema, fallbackFileFormat) {
 
@@ -177,7 +195,7 @@ private class GraftReadOnlyTable(
     val caseSensitiveMap = options.asCaseSensitiveMap.asScala.toMap
     new GraftZonePruningFileIndex(sparkSession,
       paths.map(new org.apache.hadoop.fs.Path(_)),
-      caseSensitiveMap, userSpecifiedSchema, zones)
+      caseSensitiveMap, userSpecifiedSchema, zones, blooms)
   }
 
   override def newWriteBuilder(
@@ -204,7 +222,8 @@ private class GraftZonePruningFileIndex(
     rootPaths: Seq[org.apache.hadoop.fs.Path],
     parameters: Map[String, String],
     userSpecifiedSchema: Option[org.apache.spark.sql.types.StructType],
-    zones: Map[String, Map[String, ZoneMaps.ColZone]])
+    zones: Map[String, Map[String, ZoneMaps.ColZone]],
+    blooms: Map[String, Map[String, graft.ops.BloomMaps.ColBloom]])
   extends org.apache.spark.sql.execution.datasources.InMemoryFileIndex(
     spark, rootPaths, parameters, userSpecifiedSchema) {
 
@@ -213,14 +232,17 @@ private class GraftZonePruningFileIndex(
       dataFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : Seq[org.apache.spark.sql.execution.datasources.PartitionDirectory] = {
     val base = super.listFiles(partitionFilters, dataFilters)
-    if (zones.isEmpty || dataFilters.isEmpty) base
+    if ((zones.isEmpty && blooms.isEmpty) || dataFilters.isEmpty) base
     else base.map { pd =>
       val kept = pd.files.filter { f =>
         val seg = f.getPath.getParent
         if (seg == null) true
-        else zones.get(seg.getName) match {
-          case Some(zm) => ZoneMaps.mightMatch(zm, dataFilters)
-          case None => true
+        else {
+          val zoneOk = zones.get(seg.getName)
+            .forall(zm => ZoneMaps.mightMatch(zm, dataFilters))
+          val bloomOk = blooms.get(seg.getName)
+            .forall(bm => graft.ops.BloomMaps.mightMatch(bm, dataFilters))
+          zoneOk && bloomOk
         }
       }
       if (kept.length == pd.files.length) pd else pd.copy(files = kept)

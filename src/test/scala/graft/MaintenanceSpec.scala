@@ -890,6 +890,57 @@ class MaintenanceSpec extends SparkSpec {
   }
 
   // ------------------------------------------------------------------
+  // Bloom sidecars (point-lookup segment pruning)
+  // ------------------------------------------------------------------
+
+  test("bloom sidecars: harvest/probe round-trip, conservative keeps, results exact") {
+    import spark.implicits._
+    import graft.ops.BloomMaps
+    val table = graft.engine.Scratch.dir("spec_bloom")
+    spark.conf.set(BloomMaps.BloomColsKey, "k,name")
+    try {
+      AtomicPublish.publish(spark, table)(p =>
+        (1L to 100L).map(i => (i, s"n$i")).toDF("k", "name").write.parquet(p))
+      AtomicPublish.appendSegment(spark, table)(p =>
+        (1000L to 1100L).map(i => (i, s"n$i")).toDF("k", "name").write.parquet(p))
+    } finally spark.conf.unset(BloomMaps.BloomColsKey)
+    val root = new org.apache.hadoop.fs.Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val segs = AtomicPublish.currentSegments(spark, table)
+    assert(segs.size === 2)
+    // round-trip: both columns stamped with the right domains, and the
+    // LONG and STRING probes agree with ground truth (no false
+    // negatives by construction; these keys happen to not false-posit)
+    val b0 = BloomMaps.read(fs, root, segs.head)
+    val b1 = BloomMaps.read(fs, root, segs(1))
+    assert(b0.keySet === Set("k", "name") && b1.keySet === Set("k", "name"))
+    assert(b0("k").filter.mightContainLong(42L))
+    assert(b1("k").filter.mightContainLong(1042L))
+    assert(!b1("k").filter.mightContainLong(42L),
+      "42 must be provably absent from the 1000-1100 segment")
+    assert(b0("name").filter.mightContainString("n42"))
+    assert(!b0("name").filter.mightContainString("n1042"))
+    // the SQL door prunes the non-matching segment but results stay
+    // exact (hash-graded at key level too — scan_bloom_pruned)
+    spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW spec_bloom_v
+                  USING graft OPTIONS (path '$table')""")
+    assert(spark.sql("SELECT name FROM spec_bloom_v WHERE k = 1042")
+      .collect().map(_.getString(0)).toSeq === Seq("n1042"))
+    assert(spark.sql("SELECT name FROM spec_bloom_v WHERE k IN (2, 1041)")
+      .collect().map(_.getString(0)).sorted.toSeq === Seq("n1041", "n2"))
+    // conservative: a segment committed WITHOUT bloom conf has no
+    // sidecar and is always kept
+    AtomicPublish.appendSegment(spark, table)(p =>
+      Seq((5000L, "n5000")).toDF("k", "name").write.parquet(p))
+    val segs3 = AtomicPublish.currentSegments(spark, table)
+    assert(BloomMaps.read(fs, root, segs3.last).isEmpty)
+    spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW spec_bloom_v
+                  USING graft OPTIONS (path '$table')""")
+    assert(spark.sql("SELECT name FROM spec_bloom_v WHERE k = 5000")
+      .collect().map(_.getString(0)).toSeq === Seq("n5000"))
+  }
+
+  // ------------------------------------------------------------------
   // Change data feed
   // ------------------------------------------------------------------
 

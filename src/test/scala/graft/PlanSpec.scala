@@ -626,4 +626,56 @@ class PlanSpec extends SparkSpec {
     assert(fPruned <= fAll - 2,
       s"expected at least the two non-matching segments pruned: $fPruned of $fAll")
   }
+
+  test("scan_bloom_pruned: bloom sidecars drop non-matching segments from an id probe") {
+    // The key's three `% 3` customer slices all span the FULL key
+    // range, so zonemaps cannot prune them; any file-count reduction
+    // under the IN-probe is bloom evidence. Probe keys 3 and 42 live
+    // in segment 0 (`% 3 = 0`) — segments 1 and 2 must be gone unless
+    // a (deterministic, per-dataset) false positive keeps one.
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import org.apache.spark.sql.execution.datasources.FilePartition
+    Registry.byKey("scan_bloom_pruned").build(spark, sfDir).collect()
+    def files(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.sparkPlan.collect { case b: BatchScanExec =>
+        b.inputPartitions.map {
+          case fp: FilePartition => fp.files.length
+          case _ => 0
+        }.sum
+      }.sum
+    val all = spark.sql("SELECT c_custkey FROM graft_bloom_customer")
+    val probe = spark.sql(
+      "SELECT c_custkey FROM graft_bloom_customer WHERE c_custkey IN (3, 42)")
+    val (fAll, fProbe) = (files(all), files(probe))
+    assert(fAll > 0, "unfiltered scan lists no files?")
+    assert(fProbe > 0, "the probe must still read the matching segment")
+    assert(fProbe < fAll,
+      s"bloom pruning did not drop files: $fProbe of $fAll")
+  }
+
+  test("merge_delete: tombstone reconciliation broadcasts claims, corpus never reshuffles") {
+    // The reconciled read of a table carrying pending tombstone+upsert
+    // segments pays ONE claims join; the claims side is ∝ the merge
+    // batches since the last fold, so it must broadcast — a
+    // SortMergeJoin here would reshuffle the corpus per read at 100 TB.
+    val p = plan("merge_delete")
+    assert(p.contains("BroadcastHashJoin"),
+      s"claims join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus-side shuffle crept into the reconciled read:\n$p")
+  }
+
+  test("table_changes: classification never full-width-scans the corpus") {
+    // The change feed reads the from-snapshot KEYS ONLY (classification
+    // input) plus the new segments; the snapshot's non-key columns must
+    // be pruned from its scan, and the only wide reads are the window's
+    // own segments.
+    val df = Registry.byKey("table_changes").build(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    // snapshot key scan: some scan reads c_custkey alone (pruned);
+    // every wide scan must belong to a new segment, all of which carry
+    // the full row legitimately
+    assert(p.contains("ReadSchema: struct<c_custkey:bigint>"),
+      s"the from-snapshot scan must be pruned to the merge key:\n$p")
+  }
 }

@@ -209,4 +209,107 @@ class StreamSinkSpec extends SparkSpec {
     }
     assert(msgs(eBoth).exists(_.contains("mutually exclusive")), msgs(eBoth))
   }
+
+  test("graft-cdf tail: commits arrive as typed changes; restart never re-reads") {
+    import spark.implicits._
+    import graft.ops.{AtomicPublish, MergeInto}
+    val table = graft.engine.Scratch.dir("spec_cdf_tail")
+    AtomicPublish.publish(spark, table)(p =>
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v").write.parquet(p))
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Option[String], String, Long)]()
+    val ckpt = Files.createTempDirectory("cdf1").toString
+    def start() = spark.readStream.format("graft-cdf").option("path", table).load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r => got.add((r.getLong(0),
+          Option(r.getString(1)), r.getString(2), r.getLong(3)))); ()
+      }
+      .start()
+    val q = start()
+    q.processAllAvailable()
+    assert(got.isEmpty, s"the base publish is a snapshot, not a change: $got")
+    AtomicPublish.appendSegment(spark, table)(p =>
+      Seq((3L, "c")).toDF("k", "v").write.parquet(p))           // v2
+    MergeInto.upsertInto(spark, table,
+      Seq((2L, "b2"), (9L, "i")).toDF("k", "v"), Seq("k"))      // v3
+    MergeInto.deleteFrom(spark, table, Seq(1L).toDF("k"), Seq("k")) // v4
+    q.processAllAvailable(); q.stop()
+    import scala.jdk.CollectionConverters._
+    val feed = got.asScala.toSeq.sortBy(t => (t._4, t._1))
+    assert(feed === Seq(
+      (3L, Some("c"), "insert", 2L),
+      (2L, Some("b2"), "update_postimage", 3L),
+      (9L, Some("i"), "insert", 3L),
+      (1L, None, "delete", 4L)), s"got: $feed")
+    // restart from the checkpoint: consumed commits never re-delivered
+    got.clear()
+    val q2 = start()
+    q2.processAllAvailable()
+    assert(got.isEmpty, s"restart re-delivered consumed commits: ${got.asScala}")
+    AtomicPublish.appendSegment(spark, table)(p =>
+      Seq((7L, "g")).toDF("k", "v").write.parquet(p))           // v5
+    q2.processAllAvailable()
+    assert(got.asScala.toSeq === Seq((7L, Some("g"), "insert", 5L)),
+      s"only the live commit may arrive: ${got.asScala}")
+    // compaction under the feed rewrites history: loud, names the remedy
+    MergeInto.compactMerged(spark, table)
+    AtomicPublish.appendSegment(spark, table)(p =>
+      Seq((8L, "h")).toDF("k", "v").write.parquet(p))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    q2.stop()
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("compaction or republish")), msgs(e).mkString("|"))
+  }
+
+  test("graft-cdf admission: bounded commit spans, startingVersion floor") {
+    import spark.implicits._
+    import graft.ops.{AtomicPublish, MergeInto}
+    val table = graft.engine.Scratch.dir("spec_cdf_admission")
+    AtomicPublish.publish(spark, table)(p =>
+      Seq((0L, "base")).toDF("k", "v").write.parquet(p))        // v1
+    (1 to 4).foreach(k => AtomicPublish.appendSegment(spark, table)(p =>
+      Seq((k.toLong, s"d$k")).toDF("k", "v").write.parquet(p))) // v2..v5
+    MergeInto.deleteFrom(spark, table, Seq(1L).toDF("k"), Seq("k")) // v6
+    // maxCommitsPerBatch=2: the 5-commit backlog drains in >= 3 batches
+    val spans = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream.format("graft-cdf").option("path", table)
+      .option("maxCommitsPerBatch", "2").load()
+      .writeStream
+      .option("checkpointLocation", Files.createTempDirectory("cdf2").toString)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val vs = b.select("_commit_version").distinct().collect().map(_.getLong(0))
+        if (vs.nonEmpty) spans.add(vs.max - vs.min + 1); ()
+      }
+      .start()
+    q.processAllAvailable(); q.stop()
+    import scala.jdk.CollectionConverters._
+    assert(spans.asScala.forall(_ <= 2),
+      s"a batch exceeded maxCommitsPerBatch: ${spans.asScala}")
+    assert(spans.asScala.size >= 3,
+      s"the backlog must drain across several bounded batches: ${spans.asScala}")
+    // startingVersion=6: only the delete arrives
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+    val q2 = spark.readStream.format("graft-cdf").option("path", table)
+      .option("startingVersion", "6").load()
+      .writeStream
+      .option("checkpointLocation", Files.createTempDirectory("cdf3").toString)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r => got.add((r.getLong(0), r.getString(2)))); ()
+      }
+      .start()
+    q2.processAllAvailable(); q2.stop()
+    assert(got.asScala.toSeq === Seq((1L, "delete")), s"got: ${got.asScala}")
+    // bad options fail at load(), synchronously
+    val eBad = intercept[Exception] {
+      spark.readStream.format("graft-cdf").option("path", table)
+        .option("startingVersion", "1").load()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(eBad).exists(_.contains("startingVersion must be >= 2")),
+      msgs(eBad).mkString("|"))
+  }
 }
