@@ -51,6 +51,7 @@ object AtomicPublish {
   private val LockFile = "_graft_commit_lock"
   private val TombPrefix = "_graft_tomb_"
   private val SegMetaPrefix = "_graft_seg_"
+  private val TxnPrefix = "_graft_txnseg_"
   private val VersionsDir = "_graft_versions"
   private val counter = new java.util.concurrent.atomic.AtomicLong()
   // NOTE (round 15): the per-table JVM monitor that used to wrap whole
@@ -299,6 +300,20 @@ object AtomicPublish {
     }
   }
 
+  /** Run `body` under this table's cross-process commit lock without
+    * committing anything — for protocol-adjacent metadata writes that
+    * must not tear against a concurrent commit (e.g. the expectations
+    * sidecar, [[Expectations.set]]). Keep bodies METADATA-SIZED: the
+    * lock serializes every committer of the table. */
+  private[ops] def withTableLock[A](spark: SparkSession, tablePath: String)
+      (body: (org.apache.hadoop.fs.FileSystem,
+              org.apache.hadoop.fs.Path) => A): A = {
+    val root = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(root)
+    withCommitLock(spark, fs, root) { _ => body(fs, root) }
+  }
+
   /** Record-and-reap GC of data directories the just-committed manifest
     * no longer references; MUST run under the commit lock. Each
     * unreferenced `data-*` directory gets a tombstone marker stamping
@@ -344,6 +359,7 @@ object AtomicPublish {
         fs.delete(new org.apache.hadoop.fs.Path(root, d), true)
         rmQuiet(TombPrefix + d)
         rmQuiet(SegMetaPrefix + d)
+        rmQuiet(TxnPrefix + d)
         rmQuiet(ZoneMaps.ZonePrefix + d)
         rmQuiet(BloomMaps.BloomPrefix + d)
       }
@@ -623,13 +639,44 @@ object AtomicPublish {
 
   private def appendSegmentCore(spark: SparkSession, tablePath: String,
                                 marker: Option[(String, Seq[String])])
-                               (write: String => Unit): String = {
+                               (write: String => Unit): String =
+    appendSegmentTxnCore(spark, tablePath, marker, txn = None)(write)
+      .getOrElse(sys.error("unreachable: non-txn append never skips"))
+
+  /** EXACTLY-ONCE writer markers — the Delta `txnAppId`/`txnVersion`
+    * shape, what a restarted foreachBatch sink needs: Structured
+    * Streaming replays the last micro-batch after a crash, and without
+    * a transaction fence the replayed `(appId, batchId)` lands its
+    * rows TWICE. Each idempotent append records `(appId, version)` in
+    * a per-segment sidecar that becomes visible atomically with the
+    * manifest swap; a later append with the same appId and a
+    * `version <= ` the recorded high-water mark is SKIPPED (returns
+    * None) — checked cheaply before staging (a replay never even
+    * writes its data) and authoritatively again INSIDE the commit
+    * window (two racing replays cannot both land).
+    *
+    * Durability across folds: [[casRewrite]]/[[casRewriteMulti]] carry
+    * the observed segments' high-water marks forward onto the rewrite
+    * output, so compaction never forgets an applied batch. Crash
+    * between sidecar write and swap leaves an orphaned sidecar on a
+    * non-live directory — ignored by the check, reaped by GC; the
+    * batch correctly retries. */
+  private def appendSegmentTxnCore(spark: SparkSession, tablePath: String,
+                                   marker: Option[(String, Seq[String])],
+                                   txn: Option[(String, Long)])
+                                  (write: String => Unit): Option[String] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(tablePath)
     val fs = root.getFileSystem(conf)
     require(currentSegments(spark, tablePath).nonEmpty,
       s"appendSegment: no published version (MANIFEST) at $tablePath — " +
         "publish a base segment first")
+    // fast-path replay check, NO lock and NO data write: foreachBatch
+    // retries are the common caller and their batch is already applied
+    txn.foreach { case (appId, version) =>
+      if (txnVersionFor(spark, tablePath, appId).exists(_ >= version))
+        return None
+    }
     sweepStaleDebris(fs, root)
     val stamp = s"${System.currentTimeMillis()}-${counter.incrementAndGet()}"
     val staging = new org.apache.hadoop.fs.Path(root, s".seg-$stamp")
@@ -652,29 +699,123 @@ object AtomicPublish {
       require(prev.nonEmpty,
         s"appendSegment: table at $tablePath lost its published version " +
           "while waiting for the commit lock")
-      require(fs.rename(staging, new org.apache.hadoop.fs.Path(root, dataDir)),
-        s"appendSegment: staging rename failed at $staging")
-      // the merge sidecar must be durable BEFORE the swap: a reader
-      // that resolves the new manifest but missed the marker would
-      // union the batch as plain appends — duplicate keys instead of
-      // overrides (upsert), or tombstone keys surfacing as DATA ROWS
-      // (delete)
-      marker.foreach { case (tag, keys) =>
-        val out = fs.create(
-          new org.apache.hadoop.fs.Path(root, SegMetaPrefix + dataDir), true)
-        try out.write(s"$tag\t${keys.mkString(",")}".getBytes("UTF-8"))
-        finally out.close()
+      // authoritative replay check, INSIDE the commit window: a racing
+      // duplicate that committed between the fast-path check and this
+      // lock acquisition is visible in `prev`'s sidecars now
+      val replayed = txn.exists { case (appId, version) =>
+        txnMarks(fs, root, prev).get(appId).exists(_ >= version)
       }
-      ZoneMaps.write(fs, root, dataDir, zones)
-      BloomMaps.write(fs, root, dataDir, blooms)
-      swapManifest(fs, conf, root, (prev :+ dataDir).mkString("\n"), token)
-      val committed = currentSegments(spark, tablePath)
-      require(committed == prev :+ dataDir,
-        s"appendSegment: manifest verify failed at $tablePath — expected " +
-          s"${(prev :+ dataDir).mkString(",")} but read ${committed.mkString(",")}; " +
-          "an out-of-protocol writer modified the manifest inside the commit window")
-      dataDir
+      if (replayed) { fs.delete(staging, true); None }
+      else {
+        require(fs.rename(staging, new org.apache.hadoop.fs.Path(root, dataDir)),
+          s"appendSegment: staging rename failed at $staging")
+        // the merge sidecar must be durable BEFORE the swap: a reader
+        // that resolves the new manifest but missed the marker would
+        // union the batch as plain appends — duplicate keys instead of
+        // overrides (upsert), or tombstone keys surfacing as DATA ROWS
+        // (delete)
+        marker.foreach { case (tag, keys) =>
+          val out = fs.create(
+            new org.apache.hadoop.fs.Path(root, SegMetaPrefix + dataDir), true)
+          try out.write(s"$tag\t${keys.mkString(",")}".getBytes("UTF-8"))
+          finally out.close()
+        }
+        // txn mark too: it must become visible ATOMICALLY with the swap
+        // (a crash in between leaves it orphaned on a non-live dir —
+        // ignored, retried, reaped)
+        txn.foreach { case (appId, version) =>
+          writeTxnMarks(fs, root, dataDir, Map(appId -> version))
+        }
+        ZoneMaps.write(fs, root, dataDir, zones)
+        BloomMaps.write(fs, root, dataDir, blooms)
+        swapManifest(fs, conf, root, (prev :+ dataDir).mkString("\n"), token)
+        val committed = currentSegments(spark, tablePath)
+        require(committed == prev :+ dataDir,
+          s"appendSegment: manifest verify failed at $tablePath — expected " +
+            s"${(prev :+ dataDir).mkString(",")} but read ${committed.mkString(",")}; " +
+            "an out-of-protocol writer modified the manifest inside the commit window")
+        Some(dataDir)
+      }
     } }
+  }
+
+  /** The recorded exactly-once high-water mark for `appId` over the
+    * LIVE segment list — the version of the last applied transactional
+    * append ([[appendSegmentTxn]]); None when the app never committed
+    * (or its segments aged out past a fold without carry-forward,
+    * which the fold prevents). */
+  def txnVersionFor(spark: SparkSession, tablePath: String,
+                    appId: String): Option[Long] = {
+    val root = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    txnMarks(fs, root, currentSegments(spark, tablePath)).get(appId)
+  }
+
+  /** Write `marks` (appId → version) as `dataDir`'s txn sidecar; no-op
+    * for an empty map. MUST run under the commit lock, before the
+    * manifest swap that makes `dataDir` live. */
+  private def writeTxnMarks(fs: org.apache.hadoop.fs.FileSystem,
+                            root: org.apache.hadoop.fs.Path,
+                            dataDir: String,
+                            marks: Map[String, Long]): Unit =
+    if (marks.nonEmpty) {
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(root, TxnPrefix + dataDir), true)
+      try out.write(marks.toSeq.sortBy(_._1)
+        .map { case (a, v) => s"$a\t$v" }.mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+    }
+
+  /** appId → max recorded version over `segs`' txn sidecars. */
+  private def txnMarks(fs: org.apache.hadoop.fs.FileSystem,
+                       root: org.apache.hadoop.fs.Path,
+                       segs: Seq[String]): Map[String, Long] =
+    segs.flatMap { d =>
+      val p = new org.apache.hadoop.fs.Path(root, TxnPrefix + d)
+      if (!fs.exists(p)) Nil
+      else {
+        val in = fs.open(p)
+        val text =
+          try {
+            val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+            in.readFully(bytes)
+            new String(bytes, "UTF-8")
+          } finally in.close()
+        text.linesIterator.filter(_.nonEmpty).map { line =>
+          line.split("\t", 2) match {
+            case Array(a, v) => a -> v.trim.toLong
+            case _ => throw new IllegalStateException(
+              s"torn txn sidecar at $root/$TxnPrefix$d: `$line`")
+          }
+        }.toSeq
+      }
+    }.groupBy(_._1).map { case (a, vs) => a -> vs.map(_._2).max }
+
+  /** Idempotent [[appendSegment]]: the batch lands EXACTLY ONCE per
+    * `(appId, version)` — a replay (same appId, version <= the
+    * recorded high-water mark) is skipped and returns None without
+    * even staging its data. The foreachBatch contract: appId = a
+    * stable sink identity (e.g. the query's checkpoint id), version =
+    * `batchId`. */
+  def appendSegmentTxn(spark: SparkSession, tablePath: String,
+                       appId: String, version: Long)
+                      (write: String => Unit): Option[String] = {
+    require(appId.nonEmpty && !appId.contains("\t") && !appId.contains("\n"),
+      s"txn appId must be nonempty without tab/newline: `$appId`")
+    appendSegmentTxnCore(spark, tablePath, marker = None,
+      txn = Some((appId, version)))(write)
+  }
+
+  /** Idempotent [[appendUpsertSegment]] — the exactly-once MERGE sink
+    * write path (see [[MergeInto.upsertIntoTxn]]). */
+  def appendUpsertSegmentTxn(spark: SparkSession, tablePath: String,
+                             keys: Seq[String], appId: String, version: Long)
+                            (write: String => Unit): Option[String] = {
+    require(keys.nonEmpty, "appendUpsertSegmentTxn: empty key list")
+    require(appId.nonEmpty && !appId.contains("\t") && !appId.contains("\n"),
+      s"txn appId must be nonempty without tab/newline: `$appId`")
+    appendSegmentTxnCore(spark, tablePath,
+      marker = Some(("upsert", keys)), txn = Some((appId, version)))(write)
   }
 
   /** Pre-commit contract checks for a merge-on-read segment (against
@@ -814,6 +955,11 @@ object AtomicPublish {
             s"casRewrite: staging rename failed at $staging")
           ZoneMaps.write(fs, root, dataDir, zones)
           BloomMaps.write(fs, root, dataDir, blooms)
+          // exactly-once durability: the folded segments' txn
+          // high-water marks move onto the rewrite output — compaction
+          // must never forget an applied (appId, version) or a sink
+          // replay after the fold would re-land its batch
+          writeTxnMarks(fs, root, dataDir, txnMarks(fs, root, observed))
           swapManifest(fs, conf, root, dataDir, token)
           gcSuperseded(spark, fs, root, live = Set(dataDir))
           true
@@ -823,6 +969,139 @@ object AtomicPublish {
       fs.delete(staging, true) // lost the race: discard, re-observe
     }
     CompactOutcome.LostRace
+  }
+
+  /** Multi-segment variant of [[casRewrite]] — same optimistic shape
+    * (stage with NO lock, CAS-swap under the lock, retry on conflict),
+    * but the rewrite stages `seg-*` SUBDIRECTORIES under the staging
+    * root and the commit publishes each as its own `data-*` segment.
+    * This is what a CLUSTERING rewrite needs: range-disjoint output
+    * segments whose per-segment zonemaps actually prune (one fused
+    * output directory would collapse the manifest back to a single
+    * prune-nothing segment). Outcome semantics match [[casRewrite]];
+    * `Compacted.dataDir` carries the FIRST new segment (callers wanting
+    * the full list read the manifest). */
+  private[ops] def casRewriteMulti(spark: SparkSession, tablePath: String,
+                                   maxAttempts: Int, minSegments: Int)
+                                  (write: (Seq[String], String) => Unit)
+      : CompactOutcome = {
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1: $maxAttempts")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = root.getFileSystem(conf)
+    sweepStaleDebris(fs, root)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val observed = currentSegments(spark, tablePath)
+      if (observed.size < minSegments) return CompactOutcome.AlreadyCompact
+      val stamp = s"${System.currentTimeMillis()}-${counter.incrementAndGet()}"
+      val staging = new org.apache.hadoop.fs.Path(root, s".compact-$stamp")
+      try write(observed.map(d => s"$tablePath/$d"),
+        fs.makeQualified(staging).toString)
+      catch { case t: Throwable => fs.delete(staging, true); throw t }
+      val stagedSegs = fs.listStatus(staging).filter(_.isDirectory)
+        .map(_.getPath.getName).filter(_.startsWith("seg-")).sorted.toSeq
+      require(stagedSegs.nonEmpty,
+        s"casRewriteMulti: the rewrite staged no seg-* subdirectories " +
+          s"under $staging — stage each output segment as seg-<i>")
+      val names = stagedSegs.map(sd => sd -> s"data-$stamp-${sd.stripPrefix("seg-")}")
+      val metas = names.map { case (sd, dataDir) =>
+        val stagedPath = fs.makeQualified(
+          new org.apache.hadoop.fs.Path(staging, sd)).toString
+        (sd, dataDir, ZoneMaps.harvestSegment(spark, stagedPath),
+          BloomMaps.harvestSegment(spark, stagedPath))
+      }
+      val committed = commitStaged(fs, staging) {
+        withCommitLock(spark, fs, root) { token =>
+          commitWindowFault()
+          if (currentSegments(spark, tablePath) == observed) {
+            metas.foreach { case (sd, dataDir, zones, blooms) =>
+              require(fs.rename(new org.apache.hadoop.fs.Path(staging, sd),
+                new org.apache.hadoop.fs.Path(root, dataDir)),
+                s"casRewriteMulti: staging rename failed at $staging/$sd")
+              ZoneMaps.write(fs, root, dataDir, zones)
+              BloomMaps.write(fs, root, dataDir, blooms)
+            }
+            // exactly-once carry-forward (see casRewrite): all folded
+            // txn marks land on the FIRST output segment's sidecar
+            writeTxnMarks(fs, root, names.head._2,
+              txnMarks(fs, root, observed))
+            fs.delete(staging, true) // now-empty staging shell
+            swapManifest(fs, conf, root,
+              names.map(_._2).mkString("\n"), token)
+            gcSuperseded(spark, fs, root, live = names.map(_._2).toSet)
+            true
+          } else false
+        }
+      }
+      if (committed) return CompactOutcome.Compacted(names.head._2)
+      fs.delete(staging, true) // lost the race: discard, re-observe
+    }
+    CompactOutcome.LostRace
+  }
+
+  /** OPTIMIZE the table's physical layout by CLUSTERING on `clusterBy`
+    * — the Delta `OPTIMIZE … ZORDER BY` / liquid-clustering role for
+    * this protocol, and the missing half of manifest data skipping:
+    * zonemaps prune segments whose min/max EXCLUDE the predicate, but
+    * arrival-ordered appends give every segment the full key range, so
+    * an unclustered table's zonemaps prove nothing. This rewrite
+    * range-partitions the reconciled table into `segments`
+    * RANGE-DISJOINT segments (lexicographic on `clusterBy`), each
+    * sorted within — so after it, (a) the manifest prunes a range/point
+    * predicate to the few admitting segments, and (b) within each
+    * surviving segment parquet row-group stats prune again (rows
+    * arrive sorted). Pending merge-on-read segments are RECONCILED
+    * into the rewrite (same as [[MergeInto.compactMerged]]); the fold
+    * and the clustering are one pass.
+    *
+    * Concurrency: the [[casRewriteMulti]] optimistic shape — the
+    * (corpus-sized) clustering shuffle runs with NO lock held; a
+    * racing append aborts the swap and the rewrite retries against the
+    * new list. Cost: ONE range-partition shuffle of the table — the
+    * textbook pay-once-to-prune-forever trade; run it at compaction
+    * cadence, not per batch.
+    *
+    * One output FILE per range bucket (each range partition is one
+    * write task): size `segments` so table_bytes/segments lands near
+    * the row-group-friendly file size you want (e.g. 1 GB). AQE may
+    * coalesce small adjacent ranges — fewer, still-disjoint segments. */
+  def optimizeTable(spark: SparkSession, tablePath: String,
+                    clusterBy: Seq[String], segments: Int,
+                    maxAttempts: Int = 3): CompactOutcome = {
+    require(clusterBy.nonEmpty, "optimizeTable: empty clusterBy")
+    require(segments >= 2,
+      s"optimizeTable: need >= 2 output segments for pruning, got $segments")
+    import org.apache.spark.sql.functions.col
+    casRewriteMulti(spark, tablePath, maxAttempts, minSegments = 1) {
+      (paths, staging) =>
+        val dirs = paths.map(p => p.substring(p.lastIndexOf('/') + 1))
+        val df = readOver(spark, tablePath, dirs)
+        val cols = clusterBy.map(col)
+        df.repartitionByRange(segments, cols: _*)
+          .sortWithinPartitions(cols: _*)
+          .write.parquet(s"$staging/flat")
+        // each range partition wrote its own part-<partitionId> file(s):
+        // regroup them into one seg-<partitionId> directory apiece —
+        // driver-side renames, metadata-only. Empty ranges wrote no
+        // file and yield no segment.
+        val flatPath = new org.apache.hadoop.fs.Path(staging, "flat")
+        val fs = flatPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val partRe = "part-(\\d+)-.*".r
+        fs.listStatus(flatPath).filter(!_.isDirectory).foreach { f =>
+          f.getPath.getName match {
+            case partRe(idx) =>
+              val seg = new org.apache.hadoop.fs.Path(staging, s"seg-$idx")
+              fs.mkdirs(seg)
+              require(fs.rename(f.getPath,
+                new org.apache.hadoop.fs.Path(seg, f.getPath.getName)),
+                s"optimizeTable: file regroup rename failed for ${f.getPath}")
+            case _ => () // _SUCCESS and friends stay behind in flat/
+          }
+        }
+        fs.delete(flatPath, true)
+    }
   }
 
   /** The full segment list the manifest currently names (empty when
@@ -1252,6 +1531,61 @@ object AtomicPublish {
       .select(canonSchema.fieldNames.map(col).toSeq :+ col(ctCol) :+ col(cvCol): _*)
   }
 
+  /** RESTORE the table to a previously committed version — the
+    * post-incident rollback ([[readAt]]'s write-side twin, the Delta
+    * `RESTORE TABLE … TO VERSION AS OF` shape). No data moves: the
+    * restored version's segment directories are still on disk (that is
+    * exactly what the retention window retains), so the restore is a
+    * pure METADATA commit — a new manifest naming the OLD directories,
+    * logged as a NEW version. History is never rewritten: the undone
+    * commits stay in the version log and remain time-travel-readable
+    * for the rest of their window, and the restore itself is visible
+    * (and re-revertable) as a commit of its own.
+    *
+    * Revival contract: a restored directory may already carry a
+    * supersession tombstone (it was GC-clock-ticking toward deletion);
+    * the commit REMOVES those tombstones inside the lock window, so a
+    * directory revived into the live manifest gets a FULL retention
+    * window again if some later commit re-supersedes it — otherwise a
+    * reader of the restored table could lose data in less than the
+    * window it was promised. Restoring a version whose directories
+    * already aged out fails LOUDLY before anything commits
+    * ([[segmentsAt]]).
+    *
+    * Change-feed interplay: a restore commit's segment list is not an
+    * extension of its predecessor's, so [[changesBetween]] across it
+    * refuses (same as compaction) — diff within the pre- or
+    * post-restore run instead.
+    *
+    * Returns the NEW version number the restore committed as. */
+  def restoreTable(spark: SparkSession, tablePath: String,
+                   version: Long): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = root.getFileSystem(conf)
+    // loud validation outside the lock (version logged? data retained?)
+    segmentsAt(spark, tablePath, version)
+    sweepStaleDebris(fs, root)
+    withCommitLock(spark, fs, root) { token =>
+      commitWindowFault()
+      // re-resolve INSIDE the window: a racing vacuum could have
+      // reaped between the check above and lock acquisition
+      val segs = segmentsAt(spark, tablePath, version)
+      // revive: clear the supersession clocks of the restored dirs
+      segs.foreach { d =>
+        try { fs.delete(new org.apache.hadoop.fs.Path(root, TombPrefix + d),
+          false); () }
+        catch { case _: java.io.IOException => () }
+      }
+      swapManifest(fs, conf, root, segs.mkString("\n"), token)
+      // dirs of the just-superseded manifest start their retention
+      // clocks now; the restored dirs are live and exempt
+      gcSuperseded(spark, fs, root, live = segs.toSet)
+    }
+    currentVersion(spark, tablePath).getOrElse(sys.error(
+      s"restore committed at $tablePath but the version log is unreadable"))
+  }
+
   /** Explicit retention reaper — the VACUUM of this protocol. GC
     * normally piggybacks on commits ([[gcSuperseded]] runs inside
     * every publish/compact window), so a table that KEEPS committing
@@ -1398,6 +1732,40 @@ object MergeInto {
           s"$ModeKey must be `mor` or `cow`, got `$other`")
     }
     AtomicPublish.read(spark, tablePath)
+  }
+
+  /** EXACTLY-ONCE [[upsertInto]] for restartable MERGE sinks: the
+    * batch lands as an upsert segment AT MOST ONCE per
+    * `(appId, version)` ([[AtomicPublish.appendUpsertSegmentTxn]]) —
+    * the foreachBatch contract where Structured Streaming replays the
+    * last micro-batch after a crash and the sink must swallow the
+    * replay. appId = a stable sink identity (the query's checkpoint
+    * location is the natural choice), version = `batchId`. A replay
+    * returns false without staging any data; auto-fold fires exactly
+    * like [[upsertInto]], and the fold CARRIES the txn marks forward,
+    * so a replay arriving after a compaction is still recognized.
+    * Merge-on-read only: `cow` has no per-batch segment to carry the
+    * mark — loud, not silently non-idempotent. */
+  def upsertIntoTxn(spark: SparkSession, tablePath: String,
+                    source: DataFrame, keys: Seq[String],
+                    appId: String, version: Long): Boolean = {
+    val mode = spark.conf.getOption(ModeKey).getOrElse(ModeDefault)
+    require(mode == "mor",
+      s"upsertIntoTxn requires $ModeKey=mor (exactly-once marks ride " +
+        "merge-on-read segments); cow rewrites have no per-batch segment")
+    val applied = AtomicPublish.appendUpsertSegmentTxn(
+      spark, tablePath, keys, appId, version)(p => source.write.parquet(p))
+      .isDefined
+    if (applied) {
+      val foldAt = spark.conf.getOption(CompactAfterKey)
+        .map(_.toInt).getOrElse(CompactAfterDefault)
+      if (foldAt > 0 &&
+          AtomicPublish.currentSegments(spark, tablePath).size >= foldAt) {
+        compactMerged(spark, tablePath) // best-effort; LostRace = next merge retries
+        ()
+      }
+    }
+    applied
   }
 
   /** Row-level DELETE by key against a published table — the

@@ -1,0 +1,264 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** INCREMENTALLY-MAINTAINED MATERIALIZED VIEWS over [[AtomicPublish]]
+  * tables — the serving-layer pattern a 100 TB corpus needs: a
+  * dashboard aggregate (docs per source, balance per nation) must not
+  * cost a corpus scan per refresh when the day's changes touched a
+  * handful of groups.
+  *
+  * A view is `SELECT groupCols, aggs FROM source GROUP BY groupCols`,
+  * materialized as its own published table keyed by `groupCols`.
+  * [[create]] pays the one full compute; [[refresh]] then advances the
+  * view across the source's commits using the CHANGE DATA FEED
+  * ([[AtomicPublish.changesBetween]]) with PARTIAL RECOMPUTE:
+  *
+  *  1. derive the set of AFFECTED GROUPS from the change window —
+  *     the groups of inserted/updated post-images, plus the groups the
+  *     updated/deleted keys belonged to at the last-refreshed version
+  *     (an update can MOVE a row between groups; tombstones carry keys
+  *     only — both preimage groups come from one broadcast-semi-joined
+  *     scan of the `fromVersion` snapshot against the changed keys,
+  *     bytes ∝ changes after pushdown);
+  *  2. recompute ONLY those groups from the current source (`IN`-list
+  *     pushed into the scan when the group set is small enough to ship
+  *     as a literal — segment zonemaps and parquet row-group stats
+  *     both prune on it — else a broadcast semi-join);
+  *  3. MERGE the recomputed rows into the view (upsert keyed by
+  *     `groupCols`) and tombstone groups that vanished entirely —
+  *     both merge-on-read commits ∝ the affected groups;
+  *  4. record the new source version in the view's sidecar (LAST —
+  *     a crash mid-refresh re-runs the whole refresh from the old
+  *     version, and steps 2-3 are idempotent: recompute-and-replace
+  *     converges).
+  *
+  * Refresh cost is ∝ changes + (affected groups × their source rows) —
+  * never the corpus. The feed refuses windows that span a compaction /
+  * republish / restore ([[AtomicPublish.changesBetween]]'s contract);
+  * [[refresh]] surfaces that loudly and [[fullRefresh]] re-bases.
+  *
+  * Determinism contract: agg expressions must be deterministic and
+  * insensitive to recompute (count/min/max/decimal-cast sums — the
+  * same rule every graded query follows); raw-double sums would make
+  * a refreshed view diverge from a from-scratch one by float
+  * association.
+  */
+object MaterializedView {
+
+  /** View metadata sidecar at the MV table root. */
+  val MetaFile = "_graft_mv"
+
+  /** Driver-side ceiling for shipping the affected-group set as a
+    * literal IN filter (pushes into the scan → zonemap + row-group
+    * pruning). Bigger sets fall back to a broadcast semi-join. */
+  val InListMaxKey = "spark.graft.mv.inListMax"
+  val InListMaxDefault = 1000
+
+  /** One aggregate column: `name` is the output column, `expr` a
+    * deterministic SQL aggregate over the source's columns. */
+  final case class AggSpec(name: String, expr: String) {
+    require(name.nonEmpty && !name.contains("\t") && !name.contains("\n") &&
+      !expr.contains("\t") && !expr.contains("\n"),
+      s"agg spec must be single-line, tab-free: $name = $expr")
+  }
+
+  final case class MvMeta(sourceTable: String, keys: Seq[String],
+                          groupCols: Seq[String], aggs: Seq[AggSpec],
+                          sourceVersion: Long)
+
+  final case class RefreshStats(fromVersion: Long, toVersion: Long,
+                                affectedGroups: Long, recomputedRows: Long,
+                                deletedGroups: Long)
+
+  /** Materialize the view: one full group-by over the source's CURRENT
+    * version, published as `mvPath` with the consumed source version
+    * recorded. `keys` are the SOURCE's merge keys (what its
+    * upserts/deletes are keyed by) — refresh needs them to resolve
+    * preimage groups. */
+  def create(spark: SparkSession, mvPath: String, sourceTable: String,
+             keys: Seq[String], groupCols: Seq[String],
+             aggs: Seq[AggSpec]): Unit = {
+    require(groupCols.nonEmpty, "materialized view: empty groupCols")
+    require(aggs.nonEmpty, "materialized view: empty agg list")
+    require(keys.nonEmpty, "materialized view: empty source key list")
+    val dupNames = (groupCols ++ aggs.map(_.name)).groupBy(identity)
+      .collect { case (n, vs) if vs.size > 1 => n }
+    require(dupNames.isEmpty, s"duplicate MV column names: $dupNames")
+    val v = AtomicPublish.currentVersion(spark, sourceTable).getOrElse(
+      throw new IllegalStateException(
+        s"materialized view: source $sourceTable has no version log — " +
+          "publish it through AtomicPublish first"))
+    val snapshot = computeGroups(AtomicPublish.readAt(spark, sourceTable, v),
+      groupCols, aggs)
+    refuseNullGroups(snapshot, groupCols, "create")
+    AtomicPublish.publish(spark, mvPath)(p => snapshot.write.parquet(p))
+    writeMeta(spark, mvPath, MvMeta(sourceTable, keys, groupCols, aggs, v))
+  }
+
+  /** NULL group values are REFUSED loudly: the view's rows are merged
+    * by group key, and the merge protocol's SQL-join semantics never
+    * match (so never update or delete) NULL keys — a null group would
+    * silently go stale forever. Coalesce nullable group columns
+    * upstream (`coalesce(col, 'unknown')`). The check runs on the
+    * group-by OUTPUT — one row per group, metadata-cheap. */
+  private def refuseNullGroups(grouped: DataFrame, groupCols: Seq[String],
+                               where: String): Unit = {
+    val nNull = grouped.filter(
+      groupCols.map(col(_).isNull).reduce(_ || _)).count()
+    require(nNull == 0,
+      s"materialized view ($where): $nNull group(s) with NULL key values " +
+        "— null groups cannot be incrementally merged; coalesce the group " +
+        "columns in the source first")
+  }
+
+  /** The view's current contents (reconciles its pending merges). */
+  def read(spark: SparkSession, mvPath: String): DataFrame =
+    AtomicPublish.read(spark, mvPath)
+
+  /** Advance the view to the source's current version via the change
+    * feed + partial recompute. No-op (and zero scans) when the source
+    * hasn't committed since the last refresh. */
+  def refresh(spark: SparkSession, mvPath: String): RefreshStats = {
+    val meta = readMeta(spark, mvPath)
+    val toV = AtomicPublish.currentVersion(spark, meta.sourceTable).getOrElse(
+      throw new IllegalStateException(
+        s"materialized view: source ${meta.sourceTable} lost its version log"))
+    if (toV == meta.sourceVersion)
+      return RefreshStats(meta.sourceVersion, toV, 0L, 0L, 0L)
+    require(toV > meta.sourceVersion,
+      s"materialized view at $mvPath consumed version ${meta.sourceVersion} " +
+        s"but the source is at $toV — the source was restored/rebuilt " +
+        "behind the view; fullRefresh to re-base")
+    val gCols = meta.groupCols.map(col)
+    val changes = AtomicPublish.changesBetween(spark, meta.sourceTable,
+      meta.sourceVersion, toV)
+    // groups of the POST-images (inserts + update landing sides)
+    val postGroups = changes.filter(col("_change_type") =!= "delete")
+      .select(gCols: _*).distinct()
+    // groups the changed KEYS belonged to at fromVersion (update
+    // departure sides + delete victims): one key-pruned snapshot scan,
+    // the changed-key set broadcast into it
+    val changedKeys = changes
+      .filter(col("_change_type").isin("update_postimage", "delete"))
+      .select(meta.keys.map(col): _*).distinct()
+    val preGroups = AtomicPublish.readAt(spark, meta.sourceTable,
+        meta.sourceVersion)
+      .join(broadcast(changedKeys), meta.keys, "left_semi")
+      .select(gCols: _*).distinct()
+    val affected = postGroups.unionByName(preGroups).distinct().cache()
+    try {
+      refuseNullGroups(affected, meta.groupCols, "refresh")
+      val nAffected = affected.count()
+      if (nAffected == 0)
+        { writeMeta(spark, mvPath, meta.copy(sourceVersion = toV))
+          return RefreshStats(meta.sourceVersion, toV, 0L, 0L, 0L) }
+      // recompute ONLY the affected groups from the current source
+      val source = AtomicPublish.readAt(spark, meta.sourceTable, toV)
+      val inListMax = spark.conf.getOption(InListMaxKey)
+        .map(_.toInt).getOrElse(InListMaxDefault)
+      val sourceSlice =
+        if (meta.groupCols.size == 1 && nAffected <= inListMax) {
+          // literal IN: pushes to the scan — zonemaps/row-groups prune
+          val vals = affected.collect().map(_.get(0))
+          source.filter(col(meta.groupCols.head).isin(vals.toIndexedSeq: _*))
+        } else source.join(broadcast(affected), meta.groupCols, "left_semi")
+      val recomputed = computeGroups(sourceSlice, meta.groupCols, meta.aggs)
+        .cache()
+      try {
+        val nRows = recomputed.count()
+        // groups that vanished entirely (every source row deleted)
+        val vanished = affected.join(recomputed, meta.groupCols, "left_anti")
+          .cache()
+        val nVanished =
+          try {
+            val n = vanished.count()
+            if (n > 0)
+              MergeInto.deleteFrom(spark, mvPath, vanished, meta.groupCols)
+            n
+          } finally { vanished.unpersist(); () }
+        if (nRows > 0)
+          MergeInto.upsertInto(spark, mvPath, recomputed, meta.groupCols)
+        // record LAST: crash anywhere above re-runs this refresh, and
+        // recompute-and-replace converges
+        writeMeta(spark, mvPath, meta.copy(sourceVersion = toV))
+        RefreshStats(meta.sourceVersion, toV, nAffected, nRows, nVanished)
+      } finally { recomputed.unpersist(); () }
+    } finally { affected.unpersist(); () }
+  }
+
+  /** Re-base the view with a full recompute — the recovery path when
+    * the source compacted/restored across the un-refreshed window and
+    * the change feed (correctly) refuses to diff it. */
+  def fullRefresh(spark: SparkSession, mvPath: String): RefreshStats = {
+    val meta = readMeta(spark, mvPath)
+    val toV = AtomicPublish.currentVersion(spark, meta.sourceTable).getOrElse(
+      throw new IllegalStateException(
+        s"materialized view: source ${meta.sourceTable} lost its version log"))
+    val snapshot = computeGroups(
+      AtomicPublish.readAt(spark, meta.sourceTable, toV),
+      meta.groupCols, meta.aggs)
+    AtomicPublish.publish(spark, mvPath)(p => snapshot.write.parquet(p))
+    val n = read(spark, mvPath).count()
+    writeMeta(spark, mvPath, meta.copy(sourceVersion = toV))
+    RefreshStats(meta.sourceVersion, toV, n, n, 0L)
+  }
+
+  private def computeGroups(df: DataFrame, groupCols: Seq[String],
+                            aggs: Seq[AggSpec]): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(expr(aggs.head.expr).as(aggs.head.name),
+        aggs.tail.map(a => expr(a.expr).as(a.name)): _*)
+
+  // ---------------------------------------------------------------
+  // Metadata sidecar (tab-separated, written under the MV table lock)
+  // ---------------------------------------------------------------
+
+  private def writeMeta(spark: SparkSession, mvPath: String,
+                        meta: MvMeta): Unit =
+    AtomicPublish.withTableLock(spark, mvPath) { (fs, root) =>
+      val lines = Seq(
+        s"source\t${meta.sourceTable}",
+        s"keys\t${meta.keys.mkString(",")}",
+        s"groups\t${meta.groupCols.mkString(",")}",
+        s"version\t${meta.sourceVersion}") ++
+        meta.aggs.map(a => s"agg\t${a.name}\t${a.expr}")
+      val out = fs.create(new org.apache.hadoop.fs.Path(root, MetaFile), true)
+      try out.write(lines.mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+    }
+
+  def readMeta(spark: SparkSession, mvPath: String): MvMeta = {
+    val root = new org.apache.hadoop.fs.Path(mvPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(root, MetaFile)
+    if (!fs.exists(p)) throw new IllegalStateException(
+      s"no materialized-view metadata at $mvPath — create() it first")
+    val in = fs.open(p)
+    val text =
+      try {
+        val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+        in.readFully(bytes)
+        new String(bytes, "UTF-8")
+      } finally in.close()
+    var source = ""; var keys = Seq.empty[String]
+    var groups = Seq.empty[String]; var version = -1L
+    val aggs = scala.collection.mutable.ArrayBuffer.empty[AggSpec]
+    text.linesIterator.filter(_.nonEmpty).foreach { line =>
+      line.split("\t", -1).toSeq match {
+        case Seq("source", s) => source = s
+        case Seq("keys", k) => keys = k.split(",").toSeq
+        case Seq("groups", g) => groups = g.split(",").toSeq
+        case Seq("version", v) => version = v.toLong
+        case Seq("agg", n, e) => aggs += AggSpec(n, e)
+        case _ => throw new IllegalStateException(
+          s"torn MV metadata at $mvPath: `$line`")
+      }
+    }
+    require(source.nonEmpty && keys.nonEmpty && groups.nonEmpty &&
+      version >= 0 && aggs.nonEmpty,
+      s"incomplete MV metadata at $mvPath")
+    MvMeta(source, keys, groups, aggs.toSeq, version)
+  }
+}

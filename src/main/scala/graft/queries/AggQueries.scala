@@ -672,6 +672,67 @@ object AggQueries extends QueryGroup {
       Some("""SELECT l_returnflag,
               CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(18,2))) AS DOUBLE)
               / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS wavg_price
-              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // INCREMENTAL MATERIALIZED VIEW (round 15): the serving-layer
+    // aggregate maintained from the CHANGE DATA FEED with partial
+    // recompute — refresh cost ∝ changes + affected groups, never the
+    // corpus. The key stresses every maintenance path at once: updates
+    // that keep their group, updates that MOVE rows between groups
+    // (preimage group must also refresh — resolved via a key-pruned
+    // snapshot scan), inserts into existing groups, new keys, and
+    // row-level deletes; then ONE refresh, and the VIEW is hashed
+    // against a from-scratch SQL aggregate of the final state — any
+    // stale, doubled, or orphaned group diverges it.
+    GQuery("mv_incremental",
+      (s, dir) => {
+        import s.implicits._
+        import graft.ops.{AtomicPublish, MergeInto, MaterializedView}
+        val src = graft.engine.Scratch.dir("mv_src_customer")
+        val mv = graft.engine.Scratch.dir("mv_cust_nation")
+        val cust = Tables(s, dir, "customer")
+        AtomicPublish.publish(s, src)(p => cust.write.parquet(p))
+        MaterializedView.create(s, mv, src,
+          keys = Seq("c_custkey"), groupCols = Seq("c_nationkey"),
+          aggs = Seq(
+            MaterializedView.AggSpec("n_cust", "COUNT(*)"),
+            MaterializedView.AggSpec("sum_bal",
+              graft.engine.Det.sql.dsum("c_acctbal"))))
+        val updates = cust.filter($"c_custkey" % 10 === 3)
+          .withColumn("c_acctbal", $"c_acctbal" + 100.0)
+        val movers = cust.filter($"c_custkey" % 50 === 7)
+          .withColumn("c_nationkey", ($"c_nationkey" + 1) % 25)
+        val inserts = cust.filter($"c_custkey" % 97 === 0)
+          .withColumn("c_custkey", $"c_custkey" + 5000000000L)
+        MergeInto.upsertInto(s, src,
+          updates.unionByName(movers).unionByName(inserts), Seq("c_custkey"))
+        MergeInto.deleteFrom(s, src,
+          cust.filter($"c_custkey" % 13 === 5), Seq("c_custkey"))
+        MaterializedView.refresh(s, mv)
+        MaterializedView.read(s, mv)
+          .select($"c_nationkey", $"n_cust", $"sum_bal")
+          .orderBy($"c_nationkey")
+      },
+      Some(s"""WITH src AS (
+                SELECT c_custkey, c_nationkey, c_acctbal + 100.0 AS c_acctbal
+                FROM customer WHERE c_custkey % 10 = 3
+                UNION ALL
+                SELECT c_custkey, (c_nationkey + 1) % 25, c_acctbal
+                FROM customer WHERE c_custkey % 50 = 7
+                UNION ALL
+                SELECT c_custkey + 5000000000, c_nationkey, c_acctbal
+                FROM customer WHERE c_custkey % 97 = 0),
+              merged AS (
+                SELECT c_custkey, c_nationkey, c_acctbal FROM customer t
+                WHERE NOT EXISTS
+                  (SELECT 1 FROM src WHERE src.c_custkey = t.c_custkey)
+                UNION ALL
+                SELECT c_custkey, c_nationkey, c_acctbal FROM src),
+              final AS (
+                SELECT * FROM merged WHERE c_custkey NOT IN
+                  (SELECT c_custkey FROM customer WHERE c_custkey % 13 = 5))
+              SELECT c_nationkey, COUNT(*) AS n_cust,
+                     ${graft.engine.Det.sql.dsum("c_acctbal")} AS sum_bal
+              FROM final GROUP BY c_nationkey ORDER BY c_nationkey"""))
   )
 }

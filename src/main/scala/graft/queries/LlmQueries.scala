@@ -2648,6 +2648,106 @@ object LlmQueries extends QueryGroup {
                          ORDER BY dist2, c_id) AS rnk FROM d2)
               SELECT vec_id, label, c_id AS assigned,
                      CAST(dist2 AS BIGINT) AS dist2
-              FROM r2 WHERE rnk = 1 ORDER BY vec_id"""))
+              FROM r2 WHERE rnk = 1 ORDER BY vec_id""")),
+
+    // EXPECTATIONS, stamp mode (round 15): the admission-rule triage
+    // report — every doc stamped with the comma-joined names of the
+    // quality rules it fails ('' = clean), aggregated per violation
+    // combination. NULL-hostile semantics by design: a rule violates
+    // unless its predicate is TRUE (SQL CHECK's null-passes convention
+    // would admit exactly the malformed rows a quality gate exists to
+    // stop). The stamp is one codegen `when`-chain projection — no
+    // shuffle, no UDF, no extra pass — so the triage costs the same as
+    // reading the batch.
+    GQuery("expectations_stamp",
+      (s, dir) => {
+        import s.implicits._
+        import graft.ops.Expectations
+        import graft.ops.Expectations.Expectation
+        val rules = Seq(
+          Expectation("min_chars", "n_chars >= 100"),
+          Expectation("latin_lang", "lang IN ('en','fr','es','de')"),
+          Expectation("text_consistent", "length(text) = n_chars"))
+        Expectations.stamp(Tables(s, dir, "documents"), rules)
+          .groupBy(col(Expectations.ViolationsCol).as("violations"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"n_chars").as("sum_chars"))
+          .orderBy($"violations")
+      },
+      Some("""SELECT concat_ws(',',
+                CASE WHEN NOT COALESCE(n_chars >= 100, FALSE)
+                     THEN 'min_chars' END,
+                CASE WHEN NOT COALESCE(lang IN ('en','fr','es','de'), FALSE)
+                     THEN 'latin_lang' END,
+                CASE WHEN NOT COALESCE(length(text) = n_chars, FALSE)
+                     THEN 'text_consistent' END) AS violations,
+                COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+              FROM documents GROUP BY violations ORDER BY violations""")),
+
+    // EXPECTATIONS, table-integrated quarantine gate (round 15): the
+    // corpus table OWNS its admission contract (rules persisted at the
+    // table root under the commit lock), and a checked append routes
+    // each batch — clean rows into the corpus, violating rows (stamped)
+    // into the sibling quarantine table a curator replays after fixing
+    // the producer. The key publishes half of `documents` ungated,
+    // persists two rules, gates the other half through appendChecked,
+    // then audits BOTH tables; the oracle reconstructs the routing in
+    // SQL — a row admitted to the wrong side diverges the hash. Cost
+    // shape at 100 TB: two pushed-filter passes over THE BATCH plus two
+    // batch-sized commits; the corpus is never rescanned.
+    GQuery("expectations_quarantine",
+      (s, dir) => {
+        import s.implicits._
+        import graft.ops.{AtomicPublish, Expectations}
+        import graft.ops.Expectations.Expectation
+        val table = graft.engine.Scratch.dir("expect_docs")
+        // re-invocation safety (bench runs a key n times per JVM):
+        // publish REPLACES the corpus table, but the quarantine table
+        // ACCUMULATES appends — reset it so every run routes one batch
+        locally {
+          val q = new org.apache.hadoop.fs.Path(
+            Expectations.quarantinePath(table))
+          val fs = q.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (fs.exists(q)) fs.delete(q, true)
+        }
+        val docs = Tables(s, dir, "documents")
+        AtomicPublish.publish(s, table)(p =>
+          docs.filter($"doc_id" % 2 === 0).write.parquet(p))
+        Expectations.set(s, table, Seq(
+          Expectation("min_chars", "n_chars >= 100"),
+          Expectation("latin_lang", "lang IN ('en','fr','es','de')")))
+        Expectations.appendChecked(s, table,
+          docs.filter($"doc_id" % 2 === 1), mode = "quarantine")
+        val corpus = AtomicPublish.read(s, table)
+          .groupBy($"lang").agg(count(lit(1)).as("n_docs"),
+            sum($"n_chars").as("sum_chars"))
+          .withColumn("side", lit("corpus"))
+        val quarantined =
+          AtomicPublish.read(s, Expectations.quarantinePath(table))
+            .groupBy($"lang").agg(count(lit(1)).as("n_docs"),
+              sum($"n_chars").as("sum_chars"))
+            .withColumn("side", lit("quarantine"))
+        corpus.unionByName(quarantined)
+          .select($"side", $"lang", $"n_docs", $"sum_chars")
+          .orderBy($"side", $"lang")
+      },
+      Some("""WITH gated AS (
+                SELECT *, NOT (COALESCE(n_chars >= 100, FALSE)
+                           AND COALESCE(lang IN ('en','fr','es','de'), FALSE))
+                       AS bad
+                FROM documents WHERE doc_id % 2 = 1),
+              corpus AS (
+                SELECT lang, n_chars FROM documents WHERE doc_id % 2 = 0
+                UNION ALL
+                SELECT lang, n_chars FROM gated WHERE NOT bad),
+              quar AS (SELECT lang, n_chars FROM gated WHERE bad)
+              SELECT 'corpus' AS side, lang, COUNT(*) AS n_docs,
+                     CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+              FROM corpus GROUP BY lang
+              UNION ALL
+              SELECT 'quarantine' AS side, lang, COUNT(*) AS n_docs,
+                     CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+              FROM quar GROUP BY lang
+              ORDER BY side, lang"""))
   )
 }

@@ -401,6 +401,42 @@ object SourceQueries extends QueryGroup {
               ${graft.engine.Det.sql.dsum("c_acctbal")} AS sum_bal
               FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
 
+    // RESTORE — write-side time travel (round 15): after a bad merge
+    // lands, the operator's move is not "read yesterday" (snapshot_read)
+    // but "make the table BE yesterday again". restoreTable commits a
+    // NEW version whose manifest names the restored version's still-
+    // retained directories — pure metadata, no data moves, history
+    // intact (the undone commits stay travel-readable). The key buries
+    // the base under an upsert (+100 balances) AND a row-level delete,
+    // restores, and aggregates the CURRENT table: if restore leaked
+    // either the updates or the tombstones, sum_bal or n_cust diverges
+    // from the oracle over the ORIGINAL table. At 100 TB a restore
+    // costs one manifest swap regardless of table size.
+    GQuery("snapshot_restore",
+      (s, dir) => {
+        import s.implicits._
+        val table = scratch("restore_customer")
+        val target = Tables(s, dir, "customer")
+        graft.ops.AtomicPublish.publish(s, table)(p => target.write.parquet(p))
+        val base = graft.ops.AtomicPublish.currentVersion(s, table)
+          .getOrElse(sys.error("version log missing after publish"))
+        val updates = target.filter($"c_custkey" % 10 === 3)
+          .withColumn("c_acctbal", $"c_acctbal" + 100.0)
+        graft.ops.MergeInto.upsertInto(s, table, updates, Seq("c_custkey"))
+        graft.ops.MergeInto.deleteFrom(s, table,
+          target.filter($"c_custkey" % 13 === 5), Seq("c_custkey"))
+        graft.ops.AtomicPublish.restoreTable(s, table, base)
+        s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW graft_restored_customer
+                  USING graft OPTIONS (path '$table')""")
+        s.sql(s"""SELECT c_mktsegment, COUNT(*) AS n_cust,
+                  ${graft.engine.Det.sql.dsum("c_acctbal")} AS sum_bal
+                  FROM graft_restored_customer
+                  GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+      },
+      Some(s"""SELECT c_mktsegment, COUNT(*) AS n_cust,
+              ${graft.engine.Det.sql.dsum("c_acctbal")} AS sum_bal
+              FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
     // MANIFEST ZONEMAP PRUNING (round 15): commits stamp per-segment
     // column min/max sidecars from the parquet footers already written
     // (no second scan); the graft source's file index drops whole
@@ -438,6 +474,88 @@ object SourceQueries extends QueryGroup {
               ${graft.engine.Det.sql.dsum("o_totalprice")} AS sum_price
               FROM orders
               WHERE o_orderdate >= TIMESTAMP '1999-06-01 00:00:00'
+              GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // EXACTLY-ONCE WRITER MARKS (round 15): Structured Streaming
+    // replays the last micro-batch after a crash; without a
+    // transaction fence the replayed (appId, batchId) lands twice —
+    // the classic duplicated-sink bug. appendSegmentTxn records the
+    // (appId, version) high-water mark atomically with the manifest
+    // swap and SKIPS any append at-or-below it (checked before staging
+    // AND inside the commit window; compaction carries marks forward).
+    // The key REPLAYS both of its batches — if idempotence leaked,
+    // every replayed row double-counts and the hash diverges. Delta's
+    // txnAppId/txnVersion shape.
+    GQuery("idempotent_append",
+      (s, dir) => {
+        import s.implicits._
+        val table = scratch("txn_customer")
+        val cust = Tables(s, dir, "customer")
+        graft.ops.AtomicPublish.publish(s, table)(p =>
+          cust.filter($"c_custkey" % 2 === 0).write.parquet(p))
+        val b1 = cust.filter($"c_custkey" % 4 === 1)
+        val b2 = cust.filter($"c_custkey" % 4 === 3)
+        def send(batch: org.apache.spark.sql.DataFrame, v: Long) =
+          graft.ops.AtomicPublish.appendSegmentTxn(s, table, "loader", v)(
+            p => batch.write.parquet(p))
+        require(send(b1, 1L).isDefined, "first batch must land")
+        require(send(b1, 1L).isEmpty, "replayed batch must be skipped")
+        require(send(b2, 2L).isDefined, "next batch must land")
+        require(send(b2, 2L).isEmpty && send(b1, 1L).isEmpty,
+          "replays at/below the high-water mark must be skipped")
+        s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW graft_txn_customer
+                  USING graft OPTIONS (path '$table')""")
+        s.sql(s"""SELECT c_mktsegment, COUNT(*) AS n_cust,
+                  ${graft.engine.Det.sql.dsum("c_acctbal")} AS sum_bal
+                  FROM graft_txn_customer
+                  GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+      },
+      Some(s"""SELECT c_mktsegment, COUNT(*) AS n_cust,
+              ${graft.engine.Det.sql.dsum("c_acctbal")} AS sum_bal
+              FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // OPTIMIZE / CLUSTERING REWRITE (round 15): the missing half of
+    // manifest data skipping. Arrival-ordered appends give every
+    // segment the FULL key range — zonemaps prove nothing, every scan
+    // touches every segment. optimizeTable range-partitions the table
+    // into range-DISJOINT sorted segments (one corpus shuffle, staged
+    // lock-free, CAS-committed), after which the same zonemaps prune a
+    // date predicate to the few admitting segments AND parquet
+    // row-group stats prune inside them (rows arrive sorted). Here
+    // orders lands as three orderkey-sliced segments (each spanning all
+    // dates — the pruning-hostile layout), gets clustered on
+    // o_orderdate into 6 segments, and the date query is graded
+    // hash-green; PlanSpec pins that the post-optimize scan reads
+    // FEWER files than the pre-optimize one. Pay-once-to-prune-forever:
+    // run at compaction cadence, never per batch.
+    GQuery("optimize_cluster_pruned",
+      (s, dir) => {
+        import s.implicits._
+        val table = scratch("optimize_orders")
+        val orders = Tables(s, dir, "orders")
+        graft.ops.AtomicPublish.publish(s, table)(p =>
+          orders.filter($"o_orderkey" % 3 === 0).write.parquet(p))
+        graft.ops.AtomicPublish.appendSegment(s, table)(p =>
+          orders.filter($"o_orderkey" % 3 === 1).write.parquet(p))
+        graft.ops.AtomicPublish.appendSegment(s, table)(p =>
+          orders.filter($"o_orderkey" % 3 === 2).write.parquet(p))
+        val out = graft.ops.AtomicPublish.optimizeTable(s, table,
+          clusterBy = Seq("o_orderdate"), segments = 6)
+        require(out.isInstanceOf[
+          graft.ops.AtomicPublish.CompactOutcome.Compacted],
+          s"optimizeTable did not commit: $out")
+        s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW graft_opt_orders
+                  USING graft OPTIONS (path '$table')""")
+        s.sql(s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
+                  ${graft.engine.Det.sql.dsum("o_totalprice")} AS sum_price
+                  FROM graft_opt_orders
+                  WHERE o_orderdate >= TIMESTAMP '1998-06-01 00:00:00'
+                  GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+      },
+      Some(s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
+              ${graft.engine.Det.sql.dsum("o_totalprice")} AS sum_price
+              FROM orders
+              WHERE o_orderdate >= TIMESTAMP '1998-06-01 00:00:00'
               GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
     // BLOOM-SIDECAR POINT LOOKUP (round 15): zonemaps prune RANGES —

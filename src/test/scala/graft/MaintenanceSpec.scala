@@ -777,6 +777,145 @@ class MaintenanceSpec extends SparkSpec {
     } finally spark.conf.unset(AtomicPublish.RetentionMsKey)
   }
 
+  test("txn appends: replays skipped, folds carry marks, merge sink idempotent") {
+    import spark.implicits._
+    val table = graft.engine.Scratch.dir("spec_txn")
+    AtomicPublish.publish(spark, table)(p =>
+      Seq((0L, "base")).toDF("k", "v").write.parquet(p))
+    def batch(k: Long, v: String) = Seq((k, v)).toDF("k", "v")
+    // version ladder: land, skip replay, land next, skip below-mark
+    assert(AtomicPublish.appendSegmentTxn(spark, table, "app", 1L)(p =>
+      batch(1L, "b1").write.parquet(p)).isDefined)
+    assert(AtomicPublish.appendSegmentTxn(spark, table, "app", 1L)(p =>
+      batch(1L, "DUP").write.parquet(p)).isEmpty, "replay must skip")
+    assert(AtomicPublish.txnVersionFor(spark, table, "app").contains(1L))
+    assert(AtomicPublish.appendSegmentTxn(spark, table, "app", 2L)(p =>
+      batch(2L, "b2").write.parquet(p)).isDefined)
+    // an UNRELATED app has its own ladder
+    assert(AtomicPublish.appendSegmentTxn(spark, table, "other", 1L)(p =>
+      batch(3L, "o1").write.parquet(p)).isDefined)
+    assert(AtomicPublish.read(spark, table).count() === 4L)
+    // compaction folds segments but must NOT forget applied marks
+    val out = AtomicPublish.compactSegments(spark, table) { (paths, staging) =>
+      spark.read.parquet(paths: _*).write.parquet(staging)
+    }
+    assert(out.isInstanceOf[AtomicPublish.CompactOutcome.Compacted], out.toString)
+    assert(AtomicPublish.currentSegments(spark, table).size === 1)
+    assert(AtomicPublish.txnVersionFor(spark, table, "app").contains(2L),
+      "fold must carry the high-water mark forward")
+    assert(AtomicPublish.appendSegmentTxn(spark, table, "app", 2L)(p =>
+      batch(2L, "DUP").write.parquet(p)).isEmpty,
+      "post-fold replay must still be recognized")
+    assert(AtomicPublish.read(spark, table).count() === 4L)
+    // exactly-once MERGE sink: replayed micro-batch swallowed
+    assert(MergeInto.upsertIntoTxn(spark, table,
+      batch(1L, "merged"), Seq("k"), "sink", 1L))
+    assert(!MergeInto.upsertIntoTxn(spark, table,
+      batch(1L, "REPLAY"), Seq("k"), "sink", 1L))
+    val rows = AtomicPublish.read(spark, table).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows(1L) === "merged" && rows.size === 4, rows.toString)
+  }
+
+  test("optimizeTable: reconciles pending merges into range-disjoint segments") {
+    import spark.implicits._
+    val table = graft.engine.Scratch.dir("spec_optimize_mor")
+    AtomicPublish.publish(spark, table)(p =>
+      (1L to 100L).map(k => (k, s"v$k")).toDF("k", "v").write.parquet(p))
+    MergeInto.upsertInto(spark, table,
+      Seq((7L, "MERGED")).toDF("k", "v"), Seq("k"))
+    MergeInto.deleteFrom(spark, table, Seq(Tuple1(9L)).toDF("k"), Seq("k"))
+    val out = AtomicPublish.optimizeTable(spark, table,
+      clusterBy = Seq("k"), segments = 4)
+    assert(out.isInstanceOf[AtomicPublish.CompactOutcome.Compacted], out.toString)
+    val segs = AtomicPublish.currentSegments(spark, table)
+    assert(segs.size >= 3, s"expected several range segments: $segs")
+    // merge markers folded away: the optimized table is plain segments
+    assert(AtomicPublish.mergeSidecarsFor(spark, table, segs).isEmpty,
+      "optimize must fold merge-on-read markers")
+    val rows = AtomicPublish.read(spark, table).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.size === 99 && rows(7L) === "MERGED" && !rows.contains(9L),
+      "optimize must preserve the reconciled content")
+    // range disjointness: per-segment key ranges must not overlap
+    val ranges = segs.map { d =>
+      val s = spark.read.parquet(s"$table/$d")
+        .agg(min($"k"), max($"k")).head()
+      (s.getLong(0), s.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) =>
+        assert(hi < lo2, s"segments overlap: $ranges")
+      case _ => ()
+    }
+  }
+
+  test("restore: metadata-only rollback, history intact, table keeps working") {
+    import spark.implicits._
+    val table = graft.engine.Scratch.dir("spec_restore")
+    AtomicPublish.publish(spark, table)(p =>
+      Seq((1L, "a")).toDF("k", "v").write.parquet(p))
+    val v1 = AtomicPublish.currentVersion(spark, table).get
+    AtomicPublish.appendSegment(spark, table)(p =>
+      Seq((2L, "b")).toDF("k", "v").write.parquet(p))
+    MergeInto.upsertInto(spark, table,
+      Seq((1L, "bad")).toDF("k", "v"), Seq("k"))
+    val vMerged = AtomicPublish.currentVersion(spark, table).get
+    val vRestored = AtomicPublish.restoreTable(spark, table, v1)
+    assert(vRestored === vMerged + 1, "restore commits as a NEW version")
+    assert(AtomicPublish.currentVersion(spark, table).contains(vRestored))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1).toSeq
+    // current state IS the restored version
+    assert(rows(AtomicPublish.read(spark, table)) === Seq(1L -> "a"))
+    // history is NOT rewritten: the undone merge stays travel-readable
+    assert(rows(AtomicPublish.readAt(spark, table, vMerged)) ===
+      Seq(1L -> "bad", 2L -> "b"))
+    // the restored table keeps committing normally
+    AtomicPublish.appendSegment(spark, table)(p =>
+      Seq((3L, "c")).toDF("k", "v").write.parquet(p))
+    assert(rows(AtomicPublish.read(spark, table)) ===
+      Seq(1L -> "a", 3L -> "c"))
+    // the change feed refuses to diff across the restore discontinuity
+    val eCdf = intercept[IllegalArgumentException] {
+      AtomicPublish.changesBetween(spark, table, vMerged, vRestored).collect()
+    }
+    assert(eCdf.getMessage.contains("compaction or republish"), eCdf.getMessage)
+  }
+
+  test("restore revives a tombstoned directory with a fresh retention clock") {
+    import spark.implicits._
+    val table = graft.engine.Scratch.dir("spec_restore_revive")
+    val d1 = AtomicPublish.publish(spark, table)(p =>
+      Seq((1L, "old")).toDF("k", "v").write.parquet(p))
+    val v1 = AtomicPublish.currentVersion(spark, table).get
+    val d2 = AtomicPublish.publish(spark, table)(p =>
+      Seq((2L, "new")).toDF("k", "v").write.parquet(p))
+    val root = new org.apache.hadoop.fs.Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def tombed(d: String) =
+      fs.exists(new org.apache.hadoop.fs.Path(root, s"_graft_tomb_$d"))
+    assert(tombed(d1), "the replaced directory must be ticking toward GC")
+    AtomicPublish.restoreTable(spark, table, v1)
+    // revived dir's supersession clock is CLEARED; the undone dir ticks
+    assert(!tombed(d1), "restore must clear the revived dir's tombstone")
+    assert(tombed(d2), "the superseded post-restore dir must start ticking")
+    assert(AtomicPublish.read(spark, table).collect()
+      .map(_.getString(1)).toSeq === Seq("old"))
+    // a version whose bytes aged out refuses the restore LOUDLY
+    spark.conf.set(AtomicPublish.RetentionMsKey, "0")
+    try {
+      val vGoneTarget = AtomicPublish.currentVersion(spark, table).get
+      AtomicPublish.publish(spark, table)(p =>
+        Seq((3L, "z")).toDF("k", "v").write.parquet(p))
+      AtomicPublish.vacuum(spark, table)
+      val eGone = intercept[IllegalStateException] {
+        AtomicPublish.restoreTable(spark, table, vGoneTarget)
+      }
+      assert(eGone.getMessage.contains("time travel"), eGone.getMessage)
+    } finally spark.conf.unset(AtomicPublish.RetentionMsKey)
+  }
+
   test("graft source refuses pending upsert segments; fold reopens the path door") {
     import spark.implicits._
     val table = graft.engine.Scratch.dir("spec_graft_refuse_mor")

@@ -627,6 +627,55 @@ class PlanSpec extends SparkSpec {
       s"expected at least the two non-matching segments pruned: $fPruned of $fAll")
   }
 
+  test("optimize_cluster_pruned: clustering turns prune-nothing zonemaps selective") {
+    // Before optimize, every segment is an orderkey slice spanning ALL
+    // dates — the date predicate's file list equals the full scan's
+    // (zonemaps keep everything). After the clustering rewrite the
+    // same predicate must drop files: range-disjoint segments make the
+    // same sidecar machinery selective. The drop is therefore evidence
+    // of the REWRITE, not of the pruning code (already pinned above).
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import org.apache.spark.sql.execution.datasources.FilePartition
+    def files(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.sparkPlan.collect { case b: BatchScanExec =>
+        b.inputPartitions.map {
+          case fp: FilePartition => fp.files.length
+          case _ => 0
+        }.sum
+      }.sum
+    import org.apache.spark.sql.functions.col
+    val table = graft.engine.Scratch.dir("spec_optimize_orders")
+    val orders = graft.engine.Tables(spark, sfDir, "orders")
+    graft.ops.AtomicPublish.publish(spark, table)(p =>
+      orders.filter(col("o_orderkey") % 3 === 0).write.parquet(p))
+    graft.ops.AtomicPublish.appendSegment(spark, table)(p =>
+      orders.filter(col("o_orderkey") % 3 === 1).write.parquet(p))
+    graft.ops.AtomicPublish.appendSegment(spark, table)(p =>
+      orders.filter(col("o_orderkey") % 3 === 2).write.parquet(p))
+    def datePred(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("o_orderdate") >=
+        org.apache.spark.sql.functions.lit("1998-06-01").cast("timestamp"))
+    val before = spark.read.format("graft").load(table)
+    val (fBeforeAll, fBeforePred) = (files(before), files(datePred(before)))
+    assert(fBeforePred === fBeforeAll,
+      s"arrival-ordered layout should prune nothing: $fBeforePred of $fBeforeAll")
+    val out = graft.ops.AtomicPublish.optimizeTable(spark, table,
+      clusterBy = Seq("o_orderdate"), segments = 6)
+    assert(out.isInstanceOf[graft.ops.AtomicPublish.CompactOutcome.Compacted],
+      s"optimize did not commit: $out")
+    val segsNow = graft.ops.AtomicPublish.currentSegments(spark, table)
+    assert(segsNow.size >= 4, s"expected multiple disjoint segments: $segsNow")
+    val after = spark.read.format("graft").load(table)
+    val (fAfterAll, fAfterPred) = (files(after), files(datePred(after)))
+    assert(fAfterPred > 0, "the matching range must survive")
+    assert(fAfterPred < fAfterAll,
+      s"clustered zonemaps must prune the date predicate: " +
+        s"$fAfterPred of $fAfterAll")
+    // content identity: the rewrite moved bytes, never changed them
+    val n0 = orders.count()
+    assert(after.count() === n0, "optimize must preserve row count")
+  }
+
   test("scan_bloom_pruned: bloom sidecars drop non-matching segments from an id probe") {
     // The key's three `% 3` customer slices all span the FULL key
     // range, so zonemaps cannot prune them; any file-count reduction
