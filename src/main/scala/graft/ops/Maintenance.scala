@@ -1063,10 +1063,14 @@ object AtomicPublish {
     * textbook pay-once-to-prune-forever trade; run it at compaction
     * cadence, not per batch.
     *
-    * One output FILE per range bucket (each range partition is one
-    * write task): size `segments` so table_bytes/segments lands near
-    * the row-group-friendly file size you want (e.g. 1 GB). AQE may
-    * coalesce small adjacent ranges — fewer, still-disjoint segments. */
+    * One output FILE per range bucket by default (each range partition
+    * is one write task): size `segments` so table_bytes/segments lands
+    * near the row-group-friendly file size you want (e.g. 1 GB), or
+    * set `spark.sql.files.maxRecordsPerFile` to split each range into
+    * several files — a task's extra files share its part index, so
+    * they land in the SAME output segment and disjointness holds. AQE
+    * may coalesce small adjacent ranges — fewer, still-disjoint
+    * segments. */
   def optimizeTable(spark: SparkSession, tablePath: String,
                     clusterBy: Seq[String], segments: Int,
                     maxAttempts: Int = 3): CompactOutcome = {

@@ -38,6 +38,10 @@ import org.apache.spark.sql.functions._
   * never the corpus. The feed refuses windows that span a compaction /
   * republish / restore ([[AtomicPublish.changesBetween]]'s contract);
   * [[refresh]] surfaces that loudly and [[fullRefresh]] re-bases.
+  * Operational corollary: refresh at least once per source FOLD window
+  * (the source auto-compacts at [[MergeInto.CompactAfterKey]] pending
+  * segments, erasing the diffable history) — a view refreshed more
+  * rarely than the source folds pays a fullRefresh instead.
   *
   * Determinism contract: agg expressions must be deterministic and
   * insensitive to recompute (count/min/max/decimal-cast sums — the
@@ -143,9 +147,24 @@ object MaterializedView {
     val changedKeys = changes
       .filter(col("_change_type").isin("update_postimage", "delete"))
       .select(meta.keys.map(col): _*).distinct()
-    val preGroups = AtomicPublish.readAt(spark, meta.sourceTable,
-        meta.sourceVersion)
-      .join(broadcast(changedKeys), meta.keys, "left_semi")
+    val inListMax0 = spark.conf.getOption(InListMaxKey)
+      .map(_.toInt).getOrElse(InListMaxDefault)
+    val fromSnapshot = AtomicPublish.readAt(spark, meta.sourceTable,
+      meta.sourceVersion)
+    // small single-column key sets ship as a literal IN: the probe then
+    // prunes at the SEGMENT level through bloom/zonemap sidecars (and
+    // at row-group level below), instead of row-scanning the snapshot
+    // against a broadcast — the difference between touching the few
+    // segments holding the changed keys and the corpus
+    val changedKeyRows =
+      if (meta.keys.size == 1) changedKeys.limit(inListMax0 + 1).collect()
+      else Array.empty[org.apache.spark.sql.Row]
+    val preGroups =
+      (if (meta.keys.size == 1 && changedKeyRows.length <= inListMax0) {
+        if (changedKeyRows.isEmpty) fromSnapshot.limit(0)
+        else fromSnapshot.filter(col(meta.keys.head)
+          .isin(changedKeyRows.map(_.get(0)).toIndexedSeq: _*))
+      } else fromSnapshot.join(broadcast(changedKeys), meta.keys, "left_semi"))
       .select(gCols: _*).distinct()
     val affected = postGroups.unionByName(preGroups).distinct().cache()
     try {

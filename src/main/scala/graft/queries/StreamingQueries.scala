@@ -404,6 +404,57 @@ object StreamingQueries extends QueryGroup {
               FROM events WHERE user_id < 100
               GROUP BY user_id ORDER BY user_id""")),
 
+    // EXACTLY-ONCE APPEND SINK (round 15): the harder half of sink
+    // idempotence. stream_foreach_merge survives redelivery because a
+    // keyed MERGE of running totals is NATURALLY idempotent; an
+    // append-shaped sink is not — re-appending a delivered batch lands
+    // its rows twice, and append is the common shape for raw-event
+    // landing tables. appendSegmentTxn (Delta txnAppId/txnVersion)
+    // records the (sink, batchId) high-water mark atomically with the
+    // manifest swap; the replayed apply is skipped BEFORE staging.
+    // Every micro-batch here is applied twice; the landed table then
+    // aggregates to the plain batch oracle — a leaked replay
+    // double-counts every row and diverges the hash. Per-batch cost
+    // ∝ the batch (one staged write + manifest CAS); the replay costs
+    // one sidecar read.
+    GQuery("stream_txn_append",
+      (s, dir) => {
+        import s.implicits._
+        import graft.ops.AtomicPublish
+        val events = Tables(s, dir, "events")
+          .filter($"user_id" < 100)
+          .select($"user_id", $"value", unix_millis($"ts").as("__ord"))
+        val table = graft.engine.Scratch.dir("stream_txn_append_target")
+        // fresh table per execution (bench reruns share the JVM tmpdir)
+        val fsPath = new org.apache.hadoop.fs.Path(table)
+        val fs = fsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(fsPath)) fs.delete(fsPath, true)
+        AtomicPublish.publish(s, table)(p =>
+          events.filter(lit(false)).write.parquet(p))
+        graft.streaming.FileReplay.replay(s, events, "__ord", 2) { in =>
+          in.writeStream.outputMode("append")
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+              val b = batch.persist()
+              try (0 until 2).foreach { _ => // simulated redelivery
+                AtomicPublish.appendSegmentTxn(s, table, "evsink", id)(p =>
+                  b.write.parquet(p))
+                ()
+              } finally { b.unpersist(); () }
+            }
+            .start()
+        }
+        AtomicPublish.read(s, table)
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n_events"),
+            sum($"value".cast("decimal(18,2)")).cast("double")
+              .as("sum_value"))
+          .orderBy($"user_id")
+      },
+      Some(s"""SELECT user_id, COUNT(*) AS n_events,
+                ${Det.sql.dsum("value")} AS sum_value
+              FROM events WHERE user_id < 100
+              GROUP BY user_id ORDER BY user_id""")),
+
     // ONLINE semantic dedup: the stateful streaming twin of
     // dedup_semantic_blocked. Vectors replay in id order through a
     // FILE-SOURCE stream (FileReplay: executor-staged id-range chunks,

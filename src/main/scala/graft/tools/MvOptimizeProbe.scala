@@ -71,17 +71,26 @@ object MvOptimizeProbe {
           graft.ops.MaterializedView.AggSpec("sum_chars",
             "CAST(SUM(n_chars) AS BIGINT)"))))
     val refreshes = (0 until rounds).map { k =>
-      val batch = docs.filter(col("doc_id") % stride === k % stride.toInt)
+      // change batches touch ONE language's docs — the partial-recompute
+      // case: affected groups must be the de×source slice, not all 100
+      val batch = docs.filter(col("lang") === "de" &&
+          col("doc_id") % stride === k % stride.toInt)
         .withColumn("n_chars", col("n_chars") + lit(k + 1))
       val (mSec, mSteal) = t(
         graft.ops.MergeInto.upsertInto(spark, table, batch, Seq("doc_id")))
-      val (rSec, rSteal) = t(graft.ops.MaterializedView.refresh(spark, mv))
-      (mSec, mSteal, rSec, rSteal)
+      var stats: graft.ops.MaterializedView.RefreshStats = null
+      val (rSec, rSteal) = t {
+        stats = graft.ops.MaterializedView.refresh(spark, mv)
+      }
+      (mSec, mSteal, rSec, rSteal, stats.affectedGroups, stats.recomputedRows)
     }
     // ---- optimize: selective range aggregate before vs after
     def rangeAgg(): Unit = {
       val lo = n / 2; val hi = n / 2 + n / 64 // ~1.6% of the id space
-      graft.ops.AtomicPublish.read(spark, table)
+      // through the graft DSv2 source: manifest zonemap pruning is the
+      // machinery optimize exists to feed (the ops-API read lists every
+      // segment and leans on row-group stats alone)
+      spark.read.format("graft").load(table)
         .filter(col("doc_id") >= lo && col("doc_id") < hi)
         .agg(count(lit(1)), sum(col("n_chars"))).collect()
       ()
@@ -112,7 +121,7 @@ object MvOptimizeProbe {
       s""""publish":${j(publishSec)},"publish_steal":$publishSteal,""" +
       s""""mv_create":${j(createSec)},"mv_create_steal":$createSteal,""" +
       s""""refreshes":[${refreshes.map(r =>
-        s"""{"merge_sec":${j(r._1)},"merge_steal":${r._2},"refresh_sec":${j(r._3)},"refresh_steal":${r._4}}""").mkString(",")}],""" +
+        s"""{"merge_sec":${j(r._1)},"merge_steal":${r._2},"refresh_sec":${j(r._3)},"refresh_steal":${r._4},"affected_groups":${r._5},"recomputed_rows":${r._6}}""").mkString(",")}],""" +
       s""""scan_before":${j(scanBeforeSec)},"scan_before_steal":$scanBeforeSteal,""" +
       s""""optimize":${j(optSec)},"optimize_steal":$optSteal,""" +
       s""""scan_after":${j(scanAfterSec)},"scan_after_steal":$scanAfterSteal,""" +

@@ -66,4 +66,52 @@ class ForeachBatchUpsertSpec extends SparkSpec {
       assert(gs.compareTo(s) === 0, s"user $k sum: got $gs want $s")
     }
   }
+
+  test("append-shaped foreachBatch sink: txn marks absorb redelivery") {
+    // The harder exactly-once case: an APPEND sink has no natural
+    // idempotence (re-appending a delivered batch lands its rows
+    // twice). appendSegmentTxn keyed by (sink identity, batchId) is
+    // the Delta txnAppId/txnVersion recovery: the replayed apply is
+    // recognized at-or-below the high-water mark and skipped before
+    // staging. Every batch here is applied TWICE; the published table
+    // must still equal the input exactly once.
+    import spark.implicits._
+    import graft.streaming.EventIn
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.AtomicPublish
+
+    val events = graft.engine.Tables(spark, sfDir, "events")
+      .filter($"user_id" < 20)
+      .select($"user_id", $"ts", $"value").as[EventIn]
+      .collect().toSeq
+    assert(events.nonEmpty)
+    val table = graft.engine.Scratch.dir("spec_txn_stream_sink")
+    AtomicPublish.publish(spark, table)(p =>
+      spark.emptyDataset[EventIn].toDF().write.parquet(p))
+
+    val input = MemoryStream[EventIn]
+    val q = input.toDF().writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val rows = batch.collect() // test-sized; a real sink writes per-partition
+        val local = rows.map(r =>
+          EventIn(r.getLong(0), r.getTimestamp(1), r.getDouble(2))).toSeq
+        (0 until 2).foreach { _ => // simulated redelivery
+          AtomicPublish.appendSegmentTxn(spark, table, "evsink", id)(p =>
+            local.toDF("user_id", "ts", "value").write.parquet(p))
+        }
+        ()
+      }
+      .start()
+    events.grouped(150).foreach { c => input.addData(c); q.processAllAvailable() }
+    q.stop()
+
+    val got = AtomicPublish.read(spark, table)
+      .agg(count(lit(1)), sum($"value".cast("decimal(18,2)"))).head()
+    val want = events.toDF()
+      .agg(count(lit(1)), sum($"value".cast("decimal(18,2)"))).head()
+    assert(got.getLong(0) === want.getLong(0),
+      s"double-applied appends leaked: ${got.getLong(0)} vs ${want.getLong(0)}")
+    assert(got.getDecimal(1).compareTo(want.getDecimal(1)) === 0)
+  }
 }
