@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.functions.call_function
-import graft.functions.{BottomKSample, CosineSimilarity, HyperplaneBuckets, MinHashBands, MinHashSignature, NGramHashes, RollingHashFingerprint, SimHash64, TokenRepetitionStats}
+import graft.functions.{BottomKSample, CosineSimilarity, HyperplaneBuckets, MinHashBands, MinHashSignature, NGramHashes, PqAdcDistance, PqEncode, RollingHashFingerprint, SimHash64, TokenRepetitionStats}
 
 /** Registration of graft's native Catalyst expressions as SQL functions.
   *
@@ -17,6 +17,8 @@ object GraftFunctions {
 
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     ("cosine_sim", es => CosineSimilarity(es(0), es(1))),
+    ("pq_adc", es => PqAdcDistance(es(0), es(1))),
+    ("pq_encode", es => PqEncode(es(0), es(1))),
     ("doc_fingerprint", es => RollingHashFingerprint(es(0))),
     ("simhash64", es => SimHash64(es(0))),
     ("ngram_hashes", es => NGramHashes(es(0),
@@ -58,6 +60,12 @@ object GraftFunctions {
   // same code path works through both the classic and SQL front doors).
   def cosineSim(spark: SparkSession, a: Column, b: Column): Column = {
     ensureRegistered(spark); call_function("cosine_sim", a, b)
+  }
+  def pqAdc(spark: SparkSession, codes: Column, luts: Column): Column = {
+    ensureRegistered(spark); call_function("pq_adc", codes, luts)
+  }
+  def pqEncode(spark: SparkSession, vec: Column, books: Column): Column = {
+    ensureRegistered(spark); call_function("pq_encode", vec, books)
   }
   def docFingerprint(spark: SparkSession, c: Column): Column = {
     ensureRegistered(spark); call_function("doc_fingerprint", c)

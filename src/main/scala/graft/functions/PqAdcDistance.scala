@@ -1,0 +1,81 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native codegen'd ADC (asymmetric distance computation) lookup for
+  * product-quantized search: `sum_j luts[j][codes[j] - 1]` — a
+  * candidate's approximate squared-L2 to the query, given the
+  * candidate's per-subspace code indices (1-based, [[graft.ops.PqSearch]])
+  * and the query's per-subspace lookup tables.
+  *
+  * This IS the PQ hot path: it runs once per (candidate × query). The
+  * composable form (`aggregate(zip_with(codes, luts, element_at))`)
+  * is correct but interpreted (higher-order functions are
+  * CodegenFallback) and allocates per row — measured ~10× slower than
+  * the codegen cosine it is supposed to beat, inverting PQ's whole
+  * point. This expression is m array loads + adds fused into
+  * whole-stage codegen; with m=16 it does ~12× less arithmetic than
+  * the 64-dim cosine. Out-of-range codes evaluate to NULL (loud in
+  * the ranking) rather than corrupting a distance.
+  */
+case class PqAdcDistance(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _),
+            ArrayType(ArrayType(DoubleType, _), _)) => true
+      case _ => false
+    }
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"pq_adc expects (array<int> codes, array<array<double>> luts), " +
+        s"got (${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_adc"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val codes = a.asInstanceOf[ArrayData]
+    val luts = b.asInstanceOf[ArrayData]
+    val m = math.min(codes.numElements(), luts.numElements())
+    var s = 0.0
+    var j = 0
+    while (j < m) {
+      val c = codes.getInt(j) - 1
+      val lut = luts.getArray(j)
+      if (c < 0 || c >= lut.numElements()) return null
+      s += lut.getDouble(c)
+      j += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val j = ctx.freshName("j")
+      val m = ctx.freshName("m")
+      val s = ctx.freshName("s")
+      val c = ctx.freshName("c")
+      val lut = ctx.freshName("lut")
+      s"""
+         |int $m = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $j = 0; $j < $m; $j++) {
+         |  int $c = $a.getInt($j) - 1;
+         |  org.apache.spark.sql.catalyst.util.ArrayData $lut = $b.getArray($j);
+         |  if ($c < 0 || $c >= $lut.numElements()) { ${ev.isNull} = true; break; }
+         |  $s += $lut.getDouble($c);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}

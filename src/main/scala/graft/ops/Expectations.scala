@@ -213,6 +213,55 @@ object Expectations {
     }
   }
 
+  /** Gated MERGE — the upsert twin of [[appendChecked]], closing the
+    * obvious bypass (a producer MERGEing instead of appending would
+    * otherwise skip the table's admission contract entirely): clean
+    * rows MERGE into the table ([[MergeInto.upsertInto]], merge-on-read
+    * by default), violating rows quarantine / drop / fail exactly as
+    * in [[appendChecked]], with the quarantine commit landing FIRST.
+    * A quarantined row is NOT merged — its key's previous value stays
+    * live in the corpus until a corrected batch re-merges it. */
+  def upsertChecked(spark: SparkSession, tablePath: String,
+                    batch: DataFrame, keys: Seq[String],
+                    mode: String = "quarantine"): AdmitStats = {
+    val rules = get(spark, tablePath)
+    require(rules.nonEmpty,
+      s"upsertChecked: no expectations set at $tablePath — call " +
+        "Expectations.set first (or use MergeInto.upsertInto for an " +
+        "ungated merge)")
+    val (clean, bad) = split(batch, rules)
+    mode match {
+      case "fail" =>
+        val counts = violationCounts(batch, rules).filter(_._2 > 0)
+        if (counts.nonEmpty) throw new IllegalStateException(
+          s"upsertChecked(fail) at $tablePath: batch violates " +
+            counts.toSeq.sortBy(_._1)
+              .map { case (n, c) => s"$n×$c" }.mkString(", ") +
+            " — nothing was merged")
+        val n = batch.count()
+        MergeInto.upsertInto(spark, tablePath, batch, keys)
+        AdmitStats(n, 0L)
+      case "drop" | "quarantine" =>
+        var rejected = 0L
+        if (mode == "quarantine") {
+          val qt = quarantinePath(tablePath)
+          val qRoot = new org.apache.hadoop.fs.Path(qt)
+          val qFs = qRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val qSeg =
+            if (!qFs.exists(new org.apache.hadoop.fs.Path(qRoot, "MANIFEST")))
+              AtomicPublish.publish(spark, qt)(p => bad.write.parquet(p))
+            else AtomicPublish.appendSegment(spark, qt)(p =>
+              bad.write.parquet(p))
+          rejected = segmentRows(spark, qt, qSeg)
+        } else rejected = bad.count()
+        val admitted = clean.count()
+        if (admitted > 0) { MergeInto.upsertInto(spark, tablePath, clean, keys); () }
+        AdmitStats(admitted, rejected)
+      case other => throw new IllegalArgumentException(
+        s"upsertChecked mode must be fail|drop|quarantine, got `$other`")
+    }
+  }
+
   /** Row count of a just-committed segment — a metadata-only count
     * (parquet footers) over the one new directory. */
   private def segmentRows(spark: SparkSession, tablePath: String,

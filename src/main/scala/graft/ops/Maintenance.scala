@@ -1398,6 +1398,46 @@ object AtomicPublish {
   def readAt(spark: SparkSession, tablePath: String, version: Long): DataFrame =
     readOver(spark, tablePath, segmentsAt(spark, tablePath, version))
 
+  /** The version COMMITTED AS OF `epochMs` — the latest version-log
+    * entry whose commit time is ≤ the asked instant (Delta
+    * `timestampAsOf` resolution). The clock is the log file's
+    * modification time, stamped by the filesystem at the swap — the
+    * same clock the retention GC reaps by, so any timestamp this
+    * resolves is also still readable. Loud when the instant predates
+    * every retained commit (the bytes that would answer it are GC'd or
+    * were never committed) — never a silent clamp to the oldest
+    * version, which would quietly serve the WRONG snapshot. An instant
+    * AFTER the newest commit resolves to the newest (the table simply
+    * had that state then). */
+  def versionAt(spark: SparkSession, tablePath: String,
+                epochMs: Long): Long = {
+    val root = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vd = new org.apache.hadoop.fs.Path(root, VersionsDir)
+    if (!fs.exists(vd)) throw new IllegalStateException(
+      s"timestampAsOf: no version log at $tablePath")
+    val entries = fs.listStatus(vd).filter(!_.isDirectory)
+      .flatMap(f => f.getPath.getName.toLongOption
+        .map(v => v -> f.getModificationTime))
+      .sortBy(_._1).toSeq
+    if (entries.isEmpty) throw new IllegalStateException(
+      s"timestampAsOf: empty version log at $tablePath")
+    val atOrBefore = entries.filter(_._2 <= epochMs)
+    if (atOrBefore.isEmpty) throw new IllegalArgumentException(
+      s"timestampAsOf: ${java.time.Instant.ofEpochMilli(epochMs)} predates " +
+        s"the oldest retained commit of $tablePath " +
+        s"(${java.time.Instant.ofEpochMilli(entries.head._2)}, version " +
+        s"${entries.head._1}) — older state aged past $RetentionMsKey")
+    atOrBefore.map(_._1).max
+  }
+
+  /** [[readAt]] by wall-clock instant — see [[versionAt]]. SQL
+    * surface: `OPTIONS (timestampAsOf '<epoch-millis or ISO-8601>')`
+    * on the `graft` source. */
+  def readAsOfTimestamp(spark: SparkSession, tablePath: String,
+                        epochMs: Long): DataFrame =
+    readAt(spark, tablePath, versionAt(spark, tablePath, epochMs))
+
   /** CHANGE DATA FEED, derived at read time from the version log: the
     * row-level changes committed after `fromVersion` up to and
     * including `toVersion`, stamped `_change_type`

@@ -2650,6 +2650,49 @@ object LlmQueries extends QueryGroup {
                      CAST(dist2 AS BIGINT) AS dist2
               FROM r2 WHERE rnk = 1 ORDER BY vec_id""")),
 
+    // PRODUCT-QUANTIZED ANN (round 15): the memory-bounded regime —
+    // vectors stored as 16 one-byte subspace codes (32× under the
+    // 512 B vector), queries scored against CODES ALONE via ADC
+    // (per-subspace LUT of query-to-centroid distances; a candidate =
+    // 16 element_at lookups summed, pure codegen, no vector math per
+    // candidate). Graded like every sketch here: the ADC shortlist's
+    // RECALL against the exact cosine top-10 truth, emitted as
+    // (n_truth, recall_ok = recall >= 0.9) — seeded codebooks make it
+    // deterministic per dataset (measured 0.995 at both graded scale
+    // points); the oracle computes the same truth count in SQL and
+    // asserts TRUE. A broken codebook, encode, or LUT fails the hash.
+    GQuery("sim_search_pq",
+      (s, dir) => {
+        import s.implicits._
+        import graft.ops.{AnnSearch, PqSearch}
+        val emb = Tables(s, dir, "embeddings")
+          .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+        val model = PqSearch.fit(s, emb, "vec_id", "e",
+          cacheKey = Some(s"pq:$dir"))
+        val truth = AnnSearch.bruteTopK(s, emb, "vec_id", "e",
+            $"id" < 20, k = 10)
+          .select($"q_id", $"neighbor_id".as("id"))
+        val short = PqSearch.pqShortlist(s, emb, "vec_id", "e",
+          $"id" < 20, model, shortlist = 100).select($"q_id", $"id")
+        truth.join(short, Seq("q_id", "id"), "left_semi")
+          .agg(count(lit(1)).as("n_hit"))
+          .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+          .select($"n_truth",
+            ($"n_hit".cast("double") / $"n_truth" >= lit(0.9)).as("recall_ok"))
+      },
+      Some("""WITH truth AS (
+                SELECT q_id, neighbor_id FROM (
+                  SELECT q.vec_id AS q_id, b.vec_id AS neighbor_id,
+                    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                      list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                             CAST(b.embedding AS DOUBLE[])) DESC,
+                      b.vec_id) AS rank
+                  FROM embeddings q JOIN embeddings b ON q.vec_id <> b.vec_id
+                  WHERE q.vec_id < 20) t
+                WHERE rank <= 10)
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_truth, TRUE AS recall_ok
+              FROM truth""")),
+
     // EXPECTATIONS, stamp mode (round 15): the admission-rule triage
     // report — every doc stamped with the comma-joined names of the
     // quality rules it fails ('' = clean), aggregated per violation

@@ -73,9 +73,32 @@ class GraftTableSource extends ParquetDataSourceV2 {
       raw.trim.toLongOption.getOrElse(throw new IllegalArgumentException(
         s"graft source: versionAsOf must be a commit version number, got `$raw`"))
     }
-    val segs = versionAsOf match {
-      case Some(v) => AtomicPublish.segmentsAt(sparkSession, root, v)
-      case None => AtomicPublish.currentSegments(sparkSession, root)
+    // timestampAsOf: epoch millis or ISO-8601 instant/date-time,
+    // resolved through the version log's commit clock (versionAt)
+    val timestampAsOf = Option(map.get("timestampAsOf")).map { raw =>
+      val s = raw.trim
+      s.toLongOption.getOrElse {
+        try java.time.Instant.parse(s).toEpochMilli
+        catch {
+          case _: java.time.format.DateTimeParseException =>
+            try java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+              .atZone(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+            catch {
+              case _: java.time.format.DateTimeParseException =>
+                throw new IllegalArgumentException(
+                  "graft source: timestampAsOf must be epoch millis or an " +
+                    s"ISO-8601 instant (UTC), got `$raw`")
+            }
+        }
+      }
+    }
+    require(versionAsOf.isEmpty || timestampAsOf.isEmpty,
+      "graft source: versionAsOf and timestampAsOf are mutually exclusive")
+    val segs = (versionAsOf, timestampAsOf) match {
+      case (Some(v), _) => AtomicPublish.segmentsAt(sparkSession, root, v)
+      case (_, Some(ts)) => AtomicPublish.segmentsAt(sparkSession, root,
+        AtomicPublish.versionAt(sparkSession, root, ts))
+      case _ => AtomicPublish.currentSegments(sparkSession, root)
     }
     if (segs.isEmpty) throw new IllegalStateException(
       s"no published version (MANIFEST) at $root — the graft format reads " +

@@ -90,6 +90,36 @@ class ExpectationsSpec extends SparkSpec {
     assert(AtomicPublish.read(spark, table).count() === 3L)
   }
 
+  test("upsertChecked: the MERGE door honors the same contract") {
+    import spark.implicits._
+    val table = graft.engine.Scratch.dir("spec_expect_merge")
+    AtomicPublish.publish(spark, table)(p =>
+      Seq((1L, 10L, "old"), (2L, 20L, "keep")).toDF("k", "x", "name")
+        .write.parquet(p))
+    Expectations.set(spark, table, rules)
+    // k=1 updates cleanly; k=3 inserts cleanly; k=2's update VIOLATES
+    // (x<0) — it must quarantine and k=2's OLD value must stay live
+    val batch = Seq((1L, 11L, "new"), (2L, -5L, "bad"), (3L, 30L, "ins"))
+      .toDF("k", "x", "name")
+    val st = Expectations.upsertChecked(spark, table, batch, Seq("k"))
+    assert(st === Expectations.AdmitStats(2L, 1L))
+    val rows = AtomicPublish.read(spark, table).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(rows === Map(1L -> (11L, "new"), 2L -> (20L, "keep"),
+      3L -> (30L, "ins")), rows.toString)
+    val quar = AtomicPublish.read(spark, Expectations.quarantinePath(table))
+    assert(quar.count() === 1L)
+    assert(quar.select(col(Expectations.ViolationsCol)).head.getString(0)
+      === "pos")
+    // fail mode refuses the whole merge
+    val e = intercept[IllegalStateException] {
+      Expectations.upsertChecked(spark, table,
+        Seq((9L, -1L, "z")).toDF("k", "x", "name"), Seq("k"), mode = "fail")
+    }
+    assert(e.getMessage.contains("pos×1"), e.getMessage)
+    assert(AtomicPublish.read(spark, table).count() === 3L)
+  }
+
   test("appendChecked: quarantine routes both sides; drop counts the dropped") {
     import spark.implicits._
     val table = graft.engine.Scratch.dir("spec_expect_quar")

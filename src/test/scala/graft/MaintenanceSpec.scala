@@ -850,6 +850,45 @@ class MaintenanceSpec extends SparkSpec {
     }
   }
 
+  test("timestampAsOf: wall-clock travel resolves by commit time, loud before history") {
+    import spark.implicits._
+    val table = graft.engine.Scratch.dir("spec_ts_travel")
+    val t0 = System.currentTimeMillis()
+    AtomicPublish.publish(spark, table)(p =>
+      Seq((1L, "a")).toDF("k", "v").write.parquet(p))
+    val v1 = AtomicPublish.currentVersion(spark, table).get
+    Thread.sleep(1200) // outlast coarse filesystem mtime granularity
+    val between = System.currentTimeMillis()
+    Thread.sleep(1200)
+    MergeInto.upsertInto(spark, table, Seq((1L, "b")).toDF("k", "v"), Seq("k"))
+    // an instant between the commits resolves to the FIRST
+    assert(AtomicPublish.versionAt(spark, table, between) === v1)
+    assert(AtomicPublish.readAsOfTimestamp(spark, table, between)
+      .head.getString(1) === "a")
+    // an instant after the newest commit resolves to the newest
+    val now = System.currentTimeMillis() + 5000
+    assert(AtomicPublish.versionAt(spark, table, now) === v1 + 1)
+    // SQL surface (epoch millis form)
+    spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW ts_travel
+                  USING graft OPTIONS (path '$table', timestampAsOf '$between')""")
+    assert(spark.sql("SELECT v FROM ts_travel").head.getString(0) === "a")
+    // both options together: refused
+    val eBoth = intercept[Exception] {
+      spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW ts_travel_bad
+                    USING graft OPTIONS (path '$table',
+                      timestampAsOf '$between', versionAsOf '$v1')""")
+      spark.sql("SELECT * FROM ts_travel_bad").collect()
+    }
+    def msgs(t: Throwable): String =
+      Option(t).map(x => x.getMessage + msgs(x.getCause)).getOrElse("")
+    assert(msgs(eBoth).contains("mutually exclusive"), msgs(eBoth))
+    // an instant before all retained history: loud, never a clamp
+    val eOld = intercept[IllegalArgumentException] {
+      AtomicPublish.versionAt(spark, table, t0 - 3600000L)
+    }
+    assert(eOld.getMessage.contains("predates"), eOld.getMessage)
+  }
+
   test("restore: metadata-only rollback, history intact, table keeps working") {
     import spark.implicits._
     val table = graft.engine.Scratch.dir("spec_restore")

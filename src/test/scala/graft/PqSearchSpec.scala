@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{AnnSearch, PqSearch}
+
+/** PQ coding invariants and ADC search quality: codes are valid
+  * 1-based book indices, the fit is deterministic per seed, ADC
+  * shortlist recall holds against the exact truth at both graded
+  * scale points, and the re-ranked top-k is exact over its shortlist. */
+class PqSearchSpec extends SparkSpec {
+
+  private def emb = {
+    import spark.implicits._
+    graft.engine.Tables(spark, sfDir, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+  }
+
+  test("encode: m valid 1-based codes per vector; deterministic refit") {
+    import spark.implicits._
+    val model = PqSearch.fit(spark, emb, "vec_id", "e", seed = 42L)
+    assert(model.m === 16 && model.dsub === 4 && model.k === 32)
+    val coded = PqSearch.encode(emb, "e", model)
+      .select($"vec_id", $"codes")
+    val bad = coded.filter(size($"codes") =!= 16 ||
+      exists($"codes", c => c < 1 || c > 32)).count()
+    assert(bad === 0L, "every code must be a valid 1-based book index")
+    // refit with the same seed = identical codebooks (bit-for-bit)
+    val model2 = PqSearch.fit(spark, emb, "vec_id", "e", seed = 42L)
+    assert(model.codebooks.flatten.flatten.toSeq ===
+      model2.codebooks.flatten.flatten.toSeq)
+    // the native pq_encode expression ≡ the staged composable encoder
+    // (independent implementations; first-minimum tie-break both)
+    val nat = coded.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val staged = PqSearch.encodeStaged(emb, "e", model)
+      .select($"vec_id", $"codes").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(nat === staged, "native and staged encoders must agree bit-for-bit")
+  }
+
+  test("ADC shortlist recall >= 0.9 vs exact top-10; re-rank is exact on it") {
+    import spark.implicits._
+    val model = PqSearch.fit(spark, emb, "vec_id", "e",
+      cacheKey = Some(s"pq:$sfDir"))
+    val truth = AnnSearch.bruteTopK(spark, emb, "vec_id", "e",
+        $"id" < 20, k = 10)
+      .select($"q_id", $"neighbor_id".as("id"))
+    val short = PqSearch.pqShortlist(spark, emb, "vec_id", "e",
+      $"id" < 20, model, shortlist = 100).select($"q_id", $"id")
+    val nTruth = truth.count()
+    val nHit = truth.join(short, Seq("q_id", "id"), "left_semi").count()
+    val recall = nHit.toDouble / nTruth
+    info(s"PQ shortlist recall@10-in-100: $recall ($nHit/$nTruth)")
+    assert(recall >= 0.9, s"recall $recall below floor")
+    // the re-ranked top-k must agree with exact cosine ORDER on the
+    // hits it returns (same tie-break as bruteTopK)
+    val pq = PqSearch.pqTopK(spark, emb, "vec_id", "e", $"id" < 20, model,
+      k = 10, shortlist = 100)
+    val exact = AnnSearch.bruteTopK(spark, emb, "vec_id", "e",
+      $"id" < 20, k = 10)
+    val agree = pq.select($"q_id", $"rank", $"neighbor_id")
+      .join(exact.select($"q_id", $"rank", $"neighbor_id"),
+        Seq("q_id", "rank", "neighbor_id"), "left_semi").count()
+    info(s"re-ranked rows agreeing with exact: $agree / ${pq.count()}")
+    assert(agree >= (nTruth * 0.9).toLong,
+      "re-ranked results must substantially match the exact ranking")
+  }
+}
