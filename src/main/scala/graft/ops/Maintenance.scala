@@ -1438,6 +1438,52 @@ object AtomicPublish {
                         epochMs: Long): DataFrame =
     readAt(spark, tablePath, versionAt(spark, tablePath, epochMs))
 
+  /** The smallest logged version COMMITTED AT OR AFTER `epochMs` —
+    * [[versionAt]]'s forward-looking twin, the resolution a STREAM's
+    * `startingTimestamp` needs ("serve commits from this instant on",
+    * the Delta startingTimestamp shape). An instant after the newest
+    * commit returns `latest + 1`: the stream arms at the current end
+    * and serves only future commits — for a tail that is a position,
+    * not an error. */
+  def versionSince(spark: SparkSession, tablePath: String,
+                   epochMs: Long): Long = {
+    val root = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vd = new org.apache.hadoop.fs.Path(root, VersionsDir)
+    if (!fs.exists(vd)) throw new IllegalStateException(
+      s"startingTimestamp: no version log at $tablePath")
+    val entries = fs.listStatus(vd).filter(!_.isDirectory)
+      .flatMap(f => f.getPath.getName.toLongOption
+        .map(v => v -> f.getModificationTime))
+      .sortBy(_._1).toSeq
+    if (entries.isEmpty) throw new IllegalStateException(
+      s"startingTimestamp: empty version log at $tablePath")
+    entries.find(_._2 >= epochMs).map(_._1)
+      .getOrElse(entries.last._1 + 1)
+  }
+
+  /** Parse a user-supplied instant: epoch millis or ISO-8601
+    * (`Instant.parse` form, or a space/`T`-separated local date-time
+    * read as UTC). Shared by every `timestampAsOf`/`startingTimestamp`
+    * option so the sources can't drift on accepted formats. */
+  private[graft] def parseInstantMs(raw: String, what: String): Long = {
+    val s = raw.trim
+    s.toLongOption.getOrElse {
+      try java.time.Instant.parse(s).toEpochMilli
+      catch {
+        case _: java.time.format.DateTimeParseException =>
+          try java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+            .atZone(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+          catch {
+            case _: java.time.format.DateTimeParseException =>
+              throw new IllegalArgumentException(
+                s"$what must be epoch millis or an ISO-8601 instant " +
+                  s"(UTC), got `$raw`")
+          }
+      }
+    }
+  }
+
   /** CHANGE DATA FEED, derived at read time from the version log: the
     * row-level changes committed after `fromVersion` up to and
     * including `toVersion`, stamped `_change_type`

@@ -64,7 +64,7 @@ class GraftCdfSource extends StreamSourceProvider with DataSourceRegister {
   /** Parse-and-validate options at plan creation (load() fails
     * synchronously on a bad option, not the async stream thread). */
   private def cdfOptions(parameters: Map[String, String])
-      : (Option[Int], Option[Long], Boolean) = {
+      : (Option[Int], Option[Long], Option[Long], Boolean) = {
     val maxPer = parameters.get("maxCommitsPerBatch").map { raw =>
       val n = raw.trim.toIntOption.getOrElse(throw new IllegalArgumentException(
         s"graft-cdf: maxCommitsPerBatch must be a positive int, got `$raw`"))
@@ -80,7 +80,17 @@ class GraftCdfSource extends StreamSourceProvider with DataSourceRegister {
           "versionAsOf and start the feed at 2")
       require(!parameters.contains("startingOffset"),
         "graft-cdf: startingOffset and startingVersion are mutually exclusive")
+      require(!parameters.contains("startingTimestamp"),
+        "graft-cdf: startingTimestamp and startingVersion are mutually exclusive")
       v
+    }
+    // wall-clock floor (Delta startingTimestamp): epoch ms or ISO-8601,
+    // resolved at source creation to the smallest commit at-or-after
+    // the instant (clamped up to 2 — version 1 is the base snapshot)
+    val startTs = parameters.get("startingTimestamp").map { raw =>
+      require(!parameters.contains("startingOffset"),
+        "graft-cdf: startingOffset and startingTimestamp are mutually exclusive")
+      AtomicPublish.parseInstantMs(raw, "graft-cdf: startingTimestamp")
     }
     val startLatest = parameters.getOrElse("startingOffset", "earliest") match {
       case "earliest" => false
@@ -88,7 +98,7 @@ class GraftCdfSource extends StreamSourceProvider with DataSourceRegister {
       case other => throw new IllegalArgumentException(
         s"graft-cdf: startingOffset must be `earliest` or `latest`, got `$other`")
     }
-    (maxPer, startVer, startLatest)
+    (maxPer, startVer, startTs, startLatest)
   }
 
   override def sourceSchema(sqlContext: SQLContext,
@@ -107,14 +117,23 @@ class GraftCdfSource extends StreamSourceProvider with DataSourceRegister {
                             parameters: Map[String, String]): Source = {
     val path = tablePath(parameters)
     val spark = sqlContext.sparkSession
-    val (maxPer, startVer, startLatest) = cdfOptions(parameters)
+    val (maxPer, startVer, startTs, startLatest) = cdfOptions(parameters)
     val floor: Long =
       if (startLatest)
         AtomicPublish.currentVersion(spark, path).getOrElse(
           throw new IllegalStateException(
             s"graft-cdf: no version log at $path — publish through " +
               "AtomicPublish first"))
-      else startVer.map(_ - 1).getOrElse(1L)
+      else startTs match {
+        case Some(ts) =>
+          // smallest commit at-or-after the instant, clamped to >= 2
+          // (version 1 is the base snapshot); past-the-end arms at
+          // the current version — future changes only
+          val v = math.max(2L, AtomicPublish.versionSince(spark, path, ts))
+          val latest = AtomicPublish.currentVersion(spark, path).getOrElse(1L)
+          math.min(v, latest + 1) - 1
+        case None => startVer.map(_ - 1).getOrElse(1L)
+      }
     new GraftChangeTail(spark, path,
       schema.getOrElse(feedSchema(spark, path)), maxPer, floor)
   }

@@ -54,6 +54,7 @@ class GraftStreamSource extends StreamSourceProvider with DataSourceRegister {
   private case object StartEarliest extends StartMode
   private case object StartLatest extends StartMode
   private final case class StartVersion(v: Long) extends StartMode
+  private final case class StartTimestamp(epochMs: Long) extends StartMode
 
   private def admissionOptions(parameters: Map[String, String])
       : (Option[Int], StartMode) = {
@@ -70,9 +71,23 @@ class GraftStreamSource extends StreamSourceProvider with DataSourceRegister {
       require(v >= 1, s"graft-stream: startingVersion must be >= 1, got $v")
       require(!parameters.contains("startingOffset"),
         "graft-stream: startingOffset and startingVersion are mutually exclusive")
+      require(!parameters.contains("startingTimestamp"),
+        "graft-stream: startingTimestamp and startingVersion are mutually exclusive")
       StartVersion(v)
     }
-    val start = startVersion.getOrElse(
+    // wall-clock floor (Delta startingTimestamp): resolved to the
+    // smallest commit AT OR AFTER the instant at source creation;
+    // an instant past the newest commit arms the tail at the current
+    // end (a position for a tail, not an error)
+    val startTimestamp = parameters.get("startingTimestamp").map { raw =>
+      require(!parameters.contains("startingOffset"),
+        "graft-stream: startingOffset and startingTimestamp are mutually exclusive")
+      StartTimestamp(AtomicPublish.parseInstantMs(raw,
+        "graft-stream: startingTimestamp"))
+    }
+    require(startVersion.isEmpty || startTimestamp.isEmpty,
+      "graft-stream: startingVersion and startingTimestamp are mutually exclusive")
+    val start = startVersion.orElse(startTimestamp).getOrElse(
       parameters.getOrElse("startingOffset", "earliest") match {
         case "earliest" => StartEarliest
         case "latest" => StartLatest
@@ -116,6 +131,13 @@ class GraftStreamSource extends StreamSourceProvider with DataSourceRegister {
         AtomicPublish.currentSegments(spark, path).size.toLong
       case StartVersion(v) =>
         if (v == 1L) 0L
+        else AtomicPublish.segmentsAt(spark, path, v - 1).size.toLong
+      case StartTimestamp(ts) =>
+        val v = AtomicPublish.versionSince(spark, path, ts)
+        val latest = AtomicPublish.currentVersion(spark, path).getOrElse(0L)
+        if (v == 1L) 0L
+        else if (v > latest) // after the newest commit: future-only
+          AtomicPublish.currentSegments(spark, path).size.toLong
         else AtomicPublish.segmentsAt(spark, path, v - 1).size.toLong
     }
     new GraftAppendTail(spark, path,

@@ -75,23 +75,8 @@ class GraftTableSource extends ParquetDataSourceV2 {
     }
     // timestampAsOf: epoch millis or ISO-8601 instant/date-time,
     // resolved through the version log's commit clock (versionAt)
-    val timestampAsOf = Option(map.get("timestampAsOf")).map { raw =>
-      val s = raw.trim
-      s.toLongOption.getOrElse {
-        try java.time.Instant.parse(s).toEpochMilli
-        catch {
-          case _: java.time.format.DateTimeParseException =>
-            try java.time.LocalDateTime.parse(s.replace(' ', 'T'))
-              .atZone(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
-            catch {
-              case _: java.time.format.DateTimeParseException =>
-                throw new IllegalArgumentException(
-                  "graft source: timestampAsOf must be epoch millis or an " +
-                    s"ISO-8601 instant (UTC), got `$raw`")
-            }
-        }
-      }
-    }
+    val timestampAsOf = Option(map.get("timestampAsOf")).map(raw =>
+      AtomicPublish.parseInstantMs(raw, "graft source: timestampAsOf"))
     require(versionAsOf.isEmpty || timestampAsOf.isEmpty,
       "graft source: versionAsOf and timestampAsOf are mutually exclusive")
     val segs = (versionAsOf, timestampAsOf) match {

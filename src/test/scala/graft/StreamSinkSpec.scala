@@ -210,6 +210,61 @@ class StreamSinkSpec extends SparkSpec {
     assert(msgs(eBoth).exists(_.contains("mutually exclusive")), msgs(eBoth))
   }
 
+  test("startingTimestamp: wall-clock floors on both streaming sources") {
+    import spark.implicits._
+    import graft.ops.{AtomicPublish, MergeInto}
+    val table = graft.engine.Scratch.dir("spec_tail_startts")
+    def day(k: Int) = Seq((k.toLong, s"d$k")).toDF("k", "tag")
+    AtomicPublish.publish(spark, table)(p => day(0).write.parquet(p))
+    AtomicPublish.appendSegment(spark, table)(p => day(1).write.parquet(p))
+    Thread.sleep(1200) // outlast coarse filesystem mtime granularity
+    val cut = System.currentTimeMillis()
+    Thread.sleep(1200)
+    AtomicPublish.appendSegment(spark, table)(p => day(2).write.parquet(p))
+    AtomicPublish.appendSegment(spark, table)(p => day(3).write.parquet(p))
+    // the tail armed at `cut` serves only the commits after it
+    val got = scala.collection.concurrent.TrieMap.empty[Long, String]
+    val q = spark.readStream.format("graft-stream")
+      .option("path", table).option("startingTimestamp", cut.toString).load()
+      .writeStream
+      .option("checkpointLocation", Files.createTempDirectory("ts1").toString)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r => got.put(r.getLong(0), r.getString(1))); ()
+      }
+      .start()
+    q.processAllAvailable(); q.stop()
+    assert(got.keySet === Set(2L, 3L),
+      s"startingTimestamp must serve post-cut commits only: $got")
+    // cdf twin: upserts after the cut arrive typed; pre-cut history not
+    MergeInto.upsertInto(spark, table,
+      Seq((1L, "d1x")).toDF("k", "tag"), Seq("k"))
+    val changes = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+    val q2 = spark.readStream.format("graft-cdf")
+      .option("path", table).option("startingTimestamp", cut.toString).load()
+      .writeStream
+      .option("checkpointLocation", Files.createTempDirectory("ts2").toString)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r => changes.add((r.getLong(0), r.getString(2)))); ()
+      }
+      .start()
+    q2.processAllAvailable(); q2.stop()
+    import scala.jdk.CollectionConverters._
+    val byKey = changes.asScala.toSeq
+    assert(byKey.toSet === Set((2L, "insert"), (3L, "insert"),
+      (1L, "update_postimage")),
+      s"cdf startingTimestamp must serve post-cut changes only: $byKey")
+    // mutual exclusivity is loud on both sources
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    val eBoth = intercept[Exception] {
+      spark.readStream.format("graft-cdf")
+        .option("path", table).option("startingTimestamp", cut.toString)
+        .option("startingVersion", "2").load()
+        .writeStream.format("noop").start()
+    }
+    assert(msgs(eBoth).exists(_.contains("mutually exclusive")), msgs(eBoth))
+  }
+
   test("graft-cdf tail: commits arrive as typed changes; restart never re-reads") {
     import spark.implicits._
     import graft.ops.{AtomicPublish, MergeInto}
