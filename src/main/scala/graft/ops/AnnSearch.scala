@@ -436,6 +436,21 @@ object AnnSearch {
       .fit(sample.select(col("fv")))
   }
 
+  /** The memoized IVF quantizer shared by [[ivfTopK]] and the IVF×PQ
+    * composition ([[PqSearch.ivfPqShortlist]]) — one fit per
+    * (cacheKey, nlist, seed), so both paths route queries through
+    * bit-identical centroids. `base` must carry an `fv` vector column
+    * and an `id` column (the fit's sampling key). */
+  private[ops] def ivfModelFor(spark: SparkSession, base: DataFrame,
+                               nlist: Int, seed: Long,
+                               cacheKey: Option[String])
+      : org.apache.spark.ml.clustering.KMeansModel =
+    cacheKey match {
+      case Some(ck) => ivfModels.getOrElseUpdate(s"$ck:$nlist:$seed",
+        fitIvfModel(spark, base, nlist, seed))
+      case None => fitIvfModel(spark, base, nlist, seed)
+    }
+
   def ivfTopK(spark: SparkSession, emb: DataFrame, idCol: String, eCol: String,
               queryPred: Column, k: Int = 10, nlist: Int = 16,
               nprobe: Int = 4, seed: Long = 42L,

@@ -204,6 +204,59 @@ object PqSearch {
       .select(col("q_id"), col("srank"), col("id"), col("adist"))
   }
 
+  /** IVF×PQ composed shortlist — the two prunes stacked, each on its
+    * own axis: the IVF coarse quantizer restricts WHICH vectors are
+    * scored (a query's `nprobe` nearest cells of `nlist`, the same
+    * seeded k-means + probe expressions as [[AnnSearch.ivfTopK]] —
+    * bit-identical cell routing), and PQ restricts the BYTES per
+    * scored vector (ADC over the codes). Candidate count drops
+    * ~nprobe/nlist before a single distance evaluates; at 100 TB this
+    * is the IVFADC layout proper — the probed cells' CODE rows are the
+    * only thing a search reads. Recall compounds (a true neighbor must
+    * share a probed cell AND survive the ADC shortlist), so the graded
+    * gate re-measures the composition, not the parts. */
+  def ivfPqShortlist(spark: SparkSession, emb: DataFrame, idCol: String,
+                     eCol: String, queryPred: Column, model: PqModel,
+                     nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L,
+                     shortlist: Int = 100,
+                     cacheKey: Option[String] = None): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val base = emb.select(col(idCol).as("id"), col(eCol).as("e"))
+      .withColumn("fv", array_to_vector(col("e")))
+    val ivf = AnnSearch.ivfModelFor(spark, base, nlist, seed, cacheKey)
+    val centroids = ivf.clusterCenters.map(_.toArray)
+    val assigned = ivf.transform(base)
+      .select(col("id"), col("e"), col("cell"))
+    val coded = encode(assigned, "e", model)
+      .select(col("id"), col("cell"), col("codes"))
+    val qRaw = base.filter(queryPred)
+      .select(col("id").as("q_id"), col("e").as("qe"))
+    val probes = AnnSearch.probeCellsForQueries(qRaw, centroids, nprobe)
+    val qn = probes.withColumn("qn", normalized(col("qe")))
+    val qLuts = (0 until model.m).foldLeft(qn) { (d, j) =>
+      d.withColumn(s"__pq_l$j",
+        subDists(slice(col("qn"), j * model.dsub + 1, model.dsub), model, j))
+    }
+    val q = qLuts.withColumn("luts",
+        array((0 until model.m).map(j => col(s"__pq_l$j")): _*))
+      .select(col("q_id"), col("cell"), col("luts"))
+    // equi-join on cell replaces the flat variant's cross join: only
+    // the probed cells' code rows are scored
+    val scored = coded.join(broadcast(q), Seq("cell"))
+      .filter(col("id") =!= col("q_id"))
+      .withColumn("adist",
+        graft.engine.GraftFunctions.pqAdc(spark, col("codes"), col("luts")))
+    val wSalt = Window.partitionBy(pmod(col("id"), lit(64)), col("q_id"))
+      .orderBy(col("adist").asc, col("id"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adist").asc, col("id"))
+    scored.withColumn("prank", row_number().over(wSalt))
+      .filter(col("prank") <= shortlist)
+      .withColumn("srank", row_number().over(w))
+      .filter(col("srank") <= shortlist)
+      .select(col("q_id"), col("srank"), col("id"), col("adist"))
+  }
+
   /** Full PQ search: ADC shortlist → exact-cosine re-rank of the
     * shortlist only (full-precision vector reads ∝ shortlist × queries,
     * never the corpus). Output shape matches [[AnnSearch.bruteTopK]]. */

