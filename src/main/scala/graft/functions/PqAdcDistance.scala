@@ -19,8 +19,10 @@ import org.apache.spark.sql.types._
   * the codegen cosine it is supposed to beat, inverting PQ's whole
   * point. This expression is m array loads + adds fused into
   * whole-stage codegen; with m=16 it does ~12× less arithmetic than
-  * the 64-dim cosine. Out-of-range codes evaluate to NULL (loud in
-  * the ranking) rather than corrupting a distance.
+  * the 64-dim cosine. Out-of-range codes AND codes/luts arity
+  * mismatches (a corpus coded under a different m than the query's
+  * LUTs — i.e. the wrong model) evaluate to NULL (loud in the
+  * ranking) rather than corrupting a distance.
   */
 case class PqAdcDistance(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -43,7 +45,8 @@ case class PqAdcDistance(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val codes = a.asInstanceOf[ArrayData]
     val luts = b.asInstanceOf[ArrayData]
-    val m = math.min(codes.numElements(), luts.numElements())
+    val m = codes.numElements()
+    if (m != luts.numElements()) return null
     var s = 0.0
     var j = 0
     while (j < m) {
@@ -64,13 +67,17 @@ case class PqAdcDistance(left: Expression, right: Expression)
       val c = ctx.freshName("c")
       val lut = ctx.freshName("lut")
       s"""
-         |int $m = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $m = $a.numElements();
          |double $s = 0.0;
-         |for (int $j = 0; $j < $m; $j++) {
-         |  int $c = $a.getInt($j) - 1;
-         |  org.apache.spark.sql.catalyst.util.ArrayData $lut = $b.getArray($j);
-         |  if ($c < 0 || $c >= $lut.numElements()) { ${ev.isNull} = true; break; }
-         |  $s += $lut.getDouble($c);
+         |if ($m != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  for (int $j = 0; $j < $m; $j++) {
+         |    int $c = $a.getInt($j) - 1;
+         |    org.apache.spark.sql.catalyst.util.ArrayData $lut = $b.getArray($j);
+         |    if ($c < 0 || $c >= $lut.numElements()) { ${ev.isNull} = true; break; }
+         |    $s += $lut.getDouble($c);
+         |  }
          |}
          |${ev.value} = $s;
        """.stripMargin

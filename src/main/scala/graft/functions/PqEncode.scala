@@ -18,7 +18,11 @@ import org.apache.spark.sql.types._
   * in the PQ pipeline. Ties break to the FIRST minimum (strict <),
   * matching `array_position(d, array_min(d))` exactly — the staged
   * form and this expression are interchangeable bit-for-bit
-  * (spec-pinned). A vector whose length is not m×dsub yields NULL. */
+  * (spec-pinned). dsub is derived from the CODEBOOK (the fitted
+  * model's first centroid length), never from the input vector: a
+  * vector whose length is not exactly m×dsub — including a different
+  * multiple of m than the fitted dim — yields NULL rather than
+  * reading past centroid bounds and emitting garbage codes. */
 case class PqEncode(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -42,8 +46,9 @@ case class PqEncode(left: Expression, right: Expression)
     val vec = a.asInstanceOf[ArrayData]
     val books = b.asInstanceOf[ArrayData]
     val m = books.numElements()
-    if (m == 0 || vec.numElements() % m != 0) return null
-    val dsub = vec.numElements() / m
+    if (m == 0 || books.getArray(0).numElements() == 0) return null
+    val dsub = books.getArray(0).getArray(0).numElements()
+    if (vec.numElements() != m * dsub) return null
     val codes = new Array[Int](m)
     var j = 0
     while (j < m) {
@@ -84,10 +89,12 @@ case class PqEncode(left: Expression, right: Expression)
       val ad = "org.apache.spark.sql.catalyst.util.ArrayData"
       s"""
          |int $m = $books.numElements();
-         |if ($m == 0 || $vec.numElements() % $m != 0) {
+         |if ($m == 0 || $books.getArray(0).numElements() == 0
+         |    || $vec.numElements()
+         |       != $m * $books.getArray(0).getArray(0).numElements()) {
          |  ${ev.isNull} = true;
          |} else {
-         |  int $dsub = $vec.numElements() / $m;
+         |  int $dsub = $books.getArray(0).getArray(0).numElements();
          |  int[] $codes = new int[$m];
          |  for (int $j = 0; $j < $m; $j++) {
          |    $ad $book = $books.getArray($j);

@@ -188,7 +188,10 @@ object Expectations {
         AdmitStats(segmentRows(spark, tablePath, d), 0L)
       case "drop" | "quarantine" =>
         var rejected = 0L
-        if (mode == "quarantine") {
+        if (mode == "quarantine" && !bad.isEmpty) {
+          // clean batches skip the quarantine commit entirely —
+          // otherwise every clean append would grow the quarantine
+          // manifest (and pay its lock) ∝ clean traffic
           val qt = quarantinePath(tablePath)
           val qRoot = new org.apache.hadoop.fs.Path(qt)
           val qFs = qRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -202,7 +205,7 @@ object Expectations {
             else AtomicPublish.appendSegment(spark, qt)(p =>
               bad.write.parquet(p))
           rejected = segmentRows(spark, qt, qSeg)
-        } else {
+        } else if (mode == "drop") {
           rejected = bad.count()
         }
         val d = AtomicPublish.appendSegment(spark, tablePath)(p =>
@@ -243,7 +246,8 @@ object Expectations {
         AdmitStats(n, 0L)
       case "drop" | "quarantine" =>
         var rejected = 0L
-        if (mode == "quarantine") {
+        if (mode == "quarantine" && !bad.isEmpty) {
+          // clean batches skip the quarantine commit (see appendChecked)
           val qt = quarantinePath(tablePath)
           val qRoot = new org.apache.hadoop.fs.Path(qt)
           val qFs = qRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -253,7 +257,7 @@ object Expectations {
             else AtomicPublish.appendSegment(spark, qt)(p =>
               bad.write.parquet(p))
           rejected = segmentRows(spark, qt, qSeg)
-        } else rejected = bad.count()
+        } else if (mode == "drop") rejected = bad.count()
         val admitted = clean.count()
         if (admitted > 0) { MergeInto.upsertInto(spark, tablePath, clean, keys); () }
         AdmitStats(admitted, rejected)

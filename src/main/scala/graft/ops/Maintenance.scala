@@ -371,13 +371,18 @@ object AtomicPublish {
     val vd = new org.apache.hadoop.fs.Path(root, VersionsDir)
     if (fs.exists(vd)) {
       val vfiles = fs.listStatus(vd).filter(!_.isDirectory)
-      if (vfiles.nonEmpty) {
-        val latest = vfiles.map(_.getPath.getName).max
-        vfiles.filter(f => f.getPath.getName != latest &&
-            now - f.getModificationTime >= retentionMs)
-          .foreach(f =>
-            try { fs.delete(f.getPath, false); () }
-            catch { case _: java.io.IOException => () })
+      // fold markers (`NNNN.fold`) age out with their version entry;
+      // `latest` must be computed over NUMERIC names only, or a marker
+      // would lexicographically shadow the live manifest's entry
+      val numeric = vfiles.filter(_.getPath.getName.toLongOption.isDefined)
+      if (numeric.nonEmpty) {
+        val latest = numeric.map(_.getPath.getName).max
+        vfiles.filter { f =>
+          val base = f.getPath.getName.stripSuffix(FoldSuffix)
+          base != latest && now - f.getModificationTime >= retentionMs
+        }.foreach(f =>
+          try { fs.delete(f.getPath, false); () }
+          catch { case _: java.io.IOException => () })
       }
     }
   }
@@ -441,7 +446,8 @@ object AtomicPublish {
                            conf: org.apache.hadoop.conf.Configuration,
                            root: org.apache.hadoop.fs.Path,
                            content: String,
-                           fenceToken: String): Unit = {
+                           fenceToken: String,
+                           fold: Boolean = false): Unit = {
     val lockPath = new org.apache.hadoop.fs.Path(root, LockFile)
     if (!readLockToken(fs, lockPath).contains(fenceToken))
       throw new IllegalStateException(
@@ -481,9 +487,36 @@ object AtomicPublish {
       val next = latestVersionIn(fs, root).map(_._1).getOrElse(0L) + 1
       val out = fs.create(new org.apache.hadoop.fs.Path(vd, f"$next%012d"), true)
       try out.write(content.getBytes("UTF-8")) finally out.close()
+      // fold marker: declares this commit CONTENT-PRESERVING (a
+      // compaction/optimize rewrite — same logical rows, new bytes) so
+      // the change feed can diff THROUGH it instead of refusing. The
+      // non-numeric name is invisible to every version-number listing
+      // (they parse via toLongOption).
+      if (fold) {
+        val fo = fs.create(
+          new org.apache.hadoop.fs.Path(vd, f"$next%012d$FoldSuffix"), true)
+        fo.close()
+      }
     } catch {
       case _: java.io.IOException => () // log-only failure: see scaladoc
     }
+  }
+
+  /** Version-log sidecar suffix marking a commit as a content-preserving
+    * fold (compaction / clustering rewrite) — see [[swapManifest]]. */
+  private val FoldSuffix = ".fold"
+
+  /** Was `version` committed as a content-preserving FOLD (compaction /
+    * optimize rewrite)? Such a commit changes the segment list but not
+    * one logical row — [[changesBetween]] emits nothing for it and
+    * diffs straight through. */
+  def isFoldVersion(spark: SparkSession, tablePath: String,
+                    version: Long): Boolean = {
+    val root = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(new org.apache.hadoop.fs.Path(root,
+      new org.apache.hadoop.fs.Path(VersionsDir,
+        f"$version%012d$FoldSuffix").toString))
   }
 
   private def latestVersionIn(fs: org.apache.hadoop.fs.FileSystem,
@@ -960,7 +993,7 @@ object AtomicPublish {
           // must never forget an applied (appId, version) or a sink
           // replay after the fold would re-land its batch
           writeTxnMarks(fs, root, dataDir, txnMarks(fs, root, observed))
-          swapManifest(fs, conf, root, dataDir, token)
+          swapManifest(fs, conf, root, dataDir, token, fold = true)
           gcSuperseded(spark, fs, root, live = Set(dataDir))
           true
         } else false
@@ -1029,7 +1062,7 @@ object AtomicPublish {
               txnMarks(fs, root, observed))
             fs.delete(staging, true) // now-empty staging shell
             swapManifest(fs, conf, root,
-              names.map(_._2).mkString("\n"), token)
+              names.map(_._2).mkString("\n"), token, fold = true)
             gcSuperseded(spark, fs, root, live = names.map(_._2).toSet)
             true
           } else false
@@ -1403,32 +1436,59 @@ object AtomicPublish {
     * `timestampAsOf` resolution). The clock is the log file's
     * modification time, stamped by the filesystem at the swap — the
     * same clock the retention GC reaps by, so any timestamp this
-    * resolves is also still readable. Loud when the instant predates
-    * every retained commit (the bytes that would answer it are GC'd or
-    * were never committed) — never a silent clamp to the oldest
-    * version, which would quietly serve the WRONG snapshot. An instant
-    * AFTER the newest commit resolves to the newest (the table simply
-    * had that state then). */
+    * resolves is also still readable. Loud at BOTH ends — when the
+    * instant predates every retained commit (the bytes that would
+    * answer it are GC'd or were never committed) AND when it postdates
+    * the newest commit (Delta's read semantics: a typo'd future
+    * instant is an error, never silently current state). Neither end
+    * clamps, which would quietly serve the WRONG snapshot. The
+    * forward-lenient resolution lives only in [[versionSince]], where
+    * past-the-end is genuinely a stream position. */
   def versionAt(spark: SparkSession, tablePath: String,
                 epochMs: Long): Long = {
-    val root = new org.apache.hadoop.fs.Path(tablePath)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val vd = new org.apache.hadoop.fs.Path(root, VersionsDir)
-    if (!fs.exists(vd)) throw new IllegalStateException(
-      s"timestampAsOf: no version log at $tablePath")
-    val entries = fs.listStatus(vd).filter(!_.isDirectory)
-      .flatMap(f => f.getPath.getName.toLongOption
-        .map(v => v -> f.getModificationTime))
-      .sortBy(_._1).toSeq
-    if (entries.isEmpty) throw new IllegalStateException(
-      s"timestampAsOf: empty version log at $tablePath")
+    val entries = versionLogTimes(spark, tablePath, "timestampAsOf")
     val atOrBefore = entries.filter(_._2 <= epochMs)
     if (atOrBefore.isEmpty) throw new IllegalArgumentException(
       s"timestampAsOf: ${java.time.Instant.ofEpochMilli(epochMs)} predates " +
         s"the oldest retained commit of $tablePath " +
         s"(${java.time.Instant.ofEpochMilli(entries.head._2)}, version " +
         s"${entries.head._1}) — older state aged past $RetentionMsKey")
+    if (epochMs > entries.last._2) throw new IllegalArgumentException(
+      s"timestampAsOf: ${java.time.Instant.ofEpochMilli(epochMs)} is after " +
+        s"the newest commit of $tablePath " +
+        s"(${java.time.Instant.ofEpochMilli(entries.last._2)}, version " +
+        s"${entries.last._1}) — use versionAsOf ${entries.last._1} or a " +
+        s"plain read for current state")
     atOrBefore.map(_._1).max
+  }
+
+  /** The version log as a (version, commitMs) series, MONOTONIZED:
+    * commit times are file mtimes, and two commits inside one
+    * filesystem tick (or an NTP step between commits) can record
+    * non-increasing mtimes in version order, which would make
+    * timestamp resolution pick the wrong version. Adjusted exactly the
+    * way Delta's history manager adjusts commit timestamps before
+    * binary search: `ts_i = max(ts_i, ts_{i-1} + 1)`, so later
+    * versions always read as strictly later instants. */
+  private def versionLogTimes(spark: SparkSession, tablePath: String,
+                              what: String): Seq[(Long, Long)] = {
+    val root = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vd = new org.apache.hadoop.fs.Path(root, VersionsDir)
+    if (!fs.exists(vd)) throw new IllegalStateException(
+      s"$what: no version log at $tablePath")
+    val raw = fs.listStatus(vd).filter(!_.isDirectory)
+      .flatMap(f => f.getPath.getName.toLongOption
+        .map(v => v -> f.getModificationTime))
+      .sortBy(_._1).toSeq
+    if (raw.isEmpty) throw new IllegalStateException(
+      s"$what: empty version log at $tablePath")
+    var prev = Long.MinValue
+    raw.map { case (v, ts) =>
+      val adj = math.max(ts, if (prev == Long.MinValue) ts else prev + 1)
+      prev = adj
+      (v, adj)
+    }
   }
 
   /** [[readAt]] by wall-clock instant — see [[versionAt]]. SQL
@@ -1447,17 +1507,7 @@ object AtomicPublish {
     * not an error. */
   def versionSince(spark: SparkSession, tablePath: String,
                    epochMs: Long): Long = {
-    val root = new org.apache.hadoop.fs.Path(tablePath)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val vd = new org.apache.hadoop.fs.Path(root, VersionsDir)
-    if (!fs.exists(vd)) throw new IllegalStateException(
-      s"startingTimestamp: no version log at $tablePath")
-    val entries = fs.listStatus(vd).filter(!_.isDirectory)
-      .flatMap(f => f.getPath.getName.toLongOption
-        .map(v => v -> f.getModificationTime))
-      .sortBy(_._1).toSeq
-    if (entries.isEmpty) throw new IllegalStateException(
-      s"startingTimestamp: empty version log at $tablePath")
+    val entries = versionLogTimes(spark, tablePath, "startingTimestamp")
     entries.find(_._2 >= epochMs).map(_._1)
       .getOrElse(entries.last._1 + 1)
   }
@@ -1509,25 +1559,75 @@ object AtomicPublish {
     *    ([[readOver]]'s contract), so null-key upsert rows emit
     *    `insert`.
     *
-    * Scale shape: one KEY-PRUNED scan of the `fromVersion` snapshot
-    * (only when the window contains merge commits), the new segments
-    * themselves (∝ the changes), and one window shuffle over the event
-    * keys — never a full-width scan of the corpus. The feed is only
-    * derivable across append/merge commits: a compaction or republish
-    * inside the window rewrites history the log can no longer diff,
-    * and this fails LOUDLY rather than guessing. */
+    * Scale shape: one KEY-PRUNED scan of the run-start snapshot per
+    * fold-delimited run (only when that run contains merge commits),
+    * the new segments themselves (∝ the changes), and one window
+    * shuffle over the event keys — never a full-width scan of the
+    * corpus.
+    *
+    * COMPACTION inside the window is fine: a fold commit
+    * ([[compactMerged]], [[AtomicPublish.optimizeTable]], any
+    * [[AtomicPublish.casRewrite]] rewrite) is content-preserving —
+    * same logical rows, new bytes — and is declared so in the version
+    * log ([[isFoldVersion]]). The feed SPLITS the window at each fold:
+    * the fold itself emits zero change rows, and each run between
+    * folds diffs normally against the run-start snapshot (retention
+    * keeps pre-fold segment dirs readable for exactly this). So a
+    * lagging MV or CDC consumer survives `upsertInto`'s auto-fold
+    * instead of paying a full-corpus refresh. What still refuses
+    * LOUDLY: a RESTORE or republish inside the window (those CHANGE
+    * content in ways the log cannot express as row deltas) and a
+    * window whose pre-fold segments aged past the retention window
+    * ([[segmentsAt]] raises). */
   def changesBetween(spark: SparkSession, tablePath: String,
                      fromVersion: Long, toVersion: Long): DataFrame = {
     require(fromVersion < toVersion,
       s"changesBetween: need fromVersion < toVersion, got " +
         s"$fromVersion ≥ $toVersion")
-    val segsFrom = segmentsAt(spark, tablePath, fromVersion)
-    val segsTo = segmentsAt(spark, tablePath, toVersion)
+    // resolve every window version's segment list (metadata-only reads;
+    // segmentsAt is loud if any version or its data aged out)
+    val lists: Map[Long, Seq[String]] = (fromVersion to toVersion)
+      .map(v => v -> segmentsAt(spark, tablePath, v)).toMap
+    // a BREAK is a commit whose segment list does not extend its
+    // predecessor's — a fold (diff through) or a restore/republish
+    // (refuse)
+    val breaks = ((fromVersion + 1) to toVersion).filter { v =>
+      lists(v).take(lists(v - 1).length) != lists(v - 1)
+    }
+    val nonFold = breaks.filterNot(isFoldVersion(spark, tablePath, _))
+    require(nonFold.isEmpty,
+      s"changesBetween: version(s) ${nonFold.mkString(", ")} inside " +
+        s"$fromVersion → $toVersion of $tablePath rewrote history " +
+        "(restore or republish — not a content-preserving fold) — the " +
+        "change feed cannot express those as row deltas; diff snapshots " +
+        "via readAt instead")
+    if (breaks.isEmpty)
+      return changesCore(spark, tablePath, fromVersion, toVersion,
+        lists(fromVersion), lists(toVersion))
+    // split at the folds: each fold contributes zero rows and seeds the
+    // next run's snapshot (its content equals its predecessor's)
+    val starts = fromVersion +: breaks
+    val ends = breaks.map(_ - 1) :+ toVersion
+    val parts = starts.zip(ends).collect { case (s, e) if s < e =>
+      changesCore(spark, tablePath, s, e, lists(s), lists(e))
+    }
+    if (parts.nonEmpty) parts.reduce(_ unionByName _)
+    else // every commit in the window was a fold: zero changes, typed
+      readOver(spark, tablePath, lists(toVersion)).limit(0)
+        .withColumn("_change_type", lit("insert"))
+        .withColumn("_commit_version", lit(toVersion))
+  }
+
+  /** One fold-free run of [[changesBetween]] — requires (and asserts)
+    * that `segsTo` extends `segsFrom` segment-for-segment. */
+  private def changesCore(spark: SparkSession, tablePath: String,
+                          fromVersion: Long, toVersion: Long,
+                          segsFrom: Seq[String],
+                          segsTo: Seq[String]): DataFrame = {
     require(segsTo.take(segsFrom.length) == segsFrom,
-      s"changesBetween: versions $fromVersion → $toVersion of $tablePath " +
-        "span a compaction or republish (segment histories diverge) — the " +
-        "change feed is derivable only across append/merge commits; diff " +
-        "snapshots via readAt instead")
+      s"changesCore: versions $fromVersion → $toVersion of $tablePath " +
+        "diverge inside a fold-free run — changesBetween mis-split the " +
+        "window (bug)")
     val newSegs = segsTo.drop(segsFrom.length)
     require(newSegs.size == toVersion - fromVersion,
       s"changesBetween: $tablePath grew ${newSegs.size} segments across " +

@@ -35,13 +35,15 @@ import org.apache.spark.sql.functions._
   *     converges).
   *
   * Refresh cost is ∝ changes + (affected groups × their source rows) —
-  * never the corpus. The feed refuses windows that span a compaction /
-  * republish / restore ([[AtomicPublish.changesBetween]]'s contract);
-  * [[refresh]] surfaces that loudly and [[fullRefresh]] re-bases.
-  * Operational corollary: refresh at least once per source FOLD window
-  * (the source auto-compacts at [[MergeInto.CompactAfterKey]] pending
-  * segments, erasing the diffable history) — a view refreshed more
-  * rarely than the source folds pays a fullRefresh instead.
+  * never the corpus. Source COMPACTIONS inside the un-refreshed window
+  * are fine: fold commits are content-preserving and declared in the
+  * version log, so [[AtomicPublish.changesBetween]] diffs straight
+  * through them — a view lagging arbitrarily many auto-folds still
+  * refreshes ∝ changes, as long as the lag stays inside the source's
+  * RETENTION window (pre-fold segments stay readable exactly that
+  * long). Only a source restore/republish (content rewrites) or a lag
+  * past retention still refuses; [[refresh]] surfaces that loudly and
+  * [[fullRefresh]] re-bases.
   *
   * Determinism contract: agg expressions must be deterministic and
   * insensitive to recompute (count/min/max/decimal-cast sums — the

@@ -681,9 +681,13 @@ object AggQueries extends QueryGroup {
     // that keep their group, updates that MOVE rows between groups
     // (preimage group must also refresh — resolved via a key-pruned
     // snapshot scan), inserts into existing groups, new keys, and
-    // row-level deletes; then ONE refresh, and the VIEW is hashed
-    // against a from-scratch SQL aggregate of the final state — any
-    // stale, doubled, or orphaned group diverges it.
+    // row-level deletes — AND (round 16) a COMPACTION between the
+    // merge and the delete, so the refresh window SPANS a fold: the
+    // feed diffs through it via the version log's fold marker instead
+    // of forcing a full-corpus fullRefresh (round 15's weak mark).
+    // Then ONE refresh, and the VIEW is hashed against a from-scratch
+    // SQL aggregate of the final state — any stale, doubled, or
+    // orphaned group diverges it.
     GQuery("mv_incremental",
       (s, dir) => {
         import s.implicits._
@@ -706,9 +710,16 @@ object AggQueries extends QueryGroup {
           .withColumn("c_custkey", $"c_custkey" + 5000000000L)
         MergeInto.upsertInto(s, src,
           updates.unionByName(movers).unionByName(inserts), Seq("c_custkey"))
+        // fold mid-window: content-preserving, so the oracle is
+        // unchanged — but the un-refreshed view must now diff THROUGH
+        // this commit (pre-round-16: loud refusal → fullRefresh)
+        MergeInto.compactMerged(s, src)
         MergeInto.deleteFrom(s, src,
           cust.filter($"c_custkey" % 13 === 5), Seq("c_custkey"))
-        MaterializedView.refresh(s, mv)
+        val st = MaterializedView.refresh(s, mv)
+        // window = upsert + fold + delete (3 commits), one refresh
+        require(st.fromVersion + 3 == st.toVersion && st.affectedGroups > 0,
+          s"mv_incremental must refresh across the fold window: $st")
         MaterializedView.read(s, mv)
           .select($"c_nationkey", $"n_cust", $"sum_bal")
           .orderBy($"c_nationkey")

@@ -29,9 +29,12 @@ import graft.ops.AtomicPublish
   * plain tail's maxSegmentsPerBatch).
   *
   * Contract and cost, documented honestly:
-  *  - the window of each batch must be APPEND/MERGE commits only — a
-  *    compaction or republish inside it rewrites history the log can
-  *    no longer diff, and the batch fails LOUDLY (changesBetween's
+  *  - COMPACTIONS inside a batch window are fine: fold commits are
+  *    content-preserving and declared in the version log, so
+  *    changesBetween diffs through them (they emit zero change rows)
+  *    — a consumer lagging across auto-folds keeps streaming as long
+  *    as it stays inside the retention window. A RESTORE or republish
+  *    (content rewrites) still fails the batch LOUDLY (changesBetween's
   *    guard) naming the remedy; restart with a fresh checkpoint to
   *    re-baseline on the rewritten table.
   *  - a batch containing merge commits pays the classification scan:

@@ -150,5 +150,15 @@ class ExpectationsSpec extends SparkSpec {
     assert(st2 === Expectations.AdmitStats(1L, 1L))
     assert(AtomicPublish.read(spark,
       Expectations.quarantinePath(table)).count() === 5L)
+    // a fully-CLEAN batch commits NOTHING to the quarantine — no empty
+    // segment, no version bump; clean traffic must not grow the
+    // quarantine manifest or pay its lock
+    val qv = AtomicPublish.currentVersion(
+      spark, Expectations.quarantinePath(table))
+    val st3 = Expectations.appendChecked(spark, table,
+      Seq((10L, "clean")).toDF("x", "name"), mode = "quarantine")
+    assert(st3 === Expectations.AdmitStats(1L, 0L))
+    assert(AtomicPublish.currentVersion(
+      spark, Expectations.quarantinePath(table)) === qv)
   }
 }

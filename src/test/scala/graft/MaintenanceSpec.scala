@@ -865,9 +865,16 @@ class MaintenanceSpec extends SparkSpec {
     assert(AtomicPublish.versionAt(spark, table, between) === v1)
     assert(AtomicPublish.readAsOfTimestamp(spark, table, between)
       .head.getString(1) === "a")
-    // an instant after the newest commit resolves to the newest
+    // an instant after the newest commit: loud for reads (Delta
+    // semantics — a typo'd future instant must not silently serve
+    // current state); the lenient past-the-end resolution lives only
+    // in versionSince, where it is a stream position
     val now = System.currentTimeMillis() + 5000
-    assert(AtomicPublish.versionAt(spark, table, now) === v1 + 1)
+    val eNew = intercept[IllegalArgumentException] {
+      AtomicPublish.versionAt(spark, table, now)
+    }
+    assert(eNew.getMessage.contains("after the newest commit"), eNew.getMessage)
+    assert(AtomicPublish.versionSince(spark, table, now) === v1 + 2)
     // SQL surface (epoch millis form)
     spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW ts_travel
                   USING graft OPTIONS (path '$table', timestampAsOf '$between')""")
@@ -916,10 +923,14 @@ class MaintenanceSpec extends SparkSpec {
     assert(rows(AtomicPublish.read(spark, table)) ===
       Seq(1L -> "a", 3L -> "c"))
     // the change feed refuses to diff across the restore discontinuity
+    // (a restore CHANGES content — unlike a fold, it is not declared
+    // content-preserving, so the feed must not guess)
     val eCdf = intercept[IllegalArgumentException] {
       AtomicPublish.changesBetween(spark, table, vMerged, vRestored).collect()
     }
-    assert(eCdf.getMessage.contains("compaction or republish"), eCdf.getMessage)
+    assert(eCdf.getMessage.contains("restore or republish"), eCdf.getMessage)
+    assert(!AtomicPublish.isFoldVersion(spark, table, vRestored),
+      "a restore commit must NOT carry a fold marker")
   }
 
   test("restore revives a tombstoned directory with a fresh retention clock") {
@@ -1187,13 +1198,50 @@ class MaintenanceSpec extends SparkSpec {
       s"append-only feed must not scan/join the snapshot:\n$plan")
     assert(feed.collect().map(r => (r.getLong(0),
       r.getAs[String]("_change_type"))).toSeq === Seq((2L, "insert")))
-    // compaction inside the window rewrites history: loud, never a guess
+    // compaction inside the window is a FOLD — content-preserving,
+    // declared in the version log — and the feed diffs THROUGH it:
+    // the fold itself emits zero rows, the real commits around it keep
+    // their classifications and versions
     MergeInto.upsertInto(spark, table, Seq((1L, "a2")).toDF("k", "v"), Seq("k"))
+    val vUp = AtomicPublish.currentVersion(spark, table).get
     MergeInto.compactMerged(spark, table)
-    val vNow = AtomicPublish.currentVersion(spark, table).get
-    val e = intercept[IllegalArgumentException] {
-      AtomicPublish.changesBetween(spark, table, v1, vNow)
-    }
-    assert(e.getMessage.contains("compaction or republish"), e.getMessage)
+    val vFold = AtomicPublish.currentVersion(spark, table).get
+    assert(vFold === vUp + 1)
+    assert(AtomicPublish.isFoldVersion(spark, table, vFold),
+      "compactMerged must declare its commit a fold")
+    def typed(from: Long, to: Long) =
+      AtomicPublish.changesBetween(spark, table, from, to).collect()
+        .map(r => (r.getLong(0), Option(r.getAs[String]("v")),
+          r.getAs[String]("_change_type"), r.getAs[Long]("_commit_version")))
+        .sortBy(t => (t._4, t._1)).toSeq
+    assert(typed(v1, vFold) === Seq(
+      (2L, Some("b"), "insert", v2),
+      (1L, Some("a2"), "update_postimage", vUp)), s"got ${typed(v1, vFold)}")
+    // a window holding ONLY the fold: zero changes, correctly typed
+    val onlyFold = AtomicPublish.changesBetween(spark, table, vUp, vFold)
+    assert(onlyFold.count() === 0L)
+    assert(onlyFold.schema.fieldNames.toSeq ===
+      Seq("k", "v", "_change_type", "_commit_version"))
+    // commits AFTER the fold join the same feed (pre-fold + fold +
+    // post-fold in one window) and replaying it converges on the
+    // current snapshot — the lagging-consumer contract
+    MergeInto.deleteFrom(spark, table, Seq(2L).toDF("k"), Seq("k"))
+    val vDel = AtomicPublish.currentVersion(spark, table).get
+    assert(typed(v1, vDel) === Seq(
+      (2L, Some("b"), "insert", v2),
+      (1L, Some("a2"), "update_postimage", vUp),
+      (2L, None, "delete", vDel)), s"got ${typed(v1, vDel)}")
+    val replayed = typed(v1, vDel).foldLeft(
+      AtomicPublish.readAt(spark, table, v1).collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toVector) {
+      case (acc, (k, v, "insert", _)) => acc :+ (k -> v)
+      case (acc, (k, v, "update_postimage", _)) =>
+        acc.filterNot(_._1 == k) :+ (k -> v)
+      case (acc, (k, _, "delete", _)) => acc.filterNot(_._1 == k)
+      case (acc, _) => acc
+    }.sortBy(_._1)
+    val now = AtomicPublish.read(spark, table).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toVector.sortBy(_._1)
+    assert(replayed === now, s"through-fold replay diverged: $replayed vs $now")
   }
 }

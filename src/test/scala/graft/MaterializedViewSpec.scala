@@ -53,6 +53,35 @@ class MaterializedViewSpec extends SparkSpec {
       st.toVersion, st.toVersion, 0L, 0L, 0L))
   }
 
+  test("refresh ACROSS a source fold stays incremental and converges") {
+    import spark.implicits._
+    val src = graft.engine.Scratch.dir("spec_mv_src_fold")
+    val mv = graft.engine.Scratch.dir("spec_mv_view_fold")
+    AtomicPublish.publish(spark, src)(p =>
+      Seq((1L, "a", 10.0), (2L, "b", 20.0))
+        .toDF("k", "g", "x").write.parquet(p))
+    MaterializedView.create(spark, mv, src,
+      keys = Seq("k"), groupCols = Seq("g"), aggs = aggs)
+    // the view now LAGS: merge, COMPACT (auto-fold surrogate), merge
+    // again — round-15 behavior forced a full-corpus fullRefresh here
+    MergeInto.upsertInto(spark, src,
+      Seq((1L, "a", 11.0), (3L, "c", 30.0)).toDF("k", "g", "x"), Seq("k"))
+    assert(MergeInto.compactMerged(spark, src)
+      .isInstanceOf[AtomicPublish.CompactOutcome.Compacted])
+    MergeInto.upsertInto(spark, src,
+      Seq((2L, "d", 21.0)).toDF("k", "g", "x"), Seq("k"))
+    val st = MaterializedView.refresh(spark, mv)
+    // affected: a (update), c (insert), b (departure), d (arrival)
+    assert(st.affectedGroups === 4L, st.toString)
+    assert(mvRows(mv) === Map("a" -> (1L, 11.0), "c" -> (1L, 30.0),
+      "d" -> (1L, 21.0)), "b moved to d entirely; a updated in place")
+    // incremental across the fold == from-scratch
+    val scratch = graft.engine.Scratch.dir("spec_mv_full_fold")
+    MaterializedView.create(spark, scratch, src,
+      keys = Seq("k"), groupCols = Seq("g"), aggs = aggs)
+    assert(mvRows(scratch) === mvRows(mv))
+  }
+
   test("restore behind the view is loud; fullRefresh re-bases") {
     import spark.implicits._
     val src = graft.engine.Scratch.dir("spec_mv_src2")
@@ -71,7 +100,7 @@ class MaterializedViewSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException] {
       MaterializedView.refresh(spark, mv)
     }
-    assert(e.getMessage.contains("compaction or republish"), e.getMessage)
+    assert(e.getMessage.contains("restore or republish"), e.getMessage)
     MaterializedView.fullRefresh(spark, mv)
     assert(mvRows(mv) === Map("a" -> (1L, 1.0), "z" -> (1L, 9.0)))
     // and the view is incrementally maintainable again from the new base

@@ -37,6 +37,28 @@ class PqSearchSpec extends SparkSpec {
     assert(nat === staged, "native and staged encoders must agree bit-for-bit")
   }
 
+  test("dimension/arity mismatches yield NULL, never garbage") {
+    import spark.implicits._
+    import graft.engine.GraftFunctions
+    // dim 12 against an m=2, dsub=4 codebook: 12 IS a multiple of m
+    // (the old vec-derived dsub=6 would then read past each dim-4
+    // centroid) but 12 != m*dsub — must be NULL, in BOTH eval paths
+    val books = Seq.fill(2)(Seq.fill(3)(Seq.fill(4)(0.5)))
+    val df = Seq((Seq.fill(12)(1.0), books)).toDF("v", "b")
+    val enc = GraftFunctions.pqEncode(spark, col("v"), col("b")).as("codes")
+    assert(df.select(enc).head.isNullAt(0),
+      "vec length != m*dsub (codebook-derived) must be NULL")
+    // matching shape (8 = 2×4) still encodes
+    val ok = Seq((Seq.fill(8)(1.0), books)).toDF("v", "b").select(enc)
+    assert(!ok.head.isNullAt(0))
+    // ADC: codes/luts arity mismatch is NULL, not a truncated sum
+    val adc = Seq((Seq(1, 1, 1), Seq(Seq(1.0), Seq(2.0))))
+      .toDF("codes", "luts")
+      .select(GraftFunctions.pqAdc(spark, col("codes"), col("luts")).as("d"))
+    assert(adc.head.isNullAt(0),
+      "codes/luts arity mismatch must be NULL, never a partial distance")
+  }
+
   test("IVF×PQ composition: shortlist stays inside probed cells, recall holds") {
     import spark.implicits._
     import graft.ops.AnnSearch
