@@ -366,6 +366,54 @@ object SourceQueries extends QueryGroup {
                 ${graft.engine.Det.sql.dsum("c_acctbal")} AS sum_bal
               FROM merged GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
 
+    // NAME-RESOLVED CATALOG (round 16): the TableCatalog plugin
+    // (graft.sources.GraftCatalog) binds `graft_cat.db.table` in plain
+    // SQL text — CREATE NAMESPACE, SELECT by name, and the
+    // SQL-STANDARD `VERSION AS OF` clause (the catalog door for time
+    // travel; the path door spells it OPTIONS(versionAsOf)) — all
+    // resolving warehouse/db/table directories through the SAME DSv2
+    // the path door uses, so pruning/pushdown/write-refusal carry
+    // over. The key publishes v1 (90% of customers), appends v2 (the
+    // rest), then one SQL statement joins the CURRENT name against
+    // its own `VERSION AS OF 1` to label each row's presence at v1 —
+    // if name resolution read the wrong path, or VERSION AS OF
+    // silently served the current state, n_v1 diverges and the hash
+    // fails. Catalog metadata ops are directory ops — zero cost in
+    // rows at any scale. CatalogSpec pins DDL, SHOW TABLES, welded
+    // writes, TIMESTAMP AS OF, drop/rename.
+    GQuery("catalog_table_sql",
+      (s, dir) => {
+        import s.implicits._
+        val wh = scratch("cat_wh")
+        s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_cat.warehouse", wh)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+        // reset: bench reruns share the JVM-scoped scratch, and the
+        // graded SQL names version 1 literally
+        val t = s"$wh/db/customer_cat"
+        val tp = new org.apache.hadoop.fs.Path(t)
+        val fs = tp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(tp)) fs.delete(tp, true)
+        val cust = Tables(s, dir, "customer")
+        graft.ops.AtomicPublish.publish(s, t)(p =>
+          cust.filter($"c_custkey" % 10 =!= 3).write.parquet(p))   // v1
+        graft.ops.AtomicPublish.appendSegment(s, t)(p =>
+          cust.filter($"c_custkey" % 10 === 3).write.parquet(p))   // v2
+        s.sql(s"""SELECT t.c_mktsegment, COUNT(*) AS n_cust,
+                  COUNT(v1.c_custkey) AS n_v1,
+                  ${graft.engine.Det.sql.dsum("c_acctbal")} AS sum_bal
+                  FROM graft_cat.db.customer_cat t
+                  LEFT JOIN (SELECT c_custkey
+                             FROM graft_cat.db.customer_cat VERSION AS OF 1) v1
+                    USING (c_custkey)
+                  GROUP BY t.c_mktsegment ORDER BY t.c_mktsegment""")
+      },
+      Some(s"""SELECT c_mktsegment, COUNT(*) AS n_cust,
+              CAST(SUM(CASE WHEN c_custkey % 10 <> 3 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_v1,
+              ${graft.engine.Det.sql.dsum("c_acctbal")} AS sum_bal
+              FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
     // TIME TRAVEL (round 15): every manifest swap logs its segment list
     // to a version log; `versionAsOf` on the graft source resolves any
     // version the retention window still holds. The key publishes a
