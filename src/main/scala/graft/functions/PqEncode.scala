@@ -87,11 +87,16 @@ case class PqEncode(left: Expression, right: Expression)
       val d = ctx.freshName("d")
       val diff = ctx.freshName("diff")
       val ad = "org.apache.spark.sql.catalyst.util.ArrayData"
+      val bad = ctx.freshName("badShape")
+      // one complete Java statement per line: Spark's code-splitting
+      // reformatter can drop a leading `||` continuation token when it
+      // extracts this block into a method (janino then fails and the
+      // expression silently falls back to interpreted eval)
       s"""
          |int $m = $books.numElements();
-         |if ($m == 0 || $books.getArray(0).numElements() == 0
-         |    || $vec.numElements()
-         |       != $m * $books.getArray(0).getArray(0).numElements()) {
+         |boolean $bad = ($m == 0) || ($books.getArray(0).numElements() == 0);
+         |if (!$bad) { $bad = $vec.numElements() != $m * $books.getArray(0).getArray(0).numElements(); }
+         |if ($bad) {
          |  ${ev.isNull} = true;
          |} else {
          |  int $dsub = $books.getArray(0).getArray(0).numElements();

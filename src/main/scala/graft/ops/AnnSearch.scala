@@ -536,4 +536,27 @@ object AnnSearch {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("id").as("neighbor_id"), col("sim"))
   }
+
+  /** [[bruteTopK]] with DISTINCT corpus and query frames — the truth
+    * oracle an INDEXED search needs when the searchable set differs
+    * from the query source (a day-cycle index holds corpus ∪ appended
+    * days; its exact truth must rank over exactly that set, never over
+    * the other queries). Same salted two-stage ranking, same total
+    * tie-break. `corpus` / `queries` carry (idCol, eCol). */
+  def bruteTopKAgainst(spark: SparkSession, corpus: DataFrame,
+                       queries: DataFrame, idCol: String, eCol: String,
+                       k: Int = 10): DataFrame = {
+    val base = corpus.select(col(idCol).as("id"), col(eCol).as("e"))
+    val q = queries.select(col(idCol).as("q_id"), col(eCol).as("qe"))
+    val sim = base.crossJoin(broadcast(q)).filter(col("id") =!= col("q_id"))
+      .withColumn("sim", GraftFunctions.cosineSim(spark, col("qe"), col("e")))
+    val wSalt = Window.partitionBy(pmod(col("id"), lit(64)), col("q_id"))
+      .orderBy(col("sim").desc, col("id"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("id"))
+    sim.withColumn("prank", row_number().over(wSalt))
+      .filter(col("prank") <= k)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("id").as("neighbor_id"), col("sim"))
+  }
 }

@@ -197,6 +197,15 @@ object DedupIndex {
           spark.read.parquet(s"${segs.head}/model")
             .coalesce(1).write.parquet(s"$staging/model")
           writeMeta(spark, staging, carried)
+        case "pq" =>
+          // the coded table has no range layout to restore — the ADC
+          // scan is sequential over ALL codes; the collapse just
+          // removes per-day footer overhead
+          spark.read.parquet(segs.map(s => s"$s/codes"): _*)
+            .write.parquet(s"$staging/codes")
+          spark.read.parquet(s"${segs.head}/model")
+            .coalesce(1).write.parquet(s"$staging/model")
+          writeMeta(spark, staging, carried)
         case other => throw new IllegalStateException(
           s"compactIndex: unknown index kind `$other` at $tablePath")
       }
@@ -238,6 +247,11 @@ object DedupIndex {
       case "semantic" | "ivf" =>
         spark.read.parquet(segmentPaths(spark, tablePath).map(p => s"$p/assign"): _*)
           .createOrReplaceTempView(s"${prefix}_assign")
+        spark.read.parquet(s"${dataPathOf(spark, tablePath)}/model")
+          .createOrReplaceTempView(s"${prefix}_model")
+      case "pq" =>
+        spark.read.parquet(segmentPaths(spark, tablePath).map(p => s"$p/codes"): _*)
+          .createOrReplaceTempView(s"${prefix}_codes")
         spark.read.parquet(s"${dataPathOf(spark, tablePath)}/model")
           .createOrReplaceTempView(s"${prefix}_model")
       case other => throw new IllegalStateException(
@@ -668,6 +682,109 @@ object DedupIndex {
       assigned.write.parquet(s"$pth/assign"))
     maybeCompact(spark, tablePath)
     seg
+  }
+
+  // ----------------------------------------------------------------- pq
+
+  /** Publish (or reuse) a persisted PQ index — the encode-at-ingest
+    * deployment shape [[PqSearch]]'s scaladoc promises: the corpus is
+    * encoded ONCE into `(id, codes)` rows (m small ints per row, a
+    * 15-26× byte reduction of the vectors) under seeded per-subspace
+    * codebooks, both published through the manifest protocol. Every
+    * later query session scans codes only — no refit, no re-encode, no
+    * full-vector reads on the shortlist path. Layout: `codes/` per
+    * segment, `model/` (j, c, centroid) with the base. */
+  def ensurePqIndex(spark: SparkSession, tablePath: String,
+                    corpus: DataFrame, sourcePath: String, spec: String,
+                    idCol: String, eCol: String,
+                    m: Int = 16, k: Int = 32, seed: Long = 42L): String = {
+    val stamp = sourceStamp(spark, sourcePath)
+    val identity = Seq(
+      "kind" -> "pq", "m" -> m.toString, "k" -> k.toString,
+      "seed" -> seed.toString, "idCol" -> idCol, "eCol" -> eCol,
+      "spec" -> spec, "sourcePath" -> sourcePath, "stamp" -> stamp)
+    if (!isFresh(spark, tablePath, identity)) {
+      val base = corpus.select(col(idCol).as("id"),
+        col(eCol).cast("array<double>").as("e"))
+      val model = PqSearch.fit(spark, base, "id", "e", m, k, seed)
+      val coded = PqSearch.encode(base, "e", model)
+        .select(col("id"), col("codes"))
+      import spark.implicits._
+      val books = for {
+        j <- model.codebooks.indices
+        c <- model.codebooks(j).indices
+      } yield (j, c, model.codebooks(j)(c).toSeq)
+      val booksDf = books.toDF("j", "c", "centroid")
+      AtomicPublish.publish(spark, tablePath) { dataPath =>
+        coded.write.parquet(s"$dataPath/codes")
+        booksDf.coalesce(1).write.parquet(s"$dataPath/model")
+        writeMeta(spark, dataPath,
+          identity :+ ("dsub" -> model.dsub.toString))
+      }
+    }
+    dataPathOf(spark, tablePath)
+  }
+
+  /** Load the published codebooks — bit-exact (doubles round-trip
+    * parquet exactly), so encoding under the loaded model is identical
+    * to encoding under the fitted one (DedupIndexSpec pins it). */
+  def loadPqModel(spark: SparkSession, tablePath: String): PqSearch.PqModel = {
+    val meta = readMeta(spark, tablePath).getOrElse(
+      throw new IllegalStateException(s"no published pq index at $tablePath"))
+    require(meta.get("kind").contains("pq"),
+      s"index at $tablePath is kind=${meta.get("kind")}, expected pq")
+    val m = meta("m").toInt; val k = meta("k").toInt
+    val dsub = meta("dsub").toInt
+    val rows = spark.read.parquet(s"${dataPathOf(spark, tablePath)}/model")
+      .orderBy(col("j"), col("c")).collect()
+    require(rows.length == m * k,
+      s"pq model at $tablePath has ${rows.length} centroids, want ${m * k}")
+    val books = Array.ofDim[Array[Double]](m, k)
+    rows.foreach { r =>
+      books(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
+    }
+    PqSearch.PqModel(m, dsub, k, books)
+  }
+
+  /** APPEND a day's vectors to a published PQ index — the write half
+    * of the coded family's daily cycle: the batch is encoded under the
+    * EXISTING published codebooks (no refit, no corpus re-encode — the
+    * codebooks are the index's stable coordinate system) and lands as
+    * a new manifest segment. Bytes ∝ the batch; the day-ops probe
+    * grades append ≪ re-encode. */
+  def appendToPqIndex(spark: SparkSession, tablePath: String,
+                      newVecs: DataFrame): String = {
+    val meta = readMeta(spark, tablePath).getOrElse(
+      throw new IllegalStateException(s"no published pq index at $tablePath"))
+    require(meta.get("kind").contains("pq"),
+      s"index at $tablePath is kind=${meta.get("kind")}, expected pq")
+    val model = loadPqModel(spark, tablePath)
+    val idCol = meta("idCol"); val eCol = meta("eCol")
+    val coded = PqSearch.encode(
+      newVecs.select(col(idCol).as("id"),
+        col(eCol).cast("array<double>").as("e")), "e", model)
+      .select(col("id"), col("codes"))
+    val seg = AtomicPublish.appendSegment(spark, tablePath)(pth =>
+      coded.write.parquet(s"$pth/codes"))
+    maybeCompact(spark, tablePath)
+    seg
+  }
+
+  /** ADC shortlist against a published PQ index — NO corpus argument,
+    * NO refit, NO encode pass: the codebooks load from the manifest
+    * version, queries stage their LUTs, and the scan touches every
+    * segment's CODES only ([[PqSearch.pqShortlistCoded]] — the same
+    * scoring expressions as the recompute twin, so outputs are
+    * identical under the same model). */
+  def pqShortlistIndexed(spark: SparkSession, tablePath: String,
+                         queries: DataFrame, idCol: String, eCol: String,
+                         shortlist: Int = 100): DataFrame = {
+    val model = loadPqModel(spark, tablePath)
+    val coded = spark.read.parquet(
+      segmentPaths(spark, tablePath).map(p => s"$p/codes"): _*)
+    PqSearch.pqShortlistCoded(spark, coded,
+      queries.select(col(idCol).as("q_id"), col(eCol).as("qe")),
+      model, shortlist)
   }
 
   /** DAILY incremental semantic pairs against a published index — NO

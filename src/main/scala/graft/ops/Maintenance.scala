@@ -1017,7 +1017,30 @@ object AtomicPublish {
   private[ops] def casRewriteMulti(spark: SparkSession, tablePath: String,
                                    maxAttempts: Int, minSegments: Int)
                                   (write: (Seq[String], String) => Unit)
-      : CompactOutcome = {
+      : CompactOutcome =
+    casRewriteMultiSelect(spark, tablePath, maxAttempts, minSegments,
+      select = obs => (obs, Nil), onCommit = (_, _, _) => ())(write)
+
+  /** [[casRewriteMulti]] generalized to PARTIAL rewrites: per attempt,
+    * `select(observed)` splits the observed segment list into
+    * (rewrite, keep) — only the rewrite set feeds `write`, the keep
+    * set stays in place untouched (same dirs, same sidecars) and the
+    * committed manifest is keep ++ staged outputs. An empty rewrite
+    * set returns AlreadyCompact. `onCommit(fs, root, newManifest)`
+    * runs INSIDE the lock window after the staged renames and before
+    * the swap — the hook cluster metadata needs to stay atomic with
+    * the manifest (a crash in between leaves the OLD manifest live and
+    * the hook's output naming not-yet-live segments, which readers of
+    * the metadata must treat as invalid). This is what INCREMENTAL
+    * OPTIMIZE rides: rewrite cost ∝ the affected segments, never the
+    * corpus. */
+  private[ops] def casRewriteMultiSelect(
+      spark: SparkSession, tablePath: String,
+      maxAttempts: Int, minSegments: Int,
+      select: Seq[String] => (Seq[String], Seq[String]),
+      onCommit: (org.apache.hadoop.fs.FileSystem,
+                 org.apache.hadoop.fs.Path, Seq[String]) => Unit)
+      (write: (Seq[String], String) => Unit): CompactOutcome = {
     require(maxAttempts >= 1, s"maxAttempts must be >= 1: $maxAttempts")
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(tablePath)
@@ -1028,9 +1051,15 @@ object AtomicPublish {
       attempt += 1
       val observed = currentSegments(spark, tablePath)
       if (observed.size < minSegments) return CompactOutcome.AlreadyCompact
+      val (rewrite, keep) = select(observed)
+      require(rewrite.forall(observed.contains) && keep.forall(observed.contains)
+        && (rewrite ++ keep).toSet.size == observed.size,
+        s"casRewriteMultiSelect: select must PARTITION the observed list " +
+          s"(observed=$observed rewrite=$rewrite keep=$keep)")
+      if (rewrite.isEmpty) return CompactOutcome.AlreadyCompact
       val stamp = s"${System.currentTimeMillis()}-${counter.incrementAndGet()}"
       val staging = new org.apache.hadoop.fs.Path(root, s".compact-$stamp")
-      try write(observed.map(d => s"$tablePath/$d"),
+      try write(rewrite.map(d => s"$tablePath/$d"),
         fs.makeQualified(staging).toString)
       catch { case t: Throwable => fs.delete(staging, true); throw t }
       val stagedSegs = fs.listStatus(staging).filter(_.isDirectory)
@@ -1056,14 +1085,17 @@ object AtomicPublish {
               ZoneMaps.write(fs, root, dataDir, zones)
               BloomMaps.write(fs, root, dataDir, blooms)
             }
-            // exactly-once carry-forward (see casRewrite): all folded
-            // txn marks land on the FIRST output segment's sidecar
+            // exactly-once carry-forward (see casRewrite): the folded
+            // (rewritten) segments' txn marks land on the FIRST output
+            // segment's sidecar; kept segments keep their own
             writeTxnMarks(fs, root, names.head._2,
-              txnMarks(fs, root, observed))
+              txnMarks(fs, root, rewrite))
             fs.delete(staging, true) // now-empty staging shell
-            swapManifest(fs, conf, root,
-              names.map(_._2).mkString("\n"), token, fold = true)
-            gcSuperseded(spark, fs, root, live = names.map(_._2).toSet)
+            val manifest = keep ++ names.map(_._2)
+            onCommit(fs, root, manifest)
+            swapManifest(fs, conf, root, manifest.mkString("\n"), token,
+              fold = true)
+            gcSuperseded(spark, fs, root, live = manifest.toSet)
             true
           } else false
         }
@@ -1106,39 +1138,236 @@ object AtomicPublish {
     * segments. */
   def optimizeTable(spark: SparkSession, tablePath: String,
                     clusterBy: Seq[String], segments: Int,
-                    maxAttempts: Int = 3): CompactOutcome = {
+                    maxAttempts: Int = 3,
+                    onlyNew: Boolean = false): CompactOutcome = {
     require(clusterBy.nonEmpty, "optimizeTable: empty clusterBy")
     require(segments >= 2,
       s"optimizeTable: need >= 2 output segments for pruning, got $segments")
-    import org.apache.spark.sql.functions.col
-    casRewriteMulti(spark, tablePath, maxAttempts, minSegments = 1) {
+    if (onlyNew) return optimizeNewSegments(spark, tablePath, clusterBy,
+      segments, maxAttempts)
+    casRewriteMultiSelect(spark, tablePath, maxAttempts, minSegments = 1,
+      select = obs => (obs, Nil),
+      onCommit = (fs, root, manifest) =>
+        writeClusterMeta(fs, root, clusterBy, manifest)) {
       (paths, staging) =>
-        val dirs = paths.map(p => p.substring(p.lastIndexOf('/') + 1))
-        val df = readOver(spark, tablePath, dirs)
-        val cols = clusterBy.map(col)
-        df.repartitionByRange(segments, cols: _*)
-          .sortWithinPartitions(cols: _*)
-          .write.parquet(s"$staging/flat")
-        // each range partition wrote its own part-<partitionId> file(s):
-        // regroup them into one seg-<partitionId> directory apiece —
-        // driver-side renames, metadata-only. Empty ranges wrote no
-        // file and yield no segment.
-        val flatPath = new org.apache.hadoop.fs.Path(staging, "flat")
-        val fs = flatPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val partRe = "part-(\\d+)-.*".r
-        fs.listStatus(flatPath).filter(!_.isDirectory).foreach { f =>
-          f.getPath.getName match {
-            case partRe(idx) =>
-              val seg = new org.apache.hadoop.fs.Path(staging, s"seg-$idx")
-              fs.mkdirs(seg)
-              require(fs.rename(f.getPath,
-                new org.apache.hadoop.fs.Path(seg, f.getPath.getName)),
-                s"optimizeTable: file regroup rename failed for ${f.getPath}")
-            case _ => () // _SUCCESS and friends stay behind in flat/
-          }
-        }
-        fs.delete(flatPath, true)
+        clusterRewrite(spark, tablePath, paths, staging, clusterBy, segments)
     }
+  }
+
+  /** The clustering rewrite body shared by full and incremental
+    * OPTIMIZE: reconcile the input segments, range-partition into
+    * `nOut` sorted buckets, and regroup each range's files into a
+    * `seg-<i>` staging subdirectory ([[casRewriteMulti]]'s contract). */
+  private def clusterRewrite(spark: SparkSession, tablePath: String,
+                             paths: Seq[String], staging: String,
+                             clusterBy: Seq[String], nOut: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    val dirs = paths.map(p => p.substring(p.lastIndexOf('/') + 1))
+    val df = readOver(spark, tablePath, dirs)
+    val cols = clusterBy.map(col)
+    df.repartitionByRange(nOut, cols: _*)
+      .sortWithinPartitions(cols: _*)
+      .write.parquet(s"$staging/flat")
+    // each range partition wrote its own part-<partitionId> file(s):
+    // regroup them into one seg-<partitionId> directory apiece —
+    // driver-side renames, metadata-only. Empty ranges wrote no
+    // file and yield no segment.
+    val flatPath = new org.apache.hadoop.fs.Path(staging, "flat")
+    val fs = flatPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val partRe = "part-(\\d+)-.*".r
+    fs.listStatus(flatPath).filter(!_.isDirectory).foreach { f =>
+      f.getPath.getName match {
+        case partRe(idx) =>
+          val seg = new org.apache.hadoop.fs.Path(staging, s"seg-$idx")
+          fs.mkdirs(seg)
+          require(fs.rename(f.getPath,
+            new org.apache.hadoop.fs.Path(seg, f.getPath.getName)),
+            s"optimizeTable: file regroup rename failed for ${f.getPath}")
+        case _ => () // _SUCCESS and friends stay behind in flat/
+      }
+    }
+    fs.delete(flatPath, true)
+  }
+
+  /** INCREMENTAL OPTIMIZE (`optimizeTable(onlyNew = true)`): fold ONLY
+    * the segments committed since the last clustering into the
+    * existing range-disjoint layout, rewriting the few clustered
+    * segments the new data actually touches and keeping the rest in
+    * place — cost ∝ new data + affected ranges, never the corpus. On a
+    * 100 TB table with daily appends this is the difference between a
+    * nightly corpus rewrite and a nightly fold of one day's bytes.
+    *
+    * Mechanics: [[optimizeTable]] records its output layout in a
+    * `_graft_cluster` sidecar (cluster columns + clustered segment
+    * list, written atomically with the manifest). Incremental runs
+    * split the current manifest into that clustered base + NEW
+    * segments, then mark a clustered segment AFFECTED when (a) its
+    * cluster-column zone overlaps a new data segment's (the new rows
+    * belong inside its range), or (b) a new MERGE segment's key-column
+    * zones overlap its key zones (its rows may be claimed/deleted —
+    * upserts and tombstones FOLD here, exactly like compactMerged, so
+    * the output is reconciled and sidecar-free). Zone evidence is
+    * conservative: missing zones mean affected. The rewrite
+    * re-range-partitions (affected ∪ new) at the existing layout's
+    * output granularity (bytes/segment of the kept base); unaffected
+    * segments keep their directories, sidecars, and txn marks
+    * untouched, and the commit is the usual optimistic CAS + fold
+    * marker. Tables with no valid cluster sidecar (never optimized,
+    * folded flat, restored) degrade to the FULL clustering rewrite. */
+  private def optimizeNewSegments(spark: SparkSession, tablePath: String,
+                                  clusterBy: Seq[String], segments: Int,
+                                  maxAttempts: Int): CompactOutcome = {
+    val root = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // select→write handoff: the output granularity is derived from the
+    // KEPT layout chosen by select in the same attempt
+    var nOut = segments
+    casRewriteMultiSelect(spark, tablePath, maxAttempts, minSegments = 1,
+      select = { observed =>
+        clusterMeta(spark, tablePath) match {
+          case Some((cols, clustered))
+              if cols.map(_.toLowerCase) == clusterBy.map(_.toLowerCase) &&
+                clustered.nonEmpty && clustered.forall(observed.contains) =>
+            val clusteredSet = clustered.toSet
+            val newSegs = observed.filterNot(clusteredSet)
+            if (newSegs.isEmpty) (Nil, observed)
+            else {
+              val affected = affectedClusteredSegments(spark, tablePath,
+                clustered, newSegs, clusterBy)
+              var rewrite = observed.filter(d =>
+                affected(d) || !clusteredSet(d))
+              // a delete-only batch must still fold against ≥1 data
+              // segment (readOver refuses an all-tombstone list)
+              val side = mergeSidecarsFor(spark, tablePath, rewrite)
+              if (rewrite.forall(d => side.get(d).exists(_._1 == "delete")))
+                rewrite = observed.filter(d =>
+                  d == clustered.head || rewrite.contains(d))
+              val keep = observed.filterNot(rewrite.toSet)
+              // granularity of the existing layout: avg bytes of the
+              // clustered base (fallback: the full-optimize target)
+              val clusteredBytes = clustered.map(segmentBytes(fs, root, _))
+              val avg = if (clusteredBytes.nonEmpty)
+                clusteredBytes.sum / clusteredBytes.length else 0L
+              val rewriteBytes = rewrite.map(segmentBytes(fs, root, _)).sum
+              nOut = if (avg > 0)
+                math.max(1, math.ceil(rewriteBytes.toDouble / avg).toInt)
+              else segments
+              (rewrite, keep)
+            }
+          case _ =>
+            nOut = segments
+            (observed, Nil) // no valid layout metadata: full rewrite
+        }
+      },
+      onCommit = (fsc, rootc, manifest) =>
+        writeClusterMeta(fsc, rootc, clusterBy, manifest)) {
+      (paths, staging) =>
+        clusterRewrite(spark, tablePath, paths, staging, clusterBy, nOut)
+    }
+  }
+
+  /** Clustered segments a batch of new segments TOUCHES: cluster-range
+    * overlap for data rows, key-range overlap for merge claims —
+    * zone-evidence based, conservative on absence. Multi-column
+    * clusterBy tests the FIRST column (lexicographic layout: the
+    * leading column dominates range placement — conservative for the
+    * rest). */
+  private def affectedClusteredSegments(spark: SparkSession,
+                                        tablePath: String,
+                                        clustered: Seq[String],
+                                        newSegs: Seq[String],
+                                        clusterBy: Seq[String]): Set[String] = {
+    val root = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val zonesOf = (clustered ++ newSegs).map(d =>
+      d -> ZoneMaps.read(fs, root, d)).toMap
+    val side = mergeSidecarsFor(spark, tablePath, newSegs)
+    val cCol = clusterBy.head.toLowerCase
+    def cmpZ(tag: String, a: String, b: String): Int =
+      if (tag == "string") a.compareTo(b)
+      else BigDecimal(a).compare(BigDecimal(b))
+    def overlap(a: Option[ZoneMaps.ColZone],
+                b: Option[ZoneMaps.ColZone]): Boolean = (a, b) match {
+      case (Some(x), Some(y)) if x.tag == y.tag =>
+        (x.min, x.max, y.min, y.max) match {
+          case (Some(xm), Some(xM), Some(ym), Some(yM)) =>
+            cmpZ(x.tag, xm, yM) <= 0 && cmpZ(x.tag, ym, xM) <= 0
+          // bound-less zone = zero rows or all-NULL: no comparable
+          // rows to place, and all-NULL merge keys never claim
+          case _ => false
+        }
+      case _ => true // missing zone evidence → conservatively affected
+    }
+    clustered.filter { old =>
+      val oz = zonesOf(old)
+      newSegs.exists { n =>
+        val nz = zonesOf(n)
+        val isDelete = side.get(n).exists(_._1 == "delete")
+        // tombstones carry keys only — range placement doesn't apply
+        val rangeHit = !isDelete && overlap(oz.get(cCol), nz.get(cCol))
+        val claimHit = side.get(n).exists { case (_, keys) =>
+          keys.forall(k => overlap(oz.get(k.toLowerCase),
+            nz.get(k.toLowerCase)))
+        }
+        rangeHit || claimHit
+      }
+    }.toSet
+  }
+
+  /** Bytes of a segment's parquet leaves (layout-granularity math). */
+  private def segmentBytes(fs: org.apache.hadoop.fs.FileSystem,
+                           root: org.apache.hadoop.fs.Path,
+                           d: String): Long =
+    fs.listStatus(new org.apache.hadoop.fs.Path(root, d))
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+
+  /** Cluster-layout sidecar (`_graft_cluster`): the columns and the
+    * segment list of the last OPTIMIZE commit, written inside its lock
+    * window. Readers must validate the segment list against the
+    * CURRENT manifest — a fold/restore/republish that bypassed
+    * optimize leaves the sidecar stale, which [[optimizeTable]]'s
+    * incremental path treats as "no layout" (full rewrite). */
+  val ClusterFile = "_graft_cluster"
+
+  private def writeClusterMeta(fs: org.apache.hadoop.fs.FileSystem,
+                               root: org.apache.hadoop.fs.Path,
+                               cols: Seq[String],
+                               segs: Seq[String]): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(root, ClusterFile), true)
+    try out.write((s"cols\t${cols.mkString(",")}" +:
+      segs.map(s => s"seg\t$s")).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The recorded cluster layout, if any: (cluster columns, clustered
+    * segment dirs). No validation against the live manifest here —
+    * callers own that (the sidecar may be stale; see [[ClusterFile]]). */
+  def clusterMeta(spark: SparkSession, tablePath: String)
+      : Option[(Seq[String], Seq[String])] = {
+    val root = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(root, ClusterFile)
+    if (!fs.exists(p)) None
+    else try {
+      val in = fs.open(p)
+      val text =
+        try {
+          val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+          in.readFully(bytes)
+          new String(bytes, "UTF-8")
+        } finally in.close()
+      var cols = Seq.empty[String]
+      val segs = scala.collection.mutable.ArrayBuffer.empty[String]
+      text.linesIterator.filter(_.nonEmpty).foreach { line =>
+        line.split("\t", 2) match {
+          case Array("cols", c) => cols = c.split(",").map(_.trim).toSeq
+          case Array("seg", s) => segs += s.trim
+          case _ => return None // torn sidecar: treat as no layout
+        }
+      }
+      if (cols.nonEmpty && segs.nonEmpty) Some((cols, segs.toSeq)) else None
+    } catch { case _: java.io.IOException => None }
   }
 
   /** The full segment list the manifest currently names (empty when
@@ -1289,13 +1518,25 @@ object AtomicPublish {
             c.equalsIgnoreCase(claimCol)),
           s"readOver: table at $tablePath uses reserved column name " +
             s"$ordCol/$claimCol")
+      // segment ordinal from the scan's _metadata.file_path — a
+      // DETERMINISTIC projection (unlike input_file_name, whose
+      // nondeterminism blocked ALL filter pushdown through this
+      // project, silently disabling predicate pushdown and zonemap
+      // skipping on every merge-pending read). Dir names are unique
+      // (timestamp+counter), so the parent-dir substring identifies
+      // the segment; a file outside every known segment fails LOUDLY
+      // instead of silently mis-reconciling.
+      def ordFromPath(over: Seq[String]) = over.foldRight(
+        raise_error(concat(lit(s"readOver: file outside known segments of " +
+          s"$tablePath: "), col("_metadata.file_path"))).cast("int")) {
+        (d, acc) =>
+          when(col("_metadata.file_path").contains(s"/$d/"), lit(segOrd(d)))
+            .otherwise(acc)
+      }
       val delClaims: Option[DataFrame] =
         if (delSegs.isEmpty) None
-        else Some(delSegs.map { d =>
-          spark.read.parquet(s"$tablePath/$d")
-            .select(keys.map(col): _*)
-            .withColumn(ordCol, lit(segOrd(d)))
-        }.reduce(_ unionByName _))
+        else Some(prunedSegmentScan(spark, tablePath, delSegs)
+          .select(keys.map(col) :+ ordFromPath(delSegs).as(ordCol): _*))
       def reconcile(tagged: DataFrame, canon: Seq[String]): DataFrame = {
         val upOrds = dataSegs.collect {
           case d if side.contains(d) => segOrd(d)
@@ -1324,19 +1565,15 @@ object AtomicPublish {
       val fieldsPerSeg = dataSegs.map(d =>
         segmentFieldNames(spark, s"$tablePath/$d"))
       if (fieldsPerSeg.nonEmpty && fieldsPerSeg.forall(_ == fieldsPerSeg.head)) {
-        val all = spark.read.parquet(dataSegs.map(d => s"$tablePath/$d"): _*)
+        // zonemap/bloom-aware scan: a pushed predicate skips whole DATA
+        // segments even while merges are pending (the claims join only
+        // ever REMOVES rows, so dropping rows the predicate already
+        // excludes is safe; claim segments prune only through KEY
+        // predicates, which push through the claims aggregation)
+        val all = prunedSegmentScan(spark, tablePath, dataSegs)
         val canon = all.schema.fieldNames.toSeq
         checkReserved(canon)
-        // dir names are unique (timestamp+counter), so the parent-dir
-        // substring identifies the segment; a file outside every known
-        // segment fails LOUDLY instead of silently mis-reconciling
-        val ordExpr = dataSegs.foldRight(
-          raise_error(concat(lit(s"readOver: file outside known segments of " +
-            s"$tablePath: "), input_file_name())).cast("int")) { (d, acc) =>
-          when(input_file_name().contains(s"/$d/"), lit(segOrd(d)))
-            .otherwise(acc)
-        }
-        reconcile(all.withColumn(ordCol, ordExpr), canon)
+        reconcile(all.withColumn(ordCol, ordFromPath(dataSegs)), canon)
       } else {
         // evolved segments: per-segment reads union'd BY NAME with null
         // backfill; column order is first-appearance (base order, then
@@ -1352,6 +1589,42 @@ object AtomicPublish {
           .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
         reconcile(tagged, canon)
       }
+    }
+  }
+
+  /** Multi-segment parquet scan whose file index consults the
+    * segments' zonemap/bloom sidecars against the query's PUSHED data
+    * filters (the same [[graft.sources.GraftZonePruningFileIndex]] the
+    * DSv2 door uses — the V1 FileSourceScanExec hands dataFilters to
+    * `listFiles` the same way). This is what makes data skipping work
+    * UNDER PENDING MERGES: the DSv2 source refuses unreconciled
+    * tables, so without this, a point lookup on an actively-merged
+    * table scanned every segment until a fold landed. Falls back to a
+    * plain parquet read when no segment carries a sidecar (identical
+    * plan to pre-round-16). */
+  private def prunedSegmentScan(spark: SparkSession, tablePath: String,
+                                segs: Seq[String]): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val zones = segs.flatMap { d =>
+      val z = ZoneMaps.read(fs, root, d)
+      if (z.isEmpty) None else Some(d -> z)
+    }.toMap
+    val blooms = segs.flatMap { d =>
+      val b = BloomMaps.read(fs, root, d)
+      if (b.isEmpty) None else Some(d -> b)
+    }.toMap
+    val paths = segs.map(d => s"$tablePath/$d")
+    if (zones.isEmpty && blooms.isEmpty) spark.read.parquet(paths: _*)
+    else {
+      // schema from ONE segment's resolution — the caller guarantees
+      // schema uniformity across `segs` (fast-path precondition)
+      val dataSchema = spark.read.parquet(paths.head).schema
+      val idx = new graft.sources.GraftZonePruningFileIndex(spark,
+        paths.map(new org.apache.hadoop.fs.Path(_)), Map.empty, None,
+        zones, blooms)
+      org.apache.spark.sql.graftbridge.GraftSqlBridge
+        .parquetDataFrame(spark, idx, dataSchema)
     }
   }
 
@@ -1890,13 +2163,7 @@ object MergeInto {
         AtomicPublish.appendUpsertSegment(spark, tablePath, keys) { p =>
           source.write.parquet(p)
         }
-        val foldAt = spark.conf.getOption(CompactAfterKey)
-          .map(_.toInt).getOrElse(CompactAfterDefault)
-        if (foldAt > 0 &&
-            AtomicPublish.currentSegments(spark, tablePath).size >= foldAt) {
-          compactMerged(spark, tablePath) // best-effort; LostRace = next merge retries
-          ()
-        }
+        maybeAutoFold(spark, tablePath)
       case "cow" =>
         val outcome = AtomicPublish.casRewrite(spark, tablePath,
           maxAttempts = 5, minSegments = 1) { (paths, staging) =>
@@ -1946,15 +2213,7 @@ object MergeInto {
     val applied = AtomicPublish.appendUpsertSegmentTxn(
       spark, tablePath, keys, appId, version)(p => source.write.parquet(p))
       .isDefined
-    if (applied) {
-      val foldAt = spark.conf.getOption(CompactAfterKey)
-        .map(_.toInt).getOrElse(CompactAfterDefault)
-      if (foldAt > 0 &&
-          AtomicPublish.currentSegments(spark, tablePath).size >= foldAt) {
-        compactMerged(spark, tablePath) // best-effort; LostRace = next merge retries
-        ()
-      }
-    }
+    if (applied) maybeAutoFold(spark, tablePath)
     applied
   }
 
@@ -1987,13 +2246,7 @@ object MergeInto {
         AtomicPublish.appendDeleteSegment(spark, tablePath, keys) { p =>
           tombstones.write.parquet(p)
         }
-        val foldAt = spark.conf.getOption(CompactAfterKey)
-          .map(_.toInt).getOrElse(CompactAfterDefault)
-        if (foldAt > 0 &&
-            AtomicPublish.currentSegments(spark, tablePath).size >= foldAt) {
-          compactMerged(spark, tablePath) // best-effort; LostRace = next merge retries
-          ()
-        }
+        maybeAutoFold(spark, tablePath)
       case "cow" =>
         val outcome = AtomicPublish.casRewrite(spark, tablePath,
           maxAttempts = 5, minSegments = 1) { (paths, staging) =>
@@ -2064,19 +2317,58 @@ object MergeInto {
     }
   }
 
-  /** FOLD a merge-on-read table: rewrite the reconciled view
-    * ([[AtomicPublish.readOver]]) as one fresh base segment under the
-    * optimistic CAS — the LSM compaction that keeps read-time
-    * reconciliation bounded. Zero lock tenure during the rewrite;
-    * a LostRace leaves the table untouched (the next merge or an
-    * explicit retry folds it). */
-  def compactMerged(spark: SparkSession, tablePath: String,
-                    maxAttempts: Int = 3): AtomicPublish.CompactOutcome =
-    AtomicPublish.casRewrite(spark, tablePath, maxAttempts,
-      minSegments = 2) { (paths, staging) =>
-      val dirs = paths.map(p => p.substring(p.lastIndexOf('/') + 1))
-      AtomicPublish.readOver(spark, tablePath, dirs).write.parquet(staging)
+  /** The merge paths' auto-fold trigger: fires [[compactMerged]] when
+    * the PENDING merge-on-read segment count (upsert + delete
+    * sidecars) reaches [[CompactAfterKey]]. Pending segments — not
+    * total segments — are what read-time reconciliation pays for; the
+    * pre-round-16 total-count trigger folded a 16-segment CLUSTERED
+    * table on its very first merge, flattening the optimize layout and
+    * re-paying the corpus per merge. Best-effort by design: a
+    * LostRace just defers to the next merge. */
+  private def maybeAutoFold(spark: SparkSession, tablePath: String): Unit = {
+    val foldAt = spark.conf.getOption(CompactAfterKey)
+      .map(_.toInt).getOrElse(CompactAfterDefault)
+    if (foldAt > 0) {
+      val segs = AtomicPublish.currentSegments(spark, tablePath)
+      if (AtomicPublish.upsertSidecarsFor(spark, tablePath, segs).size
+          >= foldAt) {
+        compactMerged(spark, tablePath)
+        ()
+      }
     }
+  }
+
+  /** FOLD a merge-on-read table — the LSM compaction that keeps
+    * read-time reconciliation bounded. Zero lock tenure during the
+    * rewrite; a LostRace leaves the table untouched (the next merge or
+    * an explicit retry folds it).
+    *
+    * LAYOUT-PRESERVING: a table whose manifest still carries a valid
+    * OPTIMIZE layout ([[AtomicPublish.clusterMeta]]) folds its new
+    * segments INTO that range layout
+    * (`optimizeTable(onlyNew = true)` — cost ∝ new data + affected
+    * ranges, clustering preserved); only unclustered tables flatten to
+    * one arrival-ordered base segment (the pre-round-16 behavior).
+    * Without this, every auto-fold UNDID the clustering a user paid a
+    * corpus shuffle for, and the next range query re-scanned
+    * everything. */
+  def compactMerged(spark: SparkSession, tablePath: String,
+                    maxAttempts: Int = 3): AtomicPublish.CompactOutcome = {
+    val observed = AtomicPublish.currentSegments(spark, tablePath)
+    AtomicPublish.clusterMeta(spark, tablePath) match {
+      case Some((cols, clustered))
+          if clustered.nonEmpty && clustered.forall(observed.contains) =>
+        AtomicPublish.optimizeTable(spark, tablePath, cols,
+          segments = math.max(2, clustered.size), maxAttempts,
+          onlyNew = true)
+      case _ =>
+        AtomicPublish.casRewrite(spark, tablePath, maxAttempts,
+          minSegments = 2) { (paths, staging) =>
+          val dirs = paths.map(p => p.substring(p.lastIndexOf('/') + 1))
+          AtomicPublish.readOver(spark, tablePath, dirs).write.parquet(staging)
+        }
+    }
+  }
 }
 
 object Compact {

@@ -9,8 +9,12 @@ import org.apache.spark.sql.functions._
   * cost a corpus scan per refresh when the day's changes touched a
   * handful of groups.
   *
-  * A view is `SELECT groupCols, aggs FROM source GROUP BY groupCols`,
-  * materialized as its own published table keyed by `groupCols`.
+  * A view is `SELECT groupCols, aggs FROM source [JOIN dims] GROUP BY
+  * groupCols`, materialized as its own published table keyed by
+  * `groupCols`. STAR SCHEMAS (round 16): [[JoinSpec]] dims broadcast-
+  * join the fact before grouping, so group columns may live on a dim;
+  * the incremental contract covers FACT changes (dims are snapshot
+  * inputs — a dim edit needs [[fullRefresh]]).
   * [[create]] pays the one full compute; [[refresh]] then advances the
   * view across the source's commits using the CHANGE DATA FEED
   * ([[AtomicPublish.changesBetween]]) with PARTIAL RECOMPUTE:
@@ -70,9 +74,23 @@ object MaterializedView {
       s"agg spec must be single-line, tab-free: $name = $expr")
   }
 
+  /** One star-schema DIMENSION join: the fact source inner-joins the
+    * published table at `dimPath` on `keys` (broadcast — dims are the
+    * small side by definition) before grouping. Dims are SNAPSHOT
+    * inputs pinned at each refresh: the incremental contract covers
+    * FACT changes (the CDF window); a dim edit invalidates unaffected
+    * groups too and needs [[fullRefresh]] — the standard star-MV
+    * maintenance boundary. */
+  final case class JoinSpec(dimPath: String, keys: Seq[String]) {
+    require(dimPath.nonEmpty && !dimPath.contains("\t") &&
+      keys.nonEmpty && keys.forall(k => !k.contains("\t") && !k.contains(",")),
+      s"join spec must be tab-free with non-empty keys: $dimPath $keys")
+  }
+
   final case class MvMeta(sourceTable: String, keys: Seq[String],
                           groupCols: Seq[String], aggs: Seq[AggSpec],
-                          sourceVersion: Long)
+                          sourceVersion: Long,
+                          joins: Seq[JoinSpec] = Nil)
 
   final case class RefreshStats(fromVersion: Long, toVersion: Long,
                                 affectedGroups: Long, recomputedRows: Long,
@@ -85,7 +103,7 @@ object MaterializedView {
     * preimage groups. */
   def create(spark: SparkSession, mvPath: String, sourceTable: String,
              keys: Seq[String], groupCols: Seq[String],
-             aggs: Seq[AggSpec]): Unit = {
+             aggs: Seq[AggSpec], joins: Seq[JoinSpec] = Nil): Unit = {
     require(groupCols.nonEmpty, "materialized view: empty groupCols")
     require(aggs.nonEmpty, "materialized view: empty agg list")
     require(keys.nonEmpty, "materialized view: empty source key list")
@@ -96,12 +114,22 @@ object MaterializedView {
       throw new IllegalStateException(
         s"materialized view: source $sourceTable has no version log — " +
           "publish it through AtomicPublish first"))
-    val snapshot = computeGroups(AtomicPublish.readAt(spark, sourceTable, v),
+    val snapshot = computeGroups(
+      withDims(spark, AtomicPublish.readAt(spark, sourceTable, v), joins),
       groupCols, aggs)
     refuseNullGroups(snapshot, groupCols, "create")
     AtomicPublish.publish(spark, mvPath)(p => snapshot.write.parquet(p))
-    writeMeta(spark, mvPath, MvMeta(sourceTable, keys, groupCols, aggs, v))
+    writeMeta(spark, mvPath,
+      MvMeta(sourceTable, keys, groupCols, aggs, v, joins))
   }
+
+  /** Broadcast-join the fact frame with every dimension (inner, FK
+    * equality). Dims read their CURRENT published version — they are
+    * snapshot inputs of the computation they appear in. */
+  private def withDims(spark: SparkSession, fact: DataFrame,
+                       joins: Seq[JoinSpec]): DataFrame =
+    joins.foldLeft(fact)((df, j) =>
+      df.join(broadcast(AtomicPublish.read(spark, j.dimPath)), j.keys))
 
   /** NULL group values are REFUSED loudly: the view's rows are merged
     * by group key, and the merge protocol's SQL-join semantics never
@@ -140,8 +168,11 @@ object MaterializedView {
     val gCols = meta.groupCols.map(col)
     val changes = AtomicPublish.changesBetween(spark, meta.sourceTable,
       meta.sourceVersion, toV)
-    // groups of the POST-images (inserts + update landing sides)
-    val postGroups = changes.filter(col("_change_type") =!= "delete")
+    // groups of the POST-images (inserts + update landing sides) —
+    // group columns may live on a DIM side, so the changes join the
+    // dims (broadcast) before projecting
+    val postGroups = withDims(spark,
+        changes.filter(col("_change_type") =!= "delete"), meta.joins)
       .select(gCols: _*).distinct()
     // groups the changed KEYS belonged to at fromVersion (update
     // departure sides + delete victims): one key-pruned snapshot scan,
@@ -161,12 +192,13 @@ object MaterializedView {
     val changedKeyRows =
       if (meta.keys.size == 1) changedKeys.limit(inListMax0 + 1).collect()
       else Array.empty[org.apache.spark.sql.Row]
-    val preGroups =
-      (if (meta.keys.size == 1 && changedKeyRows.length <= inListMax0) {
+    val preGroups = withDims(spark,
+      if (meta.keys.size == 1 && changedKeyRows.length <= inListMax0) {
         if (changedKeyRows.isEmpty) fromSnapshot.limit(0)
         else fromSnapshot.filter(col(meta.keys.head)
           .isin(changedKeyRows.map(_.get(0)).toIndexedSeq: _*))
-      } else fromSnapshot.join(broadcast(changedKeys), meta.keys, "left_semi"))
+      } else fromSnapshot.join(broadcast(changedKeys), meta.keys, "left_semi"),
+      meta.joins)
       .select(gCols: _*).distinct()
     val affected = postGroups.unionByName(preGroups).distinct().cache()
     try {
@@ -176,7 +208,10 @@ object MaterializedView {
         { writeMeta(spark, mvPath, meta.copy(sourceVersion = toV))
           return RefreshStats(meta.sourceVersion, toV, 0L, 0L, 0L) }
       // recompute ONLY the affected groups from the current source
-      val source = AtomicPublish.readAt(spark, meta.sourceTable, toV)
+      // (dims joined first — a dim-derived group filter pushes to the
+      // broadcast build side; the fact side still scans its slice)
+      val source = withDims(spark,
+        AtomicPublish.readAt(spark, meta.sourceTable, toV), meta.joins)
       val inListMax = spark.conf.getOption(InListMaxKey)
         .map(_.toInt).getOrElse(InListMaxDefault)
       val sourceSlice =
@@ -218,7 +253,8 @@ object MaterializedView {
       throw new IllegalStateException(
         s"materialized view: source ${meta.sourceTable} lost its version log"))
     val snapshot = computeGroups(
-      AtomicPublish.readAt(spark, meta.sourceTable, toV),
+      withDims(spark, AtomicPublish.readAt(spark, meta.sourceTable, toV),
+        meta.joins),
       meta.groupCols, meta.aggs)
     AtomicPublish.publish(spark, mvPath)(p => snapshot.write.parquet(p))
     val n = read(spark, mvPath).count()
@@ -244,7 +280,8 @@ object MaterializedView {
         s"keys\t${meta.keys.mkString(",")}",
         s"groups\t${meta.groupCols.mkString(",")}",
         s"version\t${meta.sourceVersion}") ++
-        meta.aggs.map(a => s"agg\t${a.name}\t${a.expr}")
+        meta.aggs.map(a => s"agg\t${a.name}\t${a.expr}") ++
+        meta.joins.map(j => s"join\t${j.dimPath}\t${j.keys.mkString(",")}")
       val out = fs.create(new org.apache.hadoop.fs.Path(root, MetaFile), true)
       try out.write(lines.mkString("\n").getBytes("UTF-8"))
       finally out.close()
@@ -266,6 +303,7 @@ object MaterializedView {
     var source = ""; var keys = Seq.empty[String]
     var groups = Seq.empty[String]; var version = -1L
     val aggs = scala.collection.mutable.ArrayBuffer.empty[AggSpec]
+    val joins = scala.collection.mutable.ArrayBuffer.empty[JoinSpec]
     text.linesIterator.filter(_.nonEmpty).foreach { line =>
       line.split("\t", -1).toSeq match {
         case Seq("source", s) => source = s
@@ -273,6 +311,7 @@ object MaterializedView {
         case Seq("groups", g) => groups = g.split(",").toSeq
         case Seq("version", v) => version = v.toLong
         case Seq("agg", n, e) => aggs += AggSpec(n, e)
+        case Seq("join", p, k) => joins += JoinSpec(p, k.split(",").toSeq)
         case _ => throw new IllegalStateException(
           s"torn MV metadata at $mvPath: `$line`")
       }
@@ -280,6 +319,6 @@ object MaterializedView {
     require(source.nonEmpty && keys.nonEmpty && groups.nonEmpty &&
       version >= 0 && aggs.nonEmpty,
       s"incomplete MV metadata at $mvPath")
-    MvMeta(source, keys, groups, aggs.toSeq, version)
+    MvMeta(source, keys, groups, aggs.toSeq, version, joins.toSeq)
   }
 }

@@ -744,6 +744,80 @@ object AggQueries extends QueryGroup {
                   (SELECT c_custkey FROM customer WHERE c_custkey % 13 = 5))
               SELECT c_nationkey, COUNT(*) AS n_cust,
                      ${graft.engine.Det.sql.dsum("c_acctbal")} AS sum_bal
-              FROM final GROUP BY c_nationkey ORDER BY c_nationkey"""))
+              FROM final GROUP BY c_nationkey ORDER BY c_nationkey""")),
+
+    // STAR-SCHEMA incremental MV (round 16): the reporting shape that
+    // justifies MVs aggregates over a JOIN — fact GROUP BY dim-derived
+    // columns. The view is orders ⋈ customer grouped by c_mktsegment;
+    // fact changes stress every star path at once: in-group price
+    // updates, FK MOVES (o_custkey changes → the order's GROUP is a
+    // different customer's segment — both segments must refresh),
+    // inserts, and row-level deletes — then ONE refresh, hashed
+    // against a from-scratch SQL aggregate of the joined final state.
+    // Dims are snapshot inputs (broadcast at each refresh, pinned by
+    // the computation) — a dim edit needs fullRefresh, the standard
+    // star-MV boundary, documented in JoinSpec. Cost: refresh ∝ fact
+    // changes + affected segments' fact slices, each joined against a
+    // BROADCAST dim — never a shuffle of either table.
+    GQuery("mv_join_incremental",
+      (s, dir) => {
+        import s.implicits._
+        import graft.ops.{AtomicPublish, MergeInto, MaterializedView}
+        import graft.ops.MaterializedView.JoinSpec
+        val fact = graft.engine.Scratch.dir("mvj_orders")
+        val dim = graft.engine.Scratch.dir("mvj_customer")
+        val mv = graft.engine.Scratch.dir("mvj_seg_view")
+        val orders = Tables(s, dir, "orders")
+          .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+        val cust = Tables(s, dir, "customer")
+          .select($"c_custkey".as("o_custkey"), $"c_mktsegment")
+        AtomicPublish.publish(s, fact)(p => orders.write.parquet(p))
+        AtomicPublish.publish(s, dim)(p => cust.write.parquet(p))
+        MaterializedView.create(s, mv, fact,
+          keys = Seq("o_orderkey"), groupCols = Seq("c_mktsegment"),
+          aggs = Seq(
+            MaterializedView.AggSpec("n_orders", "COUNT(*)"),
+            MaterializedView.AggSpec("sum_price",
+              graft.engine.Det.sql.dsum("o_totalprice"))),
+          joins = Seq(JoinSpec(dim, Seq("o_custkey"))))
+        val updates = orders.filter($"o_orderkey" % 10 === 3)
+          .withColumn("o_totalprice", $"o_totalprice" + 100.0)
+        val movers = orders.filter($"o_orderkey" % 50 === 7)
+          .withColumn("o_custkey", ($"o_custkey" % 100) + 1)
+        val inserts = orders.filter($"o_orderkey" % 97 === 0)
+          .withColumn("o_orderkey", $"o_orderkey" + 5000000000L)
+        MergeInto.upsertInto(s, fact,
+          updates.unionByName(movers).unionByName(inserts),
+          Seq("o_orderkey"))
+        MergeInto.deleteFrom(s, fact,
+          orders.filter($"o_orderkey" % 13 === 5), Seq("o_orderkey"))
+        val st = MaterializedView.refresh(s, mv)
+        require(st.affectedGroups > 0, s"star refresh did no work: $st")
+        MaterializedView.read(s, mv)
+          .select($"c_mktsegment", $"n_orders", $"sum_price")
+          .orderBy($"c_mktsegment")
+      },
+      Some(s"""WITH src AS (
+                SELECT o_orderkey, o_custkey, o_totalprice + 100.0 AS o_totalprice
+                FROM orders WHERE o_orderkey % 10 = 3
+                UNION ALL
+                SELECT o_orderkey, (o_custkey % 100) + 1, o_totalprice
+                FROM orders WHERE o_orderkey % 50 = 7
+                UNION ALL
+                SELECT o_orderkey + 5000000000, o_custkey, o_totalprice
+                FROM orders WHERE o_orderkey % 97 = 0),
+              merged AS (
+                SELECT o_orderkey, o_custkey, o_totalprice FROM orders t
+                WHERE NOT EXISTS
+                  (SELECT 1 FROM src WHERE src.o_orderkey = t.o_orderkey)
+                UNION ALL
+                SELECT o_orderkey, o_custkey, o_totalprice FROM src),
+              final AS (
+                SELECT * FROM merged WHERE o_orderkey NOT IN
+                  (SELECT o_orderkey FROM orders WHERE o_orderkey % 13 = 5))
+              SELECT c.c_mktsegment, COUNT(*) AS n_orders,
+                     ${graft.engine.Det.sql.dsum("o_totalprice")} AS sum_price
+              FROM final f JOIN customer c ON f.o_custkey = c.c_custkey
+              GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment"""))
   )
 }

@@ -606,6 +606,70 @@ object SourceQueries extends QueryGroup {
               WHERE o_orderdate >= TIMESTAMP '1998-06-01 00:00:00'
               GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
+    // INCREMENTAL OPTIMIZE (round 16): a clustered 100 TB table keeps
+    // growing — re-clustering the corpus nightly (round 15's
+    // optimizeTable) pays the corpus per night. onlyNew=true folds
+    // ONLY the segments committed since the last clustering into the
+    // recorded range layout (zone-evidence picks the affected ranges;
+    // merge claims and tombstones reconcile during the fold), keeping
+    // untouched ranges' directories in place — cost ∝ new data. The
+    // key clusters orders by o_orderkey, lands a narrow APPEND (new
+    // keys above every range) and a narrow MERGE (+100 on the lowest
+    // keys), folds incrementally, REQUIRES most base directories
+    // survived verbatim (the ∝-new evidence), and hash-grades the
+    // final content against a from-scratch reconstruction.
+    GQuery("optimize_incremental",
+      (s, dir) => {
+        import s.implicits._
+        val table = scratch("optimize_inc_orders")
+        val orders = Tables(s, dir, "orders")
+        graft.ops.AtomicPublish.publish(s, table)(p =>
+          orders.write.parquet(p))
+        val full = graft.ops.AtomicPublish.optimizeTable(s, table,
+          clusterBy = Seq("o_orderkey"), segments = 6)
+        require(full.isInstanceOf[
+          graft.ops.AtomicPublish.CompactOutcome.Compacted], s"$full")
+        val base = graft.ops.AtomicPublish.currentSegments(s, table)
+        graft.ops.AtomicPublish.appendSegment(s, table)(p =>
+          orders.filter($"o_orderkey" < 500)
+            .withColumn("o_orderkey", $"o_orderkey" + 9000000000L)
+            .write.parquet(p))
+        graft.ops.MergeInto.upsertInto(s, table,
+          orders.filter($"o_orderkey" < 200)
+            .withColumn("o_totalprice", $"o_totalprice" + 100.0),
+          Seq("o_orderkey"))
+        val inc = graft.ops.AtomicPublish.optimizeTable(s, table,
+          clusterBy = Seq("o_orderkey"), segments = 6, onlyNew = true)
+        require(inc.isInstanceOf[
+          graft.ops.AtomicPublish.CompactOutcome.Compacted], s"$inc")
+        val after = graft.ops.AtomicPublish.currentSegments(s, table)
+        val kept = base.count(after.contains)
+        require(kept >= base.size - 3 && kept >= 1,
+          s"incremental optimize must keep unaffected ranges in place: " +
+            s"kept $kept of ${base.size}")
+        require(graft.ops.AtomicPublish.upsertSidecarsFor(
+          s, table, after).isEmpty, "the fold must reconcile all merges")
+        s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW graft_optinc_orders
+                  USING graft OPTIONS (path '$table')""")
+        s.sql(s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
+                  ${graft.engine.Det.sql.dsum("o_totalprice")} AS sum_price
+                  FROM graft_optinc_orders
+                  GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+      },
+      Some(s"""WITH merged AS (
+                SELECT o_orderpriority,
+                       CASE WHEN o_orderkey < 200
+                            THEN o_totalprice + 100.0
+                            ELSE o_totalprice END AS o_totalprice
+                FROM orders
+                UNION ALL
+                SELECT o_orderpriority, o_totalprice
+                FROM orders WHERE o_orderkey < 500)
+              SELECT o_orderpriority, COUNT(*) AS n_orders,
+                ${graft.engine.Det.sql.dsum("o_totalprice")} AS sum_price
+              FROM merged
+              GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
     // BLOOM-SIDECAR POINT LOOKUP (round 15): zonemaps prune RANGES —
     // useless for an id probe when every segment spans the full key
     // range (hash/arrival-ordered appends, the common LSM layout; here

@@ -225,7 +225,7 @@ private class GraftReadOnlyTable(
   * plans input partitions — so the dropped segments cost zero tasks,
   * zero footer reads, zero scheduler work. PlanSpec pins the
   * file-count reduction. */
-private class GraftZonePruningFileIndex(
+private[graft] class GraftZonePruningFileIndex(
     spark: org.apache.spark.sql.SparkSession,
     rootPaths: Seq[org.apache.hadoop.fs.Path],
     parameters: Map[String, String],

@@ -36,6 +36,31 @@ object GraftSqlBridge {
     spark.asInstanceOf[classic.SparkSession]
       .internalCreateDataFrame(rdd, schema, isStreaming = true)
 
+  /** Wrap a FileIndex as a V1 parquet DataFrame. The V1 scan
+    * (FileSourceScanExec) hands its pushed PARTITION AND DATA filters
+    * to `fileIndex.listFiles` when it selects input partitions — which
+    * is exactly the hook graft's zonemap/bloom-pruning index needs, so
+    * a reconciled merge-on-read read can skip whole segments against a
+    * pushed predicate (the DSv2 door does the same through
+    * FileTable.fileIndex). `HadoopFsRelation` and
+    * `baseRelationToDataFrame` are the same semi-internal surface
+    * every lakehouse layer builds its custom file indexes on. */
+  def parquetDataFrame(
+      spark: SparkSession,
+      fileIndex: org.apache.spark.sql.execution.datasources.FileIndex,
+      dataSchema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    cs.baseRelationToDataFrame(
+      org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+        location = fileIndex,
+        partitionSchema = org.apache.spark.sql.types.StructType(Nil),
+        dataSchema = dataSchema,
+        bucketSpec = None,
+        fileFormat =
+          new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
+        options = Map.empty)(cs))
+  }
+
   /** Apply an extension collector's injected functions to a registry
     * (`SparkSessionExtensions.registerFunctions` is private[sql]; the
     * extension-parity spec needs it to verify injection WITHOUT

@@ -489,6 +489,58 @@ class DedupIndexSpec extends SparkSpec {
       s"extra: ${kept.diff(expected).take(5)}; missing: ${expected.diff(kept).take(5)}")
   }
 
+  test("pq index: loaded codebooks are bit-exact; indexed shortlist ≡ recompute") {
+    import graft.ops.PqSearch
+    val table = tmpTable("pq")
+    DedupIndex.ensurePqIndex(spark, table, emb,
+      s"$sfDir/embeddings.parquet", "all", "vec_id", "e")
+    // parquet round-trip preserves doubles exactly → identical model
+    val loaded = DedupIndex.loadPqModel(spark, table)
+    val fitted = PqSearch.fit(spark, emb, "vec_id", "e")
+    assert(loaded.m === fitted.m && loaded.dsub === fitted.dsub &&
+      loaded.k === fitted.k)
+    assert(loaded.codebooks.flatten.flatten.toSeq ===
+      fitted.codebooks.flatten.flatten.toSeq,
+      "published codebooks must round-trip bit-exactly")
+    // indexed shortlist ≡ the recompute twin under the same model
+    val qs = emb.filter(col("vec_id") < 5)
+    val viaIndex = DedupIndex.pqShortlistIndexed(spark, table, qs,
+        "vec_id", "e", shortlist = 50)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val recompute = PqSearch.pqShortlist(spark, emb, "vec_id", "e",
+        col("id") < 5, fitted, shortlist = 50)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(viaIndex === recompute,
+      "indexed and recompute shortlists must be identical")
+  }
+
+  test("pq index append ≡ one-shot encode under the same codebooks") {
+    import graft.ops.PqSearch
+    val corpus = emb.filter(col("vec_id") >= 50)
+    val day1 = emb.filter(col("vec_id") >= 10 && col("vec_id") < 50)
+    val table = tmpTable("pqcycle")
+    DedupIndex.ensurePqIndex(spark, table, corpus,
+      s"$sfDir/embeddings.parquet", "vec_id>=50", "vec_id", "e")
+    val model = DedupIndex.loadPqModel(spark, table)
+    DedupIndex.appendToPqIndex(spark, table, day1)
+    // the appended segment's codes = encoding day1 under the published
+    // model in one shot (no refit happened)
+    val segs = AtomicPublish.currentSegments(spark, table)
+    assert(segs.size === 2, s"append must land one new segment: $segs")
+    val appended = spark.read.parquet(s"$table/${segs.last}/codes")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val oneShot = PqSearch.encode(day1, "e", model)
+      .select(col("vec_id"), col("codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(appended === oneShot,
+      "append-encoded codes must equal one-shot encoding")
+    // a search over the grown index sees corpus ∪ day1 candidates
+    val short = DedupIndex.pqShortlistIndexed(spark, table,
+        emb.filter(col("vec_id") < 5), "vec_id", "e", shortlist = 50)
+    assert(short.filter(col("id") >= 10 && col("id") < 50).count() > 0,
+      "day-2 search must surface appended candidates")
+  }
+
   test("ensure* reuses a fresh index and rebuilds on identity change") {
     val corpus = docs.filter(col("doc_id") >= 100)
     val table = tmpTable("reuse")

@@ -603,7 +603,7 @@ class MaintenanceSpec extends SparkSpec {
     assert(state() === reconciled, "fold changed the reconciled content")
   }
 
-  test("merge-on-read auto-fold fires at the configured segment count") {
+  test("merge-on-read auto-fold fires at the configured PENDING count") {
     import spark.implicits._
     val table = graft.engine.Scratch.dir("spec_mor_autofold")
     spark.conf.set(MergeInto.CompactAfterKey, "3")
@@ -612,10 +612,16 @@ class MaintenanceSpec extends SparkSpec {
         Seq((1L, 1.0)).toDF("k", "x").write.parquet(p))
       MergeInto.upsertInto(spark, table, Seq((2L, 2.0)).toDF("k", "x"), Seq("k"))
       assert(AtomicPublish.currentSegments(spark, table).size === 2)
-      // third segment reaches the threshold: the merge folds in-line
+      // the threshold counts PENDING merge segments, never total
+      // segments: a multi-segment base (appends, a clustered layout)
+      // must not force a corpus fold on its first merge
+      MergeInto.upsertInto(spark, table, Seq((1L, 5.0)).toDF("k", "x"), Seq("k"))
+      assert(AtomicPublish.currentSegments(spark, table).size === 3,
+        "2 pending merges < 3 must NOT fold, whatever the segment total")
+      // the third PENDING merge reaches the threshold: folds in-line
       MergeInto.upsertInto(spark, table, Seq((1L, 9.0)).toDF("k", "x"), Seq("k"))
       assert(AtomicPublish.currentSegments(spark, table).size === 1,
-        "auto-fold must collapse the table at the threshold")
+        "auto-fold must collapse the table at the pending threshold")
       assert(AtomicPublish.read(spark, table).collect()
         .map(r => r.getLong(0) -> r.getDouble(1)).sortBy(_._1).toSeq
         === Seq(1L -> 9.0, 2L -> 2.0))

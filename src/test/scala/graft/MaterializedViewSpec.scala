@@ -110,6 +110,44 @@ class MaterializedViewSpec extends SparkSpec {
     assert(mvRows(mv) === Map("a" -> (1L, 1.0), "z" -> (2L, 10.0)))
   }
 
+  test("star-schema view: dim-derived groups refresh incrementally") {
+    import spark.implicits._
+    import graft.ops.MaterializedView.JoinSpec
+    val fact = graft.engine.Scratch.dir("spec_mv_fact")
+    val dim = graft.engine.Scratch.dir("spec_mv_dim")
+    val mv = graft.engine.Scratch.dir("spec_mv_star")
+    AtomicPublish.publish(spark, dim)(p =>
+      Seq((1L, "red"), (2L, "blue"), (3L, "green"))
+        .toDF("fk", "color").write.parquet(p))
+    AtomicPublish.publish(spark, fact)(p =>
+      Seq((10L, 1L, 5.0), (11L, 1L, 7.0), (12L, 2L, 9.0), (13L, 3L, 2.0))
+        .toDF("k", "fk", "x").write.parquet(p))
+    MaterializedView.create(spark, mv, fact,
+      keys = Seq("k"), groupCols = Seq("color"),
+      aggs = aggs, joins = Seq(JoinSpec(dim, Seq("fk"))))
+    assert(mvRows(mv) === Map("red" -> (2L, 12.0), "blue" -> (1L, 9.0),
+      "green" -> (1L, 2.0)))
+    // fact changes: in-group update, GROUP MOVE via FK change (red →
+    // blue), insert, and a delete that VANISHES green entirely
+    MergeInto.upsertInto(spark, fact,
+      Seq((10L, 1L, 6.0), (11L, 2L, 7.0), (14L, 2L, 1.0))
+        .toDF("k", "fk", "x"), Seq("k"))
+    MergeInto.deleteFrom(spark, fact, Seq(Tuple1(13L)).toDF("k"), Seq("k"))
+    val st = MaterializedView.refresh(spark, mv)
+    assert(st.affectedGroups === 3L, st.toString)
+    assert(mvRows(mv) === Map("red" -> (1L, 6.0), "blue" -> (3L, 17.0)),
+      "green must vanish; the FK move must land in blue")
+    // incremental == from-scratch over the joined state
+    val scratch = graft.engine.Scratch.dir("spec_mv_star_full")
+    MaterializedView.create(spark, scratch, fact,
+      keys = Seq("k"), groupCols = Seq("color"),
+      aggs = aggs, joins = Seq(JoinSpec(dim, Seq("fk"))))
+    assert(mvRows(scratch) === mvRows(mv))
+    // meta round-trips the join spec
+    assert(MaterializedView.readMeta(spark, mv).joins ===
+      Seq(JoinSpec(dim, Seq("fk"))))
+  }
+
   test("null group values refused at create; meta round-trips") {
     import spark.implicits._
     val src = graft.engine.Scratch.dir("spec_mv_src3")

@@ -627,6 +627,60 @@ class PlanSpec extends SparkSpec {
       s"expected at least the two non-matching segments pruned: $fPruned of $fAll")
   }
 
+  test("point lookup under PENDING merges prunes segments (readOver zonemaps)") {
+    // Round-15 gap: the pruning index lived only in the DSv2 source,
+    // which refuses tables with pending upserts — so a point lookup on
+    // an actively-merged table scanned every segment until a fold
+    // landed. readOver's scans now consult the same sidecars: the key
+    // predicate must shrink BOTH the data side's and the claims side's
+    // file lists, while the reconciled RESULT stays exact.
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import graft.ops.{AtomicPublish, MergeInto}
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val table = graft.engine.Scratch.dir("spec_mor_prune")
+      val cust = graft.engine.Tables(spark, sfDir, "customer")
+      AtomicPublish.publish(spark, table)(p =>
+        cust.filter(col("c_custkey") < 400).write.parquet(p))
+      AtomicPublish.appendSegment(spark, table)(p =>
+        cust.filter(col("c_custkey") >= 400 && col("c_custkey") < 800)
+          .write.parquet(p))
+      AtomicPublish.appendSegment(spark, table)(p =>
+        cust.filter(col("c_custkey") >= 800).write.parquet(p))
+      MergeInto.upsertInto(spark, table,
+        cust.filter(col("c_custkey") === 10)
+          .withColumn("c_acctbal", col("c_acctbal") + 100.0),
+        Seq("c_custkey"))
+      // the merge is PENDING (auto-fold fires at 16 segments, we have 4)
+      assert(AtomicPublish.upsertSidecarsFor(spark, table,
+        AtomicPublish.currentSegments(spark, table)).nonEmpty,
+        "precondition: the table must carry a pending upsert segment")
+      def filesRun(d: org.apache.spark.sql.DataFrame): Long = {
+        d.collect()
+        d.queryExecution.executedPlan.collect {
+          case f: FileSourceScanExec => f.metrics("numFiles").value
+        }.sum
+      }
+      val fAll = filesRun(
+        AtomicPublish.read(spark, table).select(col("c_custkey")))
+      val probe = AtomicPublish.read(spark, table)
+        .filter(col("c_custkey") === 10)
+      // reconciliation exactness first: the probe sees the MERGED value
+      val row = probe.select(col("c_acctbal")).collect()
+      assert(row.length === 1, s"expected exactly one row for key 10")
+      val orig = cust.filter(col("c_custkey") === 10)
+        .select(col("c_acctbal")).head.getDouble(0)
+      assert(math.abs(row.head.getDouble(0) - (orig + 100.0)) < 1e-9,
+        "pruned read must still reconcile the pending upsert")
+      val fProbe = filesRun(probe.select(col("c_custkey")))
+      assert(fAll > 0 && fProbe > 0)
+      assert(fProbe <= fAll - 2,
+        s"zonemaps must drop the two non-matching segments from the " +
+          s"merge-pending scan: $fProbe of $fAll files")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("optimize_cluster_pruned: clustering turns prune-nothing zonemaps selective") {
     // Before optimize, every segment is an orderkey slice spanning ALL
     // dates — the date predicate's file list equals the full scan's
