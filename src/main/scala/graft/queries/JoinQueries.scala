@@ -484,9 +484,16 @@ object JoinQueries extends QueryGroup {
     // already exists — appends accumulate), upsert (`update_postimage`
     // when the key was live, `insert` when never seen), delete
     // (key-only `delete` records for live keys; dead keys emit
-    // nothing). The oracle reconstructs every classification in SQL
-    // over the same deterministic slices; `commit_step` = commits
-    // since the window start, so the key is version-base independent.
+    // nothing). Round 16: a COMPACTION lands mid-window — fold commits
+    // are declared content-preserving in the version log and the feed
+    // diffs THROUGH them (the fold contributes zero change rows, the
+    // commits around it keep their classifications) — so the headline
+    // CDF key itself grades the lagging-consumer-survives-auto-fold
+    // contract, not just its MV/streaming consumers. The oracle
+    // reconstructs every classification in SQL over the same
+    // deterministic slices; `commit_step` = commits since the window
+    // start, so the key is version-base independent (the fold is
+    // step 3, the delete step 4).
     GQuery("table_changes",
       (s, dir) => {
         import s.implicits._
@@ -503,6 +510,9 @@ object JoinQueries extends QueryGroup {
           .unionByName(cust.filter($"c_custkey" % 3 === 2 &&
             $"c_custkey" % 2 === 0))
         graft.ops.MergeInto.upsertInto(s, table, ups, Seq("c_custkey"))
+        // fold mid-window: zero change rows, and the feed must diff
+        // straight through it (round 15 refused here)
+        graft.ops.MergeInto.compactMerged(s, table)
         graft.ops.MergeInto.deleteFrom(s, table,
           cust.filter($"c_custkey" % 9 === 0).select($"c_custkey"),
           Seq("c_custkey"))
@@ -526,7 +536,7 @@ object JoinQueries extends QueryGroup {
                 FROM customer WHERE c_custkey % 3 = 2 AND c_custkey % 2 = 0
                 UNION ALL
                 SELECT c_custkey, CAST(NULL AS VARCHAR),
-                       CAST(NULL AS DOUBLE), 'delete', 3
+                       CAST(NULL AS DOUBLE), 'delete', 4
                 FROM customer WHERE c_custkey % 9 = 0)
               ORDER BY commit_step, c_custkey, change_type""")),
 
