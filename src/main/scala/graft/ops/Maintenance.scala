@@ -1537,15 +1537,8 @@ object AtomicPublish {
         if (delSegs.isEmpty) None
         else Some(prunedSegmentScan(spark, tablePath, delSegs)
           .select(keys.map(col) :+ ordFromPath(delSegs).as(ordCol): _*))
-      def reconcile(tagged: DataFrame, canon: Seq[String]): DataFrame = {
-        val upOrds = dataSegs.collect {
-          case d if side.contains(d) => segOrd(d)
-        }
-        val upClaims: Option[DataFrame] =
-          if (upOrds.isEmpty) None
-          else Some(tagged
-            .filter(col(ordCol).isin(upOrds: _*))
-            .select(keys.map(col) :+ col(ordCol): _*))
+      def reconcile(tagged: DataFrame, canon: Seq[String],
+                    upClaims: Option[DataFrame]): DataFrame = {
         val events = (upClaims.toSeq ++ delClaims.toSeq).reduce(_ unionByName _)
         val claims = events
           .groupBy(keys.map(col): _*)
@@ -1554,6 +1547,13 @@ object AtomicPublish {
           .filter(col(claimCol).isNull || col(claimCol) <= col(ordCol))
           .select(canon.map(col): _*)
       }
+      // claims come from a SCAN OF THE UPSERT SEGMENTS ONLY (like the
+      // tombstones above) — pre-round-16 the claims subtree filtered
+      // the FULL data scan by ordinal, re-reading every base segment's
+      // key column per reconciled read; the claims side is ∝ the
+      // pending batches, and on a 100 TB table the difference is one
+      // corpus key-scan per read
+      val upSegs = dataSegs.filter(side.contains)
       // uniform-schema fast path (the common, un-evolved case, decided
       // from one parquet FOOTER per segment — milliseconds): ONE
       // datasource resolution over all segment dirs, with the segment
@@ -1573,7 +1573,12 @@ object AtomicPublish {
         val all = prunedSegmentScan(spark, tablePath, dataSegs)
         val canon = all.schema.fieldNames.toSeq
         checkReserved(canon)
-        reconcile(all.withColumn(ordCol, ordFromPath(dataSegs)), canon)
+        val upClaims =
+          if (upSegs.isEmpty) None
+          else Some(prunedSegmentScan(spark, tablePath, upSegs)
+            .select(keys.map(col) :+ ordFromPath(upSegs).as(ordCol): _*))
+        reconcile(all.withColumn(ordCol, ordFromPath(dataSegs)), canon,
+          upClaims)
       } else {
         // evolved segments: per-segment reads union'd BY NAME with null
         // backfill; column order is first-appearance (base order, then
@@ -1587,7 +1592,14 @@ object AtomicPublish {
         val tagged = perSeg.zip(dataSegs)
           .map { case (df, d) => df.withColumn(ordCol, lit(segOrd(d))) }
           .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
-        reconcile(tagged, canon)
+        val upClaims =
+          if (upSegs.isEmpty) None
+          else Some(upSegs.map(d =>
+            spark.read.parquet(s"$tablePath/$d")
+              .select(keys.map(col): _*)
+              .withColumn(ordCol, lit(segOrd(d))))
+            .reduce(_ unionByName _))
+        reconcile(tagged, canon, upClaims)
       }
     }
   }
