@@ -706,7 +706,13 @@ object DedupIndex {
     if (!isFresh(spark, tablePath, identity)) {
       val base = corpus.select(col(idCol).as("id"),
         col(eCol).cast("array<double>").as("e"))
-      val model = PqSearch.fit(spark, base, "id", "e", m, k, seed)
+      // fit memoized per (source stamp, spec): a rebuild of a grown
+      // table re-encodes (by design — the data changed) but must not
+      // re-run 16 Lloyd fits when the CORPUS identity is unchanged
+      // (the cycle keys rebuild per session; the fit is deterministic
+      // per data+params, so the memo cannot change results)
+      val model = PqSearch.fit(spark, base, "id", "e", m, k, seed,
+        cacheKey = Some(s"pqidx:$sourcePath:$spec:${stamp.hashCode}"))
       val coded = PqSearch.encode(base, "e", model)
         .select(col("id"), col("codes"))
       import spark.implicits._
