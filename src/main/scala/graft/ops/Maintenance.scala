@@ -1575,7 +1575,8 @@ object AtomicPublish {
         checkReserved(canon)
         val upClaims =
           if (upSegs.isEmpty) None
-          else Some(prunedSegmentScan(spark, tablePath, upSegs)
+          else Some(prunedSegmentScan(spark, tablePath, upSegs,
+              schemaHint = Some(all.schema))
             .select(keys.map(col) :+ ordFromPath(upSegs).as(ordCol): _*))
         reconcile(all.withColumn(ordCol, ordFromPath(dataSegs)), canon,
           upClaims)
@@ -1615,7 +1616,9 @@ object AtomicPublish {
     * plain parquet read when no segment carries a sidecar (identical
     * plan to pre-round-16). */
   private def prunedSegmentScan(spark: SparkSession, tablePath: String,
-                                segs: Seq[String]): DataFrame = {
+                                segs: Seq[String],
+                                schemaHint: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
     val root = new org.apache.hadoop.fs.Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val zones = segs.flatMap { d =>
@@ -1629,9 +1632,11 @@ object AtomicPublish {
     val paths = segs.map(d => s"$tablePath/$d")
     if (zones.isEmpty && blooms.isEmpty) spark.read.parquet(paths: _*)
     else {
-      // schema from ONE segment's resolution — the caller guarantees
-      // schema uniformity across `segs` (fast-path precondition)
-      val dataSchema = spark.read.parquet(paths.head).schema
+      // schema from the caller when it already resolved one (schema
+      // uniformity is the fast-path precondition), else from ONE
+      // segment's resolution — never a multi-dir re-resolution
+      val dataSchema = schemaHint.getOrElse(
+        spark.read.parquet(paths.head).schema)
       val idx = new graft.sources.GraftZonePruningFileIndex(spark,
         paths.map(new org.apache.hadoop.fs.Path(_)), Map.empty, None,
         zones, blooms)

@@ -177,8 +177,12 @@ private class GraftAppendTail(spark: SparkSession, tablePath: String,
       s"graft-stream at $tablePath: the manifest's segment prefix changed " +
         s"under the stream (observed ${seen.size} segment(s), now " +
         s"${cur.mkString(",")}) — the table was compacted or republished. " +
-        "A streaming tail requires append-only commits; restart the query " +
-        "with a fresh checkpoint to re-consume the rewritten table")
+        "A raw-append tail's offsets are segment positions, which no " +
+        "rewrite can be mapped onto; for a table that compacts or merges, " +
+        "consume the CHANGE FEED instead (format(\"graft-cdf\") — its " +
+        "offsets are commit versions and it diffs THROUGH folds), or " +
+        "restart this query with a fresh checkpoint to re-consume the " +
+        "rewritten table")
     seen = cur
   }
 
