@@ -166,8 +166,14 @@ object MaterializedView {
         s"but the source is at $toV — the source was restored/rebuilt " +
         "behind the view; fullRefresh to re-base")
     val gCols = meta.groupCols.map(col)
+    // the feed is consumed by TWO independent actions below (post-image
+    // groups; changed keys) — uncached, each re-derives the window,
+    // re-paying every fold-free run's key-pruned snapshot scan. Changes
+    // are ∝ the batch, so the cache is batch-sized by construction.
     val changes = AtomicPublish.changesBetween(spark, meta.sourceTable,
       meta.sourceVersion, toV)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     // groups of the POST-images (inserts + update landing sides) —
     // group columns may live on a DIM side, so the changes join the
     // dims (broadcast) before projecting
@@ -242,6 +248,7 @@ object MaterializedView {
         RefreshStats(meta.sourceVersion, toV, nAffected, nRows, nVanished)
       } finally { recomputed.unpersist(); () }
     } finally { affected.unpersist(); () }
+    } finally { changes.unpersist(); () }
   }
 
   /** Re-base the view with a full recompute — the recovery path when
