@@ -71,6 +71,32 @@ class CatalogSpec extends SparkSpec {
     assert(msgs(e).contains("merge-on-read"), msgs(e))
   }
 
+  test("identifiers are single path components — traversal cannot escape the warehouse") {
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS spec_cat.dbsafe")
+    def msgs(x: Throwable): String =
+      Option(x).map(t => t.getMessage + msgs(t.getCause)).getOrElse("")
+    // a crafted table name must refuse, not resolve outside the warehouse
+    val cat = spark.sessionState.catalogManager.catalog("spec_cat")
+      .asInstanceOf[graft.sources.GraftCatalog]
+    import org.apache.spark.sql.connector.catalog.Identifier
+    val evil = Seq("../escape", "a/b", "..", ".")
+    evil.foreach { name =>
+      val e = intercept[IllegalArgumentException] {
+        cat.createTable(Identifier.of(Array("dbsafe"), name),
+          new org.apache.spark.sql.types.StructType()
+            .add("k", org.apache.spark.sql.types.LongType),
+          Array.empty, new java.util.HashMap[String, String]())
+      }
+      assert(msgs(e).contains("single path components"), s"$name: ${msgs(e)}")
+    }
+    // same guard on the namespace side
+    val eNs = intercept[IllegalArgumentException] {
+      cat.createNamespace(Array("../up"), new java.util.HashMap[String, String]())
+    }
+    assert(msgs(eNs).contains("single path components"), msgs(eNs))
+  }
+
   test("write door stays welded; drop and rename are catalog ops") {
     import spark.implicits._
     wh
