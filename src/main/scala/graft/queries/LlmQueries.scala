@@ -1400,7 +1400,8 @@ object LlmQueries extends QueryGroup {
       None),
 
     // Rolling-hash document fingerprint (custom codegen expression; the
-    // value itself is engine-specific → rows-only + ScalaTest).
+    // value itself is engine-specific → rows-only + ScalaTest; the
+    // SEMANTIC property is hash-graded by doc_fingerprint_dupes below).
     GQuery("doc_fingerprint",
       (s, dir) => {
         import s.implicits._
@@ -1410,6 +1411,52 @@ object LlmQueries extends QueryGroup {
           .orderBy($"doc_id")
       },
       None),
+
+    // The fingerprint's SEMANTIC verdict (round 16 — the
+    // dedup_minhash_recall pattern): grouping by fingerprint must
+    // reproduce exactly the text-equality duplicate structure —
+    // identical texts always collide (the hash is a pure function of
+    // the text) and the key asserts the converse in-query
+    // (no_collisions: no fingerprint group spans two DISTINCT texts;
+    // mod-2^61-1 rolling hash makes a collision astronomically
+    // unlikely on any real corpus). The oracle recomputes the dup
+    // structure from text equality in SQL and asserts TRUE — a
+    // truncated window, a seed drift, or a broken mod reduction
+    // changes the group counts or trips a collision and fails the
+    // hash. This is how the fingerprint is USED at 100 TB: group by
+    // 8-byte fingerprints, never by document bytes.
+    GQuery("doc_fingerprint_dupes",
+      (s, dir) => {
+        import s.implicits._
+        // the graded corpus carries no exact text clones at this sf, so
+        // the key PLANTS them (every %10==3 doc re-keyed) — the dup
+        // structure being graded is then known, non-vacuous arithmetic
+        // in both engines
+        val base = Tables(s, dir, "documents").select($"doc_id", $"text")
+        val docs = base.unionByName(base.filter($"doc_id" % 10 === 3)
+          .withColumn("doc_id", $"doc_id" + 1000000000L))
+        val fp = docs.select($"doc_id", $"text",
+          graft.engine.GraftFunctions.docFingerprint(s, $"text").as("fp"))
+        fp.groupBy($"fp")
+          .agg(count(lit(1)).as("n"),
+            countDistinct($"text").as("n_texts"))
+          .agg(
+            count(when($"n" > 1, 1)).as("n_dup_groups"),
+            coalesce(sum(when($"n" > 1, $"n")), lit(0L)).as("n_dup_docs"),
+            (count(when($"n_texts" > 1, 1)) === 0).as("no_collisions"))
+      },
+      Some("""WITH docs AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000000, text FROM documents
+                WHERE doc_id % 10 = 3),
+              g AS (SELECT text, COUNT(*) AS n FROM docs GROUP BY text)
+              SELECT CAST(COUNT(CASE WHEN n > 1 THEN 1 END) AS BIGINT)
+                       AS n_dup_groups,
+                     CAST(COALESCE(SUM(CASE WHEN n > 1 THEN n END), 0)
+                       AS BIGINT) AS n_dup_docs,
+                     TRUE AS no_collisions
+              FROM g""")),
 
     // LSH-bucketed ANN — round 16 upgraded from rows-only to a
     // HASH-GRADED recall verdict (the dedup_minhash_recall pattern the
