@@ -670,6 +670,18 @@ object AtomicPublish {
       marker = Some(("delete", keys)))(write)
   }
 
+  /** Append SEVERAL segments in ONE commit (one manifest swap) — the
+    * atomicity [[MergeInto.syncInto]] needs to land an upsert batch
+    * and its not-matched tombstones together. Parts are
+    * `(marker, write)` pairs in manifest order; markers follow the
+    * [[appendUpsertSegment]]/[[appendDeleteSegment]] shapes. */
+  private[graft] def appendSegments(
+      spark: SparkSession, tablePath: String,
+      parts: Seq[(Option[(String, Seq[String])], String => Unit)])
+      : Seq[String] =
+    appendSegmentsTxnCore(spark, tablePath, parts, txn = None)
+      .getOrElse(sys.error("unreachable: non-txn append never skips"))
+
   private def appendSegmentCore(spark: SparkSession, tablePath: String,
                                 marker: Option[(String, Seq[String])])
                                (write: String => Unit): String =
@@ -697,7 +709,25 @@ object AtomicPublish {
   private def appendSegmentTxnCore(spark: SparkSession, tablePath: String,
                                    marker: Option[(String, Seq[String])],
                                    txn: Option[(String, Long)])
-                                  (write: String => Unit): Option[String] = {
+                                  (write: String => Unit): Option[String] =
+    appendSegmentsTxnCore(spark, tablePath, Seq(marker -> write), txn)
+      .map(_.head)
+
+  /** N staged segments, ONE commit — the multi-part generalization of
+    * the append core that [[MergeInto.syncInto]] needs: a full-sync
+    * MERGE lands its upsert batch AND its not-matched-by-source
+    * tombstones in a single manifest swap, so a reader concurrent with
+    * the sync sees the pre-sync or post-sync table in full, never the
+    * half-applied middle (upserted but not yet deleted). Every part
+    * stages with NO lock held; the lock window is rename + sidecars +
+    * one swap, exactly like the single-segment path. Parts keep
+    * manifest order — within a commit the ordinal clock ranks them by
+    * position, which [[changesBetween]] mirrors. */
+  private def appendSegmentsTxnCore(
+      spark: SparkSession, tablePath: String,
+      parts: Seq[(Option[(String, Seq[String])], String => Unit)],
+      txn: Option[(String, Long)]): Option[Seq[String]] = {
+    require(parts.nonEmpty, "appendSegments: empty part list")
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(tablePath)
     val fs = root.getFileSystem(conf)
@@ -711,22 +741,33 @@ object AtomicPublish {
         return None
     }
     sweepStaleDebris(fs, root)
-    val stamp = s"${System.currentTimeMillis()}-${counter.incrementAndGet()}"
-    val staging = new org.apache.hadoop.fs.Path(root, s".seg-$stamp")
-    val dataDir = s"data-$stamp"
-    // batch-sized data write: NO lock held
-    try write(fs.makeQualified(staging).toString)
-    catch { case t: Throwable => fs.delete(staging, true); throw t }
-    marker.foreach { case (tag, keys) =>
-      try checkMergeContract(spark, tablePath, fs, root,
-        fs.makeQualified(staging).toString, tag, keys)
-      catch { case t: Throwable => fs.delete(staging, true); throw t }
+    case class Staged(staging: org.apache.hadoop.fs.Path, dataDir: String,
+                      marker: Option[(String, Seq[String])],
+                      zones: Map[String, ZoneMaps.ColZone],
+                      blooms: Map[String, BloomMaps.ColBloom])
+    val staged = scala.collection.mutable.ArrayBuffer.empty[Staged]
+    def dropStaged(): Unit = staged.foreach { st =>
+      try { fs.delete(st.staging, true); () } catch { case _: Throwable => () }
     }
-    val zones = ZoneMaps.harvestSegment(spark,
-      fs.makeQualified(staging).toString)
-    val blooms = BloomMaps.harvestSegment(spark,
-      fs.makeQualified(staging).toString)
-    commitStaged(fs, staging) { withCommitLock(spark, fs, root) { token =>
+    // batch-sized data writes: NO lock held
+    try parts.foreach { case (marker, write) =>
+      val stamp = s"${System.currentTimeMillis()}-${counter.incrementAndGet()}"
+      val staging = new org.apache.hadoop.fs.Path(root, s".seg-$stamp")
+      val entry = Staged(staging, s"data-$stamp", marker,
+        Map.empty, Map.empty)
+      staged += entry
+      write(fs.makeQualified(staging).toString)
+      marker.foreach { case (tag, keys) =>
+        checkMergeContract(spark, tablePath, fs, root,
+          fs.makeQualified(staging).toString, tag, keys)
+      }
+      staged(staged.size - 1) = entry.copy(
+        zones = ZoneMaps.harvestSegment(spark,
+          fs.makeQualified(staging).toString),
+        blooms = BloomMaps.harvestSegment(spark,
+          fs.makeQualified(staging).toString))
+    } catch { case t: Throwable => dropStaged(); throw t }
+    try withCommitLock(spark, fs, root) { token =>
       commitWindowFault()
       val prev = currentSegments(spark, tablePath)
       require(prev.nonEmpty,
@@ -738,38 +779,44 @@ object AtomicPublish {
       val replayed = txn.exists { case (appId, version) =>
         txnMarks(fs, root, prev).get(appId).exists(_ >= version)
       }
-      if (replayed) { fs.delete(staging, true); None }
+      if (replayed) { dropStaged(); None }
       else {
-        require(fs.rename(staging, new org.apache.hadoop.fs.Path(root, dataDir)),
-          s"appendSegment: staging rename failed at $staging")
-        // the merge sidecar must be durable BEFORE the swap: a reader
-        // that resolves the new manifest but missed the marker would
-        // union the batch as plain appends — duplicate keys instead of
-        // overrides (upsert), or tombstone keys surfacing as DATA ROWS
-        // (delete)
-        marker.foreach { case (tag, keys) =>
-          val out = fs.create(
-            new org.apache.hadoop.fs.Path(root, SegMetaPrefix + dataDir), true)
-          try out.write(s"$tag\t${keys.mkString(",")}".getBytes("UTF-8"))
-          finally out.close()
+        staged.foreach { st =>
+          require(fs.rename(st.staging,
+              new org.apache.hadoop.fs.Path(root, st.dataDir)),
+            s"appendSegment: staging rename failed at ${st.staging}")
+          // the merge sidecar must be durable BEFORE the swap: a reader
+          // that resolves the new manifest but missed the marker would
+          // union the batch as plain appends — duplicate keys instead
+          // of overrides (upsert), or tombstone keys surfacing as DATA
+          // ROWS (delete)
+          st.marker.foreach { case (tag, keys) =>
+            val out = fs.create(new org.apache.hadoop.fs.Path(root,
+              SegMetaPrefix + st.dataDir), true)
+            try out.write(s"$tag\t${keys.mkString(",")}".getBytes("UTF-8"))
+            finally out.close()
+          }
+          ZoneMaps.write(fs, root, st.dataDir, st.zones)
+          BloomMaps.write(fs, root, st.dataDir, st.blooms)
         }
         // txn mark too: it must become visible ATOMICALLY with the swap
         // (a crash in between leaves it orphaned on a non-live dir —
-        // ignored, retried, reaped)
+        // ignored, retried, reaped); one mark on the first part covers
+        // the whole commit (all parts land or none do)
         txn.foreach { case (appId, version) =>
-          writeTxnMarks(fs, root, dataDir, Map(appId -> version))
+          writeTxnMarks(fs, root, staged.head.dataDir, Map(appId -> version))
         }
-        ZoneMaps.write(fs, root, dataDir, zones)
-        BloomMaps.write(fs, root, dataDir, blooms)
-        swapManifest(fs, conf, root, (prev :+ dataDir).mkString("\n"), token)
+        val dirs = staged.map(_.dataDir).toSeq
+        swapManifest(fs, conf, root, (prev ++ dirs).mkString("\n"), token)
         val committed = currentSegments(spark, tablePath)
-        require(committed == prev :+ dataDir,
+        require(committed == prev ++ dirs,
           s"appendSegment: manifest verify failed at $tablePath — expected " +
-            s"${(prev :+ dataDir).mkString(",")} but read ${committed.mkString(",")}; " +
-            "an out-of-protocol writer modified the manifest inside the commit window")
-        Some(dataDir)
+            s"${(prev ++ dirs).mkString(",")} but read " +
+            s"${committed.mkString(",")}; an out-of-protocol writer " +
+            "modified the manifest inside the commit window")
+        Some(dirs)
       }
-    } }
+    } catch { case t: Throwable => dropStaged(); throw t }
   }
 
   /** The recorded exactly-once high-water mark for `appId` over the
@@ -958,7 +1005,8 @@ object AtomicPublish {
     * metadata-only move. A holder that crashes mid-rewrite leaks its
     * staging directory; entry sweeps day-old leftovers. */
   private[graft] def casRewrite(spark: SparkSession, tablePath: String,
-                                maxAttempts: Int, minSegments: Int)
+                                maxAttempts: Int, minSegments: Int,
+                                fold: Boolean = true)
                                (write: (Seq[String], String) => Unit): CompactOutcome = {
     require(maxAttempts >= 1, s"maxAttempts must be >= 1: $maxAttempts")
     val conf = spark.sparkContext.hadoopConfiguration
@@ -993,7 +1041,12 @@ object AtomicPublish {
           // must never forget an applied (appId, version) or a sink
           // replay after the fold would re-land its batch
           writeTxnMarks(fs, root, dataDir, txnMarks(fs, root, observed))
-          swapManifest(fs, conf, root, dataDir, token, fold = true)
+          // `fold` declares the commit content-preserving; a cow-mode
+          // MERGE/DELETE/SYNC rewrite CHANGES rows and must not claim
+          // it — pre-round-16 every casRewrite stamped fold, so the
+          // change feed silently diffed THROUGH a cow merge emitting
+          // zero change rows for rows that actually changed
+          swapManifest(fs, conf, root, dataDir, token, fold = fold)
           gcSuperseded(spark, fs, root, live = Set(dataDir))
           true
         } else false
@@ -1039,7 +1092,8 @@ object AtomicPublish {
       maxAttempts: Int, minSegments: Int,
       select: Seq[String] => (Seq[String], Seq[String]),
       onCommit: (org.apache.hadoop.fs.FileSystem,
-                 org.apache.hadoop.fs.Path, Seq[String]) => Unit)
+                 org.apache.hadoop.fs.Path, Seq[String]) => Unit,
+      fold: Boolean = true)
       (write: (Seq[String], String) => Unit): CompactOutcome = {
     require(maxAttempts >= 1, s"maxAttempts must be >= 1: $maxAttempts")
     val conf = spark.sparkContext.hadoopConfiguration
@@ -1093,8 +1147,12 @@ object AtomicPublish {
             fs.delete(staging, true) // now-empty staging shell
             val manifest = keep ++ names.map(_._2)
             onCommit(fs, root, manifest)
+            // `fold` declares the commit CONTENT-PRESERVING in the
+            // version log; a rewrite that CHANGES rows (replaceWhere)
+            // must not claim it — the change feed would silently diff
+            // through a commit that altered data
             swapManifest(fs, conf, root, manifest.mkString("\n"), token,
-              fold = true)
+              fold = fold)
             gcSuperseded(spark, fs, root, live = manifest.toSet)
             true
           } else false
@@ -1802,6 +1860,79 @@ object AtomicPublish {
       .getOrElse(entries.last._1 + 1)
   }
 
+  /** DESCRIBE HISTORY: one row per retained commit, operation
+    * CLASSIFIED from the version log itself — segment-list diffs plus
+    * merge sidecars and fold markers — so the protocol needs no
+    * separate operation journal (and can never disagree with one).
+    * Metadata-only: reads version-log entries and sidecar names, never
+    * data files; cost ∝ retained commits, independent of table size.
+    *
+    * Columns: `version`, `operation` (PUBLISH / APPEND / MERGE /
+    * DELETE / SYNC / OPTIMIZE / RESTORE / REPLACE — NULL when the
+    * predecessor entry aged out and the diff is unknowable),
+    * `num_segments`, `num_added`, `is_fold`, `timestamp` (the
+    * monotonized commit clock of [[versionAt]]). Classification:
+    * a commit EXTENDING its predecessor is APPEND / MERGE / DELETE by
+    * its added segments' sidecars (upsert + delete parts together =
+    * SYNC, the atomic full-sync MERGE); a fold-marked break is
+    * OPTIMIZE; a break whose list equals an EARLIER version's is
+    * RESTORE; any other break is REPLACE (republish or
+    * [[MergeInto.replaceWhere]]). */
+  def tableHistory(spark: SparkSession, tablePath: String): DataFrame = {
+    val times = versionLogTimes(spark, tablePath, "tableHistory").toMap
+    val versions = times.keys.toSeq.sorted
+    val lists: Map[Long, Seq[String]] =
+      versions.map(v => v -> segmentListAt(spark, tablePath, v)).toMap
+    val allSegs = lists.values.flatten.toSet.toSeq
+    val side = mergeSidecarsFor(spark, tablePath, allSegs)
+    val rows = versions.map { v =>
+      val cur = lists(v)
+      val prevOpt = lists.get(v - 1)
+      val fold = isFoldVersion(spark, tablePath, v)
+      val (op: Option[String], added: Int) = prevOpt match {
+        case None =>
+          (if (v == 1L) Some("PUBLISH") else None, cur.length)
+        case Some(prev) if cur.take(prev.length) == prev
+            && cur.length > prev.length =>
+          val newSegs = cur.drop(prev.length)
+          val kinds = newSegs.map(d => side.get(d).map(_._1)).toSet
+          val op =
+            if (kinds == Set(None)) "APPEND"
+            else if (kinds == Set(Some("upsert"))) "MERGE"
+            else if (kinds == Set(Some("delete"))) "DELETE"
+            else "SYNC"
+          (Some(op), newSegs.length)
+        case Some(_) if fold => (Some("OPTIMIZE"), 0)
+        case Some(_) =>
+          val restoredFrom = versions.filter(_ < v).find(w => lists(w) == cur)
+          (Some(if (restoredFrom.isDefined) "RESTORE" else "REPLACE"), 0)
+      }
+      (v, op.orNull, cur.length, added, fold,
+        new java.sql.Timestamp(times(v)))
+    }
+    import spark.implicits._
+    rows.toDF("version", "operation", "num_segments", "num_added",
+      "is_fold", "timestamp")
+  }
+
+  /** [[segmentsAt]] minus the exists-on-disk check — history
+    * classification needs the LIST a version committed, which the log
+    * retains even after a superseded directory ages out. */
+  private def segmentListAt(spark: SparkSession, tablePath: String,
+                            version: Long): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vp = new org.apache.hadoop.fs.Path(root,
+      new org.apache.hadoop.fs.Path(VersionsDir, f"$version%012d").toString)
+    val in = fs.open(vp)
+    try {
+      val bytes = new Array[Byte](fs.getFileStatus(vp).getLen.toInt)
+      in.readFully(bytes)
+      new String(bytes, "UTF-8").linesIterator.map(_.trim)
+        .filter(_.nonEmpty).toSeq
+    } finally in.close()
+  }
+
   /** Parse a user-supplied instant: epoch millis or ISO-8601
     * (`Instant.parse` form, or a space/`T`-separated local date-time
     * read as UTC). Shared by every `timestampAsOf`/`startingTimestamp`
@@ -1892,14 +2023,13 @@ object AtomicPublish {
         "change feed cannot express those as row deltas; diff snapshots " +
         "via readAt instead")
     if (breaks.isEmpty)
-      return changesCore(spark, tablePath, fromVersion, toVersion,
-        lists(fromVersion), lists(toVersion))
+      return changesCore(spark, tablePath, fromVersion, toVersion, lists)
     // split at the folds: each fold contributes zero rows and seeds the
     // next run's snapshot (its content equals its predecessor's)
     val starts = fromVersion +: breaks
     val ends = breaks.map(_ - 1) :+ toVersion
     val parts = starts.zip(ends).collect { case (s, e) if s < e =>
-      changesCore(spark, tablePath, s, e, lists(s), lists(e))
+      changesCore(spark, tablePath, s, e, lists)
     }
     if (parts.nonEmpty) parts.reduce(_ unionByName _)
     else // every commit in the window was a fold: zero changes, typed
@@ -1909,20 +2039,40 @@ object AtomicPublish {
   }
 
   /** One fold-free run of [[changesBetween]] — requires (and asserts)
-    * that `segsTo` extends `segsFrom` segment-for-segment. */
+    * that each version's segment list extends its predecessor's. A
+    * commit may add SEVERAL segments ([[AtomicPublish.appendSegments]]
+    * — a full-sync MERGE lands upsert + tombstone parts atomically);
+    * within a commit the ordinal clock ranks parts by manifest
+    * position, matching [[readOver]]'s reconciliation order. */
   private def changesCore(spark: SparkSession, tablePath: String,
                           fromVersion: Long, toVersion: Long,
-                          segsFrom: Seq[String],
-                          segsTo: Seq[String]): DataFrame = {
+                          lists: Map[Long, Seq[String]]): DataFrame = {
+    val segsFrom = lists(fromVersion)
+    val segsTo = lists(toVersion)
     require(segsTo.take(segsFrom.length) == segsFrom,
       s"changesCore: versions $fromVersion → $toVersion of $tablePath " +
         "diverge inside a fold-free run — changesBetween mis-split the " +
         "window (bug)")
-    val newSegs = segsTo.drop(segsFrom.length)
-    require(newSegs.size == toVersion - fromVersion,
-      s"changesBetween: $tablePath grew ${newSegs.size} segments across " +
-        s"${toVersion - fromVersion} commits — an out-of-protocol writer " +
-        "touched the manifest")
+    // per-commit added segments, manifest order; every commit in a
+    // fold-free run must extend its predecessor by ≥1 segment
+    val newWithVer: Seq[(String, Long)] =
+      ((fromVersion + 1) to toVersion).flatMap { v =>
+        val prev = lists(v - 1); val cur = lists(v)
+        require(cur.take(prev.length) == prev && cur.length > prev.length,
+          s"changesBetween: version $v of $tablePath does not extend " +
+            s"version ${v - 1} inside a fold-free run — an " +
+            "out-of-protocol writer touched the manifest")
+        cur.drop(prev.length).map(_ -> v)
+      }
+    val newSegs = newWithVer.map(_._1)
+    require(newSegs == segsTo.drop(segsFrom.length),
+      s"changesBetween: per-version segment diffs of $tablePath disagree " +
+        s"with the $fromVersion → $toVersion endpoints — an " +
+        "out-of-protocol writer touched the manifest")
+    // ordinal clock: position in the toVersion manifest (strictly
+    // increasing across commits; distinguishes parts WITHIN a commit)
+    val segOrdTo = segsTo.zipWithIndex.toMap
+    val baseOrd = segsFrom.length - 1
     val side = mergeSidecarsFor(spark, tablePath, segsTo)
     val canonSchema = readOver(spark, tablePath, segsTo).schema
     val ctCol = "_change_type"
@@ -1937,8 +2087,6 @@ object AtomicPublish {
           col(f.name).cast(f.dataType).as(f.name)
         else lit(null).cast(f.dataType).as(f.name)
       }.toSeq: _*)
-    val newWithVer: Seq[(String, Long)] = newSegs.zipWithIndex
-      .map { case (d, i) => (d, fromVersion + 1 + i) }
     if (!newSegs.exists(side.contains)) {
       // pure appends — every row an insert; no snapshot scan needed
       return newWithVer.map { case (d, v) =>
@@ -1957,9 +2105,9 @@ object AtomicPublish {
     // then one distinct (key, version) event per new segment
     val priorKeys = readOver(spark, tablePath, segsFrom)
       .select(kCols: _*).filter(!anyKeyNull).distinct()
-      .withColumn(ordCol, lit(fromVersion))
+      .withColumn(ordCol, lit(baseOrd))
       .withColumn(kindCol, lit(0))
-    val events = newWithVer.map { case (d, v) =>
+    val events = newWithVer.map { case (d, _) =>
       val kind = side.get(d).map(_._1) match {
         case Some("delete") => 2
         case Some(_)        => 1
@@ -1967,14 +2115,14 @@ object AtomicPublish {
       }
       spark.read.parquet(s"$tablePath/$d")
         .select(kCols: _*).filter(!anyKeyNull).distinct()
-        .withColumn(ordCol, lit(v))
+        .withColumn(ordCol, lit(segOrdTo(d)))
         .withColumn(kindCol, lit(kind))
     }.foldLeft(priorKeys)(_ unionByName _)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(kCols: _*).orderBy(col(ordCol))
     val classified = events
       .withColumn(prevCol, lag(col(kindCol), 1).over(w))
-      .filter(col(ordCol) > fromVersion)
+      .filter(col(ordCol) > baseOrd)
       .withColumn(ctCol,
         when(col(kindCol) === 2,
           when(col(prevCol).isNotNull && col(prevCol) =!= 2, lit("delete"))
@@ -1993,7 +2141,7 @@ object AtomicPublish {
             .withColumn(cvCol, lit(v))
         case Some("upsert") =>
           val cls = classified
-            .filter(col(ordCol) === v && col(kindCol) === 1)
+            .filter(col(ordCol) === segOrdTo(d) && col(kindCol) === 1)
             .select(kCols :+ col(ctCol): _*)
           val keyed = align(raw).filter(!anyKeyNull)
             .join(cls, keys, "inner")
@@ -2001,7 +2149,8 @@ object AtomicPublish {
             .withColumn(ctCol, lit("insert"))
           keyed.unionByName(nullKeyed).withColumn(cvCol, lit(v))
         case Some(_) => // delete: key-only records for live keys
-          align(classified.filter(col(ordCol) === v && col(kindCol) === 2)
+          align(classified.filter(col(ordCol) === segOrdTo(d) &&
+              col(kindCol) === 2)
               .select(kCols: _*))
             .withColumn(ctCol, lit("delete"))
             .withColumn(cvCol, lit(v))
@@ -2183,7 +2332,7 @@ object MergeInto {
         maybeAutoFold(spark, tablePath)
       case "cow" =>
         val outcome = AtomicPublish.casRewrite(spark, tablePath,
-          maxAttempts = 5, minSegments = 1) { (paths, staging) =>
+          maxAttempts = 5, minSegments = 1, fold = false) { (paths, staging) =>
           val dirs = paths.map(p => p.substring(p.lastIndexOf('/') + 1))
           val target = AtomicPublish.readOver(spark, tablePath, dirs)
           val aligned = alignForEvolution(spark, tablePath, target, source)
@@ -2266,7 +2415,7 @@ object MergeInto {
         maybeAutoFold(spark, tablePath)
       case "cow" =>
         val outcome = AtomicPublish.casRewrite(spark, tablePath,
-          maxAttempts = 5, minSegments = 1) { (paths, staging) =>
+          maxAttempts = 5, minSegments = 1, fold = false) { (paths, staging) =>
           val dirs = paths.map(p => p.substring(p.lastIndexOf('/') + 1))
           val target = AtomicPublish.readOver(spark, tablePath, dirs)
           target.join(tombstones, keys, "left_anti").write.parquet(staging)
@@ -2303,6 +2452,231 @@ object MergeInto {
     val matched = AtomicPublish.read(spark, tablePath)
       .filter(predicate).select(keys.map(col): _*)
     deleteFrom(spark, tablePath, matched, keys)
+  }
+
+  /** Row-level UPDATE: rewrite the columns in `set` for every current
+    * row matching `predicate` (the Delta `UPDATE t SET … WHERE …`
+    * shape). Rides the MERGE write path — the matched rows, with the
+    * SET expressions applied, land as ONE upsert batch via
+    * [[upsertInto]] — so the write cost is ∝ THE MATCHED ROWS under
+    * merge-on-read (one segment + a manifest CAS; a 3-row update
+    * against a 100 TB table writes 3 rows), the change feed sees the
+    * commit as `update_postimage` rows for free, auto-fold and both
+    * `mor`/`cow` modes apply unchanged. The snapshot scan that turns
+    * the predicate into rows is predicate-pushed and zonemap-pruned
+    * ([[AtomicPublish.read]]); it is the irreducible cost of finding
+    * what to update. Read-committed like [[deleteWhere]]: rows landing
+    * concurrently with the scan are not covered.
+    *
+    * Refused loudly: SET names a column the table lacks (UPDATE never
+    * adds columns — that is schema evolution, [[upsertInto]] +
+    * [[AllowEvolutionKey]]'s job) and SET touches a merge key (under
+    * upsert semantics the old row would stay live — that is an
+    * INSERT + DELETE, not an UPDATE). A predicate matching nothing
+    * commits nothing — no empty segment, no manifest traffic. */
+  def updateWhere(spark: SparkSession, tablePath: String,
+                  predicate: org.apache.spark.sql.Column,
+                  set: Map[String, org.apache.spark.sql.Column],
+                  keys: Seq[String]): DataFrame = {
+    require(set.nonEmpty, s"updateWhere at $tablePath: empty SET clause")
+    val snap = AtomicPublish.read(spark, tablePath)
+    val cols = snap.schema.fieldNames.toSeq
+    val unknown = set.keys.filterNot(n => cols.exists(_.equalsIgnoreCase(n)))
+    require(unknown.isEmpty,
+      s"updateWhere at $tablePath: SET names unknown column(s) " +
+        s"${unknown.mkString(", ")} — UPDATE never adds columns; use " +
+        s"upsertInto with $AllowEvolutionKey for schema evolution")
+    val keyHit = set.keys.filter(n => keys.exists(_.equalsIgnoreCase(n)))
+    require(keyHit.isEmpty,
+      s"updateWhere at $tablePath: SET touches merge key(s) " +
+        s"${keyHit.mkString(", ")} — rewriting a key under merge " +
+        "semantics leaves the old row live (that is INSERT + DELETE, " +
+        "not UPDATE)")
+    val updated = snap.filter(predicate).select(cols.map { c =>
+      set.collectFirst { case (n, e) if n.equalsIgnoreCase(c) => e.as(c) }
+        .getOrElse(col(c))
+    }: _*)
+    if (updated.isEmpty) snap
+    else upsertInto(spark, tablePath, updated, keys)
+  }
+
+  /** FULL-SYNC MERGE: make the table mirror `source` — matched keys
+    * update, new keys insert, and keys NOT matched by source DELETE
+    * (the Delta `WHEN NOT MATCHED BY SOURCE THEN DELETE` shape, what a
+    * replica fed from a system-of-record snapshot needs). Target rows
+    * with NULL merge keys pass through untouched, matching
+    * [[upsertInto]]'s never-overridden contract.
+    *
+    * Atomicity: under merge-on-read the upsert batch and the
+    * not-matched tombstones land in ONE commit
+    * ([[AtomicPublish.appendSegments]] — one manifest swap), so a
+    * concurrent reader sees the pre-sync or post-sync table in full,
+    * never the upserted-but-not-yet-deleted middle. Write cost is ∝
+    * the batch + the stale-key set; the one corpus-proportional piece
+    * is the KEY-COLUMN scan that finds stale keys (column-pruned —
+    * the irreducible cost of "not matched by source"). Read-committed
+    * like [[deleteWhere]]: rows landing concurrently with the
+    * stale-key scan are not covered by the tombstone.
+    *
+    * Copy-on-write: one CAS rewrite to `source ∪ null-key rows` —
+    * cost ∝ the corpus, reads stay join-free; same trade as every
+    * other cow path. */
+  def syncInto(spark: SparkSession, tablePath: String, source: DataFrame,
+               keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, s"syncInto at $tablePath: empty key list")
+    val anyKeyNull = keys.map(col(_).isNull).reduce(_ || _)
+    val mode = spark.conf.getOption(ModeKey).getOrElse(ModeDefault)
+    mode match {
+      case "mor" =>
+        val srcKeys = source.select(keys.map(col): _*)
+          .filter(!anyKeyNull).distinct()
+        val stale = AtomicPublish.read(spark, tablePath)
+          .select(keys.map(col): _*).filter(!anyKeyNull).distinct()
+          .join(srcKeys, keys, "left_anti")
+        AtomicPublish.appendSegments(spark, tablePath, Seq(
+          (Some(("upsert", keys)),
+            (p: String) => source.write.parquet(p)),
+          (Some(("delete", keys)),
+            (p: String) => stale.write.parquet(p))))
+        maybeAutoFold(spark, tablePath)
+      case "cow" =>
+        val outcome = AtomicPublish.casRewrite(spark, tablePath,
+          maxAttempts = 5, minSegments = 1, fold = false) { (paths, staging) =>
+          val dirs = paths.map(p => p.substring(p.lastIndexOf('/') + 1))
+          val target = AtomicPublish.readOver(spark, tablePath, dirs)
+          val aligned = alignForEvolution(spark, tablePath, target, source)
+          aligned._1.filter(anyKeyNull).unionByName(aligned._2)
+            .write.parquet(staging)
+        }
+        outcome match {
+          case AtomicPublish.CompactOutcome.LostRace =>
+            throw new IllegalStateException(
+              s"syncInto(cow) at $tablePath: 5 attempts each found the " +
+                "segment list changed under the rewrite; use " +
+                s"$ModeKey=mor for this workload")
+          case AtomicPublish.CompactOutcome.AlreadyCompact =>
+            throw new IllegalStateException(
+              s"syncInto: no published version (MANIFEST) at $tablePath")
+          case _ => ()
+        }
+      case other =>
+        throw new IllegalArgumentException(
+          s"$ModeKey must be `mor` or `cow`, got `$other`")
+    }
+    AtomicPublish.read(spark, tablePath)
+  }
+
+  /** PARTIAL OVERWRITE — the Delta `INSERT OVERWRITE … replaceWhere`
+    * shape: atomically delete every current row matching `predicate`
+    * and insert `batch` (whose rows must ALL satisfy the predicate —
+    * refused loudly otherwise, per the Delta contract, so a mis-scoped
+    * batch can never leak rows outside the partition it claims to
+    * replace). The idiomatic daily-partition reload: replace
+    * `dt = '2026-08-16'` with the recomputed day.
+    *
+    * Scale shape: segments whose ZONEMAPS prove no row can match the
+    * predicate are KEPT IN PLACE — same dirs, same sidecars, zero
+    * bytes moved ([[AtomicPublish.casRewriteMultiSelect]]); only
+    * overlapping segments are rewritten (minus matching rows), and the
+    * batch lands as one more segment, all under ONE manifest swap. On
+    * a date-clustered 100 TB table a single-day replace rewrites the
+    * handful of segments whose range admits that day — cost ∝ the
+    * affected range, never the corpus. An unclustered table's zones
+    * admit everything (full rewrite) — run [[AtomicPublish.optimizeTable]]
+    * on the predicate columns first; that is the same pay-once trade
+    * every skipping path in this protocol makes.
+    *
+    * Pending merge-on-read segments are FOLDED first (zone evidence
+    * binds to reconciled data segments); a merge racing the rewrite
+    * aborts the CAS and the replace retries against the new list,
+    * reconciling whatever it then observes. NULL predicate rows are
+    * kept (SQL WHERE semantics — DELETE covers rows where the
+    * predicate is TRUE). The commit is NOT a fold: content changed,
+    * so the change feed refuses windows across it (diff snapshots via
+    * [[AtomicPublish.readAt]]), and an OPTIMIZE layout is invalidated
+    * (the rewritten range segments change names) — re-cluster at the
+    * next maintenance window, exactly as after a Delta replaceWhere. */
+  def replaceWhere(spark: SparkSession, tablePath: String,
+                   predicate: org.apache.spark.sql.Column,
+                   batch: DataFrame, maxAttempts: Int = 3): DataFrame = {
+    val current = AtomicPublish.read(spark, tablePath)
+    val canon = current.schema.fieldNames.toSeq
+    val bNames = batch.schema.fieldNames
+    require(canon.forall(c => bNames.exists(_.equalsIgnoreCase(c))) &&
+        bNames.length == canon.length,
+      s"replaceWhere at $tablePath: batch schema (${bNames.mkString(", ")}) " +
+        s"must match the table's (${canon.mkString(", ")}) — replaceWhere " +
+        "never evolves schema")
+    val aligned = batch.select(canon.map(col): _*)
+    require(aligned.filter(!coalesce(predicate, lit(false))).isEmpty,
+      s"replaceWhere at $tablePath: the batch contains rows that do NOT " +
+        "satisfy the predicate — they would land outside the replaced " +
+        "region; widen the predicate or fix the batch")
+    // fold pending merges so zone evidence binds to plain data segments
+    if (AtomicPublish.upsertSidecarsFor(spark, tablePath,
+        AtomicPublish.currentSegments(spark, tablePath)).nonEmpty)
+      compactMerged(spark, tablePath)
+    val keepRow = !coalesce(predicate, lit(false))
+    val conjuncts = resolvedConjuncts(spark, current, predicate)
+    val root = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val outcome = AtomicPublish.casRewriteMultiSelect(spark, tablePath,
+      maxAttempts, minSegments = 1,
+      select = obs => {
+        // a merge that raced the pre-fold: reconcile-everything fallback
+        if (AtomicPublish.mergeSidecarsFor(spark, tablePath, obs).nonEmpty)
+          (obs, Nil)
+        else obs.partition { d =>
+          val zones = ZoneMaps.read(fs, root, d)
+          conjuncts.isEmpty || ZoneMaps.mightMatch(zones, conjuncts)
+        }
+      },
+      onCommit = (_, _, _) => (),
+      fold = false) { (paths, staging) =>
+      val dirs = paths.map(p => p.substring(p.lastIndexOf('/') + 1))
+      if (AtomicPublish.mergeSidecarsFor(spark, tablePath, dirs).nonEmpty)
+        AtomicPublish.readOver(spark, tablePath, dirs).filter(keepRow)
+          .write.parquet(s"$staging/seg-00000")
+      else paths.zipWithIndex.foreach { case (p, i) =>
+        spark.read.parquet(p).filter(keepRow)
+          .write.parquet(f"$staging/seg-$i%05d")
+      }
+      aligned.write.parquet(f"$staging/seg-${paths.length}%05d")
+    }
+    outcome match {
+      case AtomicPublish.CompactOutcome.AlreadyCompact =>
+        // zones prove NO current row matches: nothing to delete, the
+        // batch appends — still one commit
+        AtomicPublish.appendSegment(spark, tablePath)(p =>
+          aligned.write.parquet(p))
+        ()
+      case AtomicPublish.CompactOutcome.LostRace =>
+        throw new IllegalStateException(
+          s"replaceWhere at $tablePath: $maxAttempts attempts each found " +
+            "the segment list changed under the rewrite — retry at a " +
+            "quieter moment or raise maxAttempts")
+      case _ => ()
+    }
+    AtomicPublish.read(spark, tablePath)
+  }
+
+  /** `predicate` resolved against `df`'s schema and split into its
+    * conjuncts — the [[ZoneMaps.mightMatch]] input shape. Empty when
+    * no Filter survives analysis (e.g. a literal predicate): callers
+    * treat that as prune-nothing. */
+  private def resolvedConjuncts(spark: SparkSession, df: DataFrame,
+                                predicate: org.apache.spark.sql.Column)
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    import org.apache.spark.sql.catalyst.expressions.And
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    def split(e: org.apache.spark.sql.catalyst.expressions.Expression)
+        : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
+      case And(l, r) => split(l) ++ split(r)
+      case x         => Seq(x)
+    }
+    df.filter(predicate).queryExecution.analyzed.collectFirst {
+      case f: Filter => f.condition
+    }.map(split).getOrElse(Nil)
   }
 
   /** Apply the evolution contract to a (target, source) pair for the

@@ -476,6 +476,126 @@ object JoinQueries extends QueryGroup {
               WHERE c_custkey % 7 <> 0 OR c_custkey % 14 = 0
               ORDER BY c_custkey""")),
 
+    // Row-level UPDATE (round 16): `UPDATE t SET … WHERE …` riding the
+    // merge-on-read upsert path — the matched rows land as ONE upsert
+    // segment (write ∝ matched rows, never the corpus), reconciliation
+    // chains the second update over the first's postimage, and a
+    // zero-match update commits NOTHING (no empty segment). SET
+    // touching a merge key or naming an unknown column is refused
+    // loudly (spec-pinned in MergeSpec).
+    GQuery("merge_update",
+      (s, dir) => {
+        import s.implicits._
+        val table = graft.engine.Scratch.dir("upd_customer")
+        val target = Tables(s, dir, "customer")
+        graft.ops.AtomicPublish.publish(s, table)(p => target.write.parquet(p))
+        graft.ops.MergeInto.updateWhere(s, table,
+          $"c_custkey" % 5 === 0,
+          Map("c_acctbal" -> ($"c_acctbal" + 100.0),
+              "c_mktsegment" -> lit("UPDATED")),
+          Seq("c_custkey"))
+        // chained update: reads the FIRST update's postimage through
+        // merge-on-read reconciliation before landing its own segment
+        graft.ops.MergeInto.updateWhere(s, table,
+          $"c_custkey" % 10 === 0,
+          Map("c_acctbal" -> ($"c_acctbal" + 9000.0)),
+          Seq("c_custkey"))
+        val vBefore = graft.ops.AtomicPublish.currentVersion(s, table).get
+        // zero matches: no commit — version must not advance
+        graft.ops.MergeInto.updateWhere(s, table,
+          $"c_custkey" < 0, Map("c_acctbal" -> lit(0.0)), Seq("c_custkey"))
+        require(graft.ops.AtomicPublish.currentVersion(s, table)
+          .contains(vBefore),
+          "merge_update: a zero-match UPDATE committed a version")
+        graft.ops.AtomicPublish.read(s, table).orderBy($"c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name, c_nationkey,
+                CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100.0 + 9000.0
+                     WHEN c_custkey % 5 = 0 THEN c_acctbal + 100.0
+                     ELSE c_acctbal END AS c_acctbal,
+                CASE WHEN c_custkey % 5 = 0 THEN 'UPDATED'
+                     ELSE c_mktsegment END AS c_mktsegment
+              FROM customer
+              ORDER BY c_custkey""")),
+
+    // FULL-SYNC MERGE (round 16): `WHEN NOT MATCHED BY SOURCE THEN
+    // DELETE` — the table is made to mirror the source in ONE commit
+    // (upsert batch + stale-key tombstones land under a single
+    // manifest swap; the in-key require pins the version delta to 1,
+    // so a lagging reader can never observe the half-applied middle).
+    // The sync rides over a PENDING merge segment, proving the
+    // stale-key scan reads the reconciled view, not the base.
+    GQuery("merge_sync",
+      (s, dir) => {
+        import s.implicits._
+        val table = graft.engine.Scratch.dir("sync_customer")
+        val cust = Tables(s, dir, "customer")
+        graft.ops.AtomicPublish.publish(s, table)(p => cust.write.parquet(p))
+        // pending merge-on-read segment under the sync
+        graft.ops.MergeInto.upsertInto(s, table,
+          cust.filter($"c_custkey" % 5 === 1)
+            .withColumn("c_acctbal", $"c_acctbal" + 10.0),
+          Seq("c_custkey"))
+        val vBefore = graft.ops.AtomicPublish.currentVersion(s, table).get
+        val source = cust.filter($"c_custkey" % 3 === 0)
+          .withColumn("c_acctbal", $"c_acctbal" + 50.0)
+          .unionByName(cust.filter($"c_custkey" % 9 === 1)
+            .withColumn("c_custkey", $"c_custkey" + 1000000L)
+            .withColumn("c_mktsegment", lit("FRESH")))
+        graft.ops.MergeInto.syncInto(s, table, source, Seq("c_custkey"))
+        require(graft.ops.AtomicPublish.currentVersion(s, table)
+          .contains(vBefore + 1),
+          "merge_sync: the sync must land as exactly ONE commit")
+        graft.ops.AtomicPublish.read(s, table).orderBy($"c_custkey")
+      },
+      Some("""SELECT * FROM (
+                SELECT c_custkey, c_name, c_nationkey,
+                       c_acctbal + 50.0 AS c_acctbal, c_mktsegment
+                FROM customer WHERE c_custkey % 3 = 0
+                UNION ALL
+                SELECT c_custkey + 1000000, c_name, c_nationkey,
+                       c_acctbal, 'FRESH'
+                FROM customer WHERE c_custkey % 9 = 1) t
+              ORDER BY c_custkey""")),
+
+    // PARTIAL OVERWRITE (round 16): Delta's `INSERT OVERWRITE …
+    // replaceWhere` — one commit deletes the predicate's rows and
+    // inserts the recomputed batch. The table is range-clustered
+    // first, so the in-key require proves the zone-pruned partial
+    // rewrite KEPT disjoint segments in place (the daily-partition
+    // reload that rewrites the affected range, not the corpus).
+    GQuery("merge_replace_where",
+      (s, dir) => {
+        import s.implicits._
+        val table = graft.engine.Scratch.dir("rw_orders")
+        val orders = Tables(s, dir, "orders")
+        graft.ops.AtomicPublish.publish(s, table)(p =>
+          orders.write.parquet(p))
+        graft.ops.AtomicPublish.optimizeTable(s, table,
+          Seq("o_orderkey"), segments = 4)
+        val before = graft.ops.AtomicPublish.currentSegments(s, table)
+        val batch = orders.filter($"o_orderkey".between(100L, 500L))
+          .withColumn("o_totalprice", $"o_totalprice" + 1000.0)
+          .withColumn("o_orderpriority", lit("5-REPLACED"))
+        graft.ops.MergeInto.replaceWhere(s, table,
+          $"o_orderkey".between(100L, 500L), batch)
+        val after = graft.ops.AtomicPublish.currentSegments(s, table)
+        require(before.toSet.intersect(after.toSet).nonEmpty,
+          "merge_replace_where: zone pruning kept no segment in place — " +
+            "the partial rewrite went full-corpus on a clustered table")
+        graft.ops.AtomicPublish.read(s, table).orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus,
+                CASE WHEN o_orderkey BETWEEN 100 AND 500
+                     THEN o_totalprice + 1000.0
+                     ELSE o_totalprice END AS o_totalprice,
+                o_orderdate,
+                CASE WHEN o_orderkey BETWEEN 100 AND 500
+                     THEN '5-REPLACED'
+                     ELSE o_orderpriority END AS o_orderpriority
+              FROM orders
+              ORDER BY o_orderkey""")),
+
     // CHANGE DATA FEED (round 15): the row-level changes between two
     // commits, derived from the version log + merge sidecars at READ
     // time (no per-write change files) — the Delta `table_changes`

@@ -404,6 +404,60 @@ object StreamingQueries extends QueryGroup {
               FROM events WHERE user_id < 100
               GROUP BY user_id ORDER BY user_id""")),
 
+    // STREAMING MV MAINTENANCE (round 16): the serving-layer loop a
+    // real pipeline runs — micro-batches MERGE raw events into a
+    // published fact table and the materialized view refreshes
+    // INCREMENTALLY after every commit (change-feed-driven partial
+    // recompute, cost ∝ the batch's affected groups, never the fact).
+    // Three chunks = three merge+refresh cycles; the in-key require
+    // pins every refresh to a 1-commit window (never a fullRefresh
+    // re-base), and the final MV content hash-grades against the
+    // from-scratch oracle — the refreshed-equals-recomputed contract.
+    GQuery("stream_mv_refresh",
+      (s, dir) => {
+        import s.implicits._
+        import graft.ops.{AtomicPublish, MergeInto, MaterializedView}
+        val events = Tables(s, dir, "events")
+          .filter($"user_id" < 50)
+          .select($"event_id", $"user_id", $"value",
+            unix_millis($"ts").as("__ord"))
+        val fact = graft.engine.Scratch.dir("smv_fact")
+        val mv = graft.engine.Scratch.dir("smv_view")
+        for (t <- Seq(fact, mv)) {
+          val p = new org.apache.hadoop.fs.Path(t)
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (fs.exists(p)) fs.delete(p, true)
+        }
+        val proto = Tables(s, dir, "events").filter(lit(false))
+          .select($"event_id", $"user_id", $"value")
+        AtomicPublish.publish(s, fact)(p => proto.write.parquet(p))
+        MaterializedView.create(s, mv, fact,
+          keys = Seq("event_id"), groupCols = Seq("user_id"),
+          aggs = Seq(
+            MaterializedView.AggSpec("n_events", "COUNT(*)"),
+            MaterializedView.AggSpec("sum_value", Det.sql.dsum("value"))))
+        graft.streaming.FileReplay.replay(s, events, "__ord", 3) { in =>
+          in.writeStream.outputMode("append")
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+              MergeInto.upsertInto(s, fact, batch.drop("__ord"),
+                Seq("event_id"))
+              val st = MaterializedView.refresh(s, mv)
+              require(st.toVersion == st.fromVersion + 1,
+                s"stream_mv_refresh: refresh must ride each single merge " +
+                  s"commit incrementally, got $st")
+              ()
+            }
+            .start()
+        }
+        MaterializedView.read(s, mv)
+          .select($"user_id", $"n_events", $"sum_value")
+          .orderBy($"user_id")
+      },
+      Some(s"""SELECT user_id, COUNT(*) AS n_events,
+                ${Det.sql.dsum("value")} AS sum_value
+              FROM events WHERE user_id < 50
+              GROUP BY user_id ORDER BY user_id""")),
+
     // EXACTLY-ONCE APPEND SINK (round 15): the harder half of sink
     // idempotence. stream_foreach_merge survives redelivery because a
     // keyed MERGE of running totals is NATURALLY idempotent; an

@@ -1050,6 +1050,210 @@ class MaintenanceSpec extends SparkSpec {
       .map(_.getLong(0)).sorted.toSeq === Seq(1L, 3L))
   }
 
+  test("updateWhere: SET applies to matched rows, CDF sees update_postimage, zero-match commits nothing") {
+    import spark.implicits._
+    val table = graft.engine.Scratch.dir("spec_upd_where")
+    AtomicPublish.publish(spark, table)(p =>
+      Seq((1L, 10.0, "x"), (2L, 20.0, "y"), (3L, 30.0, "z"))
+        .toDF("k", "bal", "tag").write.parquet(p))
+    val v0 = AtomicPublish.currentVersion(spark, table).get
+    MergeInto.updateWhere(spark, table, col("bal") >= 20.0,
+      Map("bal" -> (col("bal") + 1.0), "tag" -> lit("hit")), Seq("k"))
+    assert(AtomicPublish.read(spark, table).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).sortBy(_._1)
+      .toSeq === Seq((1L, 10.0, "x"), (2L, 21.0, "hit"), (3L, 31.0, "hit")))
+    // the change feed classifies the commit as postimages of live keys
+    val v1 = AtomicPublish.currentVersion(spark, table).get
+    val cdf = AtomicPublish.changesBetween(spark, table, v0, v1)
+      .select($"k", $"_change_type").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1).toSeq
+    assert(cdf === Seq(2L -> "update_postimage", 3L -> "update_postimage"))
+    // zero matches: no commit, no empty segment
+    MergeInto.updateWhere(spark, table, col("bal") < 0.0,
+      Map("tag" -> lit("never")), Seq("k"))
+    assert(AtomicPublish.currentVersion(spark, table).contains(v1))
+  }
+
+  test("syncInto: one commit, CDF classifies update/insert/delete, null keys pass through") {
+    import spark.implicits._
+    val table = graft.engine.Scratch.dir("spec_sync")
+    AtomicPublish.publish(spark, table)(p =>
+      Seq((Some(1L), "a", 10.0), (Some(2L), "b", 20.0),
+          (Some(3L), "c", 30.0), (None, "nullk", 0.0))
+        .toDF("k", "name", "bal").write.parquet(p))
+    val v0 = AtomicPublish.currentVersion(spark, table).get
+    // source: updates k=1, keeps k=2 (same row), inserts k=9; k=3 is
+    // NOT matched by source → delete. The null-key row passes through.
+    val source = Seq((Some(1L), "a2", 11.0), (Some(2L), "b", 20.0),
+        (Some(9L), "new", 90.0)).toDF("k", "name", "bal")
+    MergeInto.syncInto(spark, table, source, Seq("k"))
+    val v1 = AtomicPublish.currentVersion(spark, table).get
+    assert(v1 === v0 + 1, "sync must be ONE commit (one manifest swap)")
+    assert(AtomicPublish.read(spark, table).collect()
+      .map(r => (Option(r.get(0)).map(_.asInstanceOf[Long]),
+        r.getString(1), r.getDouble(2)))
+      .sortBy(_._1.getOrElse(-1L)).toSeq === Seq(
+      (None, "nullk", 0.0), (Some(1L), "a2", 11.0), (Some(2L), "b", 20.0),
+      (Some(9L), "new", 90.0)))
+    // the change feed reads the multi-segment commit: postimages for
+    // live matched keys, insert for the new key, delete for the stale
+    val cdf = AtomicPublish.changesBetween(spark, table, v0, v1)
+      .select($"k", $"_change_type", $"_commit_version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(cdf === Seq((1L, "update_postimage", v1),
+      (2L, "update_postimage", v1), (3L, "delete", v1),
+      (9L, "insert", v1)))
+    // cow parity: same semantics, single rewritten segment
+    val cow = graft.engine.Scratch.dir("spec_sync_cow")
+    AtomicPublish.publish(spark, cow)(p =>
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v").write.parquet(p))
+    spark.conf.set(MergeInto.ModeKey, "cow")
+    try MergeInto.syncInto(spark, cow,
+      Seq((2L, "b2"), (5L, "e")).toDF("k", "v"), Seq("k"))
+    finally spark.conf.unset(MergeInto.ModeKey)
+    val segs = AtomicPublish.currentSegments(spark, cow)
+    assert(segs.size === 1 &&
+      AtomicPublish.upsertSidecarsFor(spark, cow, segs).isEmpty)
+    assert(AtomicPublish.read(spark, cow).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1).toSeq ===
+      Seq(2L -> "b2", 5L -> "e"))
+  }
+
+  test("cow-mode MERGE is not a fold: the change feed refuses across it, never silently empty") {
+    import spark.implicits._
+    val table = graft.engine.Scratch.dir("spec_cow_cdf")
+    AtomicPublish.publish(spark, table)(p =>
+      Seq((1L, 10.0), (2L, 20.0)).toDF("k", "x").write.parquet(p))
+    val v0 = AtomicPublish.currentVersion(spark, table).get
+    spark.conf.set(MergeInto.ModeKey, "cow")
+    try MergeInto.upsertInto(spark, table,
+      Seq((2L, 99.0)).toDF("k", "x"), Seq("k"))
+    finally spark.conf.unset(MergeInto.ModeKey)
+    val v1 = AtomicPublish.currentVersion(spark, table).get
+    // pre-round-16: the cow rewrite stamped a FOLD marker, so this
+    // window diffed "through" the merge and emitted ZERO change rows
+    // for a row that changed 20.0 → 99.0 — silent CDF corruption
+    val e = intercept[IllegalArgumentException] {
+      AtomicPublish.changesBetween(spark, table, v0, v1).collect()
+    }
+    assert(e.getMessage.contains("rewrote history"))
+    // a genuine fold (compaction) still diffs through: mor table
+    val mor = graft.engine.Scratch.dir("spec_mor_fold_cdf")
+    AtomicPublish.publish(spark, mor)(p =>
+      Seq((1L, "a")).toDF("k", "v").write.parquet(p))
+    val w0 = AtomicPublish.currentVersion(spark, mor).get
+    MergeInto.upsertInto(spark, mor, Seq((2L, "b")).toDF("k", "v"), Seq("k"))
+    MergeInto.compactMerged(spark, mor)
+    val w1 = AtomicPublish.currentVersion(spark, mor).get
+    val rows = AtomicPublish.changesBetween(spark, mor, w0, w1)
+      .select($"k", $"_change_type").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq
+    assert(rows === Seq(2L -> "insert"))
+  }
+
+  test("replaceWhere: zone-disjoint segments stay in place, contract refusals, CDF refuses across") {
+    import spark.implicits._
+    val table = graft.engine.Scratch.dir("spec_replace_where")
+    // two range-disjoint clustered segments over k
+    AtomicPublish.publish(spark, table)(p =>
+      (1L to 100L).map(k => (k, s"v$k")).toDF("k", "v").write.parquet(p))
+    AtomicPublish.optimizeTable(spark, table, Seq("k"), segments = 2)
+    val before = AtomicPublish.currentSegments(spark, table)
+    assert(before.size >= 2)
+    val vPre = AtomicPublish.currentVersion(spark, table).get
+    // replace the low range only: the high segment must stay in place
+    val batch = Seq((10L, "r10"), (20L, "r20")).toDF("k", "v")
+    MergeInto.replaceWhere(spark, table, col("k") <= 25L, batch)
+    val after = AtomicPublish.currentSegments(spark, table)
+    val kept = before.toSet.intersect(after.toSet)
+    assert(kept.nonEmpty,
+      s"no segment kept in place: before=$before after=$after")
+    val got = AtomicPublish.read(spark, table).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1).toSeq
+    assert(got === (Seq(10L -> "r10", 20L -> "r20") ++
+      (26L to 100L).map(k => k -> s"v$k")))
+    // content changed: the change feed must refuse across the commit
+    val vPost = AtomicPublish.currentVersion(spark, table).get
+    val e0 = intercept[IllegalArgumentException] {
+      AtomicPublish.changesBetween(spark, table, vPre, vPost).collect()
+    }
+    assert(e0.getMessage.contains("rewrote history"))
+    // a batch row OUTSIDE the predicate is refused loudly
+    val e1 = intercept[IllegalArgumentException] {
+      MergeInto.replaceWhere(spark, table, col("k") <= 5L,
+        Seq((99L, "stray")).toDF("k", "v"))
+    }
+    assert(e1.getMessage.contains("do NOT satisfy the predicate"))
+    // schema drift refused
+    val e2 = intercept[IllegalArgumentException] {
+      MergeInto.replaceWhere(spark, table, col("k") <= 5L,
+        Seq((1L, "x", 0.0)).toDF("k", "v", "extra"))
+    }
+    assert(e2.getMessage.contains("must match the table"))
+  }
+
+  test("replaceWhere: zones prove nothing matches → batch appends without a rewrite") {
+    import spark.implicits._
+    val table = graft.engine.Scratch.dir("spec_replace_append")
+    AtomicPublish.publish(spark, table)(p =>
+      (1L to 50L).map(k => (k, s"v$k")).toDF("k", "v").write.parquet(p))
+    // the base segment's zones cover k ∈ [1,50]; replacing k > 1000
+    // deletes nothing — the batch must land as a plain append (the
+    // base segment dir survives verbatim)
+    val before = AtomicPublish.currentSegments(spark, table)
+    MergeInto.replaceWhere(spark, table, col("k") > 1000L,
+      Seq((2000L, "new")).toDF("k", "v"))
+    val after = AtomicPublish.currentSegments(spark, table)
+    assert(after.take(before.length) === before,
+      s"disjoint replace rewrote the base: before=$before after=$after")
+    assert(AtomicPublish.read(spark, table).count() === 51L)
+  }
+
+  test("syncInto: a failed staging write publishes nothing and leaves no debris") {
+    import spark.implicits._
+    val table = graft.engine.Scratch.dir("spec_sync_fail")
+    AtomicPublish.publish(spark, table)(p =>
+      Seq((1L, "a")).toDF("k", "v").write.parquet(p))
+    val v0 = AtomicPublish.currentVersion(spark, table).get
+    // a source whose write blows up mid-staging: the delete part never
+    // stages, the upsert part's staging dir must be reclaimed
+    val bad = Seq((2L, "b")).toDF("k", "v")
+      .withColumn("v", org.apache.spark.sql.functions.raise_error(lit("boom")))
+    intercept[Exception] {
+      MergeInto.syncInto(spark, table, bad, Seq("k"))
+    }
+    assert(AtomicPublish.currentVersion(spark, table).contains(v0))
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val debris = fs.listStatus(new org.apache.hadoop.fs.Path(table))
+      .map(_.getPath.getName).filter(_.startsWith(".seg-"))
+    assert(debris.isEmpty, s"staging debris left behind: ${debris.toSeq}")
+    assert(AtomicPublish.read(spark, table).collect()
+      .map(_.getLong(0)).toSeq === Seq(1L))
+  }
+
+  test("updateWhere contract: unknown column, merge key, empty SET all refused") {
+    import spark.implicits._
+    val table = graft.engine.Scratch.dir("spec_upd_contract")
+    AtomicPublish.publish(spark, table)(p =>
+      Seq((1L, 1.0)).toDF("k", "bal").write.parquet(p))
+    val e1 = intercept[IllegalArgumentException] {
+      MergeInto.updateWhere(spark, table, lit(true),
+        Map("nope" -> lit(0.0)), Seq("k"))
+    }
+    assert(e1.getMessage.contains("unknown column"))
+    val e2 = intercept[IllegalArgumentException] {
+      MergeInto.updateWhere(spark, table, lit(true),
+        Map("k" -> lit(9L)), Seq("k"))
+    }
+    assert(e2.getMessage.contains("merge key"))
+    val e3 = intercept[IllegalArgumentException] {
+      MergeInto.updateWhere(spark, table, lit(true), Map.empty, Seq("k"))
+    }
+    assert(e3.getMessage.contains("empty SET"))
+  }
+
   test("delete contract: non-key columns refused, key agreement enforced, tail refuses") {
     import spark.implicits._
     val table = graft.engine.Scratch.dir("spec_del_contract")

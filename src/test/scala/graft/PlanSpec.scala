@@ -781,4 +781,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<c_custkey:bigint>"),
       s"the from-snapshot scan must be pruned to the merge key:\n$p")
   }
+
+  test("published dim reports size statistics: joins auto-broadcast without a hint") {
+    // the graft DSv2 inherits file-size statistics from the parquet
+    // FileScan, so Spark's size-based join planning must broadcast a
+    // small PUBLISHED dim against a big fact WITHOUT an explicit
+    // broadcast() — the property that keeps ad-hoc SQL over catalog
+    // tables from planning sort-merge joins at 100 TB
+    import spark.implicits._
+    val dim = graft.engine.Scratch.dir("spec_stats_dim")
+    graft.ops.AtomicPublish.publish(spark, dim)(p =>
+      graft.engine.Tables(spark, sfDir, "nation").write.parquet(p))
+    val fact = graft.engine.Tables(spark, sfDir, "customer")
+    val dimDf = spark.read.format("graft").load(dim)
+    val p = fact.join(dimDf, $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name").count()
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"published dim did not auto-broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"sort-merge crept in:\n$p")
+  }
 }
