@@ -116,8 +116,22 @@ object GraftFunctions {
 /** `spark.sql.extensions=graft.engine.GraftExtensions` injection —
   * the SAME function table as [[GraftFunctions.ensureRegistered]]
   * (shared, so the two front doors can never drift): a session built
-  * with the extension gets every native expression by SQL name. */
+  * with the extension gets every native expression by SQL name, plus
+  * the SQL DML rule ([[graft.plans.GraftDmlRule]]) that turns
+  * resolved UPDATE/DELETE/MERGE INTO plans over catalog-managed graft
+  * tables into protocol commands (merge-on-read when the table
+  * declares `merge.keys`, zone-pruned copy-on-write otherwise). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.injectAll(ext)
+    ext.injectResolutionRule(session => graft.plans.GraftDmlRule(session))
+    // the SQL utility verbs (VACUUM / OPTIMIZE / RESTORE / DESCRIBE
+    // HISTORY — none of them Spark grammar) and the CDF table-valued
+    // function, Delta's own parser-extension pattern
+    ext.injectParser((session, delegate) =>
+      new graft.plans.GraftSqlParser(session, delegate))
+    ext.injectTableFunction((FunctionIdentifier("table_changes"),
+      new ExpressionInfo("graft.plans", "table_changes"),
+      graft.plans.GraftSqlParser.tableChangesPlan))
+  }
 }

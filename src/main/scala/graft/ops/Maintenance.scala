@@ -2729,6 +2729,106 @@ object MergeInto {
     }
   }
 
+  /** KEYLESS copy-on-write DELETE: drop every current row matching
+    * `predicate`, rewriting ONLY the segments whose zonemaps admit a
+    * match — zone-DISJOINT segments stay in place (same partial-CAS
+    * shape as [[replaceWhere]]), so a one-day purge on a
+    * date-clustered 100 TB table rewrites the affected range, never
+    * the corpus. This is the DELETE for tables with no merge keys
+    * (the SQL `DELETE FROM t WHERE …` door routes here when the table
+    * carries no `merge.keys`); keyed tables should prefer
+    * [[deleteWhere]], whose tombstone write is ∝ the matched KEYS.
+    * NULL predicate rows are kept (SQL WHERE semantics: DELETE
+    * removes rows where the predicate IS TRUE). Segment boundaries
+    * are preserved one-to-one, so a clustering layout survives the
+    * delete. A predicate no zonemap admits commits NOTHING — zero
+    * manifest traffic. */
+  def deleteMatching(spark: SparkSession, tablePath: String,
+                     predicate: org.apache.spark.sql.Column,
+                     maxAttempts: Int = 3): DataFrame =
+    cowRewriteMatching(spark, tablePath, predicate, maxAttempts,
+      "deleteMatching")(df => df.filter(!coalesce(predicate, lit(false))))
+
+  /** KEYLESS copy-on-write UPDATE: apply the SET expressions to every
+    * current row matching `predicate`, rewriting only zone-affected
+    * segments ([[deleteMatching]]'s partial-CAS shape — disjoint
+    * segments untouched, clustering preserved). The keyless
+    * counterpart of [[updateWhere]] for tables with no merge keys;
+    * refuses SET on unknown columns (UPDATE never adds columns).
+    * Unlike [[updateWhere]] there is no key restriction — with no
+    * merge semantics in play, rewriting any column is safe. */
+  def updateMatching(spark: SparkSession, tablePath: String,
+                     predicate: org.apache.spark.sql.Column,
+                     set: Map[String, org.apache.spark.sql.Column],
+                     maxAttempts: Int = 3): DataFrame = {
+    require(set.nonEmpty, s"updateMatching at $tablePath: empty SET clause")
+    val cols = AtomicPublish.read(spark, tablePath).schema.fieldNames.toSeq
+    val unknown = set.keys.filterNot(n => cols.exists(_.equalsIgnoreCase(n)))
+    require(unknown.isEmpty,
+      s"updateMatching at $tablePath: SET names unknown column(s) " +
+        s"${unknown.mkString(", ")} — UPDATE never adds columns")
+    val hit = coalesce(predicate, lit(false))
+    cowRewriteMatching(spark, tablePath, predicate, maxAttempts,
+      "updateMatching")(df => df.select(cols.map { c =>
+        set.collectFirst { case (n, e) if n.equalsIgnoreCase(c) =>
+          when(hit, e.cast(df.schema(c).dataType)).otherwise(col(c)).as(c)
+        }.getOrElse(col(c))
+      }: _*))
+  }
+
+  /** Shared partial-CAS core of [[deleteMatching]]/[[updateMatching]]:
+    * fold pending merges (zone evidence binds to plain data segments),
+    * select the zonemap-OVERLAPPING segments, rewrite each through
+    * `transform` PRESERVING segment boundaries (seg-i in, seg-i out —
+    * a clustered layout survives), keep the rest in place. `fold =
+    * false` on the commit: a row-changing rewrite must not claim
+    * content preservation, so the change feed refuses across it
+    * loudly instead of silently diffing through (same contract as
+    * [[replaceWhere]] / cow-mode DML). */
+  private def cowRewriteMatching(spark: SparkSession, tablePath: String,
+                                 predicate: org.apache.spark.sql.Column,
+                                 maxAttempts: Int, what: String)
+                                (transform: DataFrame => DataFrame)
+      : DataFrame = {
+    if (AtomicPublish.upsertSidecarsFor(spark, tablePath,
+        AtomicPublish.currentSegments(spark, tablePath)).nonEmpty)
+      compactMerged(spark, tablePath)
+    val current = AtomicPublish.read(spark, tablePath)
+    val conjuncts = resolvedConjuncts(spark, current, predicate)
+    val root = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val outcome = AtomicPublish.casRewriteMultiSelect(spark, tablePath,
+      maxAttempts, minSegments = 1,
+      select = obs => {
+        // a merge that raced the pre-fold: reconcile-everything fallback
+        if (AtomicPublish.mergeSidecarsFor(spark, tablePath, obs).nonEmpty)
+          (obs, Nil)
+        else obs.partition { d =>
+          val zones = ZoneMaps.read(fs, root, d)
+          conjuncts.isEmpty || ZoneMaps.mightMatch(zones, conjuncts)
+        }
+      },
+      onCommit = (_, _, _) => (),
+      fold = false) { (paths, staging) =>
+      val dirs = paths.map(p => p.substring(p.lastIndexOf('/') + 1))
+      if (AtomicPublish.mergeSidecarsFor(spark, tablePath, dirs).nonEmpty)
+        transform(AtomicPublish.readOver(spark, tablePath, dirs))
+          .write.parquet(s"$staging/seg-00000")
+      else paths.zipWithIndex.foreach { case (p, i) =>
+        transform(spark.read.parquet(p)).write.parquet(f"$staging/seg-$i%05d")
+      }
+    }
+    outcome match {
+      case AtomicPublish.CompactOutcome.LostRace =>
+        throw new IllegalStateException(
+          s"$what at $tablePath: $maxAttempts attempts each found the " +
+            "segment list changed under the rewrite — retry at a quieter " +
+            "moment or raise maxAttempts")
+      case _ => () // AlreadyCompact: zones prove nothing matches — no-op
+    }
+    AtomicPublish.read(spark, tablePath)
+  }
+
   /** FOLD a merge-on-read table — the LSM compaction that keeps
     * read-time reconciliation bounded. Zero lock tenure during the
     * rewrite; a LostRace leaves the table untouched (the next merge or

@@ -596,6 +596,197 @@ object JoinQueries extends QueryGroup {
               FROM orders
               ORDER BY o_orderkey""")),
 
+    // SQL DML, KEYLESS (round 16): `DELETE FROM … WHERE` and
+    // `UPDATE … SET … WHERE` in plain SQL text over a catalog table
+    // with NO merge identity — the GraftDmlRule routes both through
+    // zone-pruned COPY-ON-WRITE partial rewrites
+    // (MergeInto.deleteMatching/updateMatching): only segments whose
+    // zonemaps admit the predicate are rewritten, disjoint segments
+    // and the clustering layout stay in place, and NO merge sidecar
+    // ever appears (the in-key require). At 100 TB a one-day purge on
+    // a date-clustered table rewrites the affected range, never the
+    // corpus. The oracle reconstructs the delete+update composition.
+    GQuery("sql_delete_update",
+      (s, dir) => {
+        val wh = graft.engine.Scratch.dir("sqldml_wh")
+        s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_dml.warehouse", wh)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_dml.dml")
+        val tp = new org.apache.hadoop.fs.Path(s"$wh/dml/cust_cow")
+        val fs = tp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(tp)) fs.delete(tp, true)
+        Tables(s, dir, "customer").createOrReplaceTempView("cust_src_cow")
+        s.sql("CREATE TABLE graft_dml.dml.cust_cow AS SELECT * FROM cust_src_cow")
+        s.sql("DELETE FROM graft_dml.dml.cust_cow WHERE c_custkey % 10 = 3")
+        s.sql("""UPDATE graft_dml.dml.cust_cow
+                 SET c_acctbal = c_acctbal + 100.0
+                 WHERE c_mktsegment = 'BUILDING'""")
+        val t = s"$wh/dml/cust_cow"
+        val segs = graft.ops.AtomicPublish.currentSegments(s, t)
+        require(graft.ops.AtomicPublish.upsertSidecarsFor(s, t, segs).isEmpty,
+          "sql_delete_update: keyless DML must stay copy-on-write — a " +
+            "merge sidecar appeared")
+        s.sql("SELECT * FROM graft_dml.dml.cust_cow ORDER BY c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name, c_nationkey,
+                CASE WHEN c_mktsegment = 'BUILDING'
+                     THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal,
+                c_mktsegment
+              FROM customer WHERE c_custkey % 10 <> 3
+              ORDER BY c_custkey""")),
+
+    // SQL MERGE INTO, KEYED (round 16): the table declares its merge
+    // identity at CREATE (`TBLPROPERTIES('merge.keys'='c_custkey')`),
+    // so `MERGE INTO … WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED
+    // THEN INSERT *` lands as ONE merge-on-read upsert segment — write
+    // ∝ the batch, the CDC-ingest shape at 100 TB — and the final
+    // SELECT reads the table BY NAME while the merge is still PENDING:
+    // the DML rule expands the placeholder relation into the
+    // reconciled claims-join plan (the in-key require pins that the
+    // pending segment really is there, i.e. the read exercised
+    // reconciliation, not a fold). Oracle: updates +100 the matched
+    // residues, the batch re-inserts the residue-3 rows the base
+    // never had.
+    GQuery("sql_merge_upsert",
+      (s, dir) => {
+        val wh = graft.engine.Scratch.dir("sqldml_wh")
+        s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_dml.warehouse", wh)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_dml.dml")
+        val tp = new org.apache.hadoop.fs.Path(s"$wh/dml/cust_mrg")
+        val fs = tp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(tp)) fs.delete(tp, true)
+        Tables(s, dir, "customer").createOrReplaceTempView("cust_src_mrg")
+        s.sql("""CREATE TABLE graft_dml.dml.cust_mrg
+                 TBLPROPERTIES ('merge.keys'='c_custkey') AS
+                 SELECT * FROM cust_src_mrg WHERE c_custkey % 10 <> 3""")
+        s.sql("""MERGE INTO graft_dml.dml.cust_mrg t
+                 USING (SELECT c_custkey, c_name, c_nationkey,
+                               c_acctbal + 100.0 AS c_acctbal, c_mktsegment
+                        FROM cust_src_mrg
+                        WHERE c_custkey % 10 IN (2, 3)) s
+                 ON t.c_custkey = s.c_custkey
+                 WHEN MATCHED THEN UPDATE SET *
+                 WHEN NOT MATCHED THEN INSERT *""")
+        val t = s"$wh/dml/cust_mrg"
+        val segs = graft.ops.AtomicPublish.currentSegments(s, t)
+        require(graft.ops.AtomicPublish.upsertSidecarsFor(s, t, segs).nonEmpty,
+          "sql_merge_upsert: the MERGE must land merge-on-read (pending " +
+            "upsert segment) — found none")
+        s.sql("SELECT * FROM graft_dml.dml.cust_mrg ORDER BY c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name, c_nationkey,
+                CASE WHEN c_custkey % 10 IN (2, 3)
+                     THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal,
+                c_mktsegment
+              FROM customer
+              ORDER BY c_custkey""")),
+
+    // SQL FULL-SYNC MERGE (round 16): `WHEN NOT MATCHED BY SOURCE THEN
+    // DELETE` in SQL text — the replica-maintenance statement. The
+    // rule routes it to MergeInto.syncInto: upsert batch + stale-key
+    // tombstones under ONE manifest swap (the version-delta require),
+    // then the by-name read reconciles the mirrored state. Oracle: the
+    // table must BE the source — residue-0 customers with +50.0.
+    GQuery("sql_merge_sync",
+      (s, dir) => {
+        val wh = graft.engine.Scratch.dir("sqldml_wh")
+        s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_dml.warehouse", wh)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_dml.dml")
+        val tp = new org.apache.hadoop.fs.Path(s"$wh/dml/cust_sync")
+        val fs = tp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(tp)) fs.delete(tp, true)
+        Tables(s, dir, "customer").createOrReplaceTempView("cust_src_sync")
+        s.sql("""CREATE TABLE graft_dml.dml.cust_sync
+                 TBLPROPERTIES ('merge.keys'='c_custkey') AS
+                 SELECT * FROM cust_src_sync""")
+        val t = s"$wh/dml/cust_sync"
+        val vBefore = graft.ops.AtomicPublish.currentVersion(s, t).get
+        s.sql("""MERGE INTO graft_dml.dml.cust_sync t
+                 USING (SELECT c_custkey, c_name, c_nationkey,
+                               c_acctbal + 50.0 AS c_acctbal, c_mktsegment
+                        FROM cust_src_sync WHERE c_custkey % 3 = 0) s
+                 ON t.c_custkey = s.c_custkey
+                 WHEN MATCHED THEN UPDATE SET *
+                 WHEN NOT MATCHED THEN INSERT *
+                 WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+        require(graft.ops.AtomicPublish.currentVersion(s, t)
+          .contains(vBefore + 1),
+          "sql_merge_sync: the sync must land as exactly ONE commit")
+        s.sql("SELECT * FROM graft_dml.dml.cust_sync ORDER BY c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name, c_nationkey,
+                c_acctbal + 50.0 AS c_acctbal, c_mktsegment
+              FROM customer WHERE c_custkey % 3 = 0
+              ORDER BY c_custkey""")),
+
+    // CDF AS A TABLE-VALUED FUNCTION (round 16): Delta's
+    // `table_changes('t', from, to)` spelled exactly — registered via
+    // injectTableFunction (graft.plans.GraftSqlParser.tableChangesPlan),
+    // resolving the name through the catalog and returning the SAME
+    // fold-surviving change-feed plan changesBetween builds for the
+    // API. The WHOLE history here is driven by SQL: CTAS + INSERT +
+    // MERGE + OPTIMIZE (a fold mid-window — zero change rows, the feed
+    // diffs through it) + DELETE, then the TVF reads the window in
+    // one SELECT. A regression in any of parser, DML rule, TVF
+    // binding, or feed classification diverges the oracle.
+    GQuery("sql_table_changes",
+      (s, dir) => {
+        val wh = graft.engine.Scratch.dir("sqlutil_wh")
+        s.conf.set("spark.sql.catalog.graft_util", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_util.warehouse", wh)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_util.util")
+        val t = s"$wh/util/cust_cdf"
+        val tp = new org.apache.hadoop.fs.Path(t)
+        val fs = tp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(tp)) fs.delete(tp, true)
+        Tables(s, dir, "customer").createOrReplaceTempView("cust_src_cdf")
+        s.sql("""CREATE TABLE graft_util.util.cust_cdf
+                 TBLPROPERTIES ('merge.keys'='c_custkey') AS
+                 SELECT * FROM cust_src_cdf WHERE c_custkey % 3 = 0""") // v1+v2
+        s.sql("""INSERT INTO graft_util.util.cust_cdf
+                 SELECT * FROM cust_src_cdf WHERE c_custkey % 3 = 1""") // v3
+        s.sql("""MERGE INTO graft_util.util.cust_cdf t
+                 USING (SELECT c_custkey, c_name, c_nationkey,
+                          CASE WHEN c_custkey % 6 = 0
+                               THEN c_acctbal + 100.0 ELSE c_acctbal END
+                            AS c_acctbal,
+                          c_mktsegment
+                        FROM cust_src_cdf
+                        WHERE c_custkey % 6 = 0
+                           OR (c_custkey % 3 = 2 AND c_custkey % 2 = 0)) s
+                 ON t.c_custkey = s.c_custkey
+                 WHEN MATCHED THEN UPDATE SET *
+                 WHEN NOT MATCHED THEN INSERT *""")                      // v4
+        s.sql("OPTIMIZE graft_util.util.cust_cdf")            // v5 (fold)
+        s.sql("""DELETE FROM graft_util.util.cust_cdf
+                 WHERE c_custkey % 9 = 0""")                             // v6
+        require(graft.ops.AtomicPublish.currentVersion(s, t).contains(6L),
+          "sql_table_changes: expected exactly six SQL-driven commits")
+        s.sql("""SELECT c_custkey, c_name, c_acctbal,
+                   _change_type AS change_type,
+                   _commit_version - 2 AS commit_step
+                 FROM table_changes('graft_util.util.cust_cdf', 2, 6)
+                 ORDER BY commit_step, c_custkey, change_type""")
+      },
+      Some("""SELECT * FROM (
+                SELECT c_custkey, c_name, c_acctbal,
+                       'insert' AS change_type, CAST(1 AS BIGINT) AS commit_step
+                FROM customer WHERE c_custkey % 3 = 1
+                UNION ALL
+                SELECT c_custkey, c_name, c_acctbal + 100.0,
+                       'update_postimage', 2
+                FROM customer WHERE c_custkey % 6 = 0
+                UNION ALL
+                SELECT c_custkey, c_name, c_acctbal, 'insert', 2
+                FROM customer WHERE c_custkey % 3 = 2 AND c_custkey % 2 = 0
+                UNION ALL
+                SELECT c_custkey, CAST(NULL AS VARCHAR),
+                       CAST(NULL AS DOUBLE), 'delete', 4
+                FROM customer WHERE c_custkey % 9 = 0)
+              ORDER BY commit_step, c_custkey, change_type""")),
+
     // CHANGE DATA FEED (round 15): the row-level changes between two
     // commits, derived from the version log + merge sidecars at READ
     // time (no per-write change files) — the Delta `table_changes`

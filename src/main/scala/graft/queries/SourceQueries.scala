@@ -414,6 +414,82 @@ object SourceQueries extends QueryGroup {
               ${graft.engine.Det.sql.dsum("c_acctbal")} AS sum_bal
               FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
 
+    // SQL WRITE DOOR (round 16): the catalog's tables WRITE through
+    // the commit protocol — CTAS = CREATE + one append commit,
+    // INSERT INTO = one append commit (write ∝ the batch; a daily
+    // 100 TB ingest appends a day, never rewrites the corpus). The
+    // key lands the table in two halves through two SQL statements
+    // and aggregates the union read back BY NAME: a dropped or
+    // double-applied commit diverges n_cust/sum_bal from the oracle
+    // over the original parquet. The PATH door (`USING graft`) keeps
+    // refusing writes — CatalogSpec pins both sides of that line.
+    GQuery("sql_insert_catalog",
+      (s, dir) => {
+        val wh = scratch("sqldml_wh")
+        s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_dml.warehouse", wh)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_dml.dml")
+        val tp = new org.apache.hadoop.fs.Path(s"$wh/dml/cust_ins")
+        val fs = tp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(tp)) fs.delete(tp, true)
+        Tables(s, dir, "customer").createOrReplaceTempView("cust_src_ins")
+        s.sql("""CREATE TABLE graft_dml.dml.cust_ins AS
+                 SELECT c_custkey, c_mktsegment, c_acctbal
+                 FROM cust_src_ins WHERE c_custkey % 10 < 5""")
+        s.sql("""INSERT INTO graft_dml.dml.cust_ins
+                 SELECT c_custkey, c_mktsegment, c_acctbal
+                 FROM cust_src_ins WHERE c_custkey % 10 >= 5""")
+        s.sql(s"""SELECT c_mktsegment, COUNT(*) AS n_cust,
+                  ${graft.engine.Det.sql.dsum("c_acctbal")} AS sum_bal
+                  FROM graft_dml.dml.cust_ins
+                  GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+      },
+      Some(s"""SELECT c_mktsegment, COUNT(*) AS n_cust,
+              ${graft.engine.Det.sql.dsum("c_acctbal")} AS sum_bal
+              FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // INSERT OVERWRITE through the catalog = a NEW PUBLISHED VERSION,
+    // not a delete-then-write: the pre-overwrite state stays
+    // time-travel readable for the retention window. The key
+    // overwrites the CTAS'd lower half with the upper half and reads
+    // BOTH states in one statement — the current aggregate plus a
+    // scalar subquery over `VERSION AS OF 2` (the post-CTAS commit).
+    // If OVERWRITE leaked old rows into the current state, n_now
+    // diverges; if it DESTROYED the old version (the mode("overwrite")
+    // failure shape the protocol exists to prevent), n_old does. At
+    // 100 TB the overwrite costs the new data's write + a manifest
+    // swap; the old version ages out via retention GC, not delete.
+    GQuery("sql_insert_overwrite",
+      (s, dir) => {
+        val wh = scratch("sqldml_wh")
+        s.conf.set("spark.sql.catalog.graft_dml", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_dml.warehouse", wh)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_dml.dml")
+        val tp = new org.apache.hadoop.fs.Path(s"$wh/dml/cust_ovw")
+        val fs = tp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(tp)) fs.delete(tp, true)
+        Tables(s, dir, "customer").createOrReplaceTempView("cust_src_ovw")
+        s.sql("""CREATE TABLE graft_dml.dml.cust_ovw AS
+                 SELECT c_custkey, c_mktsegment, c_acctbal
+                 FROM cust_src_ovw WHERE c_custkey % 10 < 5""")
+        require(graft.ops.AtomicPublish.currentVersion(s, s"$wh/dml/cust_ovw")
+          .contains(2L), "sql_insert_overwrite: CTAS must land create+append")
+        s.sql("""INSERT OVERWRITE graft_dml.dml.cust_ovw
+                 SELECT c_custkey, c_mktsegment, c_acctbal
+                 FROM cust_src_ovw WHERE c_custkey % 10 >= 5""")
+        s.sql(s"""SELECT c_mktsegment, COUNT(*) AS n_now,
+                  ${graft.engine.Det.sql.dsum("c_acctbal")} AS sum_bal,
+                  (SELECT COUNT(*)
+                   FROM graft_dml.dml.cust_ovw VERSION AS OF 2) AS n_old
+                  FROM graft_dml.dml.cust_ovw
+                  GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+      },
+      Some(s"""SELECT c_mktsegment, COUNT(*) AS n_now,
+              ${graft.engine.Det.sql.dsum("c_acctbal")} AS sum_bal,
+              (SELECT COUNT(*) FROM customer WHERE c_custkey % 10 < 5) AS n_old
+              FROM customer WHERE c_custkey % 10 >= 5
+              GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
     // TIME TRAVEL (round 15): every manifest swap logs its segment list
     // to a version log; `versionAsOf` on the graft source resolves any
     // version the retention window still holds. The key publishes a
@@ -570,6 +646,143 @@ object SourceQueries extends QueryGroup {
       Some("""SELECT COUNT(*) AS n_rows, 1 AS data_dirs_on_disk,
                      true AS aged_read_refused
               FROM customer""")),
+
+    // SQL UTILITY SURFACE, history half (round 16): `DESCRIBE HISTORY`
+    // as SQL TEXT — the parser-extension door Delta ships
+    // (DeltaSqlParser), here graft.plans.GraftSqlParser fronting the
+    // session parser: four utility verbs recognized by anchored
+    // grammar, everything else delegated verbatim. This key drives a
+    // seven-commit ledger ENTIRELY through SQL (CTAS, INSERT, MERGE,
+    // DELETE, OPTIMIZE, RESTORE … TO VERSION AS OF) and grades the
+    // classified history the same way table_history does — but every
+    // verb enters through sqlText, so a regression in the parser, the
+    // DML rule, or the commands diverges the VALUES oracle.
+    GQuery("sql_describe_history",
+      (s, dir) => {
+        val wh = scratch("sqlutil_wh")
+        s.conf.set("spark.sql.catalog.graft_util", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_util.warehouse", wh)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_util.util")
+        val t = s"$wh/util/cust_hist"
+        val tp = new org.apache.hadoop.fs.Path(t)
+        val fs = tp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(tp)) fs.delete(tp, true)
+        Tables(s, dir, "customer").createOrReplaceTempView("cust_src_hist")
+        s.sql("""CREATE TABLE graft_util.util.cust_hist
+                 TBLPROPERTIES ('merge.keys'='c_custkey') AS
+                 SELECT * FROM cust_src_hist WHERE c_custkey % 3 = 0""") // v1+v2
+        s.sql("""INSERT INTO graft_util.util.cust_hist
+                 SELECT * FROM cust_src_hist WHERE c_custkey % 3 = 1""") // v3
+        s.sql("""MERGE INTO graft_util.util.cust_hist t
+                 USING (SELECT c_custkey, c_name, c_nationkey,
+                          CASE WHEN c_custkey % 6 = 0
+                               THEN c_acctbal + 100.0 ELSE c_acctbal END
+                            AS c_acctbal,
+                          c_mktsegment
+                        FROM cust_src_hist
+                        WHERE c_custkey % 6 = 0
+                           OR (c_custkey % 3 = 2 AND c_custkey % 2 = 0)) s
+                 ON t.c_custkey = s.c_custkey
+                 WHEN MATCHED THEN UPDATE SET *
+                 WHEN NOT MATCHED THEN INSERT *""")                      // v4
+        s.sql("""DELETE FROM graft_util.util.cust_hist
+                 WHERE c_custkey % 9 = 0""")                             // v5
+        s.sql("OPTIMIZE graft_util.util.cust_hist")                      // v6
+        val restored = s.sql(
+          "RESTORE TABLE graft_util.util.cust_hist TO VERSION AS OF 3")
+          .collect()(0)
+        require(restored.getLong(1) == 3L && restored.getLong(2) == 7L,  // v7
+          s"sql_describe_history: RESTORE returned $restored, expected " +
+            "(path, 3, 7)")
+        s.sql("DESCRIBE HISTORY graft_util.util.cust_hist")
+          .select(col("version"), col("operation"), col("num_segments"),
+            col("num_added"), col("is_fold"))
+          .orderBy(col("version"))
+      },
+      Some("""SELECT * FROM (VALUES
+                (CAST(1 AS BIGINT), 'PUBLISH',  1, 1, false),
+                (CAST(2 AS BIGINT), 'APPEND',   2, 1, false),
+                (CAST(3 AS BIGINT), 'APPEND',   3, 1, false),
+                (CAST(4 AS BIGINT), 'MERGE',    4, 1, false),
+                (CAST(5 AS BIGINT), 'DELETE',   5, 1, false),
+                (CAST(6 AS BIGINT), 'OPTIMIZE', 1, 0, true),
+                (CAST(7 AS BIGINT), 'RESTORE',  3, 0, false))
+                t(version, operation, num_segments, num_added, is_fold)
+              ORDER BY version""")),
+
+    // SQL UTILITY SURFACE, maintenance half (round 16): OPTIMIZE …
+    // ZORDER BY and VACUUM … RETAIN as SQL text. The key clusters a
+    // date-sliced orders table through SQL (full rewrite, then an
+    // INCREMENTAL re-optimize after a date-bounded append — the
+    // in-key require pins that clustered base segments actually
+    // SURVIVED in place, the ∝-new-data property), then VACUUMs at
+    // retention 0 and pins that superseded directories were
+    // physically deleted — all while the content hash stays the
+    // oracle's. The nightly 100 TB maintenance loop, spelled in SQL.
+    GQuery("sql_optimize_vacuum",
+      (s, dir) => {
+        import s.implicits._
+        val wh = scratch("sqlutil_wh")
+        s.conf.set("spark.sql.catalog.graft_util", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_util.warehouse", wh)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_util.util")
+        val t = s"$wh/util/orders_opt"
+        val tp = new org.apache.hadoop.fs.Path(t)
+        val fs = tp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(tp)) fs.delete(tp, true)
+        Tables(s, dir, "orders").createOrReplaceTempView("ord_src_opt")
+        s.sql("""CREATE TABLE graft_util.util.orders_opt AS
+                 SELECT * FROM ord_src_opt
+                 WHERE o_orderdate < TIMESTAMP '1995-01-01'""")
+        s.sql("""INSERT INTO graft_util.util.orders_opt
+                 SELECT * FROM ord_src_opt
+                 WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+                   AND o_orderdate < TIMESTAMP '1997-01-01'""")
+        s.sql("""INSERT INTO graft_util.util.orders_opt
+                 SELECT * FROM ord_src_opt
+                 WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+                   AND o_orderdate < TIMESTAMP '1999-01-01'""")
+        s.sql("""INSERT INTO graft_util.util.orders_opt
+                 SELECT * FROM ord_src_opt
+                 WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+                   AND o_orderdate < TIMESTAMP '2001-01-01'""")
+        val full = s.sql(
+          "OPTIMIZE graft_util.util.orders_opt ZORDER BY (o_orderdate)")
+          .collect()(0)
+        require(full.getString(1) == "ZORDER" &&
+          full.getString(2) == "COMPACTED",
+          s"sql_optimize_vacuum: full ZORDER returned $full")
+        // a date-bounded tail lands, then the SAME statement runs
+        // INCREMENTALLY (the recorded layout matches): clustered
+        // segments disjoint from the tail's date range must survive
+        val base = graft.ops.AtomicPublish.currentSegments(s, t).toSet
+        s.sql("""INSERT INTO graft_util.util.orders_opt
+                 SELECT * FROM ord_src_opt
+                 WHERE o_orderdate >= TIMESTAMP '2001-01-01'""")
+        val inc = s.sql(
+          "OPTIMIZE graft_util.util.orders_opt ZORDER BY (o_orderdate)")
+          .collect()(0)
+        require(inc.getString(2) == "COMPACTED",
+          s"sql_optimize_vacuum: incremental ZORDER returned $inc")
+        val after = graft.ops.AtomicPublish.currentSegments(s, t).toSet
+        val kept = (base intersect after).size
+        require(kept >= base.size / 2,
+          s"sql_optimize_vacuum: incremental OPTIMIZE kept only $kept of " +
+            s"${base.size} clustered segments — it re-paid the corpus")
+        val vac = s.sql(
+          "VACUUM graft_util.util.orders_opt RETAIN 0 HOURS").collect()(0)
+        require(vac.getLong(1) > 0L,
+          "sql_optimize_vacuum: VACUUM at retention 0 deleted nothing " +
+            "after two supersessions")
+        s.sql(s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
+                  ${graft.engine.Det.sql.dsum("o_totalprice")} AS sum_price
+                  FROM graft_util.util.orders_opt
+                  GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+      },
+      Some(s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
+              ${graft.engine.Det.sql.dsum("o_totalprice")} AS sum_price
+              FROM orders GROUP BY o_orderpriority
+              ORDER BY o_orderpriority""")),
 
     // MANIFEST ZONEMAP PRUNING (round 15): commits stamp per-segment
     // column min/max sidecars from the parquet footers already written

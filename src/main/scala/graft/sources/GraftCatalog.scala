@@ -49,18 +49,36 @@ import graft.ops.AtomicPublish
   * Spark routes them through; the path door spells them
   * `OPTIONS (versionAsOf …)`).
   *
-  * WRITES stay welded to the protocol: `CREATE TABLE` publishes an
-  * EMPTY version-1 segment with the declared schema (a real commit —
-  * the table is immediately readable, appendable through
-  * [[AtomicPublish.appendSegment]], and MERGEable), but INSERT/CTAS
-  * through the catalog are refused by the returned table's write
-  * builder exactly as through the path door — the manifest swap, the
-  * cross-process lock and retention GC live in [[AtomicPublish]], and
-  * a DataFrame write bypassing them would corrupt the very guarantees
-  * the catalog advertises. DROP deletes the table directory (metadata
-  * AND data — the catalog owns the warehouse layout); RENAME is a
+  * WRITES route THROUGH the protocol (round 16): `CREATE TABLE`
+  * publishes an EMPTY version-1 segment with the declared schema (a
+  * real commit — immediately readable, appendable, MERGEable), and the
+  * returned [[GraftManagedTable]] serves the full SQL write surface as
+  * protocol commits — `INSERT INTO` = [[AtomicPublish.appendSegment]],
+  * `INSERT OVERWRITE` = [[AtomicPublish.publish]] (a new version; the
+  * old stays time-travel-readable), CTAS = create + append,
+  * `writeTo(t).overwrite(cond)` = [[graft.ops.MergeInto.replaceWhere]],
+  * and UPDATE/DELETE/MERGE INTO via the
+  * [[graft.plans.GraftDmlRule]] extension rule. The PATH door
+  * (`USING graft OPTIONS (path …)`) keeps refusing writes: a bare path
+  * is an address, not ownership. `TBLPROPERTIES('merge.keys'='k')`
+  * declares the table's merge identity at CREATE (persisted in a
+  * `_graft_props.json` sidecar) and routes SQL DML through
+  * merge-on-read. DROP deletes the table directory (metadata AND
+  * data — the catalog owns the warehouse layout); RENAME is a
   * directory move, refused across namespaces.
   */
+object GraftCatalog {
+  /** TBLPROPERTY naming the table's merge-key columns
+    * (comma-separated) — the merge identity the SQL DML rule routes
+    * UPDATE/DELETE/MERGE through. */
+  val MergeKeysProp = "merge.keys"
+
+  /** Spark-managed property noise we never persist. */
+  private val ReservedProps: Set[String] =
+    Set("owner", "provider", "location", "external", "comment",
+      "option.path", "path")
+}
+
 class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   private var catalogName: String = _
@@ -109,6 +127,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     fs(p).exists(p)
   }
 
+  /** Name → warehouse path for the SQL utility surface (VACUUM /
+    * OPTIMIZE / RESTORE / DESCRIBE HISTORY / `table_changes(...)` —
+    * [[graft.plans.GraftSqlParser]]): those statements address the
+    * table protocol directly, not a Scan/Write, so they resolve the
+    * identifier themselves. Loud if unpublished — a maintenance verb
+    * against a typo'd name must never touch the filesystem. */
+  private[graft] def resolveTablePath(ident: Identifier): String = {
+    val path = tablePath(ident)
+    if (!isPublished(path)) throw new NoSuchTableException(ident)
+    path
+  }
+
   // ----------------------------------------------------------------
   // Tables
   // ----------------------------------------------------------------
@@ -128,17 +158,66 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     try isPublished(tablePath(ident))
     catch { case _: IllegalArgumentException => false }
 
-  /** Reads resolve through the `graft` DSv2 — same manifest binding,
-    * segment pruning and write refusal as the path door. */
+  /** Reads resolve through the `graft` DSv2 — same manifest binding
+    * and segment pruning as the path door — but the catalog returns
+    * the MANAGED table ([[GraftManagedTable]]): its write door lands
+    * real protocol commits (INSERT→append, OVERWRITE→publish,
+    * overwrite-by-filter→replaceWhere) instead of refusing, because a
+    * warehouse-resolved name is a layout the catalog owns. The
+    * path door stays welded. */
   private def load(ident: Identifier,
                    extraOptions: Map[String, String]): Table = {
     val path = tablePath(ident)
     if (!isPublished(path))
       throw new NoSuchTableException(ident)
+    val props = readProps(path)
+    val keys = props.get(GraftCatalog.MergeKeysProp)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
     val source = new GraftTableSource
-    source.getTable(new CaseInsensitiveStringMap(
-      (extraOptions + ("path" -> path)).asJava))
+    source.getManagedTable(new CaseInsensitiveStringMap(
+      (extraOptions + ("path" -> path)).asJava), path, keys, props)
   }
+
+  // ----------------------------------------------------------------
+  // Table properties — one JSON sidecar at the table root, written at
+  // CREATE (the catalog's declaration time). `merge.keys` is the one
+  // the engine consumes: it tells the SQL DML rule which columns are
+  // the table's merge identity, routing UPDATE/DELETE/MERGE through
+  // merge-on-read (write ∝ batch) instead of copy-on-write rewrites.
+  // ----------------------------------------------------------------
+
+  private val jackson = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def propsPath(tableRoot: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(tableRoot, "_graft_props.json")
+
+  private def writeProps(tableRoot: String,
+                         props: Map[String, String]): Unit = {
+    if (props.isEmpty) return
+    val node = jackson.createObjectNode()
+    props.foreach { case (k, v) => node.put(k, v) }
+    val p = propsPath(tableRoot)
+    val out = fs(p).create(p, true)
+    try out.write(jackson.writeValueAsBytes(node)) finally out.close()
+  }
+
+  private def readProps(tableRoot: String): Map[String, String] =
+    try {
+      val p = propsPath(tableRoot)
+      if (!fs(p).exists(p)) Map.empty
+      else {
+        val in = fs(p).open(p)
+        val bytes =
+          try {
+            val b = new Array[Byte](fs(p).getFileStatus(p).getLen.toInt)
+            in.readFully(b); b
+          } finally in.close()
+        val node = jackson.readTree(bytes)
+        node.properties().asScala.map(e =>
+          e.getKey -> e.getValue.asText()).toMap
+      }
+    } catch { case _: Throwable => Map.empty }
 
   override def loadTable(ident: Identifier): Table = load(ident, Map.empty)
 
@@ -167,11 +246,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       name() +: ident.namespace().toSeq)
     if (isPublished(path))
       throw new TableAlreadyExistsException(ident)
+    // TBLPROPERTIES: persisted verbatim (minus Spark's own reserved
+    // entries); `merge.keys` is validated against the declared schema —
+    // a typo'd key column would otherwise surface only at first MERGE
+    val declared = properties.asScala.toMap
+      .filterNot { case (k, _) => GraftCatalog.ReservedProps(k) }
+    declared.get(GraftCatalog.MergeKeysProp).foreach { raw =>
+      val ks = raw.split(",").map(_.trim).filter(_.nonEmpty)
+      require(ks.nonEmpty, s"graft catalog: empty ${GraftCatalog.MergeKeysProp}")
+      val missing = ks.filterNot(k =>
+        schema.fieldNames.exists(_.equalsIgnoreCase(k)))
+      require(missing.isEmpty,
+        s"graft catalog: ${GraftCatalog.MergeKeysProp} names column(s) " +
+          s"${missing.mkString(", ")} absent from the declared schema")
+    }
     AtomicPublish.publish(spark, path) { p =>
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
         .write.parquet(p)
     }
+    writeProps(path, declared)
     loadTable(ident)
   }
 

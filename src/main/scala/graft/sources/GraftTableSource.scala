@@ -160,6 +160,69 @@ class GraftTableSource extends ParquetDataSourceV2 {
       paths, Some(schema), fallbackFileFormat, loadZones(options),
       loadBlooms(options))
   }
+
+  /** The CATALOG's table constructor ([[GraftCatalog.loadTable]]): same
+    * manifest resolution, zonemap/bloom pruning and fallback refusal as
+    * [[getTable]], but returns the MANAGED table — the one whose write
+    * door routes through the commit protocol ([[GraftManagedTable]])
+    * instead of refusing. Only the catalog constructs it: a name
+    * resolved through the warehouse is a declaration of table OWNERSHIP
+    * the bare-path door never has. */
+  /** The managed door does NOT refuse pending merge-on-read segments
+    * the way the path door must: the DML rule
+    * ([[graft.plans.GraftDmlRule]]) expands a pending table's relation
+    * into the reconciled [[AtomicPublish.readOver]] plan at analysis
+    * time (the view-expansion move Delta makes for deletion-vector
+    * reads), so SQL `SELECT` keeps working between a MERGE/DELETE and
+    * the next fold. The relation itself is built over the BASE (plain)
+    * segments only — they carry the table's canonical schema — and its
+    * scan builder refuses if it is ever planned WITHOUT the rule (an
+    * extension-less session must not re-materialize overridden rows).
+    * Time-travel loads stay strict: historical segment lists bind
+    * through [[resolveSegments]]'s refusal unchanged. */
+  private[sources] def getManagedTable(options: CaseInsensitiveStringMap,
+                                       tableRoot: String,
+                                       mergeKeys: Option[Seq[String]],
+                                       props: Map[String, String])
+      : org.apache.spark.sql.connector.catalog.Table = {
+    val timeTravel = options.containsKey("versionAsOf") ||
+      options.containsKey("timestampAsOf")
+    val (paths, pendingMor) =
+      if (timeTravel) (getPaths(options), false)
+      else {
+        val segs = AtomicPublish.currentSegments(sparkSession, tableRoot)
+        if (segs.isEmpty) throw new IllegalStateException(
+          s"no published version (MANIFEST) at $tableRoot")
+        val pending = AtomicPublish.upsertSidecarsFor(sparkSession,
+          tableRoot, segs)
+        val base = segs.filterNot(pending.contains)
+        require(base.nonEmpty,
+          s"graft catalog at $tableRoot: every segment is a pending merge " +
+            "segment — fold first (MergeInto.compactMerged)")
+        (base.map(d => s"$tableRoot/$d"), pending.nonEmpty)
+      }
+    val tableName = getTableName(options, paths)
+    val optionsWithoutPaths = getOptionsWithoutPaths(options)
+    // zonemap/bloom sidecars for the resolved BASE segments only (the
+    // pending ones are read through readOver's own pruning index)
+    val segDirs = paths.map(p => p.substring(p.lastIndexOf('/') + 1))
+    val rootPath = new org.apache.hadoop.fs.Path(tableRoot)
+    val fs = rootPath.getFileSystem(
+      sparkSession.sparkContext.hadoopConfiguration)
+    val zones = segDirs.flatMap { d =>
+      val z = ZoneMaps.read(fs, rootPath, d)
+      if (z.isEmpty) None else Some(d -> z)
+    }.toMap
+    val blooms = segDirs.flatMap { d =>
+      val b = graft.ops.BloomMaps.read(fs, rootPath, d)
+      if (b.isEmpty) None else Some(d -> b)
+    }.toMap
+    val inner = new GraftReadOnlyTable(tableName, sparkSession,
+      optionsWithoutPaths, paths, userSpecifiedSchema = None,
+      fallbackFileFormat, zones, blooms)
+    new GraftManagedTable(inner, sparkSession, tableRoot, mergeKeys, props,
+      pendingMor)
+  }
 }
 
 /** The V1 fallback that refuses at INSTANTIATION — see
@@ -180,7 +243,7 @@ class GraftWriteRefused
   * DataFrameWriter route is refused even earlier, at fallback
   * instantiation — see [[GraftWriteRefused]]) and the file index
   * swapped for the zonemap-pruning one. */
-private class GraftReadOnlyTable(
+private[sources] class GraftReadOnlyTable(
     name: String,
     sparkSession: org.apache.spark.sql.SparkSession,
     options: CaseInsensitiveStringMap,

@@ -61,10 +61,16 @@ class CatalogSpec extends SparkSpec {
     assert(spark.sql(
       s"SELECT count(*) FROM spec_cat.db2.tt TIMESTAMP AS OF '$cut'")
       .head.getLong(0) === 1L)
-    // a merge-on-read table refuses the raw path scan by name too
+    // a merge-on-read table RECONCILES by name (the DML rule expands
+    // the placeholder relation into the readOver plan) — the raw PATH
+    // scan still refuses
     MergeInto.upsertInto(spark, t, Seq((1L, "v1b")).toDF("k", "v"), Seq("k"))
+    assert(spark.sql(
+      "SELECT v FROM spec_cat.db2.tt WHERE k = 1").head.getString(0) === "v1b")
+    assert(spark.sql("SELECT count(*) FROM spec_cat.db2.tt")
+      .head.getLong(0) === 2L)
     val e = intercept[Exception] {
-      spark.sql("SELECT * FROM spec_cat.db2.tt").collect()
+      spark.read.format("graft").load(t).collect()
     }
     def msgs(x: Throwable): String =
       Option(x).map(t => t.getMessage + msgs(t.getCause)).getOrElse("")
@@ -97,23 +103,28 @@ class CatalogSpec extends SparkSpec {
     assert(msgs(eNs).contains("single path components"), msgs(eNs))
   }
 
-  test("write door stays welded; drop and rename are catalog ops") {
+  test("the PATH write door stays welded; catalog writes land as protocol commits; drop and rename are catalog ops") {
     import spark.implicits._
     wh
     spark.sql("CREATE NAMESPACE spec_cat.db3")
     spark.sql("CREATE TABLE spec_cat.db3.w (k BIGINT)")
-    val eIns = intercept[Exception] {
-      spark.sql("INSERT INTO spec_cat.db3.w VALUES (1)")
-    }
+    // the catalog door WRITES now: INSERT INTO = one append commit
+    spark.sql("INSERT INTO spec_cat.db3.w VALUES (1), (2)")
+    assert(spark.sql("SELECT count(*) FROM spec_cat.db3.w")
+      .head.getLong(0) === 2L)
+    assert(AtomicPublish.currentVersion(spark, s"$wh/db3/w").contains(2L))
+    // CTAS = createTable + append through the same protocol door
+    spark.sql("CREATE TABLE spec_cat.db3.w2 AS SELECT 7L AS k")
+    assert(spark.sql("SELECT k FROM spec_cat.db3.w2").head.getLong(0) === 7L)
+    spark.sql("DROP TABLE spec_cat.db3.w2")
+    // the PATH door refuses writes exactly as before (address ≠ ownership)
     def msgs(x: Throwable): String =
       Option(x).map(t => t.getMessage + msgs(t.getCause)).getOrElse("")
-    assert(msgs(eIns).contains("READ door"), msgs(eIns))
-    // CTAS refused the same way (write builder, before any data lands)
-    val eCtas = intercept[Exception] {
-      spark.sql("CREATE TABLE spec_cat.db3.w2 AS SELECT 1L AS k")
+    val ePath = intercept[Exception] {
+      Seq(1L).toDF("k").write.format("graft").mode("append")
+        .save(s"$wh/db3/w")
     }
-    assert(msgs(eCtas).contains("READ door") ||
-      msgs(eCtas).contains("not support"), msgs(eCtas))
+    assert(msgs(ePath).contains("READ door"), msgs(ePath))
     // rename within the namespace, then drop
     spark.sql("ALTER TABLE spec_cat.db3.w RENAME TO db3.w_renamed")
     assert(spark.sql("SHOW TABLES IN spec_cat.db3").collect()

@@ -801,4 +801,45 @@ class PlanSpec extends SparkSpec {
       s"published dim did not auto-broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"sort-merge crept in:\n$p")
   }
+
+  test("catalog door keeps zonemap segment pruning (round 16: same scan as the path door)") {
+    // The managed table delegates its ScanBuilder to the read-only
+    // DSv2 table by composition — a date predicate through the NAME
+    // must drop whole non-matching segments exactly like the path
+    // door, or ad-hoc SQL over catalog tables re-scans the corpus.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import org.apache.spark.sql.execution.datasources.FilePartition
+    val wh = graft.engine.Scratch.dir("spec_plancat_wh")
+    spark.conf.set("spark.sql.catalog.plan_cat", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.plan_cat.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS plan_cat.db")
+    val t = s"$wh/db/zorders"
+    val orders = graft.engine.Tables(spark, sfDir, "orders")
+    def slice(lo: String, hi: String) = orders.filter(
+      $"o_orderdate" >= lit(lo).cast("timestamp") &&
+        $"o_orderdate" < lit(hi).cast("timestamp"))
+    graft.ops.AtomicPublish.publish(spark, t)(p =>
+      slice("1970-01-01", "1997-01-01").write.parquet(p))
+    graft.ops.AtomicPublish.appendSegment(spark, t)(p =>
+      slice("1997-01-01", "1999-01-01").write.parquet(p))
+    graft.ops.AtomicPublish.appendSegment(spark, t)(p =>
+      slice("1999-01-01", "2031-01-01").write.parquet(p))
+    def files(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.sparkPlan.collect { case b: BatchScanExec =>
+        b.inputPartitions.map {
+          case fp: FilePartition => fp.files.length
+          case _ => 0
+        }.sum
+      }.sum
+    val all = spark.sql("SELECT o_orderkey FROM plan_cat.db.zorders")
+    val pruned = spark.sql(
+      """SELECT o_orderkey FROM plan_cat.db.zorders
+         WHERE o_orderdate >= TIMESTAMP '1999-06-01 00:00:00'""")
+    val (fAll, fPruned) = (files(all), files(pruned))
+    assert(fAll > 0 && fPruned > 0, s"scans list no files: $fAll/$fPruned")
+    assert(fPruned <= fAll - 2,
+      s"catalog scan did not segment-prune: $fPruned of $fAll")
+  }
 }
