@@ -580,6 +580,85 @@ object AtomicPublish {
     } }
   }
 
+  /** IN-PLACE CONVERSION of a plain parquet directory into a published
+    * graft table — Delta's `CONVERT TO DELTA` move, and for the same
+    * reason: adopting an existing 100 TB parquet lake must cost
+    * METADATA, not a rewrite. The part files are RENAMED (same
+    * filesystem, zero bytes moved) into a fresh `data-*` segment
+    * directory, zonemap/bloom sidecars are harvested from the footers
+    * already on disk, and the MANIFEST + version-log entry commit
+    * under the same lock window every other commit uses — after which
+    * the directory IS a graft table (appendable, MERGEable,
+    * time-travels from version 1).
+    *
+    * Contract: the directory must hold parquet part files at its top
+    * level only — partitioned (`k=v/`) or nested layouts refuse loudly
+    * (read-and-publish is the path for those; an in-place adoption
+    * that silently dropped subdirectories would corrupt the table).
+    * An existing graft table refuses. Crash safety: files move inside
+    * the lock window directly into the FINAL segment directory — a
+    * crash mid-move leaves some files at root and some in a `data-*`
+    * dir with NO manifest (not yet a table); re-running the
+    * conversion detects that exact debris shape and RESUMES into the
+    * same directory, so no crash point strands data in an
+    * unconvertible state. (No dot-staging here, deliberately: staging
+    * holds the ONLY copy of the user's files, and the day-old debris
+    * sweep that makes publish's staging safe to reap would DELETE
+    * user data on this path.)
+    *
+    * Returns (files moved this run, committed version = 1). */
+  def convertInPlace(spark: SparkSession, tablePath: String): (Int, Long) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = root.getFileSystem(conf)
+    require(fs.exists(root), s"convertInPlace: $tablePath does not exist")
+    require(!fs.exists(new org.apache.hadoop.fs.Path(root, "MANIFEST")),
+      s"convertInPlace: $tablePath is already a graft table")
+    val entries = fs.listStatus(root)
+    val parts = entries.filter(f => !f.isDirectory &&
+      f.getPath.getName.endsWith(".parquet"))
+    val subdirs = entries.filter(f => f.isDirectory &&
+      !f.getPath.getName.startsWith(".") &&
+      !f.getPath.getName.startsWith("_"))
+    // resume debris from a crashed previous conversion: exactly the
+    // data-* dirs this method itself creates, before any MANIFEST
+    val (resumeDirs, foreignDirs) =
+      subdirs.partition(_.getPath.getName.startsWith("data-"))
+    require(foreignDirs.isEmpty,
+      s"convertInPlace: $tablePath contains subdirectories " +
+        s"(${foreignDirs.map(_.getPath.getName).mkString(", ")}) — " +
+        "partitioned or nested layouts cannot be adopted in place; read " +
+        "the directory and AtomicPublish.publish instead")
+    require(resumeDirs.length <= 1,
+      s"convertInPlace: $tablePath holds ${resumeDirs.length} data-* " +
+        "directories but no MANIFEST — not a recognizable conversion " +
+        "debris shape; inspect manually")
+    require(parts.nonEmpty || resumeDirs.nonEmpty,
+      s"convertInPlace: no .parquet part files at the top level of " +
+        s"$tablePath")
+    val dataDir = resumeDirs.headOption.map(_.getPath.getName).getOrElse(
+      s"data-${System.currentTimeMillis()}-${counter.incrementAndGet()}")
+    val segPath = new org.apache.hadoop.fs.Path(root, dataDir)
+    withCommitLock(spark, fs, root) { token =>
+      fs.mkdirs(segPath)
+      parts.foreach { f =>
+        require(fs.rename(f.getPath,
+          new org.apache.hadoop.fs.Path(segPath, f.getPath.getName)),
+          s"convertInPlace: rename failed for ${f.getPath}")
+      }
+      // footer harvest AFTER the moves (reads only metadata; the files
+      // are already where the sidecar will describe them)
+      val seg = fs.makeQualified(segPath).toString
+      ZoneMaps.write(fs, root, dataDir, ZoneMaps.harvestSegment(spark, seg))
+      BloomMaps.write(fs, root, dataDir, BloomMaps.harvestSegment(spark, seg))
+      swapManifest(fs, conf, root, dataDir, token)
+    }
+    (parts.length,
+      currentVersion(spark, tablePath).getOrElse(sys.error(
+        s"convertInPlace committed at $tablePath but the version log is " +
+          "unreadable")))
+  }
+
   /** Reclaim an orphaned staging directory when the commit step itself
     * fails (lock timeout, fence) — the staged bytes were never
     * published and would otherwise linger until the day-old sweep. */
@@ -1457,6 +1536,14 @@ object AtomicPublish {
         } finally in.close()
       } catch {
         case e: org.apache.hadoop.fs.ChecksumException =>
+          if (attempt >= 40) throw e
+          Thread.sleep(25)
+        case e: java.io.EOFException =>
+          // open↔stat race with a concurrent swap: the stream reads
+          // the OLD manifest while getFileStatus already reports the
+          // NEW (longer) one — readFully hits EOF. Retry resolves to
+          // a consistent open/stat pair. (Surfaced by a streaming
+          // tail polling against concurrent SQL INSERT commits.)
           if (attempt >= 40) throw e
           Thread.sleep(25)
         case _: java.io.FileNotFoundException =>

@@ -77,20 +77,28 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     if (restore.matches())
       return Some(GraftRestoreCommand(target(restore.group(1)),
         restore.group(2).toLong))
-    val history = HistoryRe.matcher(sqlText)
-    if (history.matches()) {
-      // `DESC history` is also valid SPARK grammar when a table is
-      // literally named `history` — claim the verb only for targets a
-      // bare DESCRIBE could never mean: multi-part names and quoted
-      // paths. Single-part (and unparseable) targets delegate.
-      val t = try Some(target(history.group(1)))
-              catch { case _: Exception => None }
-      t match {
-        case Some(GraftSqlTarget.Named(parts)) if parts.length < 2 => None
-        case Some(tgt) => return Some(GraftDescribeHistoryCommand(tgt))
-        case None => ()
+    val convert = ConvertRe.matcher(sqlText)
+    if (convert.matches())
+      return Some(GraftConvertCommand(convert.group(1)))
+    // `DESC history` / `DESC detail` are also valid SPARK grammar when
+    // a table is literally named so — claim these verbs only for
+    // targets a bare DESCRIBE could never mean: multi-part names and
+    // quoted paths. Single-part (and unparseable) targets delegate.
+    def describeTarget(raw: String): Option[GraftSqlTarget] = {
+      val t = try Some(target(raw)) catch { case _: Exception => None }
+      t.filter {
+        case GraftSqlTarget.Named(parts) => parts.length >= 2
+        case _ => true
       }
     }
+    val history = HistoryRe.matcher(sqlText)
+    if (history.matches())
+      describeTarget(history.group(1)).foreach(tgt =>
+        return Some(GraftDescribeHistoryCommand(tgt)))
+    val detail = DetailRe.matcher(sqlText)
+    if (detail.matches())
+      describeTarget(detail.group(1)).foreach(tgt =>
+        return Some(GraftDescribeDetailCommand(tgt)))
     None
   }
 
@@ -146,17 +154,28 @@ object GraftSqlParser {
   private val HistoryRe = Pattern.compile(
     """\s*DESC(?:RIBE)?\s+HISTORY\s+(.+?)\s*;?\s*""",
     Pattern.CASE_INSENSITIVE | Pattern.DOTALL)
+  private val DetailRe = Pattern.compile(
+    """\s*DESC(?:RIBE)?\s+DETAIL\s+(.+?)\s*;?\s*""",
+    Pattern.CASE_INSENSITIVE | Pattern.DOTALL)
+  private val ConvertRe = Pattern.compile(
+    """\s*CONVERT\s+TO\s+GRAFT\s+'([^']+)'\s*;?\s*""",
+    Pattern.CASE_INSENSITIVE | Pattern.DOTALL)
 
-  /** `table_changes('cat.db.t' | '/path', fromVersion, toVersion)` —
-    * Delta's CDF table-valued function, registered via
-    * `injectTableFunction`. Arguments must be literals (the builder
-    * runs at analysis time); the plan returned is the SAME
-    * change-feed plan [[AtomicPublish.changesBetween]] builds for the
-    * API — `_change_type`/`_commit_version` stamped, fold-surviving,
-    * cost ∝ the window's changes. */
+  /** `table_changes('cat.db.t' | '/path', from, to)` — Delta's CDF
+    * table-valued function, registered via `injectTableFunction`.
+    * Arguments must be literals (the builder runs at analysis time);
+    * the plan returned is the SAME change-feed plan
+    * [[AtomicPublish.changesBetween]] builds for the API —
+    * `_change_type`/`_commit_version` stamped, fold-surviving, cost ∝
+    * the window's changes. `from`/`to` are integer versions or
+    * timestamp STRINGS (epoch-ms or ISO-8601, Delta's dual spelling):
+    * a from-timestamp resolves to the version BEFORE the first commit
+    * at-or-after the instant (clamped to 1 — so that commit's changes
+    * are included), a to-timestamp to the newest commit at-or-before
+    * it. */
   def tableChangesPlan(exprs: Seq[Expression]): LogicalPlan = {
     if (exprs.length != 3) throw new IllegalArgumentException(
-      "table_changes(table, fromVersion, toVersion) takes exactly 3 " +
+      "table_changes(table, from, to) takes exactly 3 " +
         s"arguments, got ${exprs.length}")
     exprs.filterNot(_.foldable).foreach(e =>
       throw new IllegalArgumentException(
@@ -168,15 +187,33 @@ object GraftSqlParser {
         s"table_changes: first argument must be a table name or path " +
           s"string, got $other")
     }
-    def version(e: Expression, which: String): Long = e.eval() match {
-      case n: Number => n.longValue()
-      case other => throw new IllegalArgumentException(
-        s"table_changes: $which must be an integer version, got $other")
-    }
     val path = GraftSqlTarget.resolveString(spark, name)
+    def bound(e: Expression, which: String, fromSide: Boolean): Long =
+      e.eval() match {
+        case n: Number => n.longValue()
+        case s: UTF8String =>
+          val ts = AtomicPublish.parseInstantMs(s.toString,
+            s"table_changes: $which")
+          if (fromSide)
+            math.max(1L, AtomicPublish.versionSince(spark, path, ts) - 1L)
+          else {
+            // a to-instant past the newest commit means "through the
+            // newest commit" (a WINDOW bound, not a travel target —
+            // Delta's endingTimestamp clamps the same way); an instant
+            // predating the oldest retained commit stays loud
+            val latest = AtomicPublish.currentVersion(spark, path)
+              .getOrElse(throw new IllegalArgumentException(
+                s"table_changes: no published version at $path"))
+            if (AtomicPublish.versionSince(spark, path, ts) > latest) latest
+            else AtomicPublish.versionAt(spark, path, ts)
+          }
+        case other => throw new IllegalArgumentException(
+          s"table_changes: $which must be an integer version or a " +
+            s"timestamp string, got $other")
+      }
     AtomicPublish.changesBetween(spark, path,
-      version(exprs(1), "fromVersion"),
-      version(exprs(2), "toVersion")).queryExecution.analyzed
+      bound(exprs(1), "from", fromSide = true),
+      bound(exprs(2), "to", fromSide = false)).queryExecution.analyzed
   }
 }
 
@@ -346,5 +383,72 @@ case class GraftDescribeHistoryCommand(target: GraftSqlTarget)
   override def run(spark: SparkSession): Seq[Row] = {
     val path = target.resolve(spark)
     AtomicPublish.tableHistory(spark, path).collect().toSeq
+  }
+}
+
+/** `CONVERT TO GRAFT '/path'` — adopt a plain parquet directory as a
+  * published graft table IN PLACE ([[AtomicPublish.convertInPlace]]):
+  * part files rename into a segment directory (zero bytes moved),
+  * zonemap/bloom sidecars harvest from the footers already on disk,
+  * and the manifest commits under the normal lock window. Delta's
+  * `CONVERT TO DELTA`, for the same 100 TB reason — adoption must
+  * cost metadata, not a rewrite. Path-literal targets only: a catalog
+  * name presupposes the table already exists. */
+case class GraftConvertCommand(path: String) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", StringType, nullable = false)(),
+    AttributeReference("files_converted", IntegerType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (files, version) = AtomicPublish.convertInPlace(spark, path)
+    Seq(Row(path, files, version))
+  }
+}
+
+/** `DESCRIBE DETAIL t` — the one-row operational summary (Delta's
+  * `DESCRIBE DETAIL` shape): current version, segment counts (live /
+  * pending-merge), the recorded clustering layout, the declared merge
+  * identity and TBLPROPERTIES, and the live byte footprint. Pure
+  * metadata: one manifest read, one version-log stat, sidecar name
+  * listings — never a data scan. */
+case class GraftDescribeDetailCommand(target: GraftSqlTarget)
+  extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("format", StringType, nullable = false)(),
+    AttributeReference("location", StringType, nullable = false)(),
+    AttributeReference("current_version", LongType, nullable = false)(),
+    AttributeReference("num_segments", IntegerType, nullable = false)(),
+    AttributeReference("pending_merge_segments", IntegerType,
+      nullable = false)(),
+    AttributeReference("cluster_by", StringType, nullable = true)(),
+    AttributeReference("merge_keys", StringType, nullable = true)(),
+    AttributeReference("properties", StringType, nullable = true)(),
+    AttributeReference("size_in_bytes", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = target.resolve(spark)
+    val version = AtomicPublish.currentVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"DESCRIBE DETAIL: no published version (MANIFEST) at $path"))
+    val segs = AtomicPublish.currentSegments(spark, path)
+    val pending = AtomicPublish.upsertSidecarsFor(spark, path, segs)
+    val cluster = AtomicPublish.clusterMeta(spark, path)
+      .map(_._1.mkString(","))
+    val props = graft.sources.GraftCatalog.readProps(spark, path)
+    val mergeKeys = props.get("merge.keys")
+    val propsStr =
+      if (props.isEmpty) None
+      else Some(props.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"$k=$v" }.mkString(";"))
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = segs.map { d =>
+      fs.getContentSummary(new org.apache.hadoop.fs.Path(root, d)).getLength
+    }.sum
+    Seq(Row("graft", path, version, segs.length, pending.size,
+      cluster.orNull, mergeKeys.orNull, propsStr.orNull, bytes))
   }
 }

@@ -784,6 +784,115 @@ object SourceQueries extends QueryGroup {
               FROM orders GROUP BY o_orderpriority
               ORDER BY o_orderpriority""")),
 
+    // DESCRIBE DETAIL + ALTER TABLE TBLPROPERTIES (round 16): the
+    // one-row operational summary (Delta's DESCRIBE DETAIL shape —
+    // version, live/pending segment counts, clustering layout, merge
+    // identity, properties) and the property-management ALTER. Pure
+    // metadata both ways: a manifest read + sidecar listings, never a
+    // data scan. The key drives a keyed table into a pending-merge
+    // state, describes it, ALTERs a property in, and describes again —
+    // the VALUES oracle pins version, segment counts, pending-merge
+    // visibility and the property round-trip.
+    GQuery("sql_describe_detail",
+      (s, dir) => {
+        val wh = scratch("sqlutil_wh")
+        s.conf.set("spark.sql.catalog.graft_util", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_util.warehouse", wh)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_util.util")
+        val t = s"$wh/util/cust_det"
+        val tp = new org.apache.hadoop.fs.Path(t)
+        val fs = tp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(tp)) fs.delete(tp, true)
+        Tables(s, dir, "customer").createOrReplaceTempView("cust_src_det")
+        s.sql("""CREATE TABLE graft_util.util.cust_det
+                 TBLPROPERTIES ('merge.keys'='c_custkey') AS
+                 SELECT * FROM cust_src_det WHERE c_custkey % 2 = 0""") // v1+v2
+        s.sql("""INSERT INTO graft_util.util.cust_det
+                 SELECT * FROM cust_src_det WHERE c_custkey % 2 = 1""") // v3
+        s.sql("""MERGE INTO graft_util.util.cust_det t
+                 USING (SELECT c_custkey, c_name, c_nationkey,
+                               c_acctbal + 1.0 AS c_acctbal, c_mktsegment
+                        FROM cust_src_det WHERE c_custkey % 10 = 0) s
+                 ON t.c_custkey = s.c_custkey
+                 WHEN MATCHED THEN UPDATE SET *
+                 WHEN NOT MATCHED THEN INSERT *""")                     // v4
+        def detail(stage: String) =
+          s.sql("DESCRIBE DETAIL graft_util.util.cust_det")
+            .select(lit(stage).as("stage"), col("format"),
+              col("current_version"), col("num_segments"),
+              col("pending_merge_segments"), col("cluster_by"),
+              col("merge_keys"), col("properties"))
+        val before = detail("1_merged")
+        s.sql("""ALTER TABLE graft_util.util.cust_det
+                 SET TBLPROPERTIES ('note'='reviewed')""")
+        before.unionByName(detail("2_altered")).orderBy(col("stage"))
+      },
+      Some("""SELECT * FROM (VALUES
+                ('1_merged',  'graft', CAST(4 AS BIGINT), 4, 1,
+                 CAST(NULL AS VARCHAR), 'c_custkey',
+                 'merge.keys=c_custkey'),
+                ('2_altered', 'graft', CAST(4 AS BIGINT), 4, 1,
+                 CAST(NULL AS VARCHAR), 'c_custkey',
+                 'merge.keys=c_custkey;note=reviewed'))
+                t(stage, format, current_version, num_segments,
+                  pending_merge_segments, cluster_by, merge_keys, properties)
+              ORDER BY stage""")),
+
+    // IN-PLACE CONVERSION (round 16): `CONVERT TO GRAFT '/path'` —
+    // Delta's CONVERT TO DELTA move. Adopting an existing parquet lake
+    // must cost METADATA: the part files RENAME into a segment dir
+    // (zero bytes moved — the in-key require pins that the adopted
+    // files' names survived verbatim), zonemaps harvest from footers
+    // already on disk, and the manifest commits under the normal lock.
+    // After conversion the directory is a first-class table: the key
+    // APPENDS the other half through the protocol and hash-grades the
+    // union read — at 100 TB this is "join the lakehouse today",
+    // not "rewrite the lake first".
+    GQuery("convert_in_place",
+      (s, dir) => {
+        import s.implicits._
+        val t = scratch("convert_orders")
+        val tp = new org.apache.hadoop.fs.Path(t)
+        val fs = tp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(tp)) fs.delete(tp, true)
+        val orders = Tables(s, dir, "orders")
+        // the pre-graft lake: a plain spark parquet directory
+        orders.filter($"o_orderkey" % 2 === 0).repartition(4)
+          .write.parquet(t)
+        val preNames = fs.listStatus(tp).filter(f => !f.isDirectory &&
+          f.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath.getName).toSet
+        val row = s.sql(s"CONVERT TO GRAFT '$t'").collect()(0)
+        require(row.getInt(1) == preNames.size && row.getLong(2) == 1L,
+          s"convert_in_place: CONVERT returned $row for " +
+            s"${preNames.size} part files")
+        val segs = graft.ops.AtomicPublish.currentSegments(s, t)
+        require(segs.length == 1,
+          s"convert_in_place: expected one adopted segment, got $segs")
+        val inSeg = fs.listStatus(new org.apache.hadoop.fs.Path(tp, segs.head))
+          .map(_.getPath.getName).filter(_.endsWith(".parquet")).toSet
+        require(inSeg == preNames,
+          "convert_in_place: adopted file names changed — the conversion " +
+            "must RENAME, never rewrite")
+        require(fs.exists(new org.apache.hadoop.fs.Path(tp,
+          graft.ops.ZoneMaps.ZonePrefix + segs.head)),
+          "convert_in_place: no zonemap sidecar harvested for the " +
+            "adopted segment")
+        // a first-class table now: append the other half via the protocol
+        graft.ops.AtomicPublish.appendSegment(s, t)(p =>
+          orders.filter($"o_orderkey" % 2 === 1).write.parquet(p))
+        s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW graft_converted
+                  USING graft OPTIONS (path '$t')""")
+        s.sql(s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
+                  ${graft.engine.Det.sql.dsum("o_totalprice")} AS sum_price
+                  FROM graft_converted
+                  GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+      },
+      Some(s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
+              ${graft.engine.Det.sql.dsum("o_totalprice")} AS sum_price
+              FROM orders GROUP BY o_orderpriority
+              ORDER BY o_orderpriority""")),
+
     // MANIFEST ZONEMAP PRUNING (round 15): commits stamp per-segment
     // column min/max sidecars from the parquet footers already written
     // (no second scan); the graft source's file index drops whole

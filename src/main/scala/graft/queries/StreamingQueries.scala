@@ -772,6 +772,64 @@ object StreamingQueries extends QueryGroup {
               FROM events WHERE user_id < 100
               GROUP BY event_type ORDER BY event_type""")),
 
+    // STREAMING BY NAME (round 16): `spark.readStream.table("cat.db.t")`
+    // — the Delta ergonomics for tailing a lakehouse table. The
+    // catalog's managed table now opens the V2 micro-batch door
+    // (GraftTableStream.scala): offset = manifest segment-prefix
+    // length, each batch reads exactly the newly committed segments
+    // through the SAME parquet DSv2 machinery as batch scans
+    // (vectorized, pruned — zero bespoke parquet code), append-only
+    // verified per poll. The key writes through SQL (CTAS + INSERT
+    // INTO) and tails by NAME — a day's commit costs a manifest read
+    // plus the day's segments, never the corpus, and the write door
+    // and the tail exercise the same protocol end to end.
+    GQuery("stream_table_by_name",
+      (s, dir) => {
+        import s.implicits._
+        val wh = graft.engine.Scratch.dir("sqlutil_wh")
+        s.conf.set("spark.sql.catalog.graft_util", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_util.warehouse", wh)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_util.util")
+        val t = s"$wh/util/events_tail"
+        val tp = new org.apache.hadoop.fs.Path(t)
+        val fs = tp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(tp)) fs.delete(tp, true)
+        val ev = Tables(s, dir, "events").filter($"user_id" < 100)
+          .select($"user_id", $"event_type", $"ts", $"value")
+        ev.createOrReplaceTempView("ev_src_tail")
+        // three "days" = event-time thirds (driver sees ONE (min,max) row)
+        val mm = ev.agg(min(unix_millis($"ts")), max(unix_millis($"ts")))
+          .collect().head
+        val lo = mm.getLong(0)
+        val w = (mm.getLong(1) - lo) / 3 + 1
+        def sliceSql(k: Int): String =
+          s"""SELECT * FROM ev_src_tail
+              WHERE unix_millis(ts) >= ${lo + k * w}
+                AND unix_millis(ts) < ${lo + (k + 1) * w}"""
+        s.sql(s"CREATE TABLE graft_util.util.events_tail AS ${sliceSql(0)}")
+        val name = s"tailbn_${StreamingQueries.sinkCounter.incrementAndGet()}"
+        val q = s.readStream.table("graft_util.util.events_tail")
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"),
+            sum($"value".cast("decimal(18,2)")).as("sv"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("complete").start()
+        try {
+          q.processAllAvailable()
+          (1 to 2).foreach { k =>
+            s.sql(s"INSERT INTO graft_util.util.events_tail ${sliceSql(k)}")
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        s.table(name)
+          .select($"event_type", $"n", $"sv".cast("double").as("sum_value"))
+          .orderBy($"event_type")
+      },
+      Some(s"""SELECT event_type, COUNT(*) AS n,
+                ${Det.sql.dsum("value")} AS sum_value
+              FROM events WHERE user_id < 100
+              GROUP BY event_type ORDER BY event_type""")),
+
     // STREAMING CDC REPLICATION (round 15): the change feed as a live
     // source — `graft-cdf` turns every upstream commit into a
     // micro-batch of typed changes (insert / update_postimage /

@@ -77,6 +77,54 @@ object GraftCatalog {
   private val ReservedProps: Set[String] =
     Set("owner", "provider", "location", "external", "comment",
       "option.path", "path")
+
+  private val jackson = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def propsPath(tableRoot: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(tableRoot, "_graft_props.json")
+
+  private def fsOf(spark: SparkSession, p: org.apache.hadoop.fs.Path)
+      : org.apache.hadoop.fs.FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The `_graft_props.json` sidecar — declared TBLPROPERTIES
+    * (last-writer-wins metadata; the data protocol never reads it
+    * except through [[MergeKeysProp]] at DML routing time). Shared
+    * with `DESCRIBE DETAIL` (graft.plans.GraftDescribeDetailCommand),
+    * which reports properties for ANY table root. */
+  private[graft] def writeProps(spark: SparkSession, tableRoot: String,
+                                props: Map[String, String]): Unit = {
+    val p = propsPath(tableRoot)
+    val fs = fsOf(spark, p)
+    if (props.isEmpty) {
+      if (fs.exists(p)) fs.delete(p, false)
+      return
+    }
+    val node = jackson.createObjectNode()
+    props.foreach { case (k, v) => node.put(k, v) }
+    val out = fs.create(p, true)
+    try out.write(jackson.writeValueAsBytes(node)) finally out.close()
+  }
+
+  private[graft] def readProps(spark: SparkSession,
+                               tableRoot: String): Map[String, String] =
+    try {
+      val p = propsPath(tableRoot)
+      val fs = fsOf(spark, p)
+      if (!fs.exists(p)) Map.empty
+      else {
+        val in = fs.open(p)
+        val bytes =
+          try {
+            val b = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+            in.readFully(b); b
+          } finally in.close()
+        val node = jackson.readTree(bytes)
+        import scala.jdk.CollectionConverters._
+        node.properties().asScala.map(e =>
+          e.getKey -> e.getValue.asText()).toMap
+      }
+    } catch { case _: Throwable => Map.empty }
 }
 
 class GraftCatalog extends TableCatalog with SupportsNamespaces {
@@ -187,37 +235,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   // merge-on-read (write ∝ batch) instead of copy-on-write rewrites.
   // ----------------------------------------------------------------
 
-  private val jackson = new com.fasterxml.jackson.databind.ObjectMapper()
-
-  private def propsPath(tableRoot: String): org.apache.hadoop.fs.Path =
-    new org.apache.hadoop.fs.Path(tableRoot, "_graft_props.json")
-
   private def writeProps(tableRoot: String,
-                         props: Map[String, String]): Unit = {
-    if (props.isEmpty) return
-    val node = jackson.createObjectNode()
-    props.foreach { case (k, v) => node.put(k, v) }
-    val p = propsPath(tableRoot)
-    val out = fs(p).create(p, true)
-    try out.write(jackson.writeValueAsBytes(node)) finally out.close()
-  }
+                         props: Map[String, String]): Unit =
+    GraftCatalog.writeProps(spark, tableRoot, props)
 
   private def readProps(tableRoot: String): Map[String, String] =
-    try {
-      val p = propsPath(tableRoot)
-      if (!fs(p).exists(p)) Map.empty
-      else {
-        val in = fs(p).open(p)
-        val bytes =
-          try {
-            val b = new Array[Byte](fs(p).getFileStatus(p).getLen.toInt)
-            in.readFully(b); b
-          } finally in.close()
-        val node = jackson.readTree(bytes)
-        node.properties().asScala.map(e =>
-          e.getKey -> e.getValue.asText()).toMap
-      }
-    } catch { case _: Throwable => Map.empty }
+    GraftCatalog.readProps(spark, tableRoot)
 
   override def loadTable(ident: Identifier): Table = load(ident, Map.empty)
 
@@ -269,11 +292,58 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft catalog: ALTER TABLE is not supported — schema evolution is " +
-        "admitted at write time (MergeInto.AllowEvolutionKey) and recorded " +
-        "by the segments themselves")
+  /** `ALTER TABLE … SET/UNSET TBLPROPERTIES` — the one ALTER the
+    * catalog serves. Properties live in the `_graft_props.json`
+    * sidecar (last-writer-wins metadata, like a config file — the
+    * table's DATA protocol is untouched). The merge identity is
+    * special: `merge.keys` may be DECLARED late (validated against the
+    * current schema, exactly as at CREATE) but never CHANGED or
+    * DROPPED — committed merge segments were claimed under it, and
+    * reinterpreting them under different keys would corrupt every
+    * reconciled read. Schema ALTERs still refuse: evolution is
+    * admitted at write time (MergeInto.AllowEvolutionKey) and recorded
+    * by the segments themselves. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val path = tablePath(ident)
+    if (!isPublished(path)) throw new NoSuchTableException(ident)
+    val current = readProps(path)
+    val updated = changes.foldLeft(current) {
+      case (props, set: TableChange.SetProperty) =>
+        val k = set.property()
+        require(!GraftCatalog.ReservedProps(k),
+          s"graft catalog: TBLPROPERTY `$k` is reserved")
+        if (k == GraftCatalog.MergeKeysProp) {
+          props.get(k).foreach(old => require(old == set.value(),
+            s"graft catalog: ${GraftCatalog.MergeKeysProp} is the table's " +
+              s"row identity (currently `$old`) — committed merge segments " +
+              "were claimed under it and it cannot be changed; create a " +
+              "new table and MERGE the data across"))
+          val ks = set.value().split(",").map(_.trim).filter(_.nonEmpty)
+          require(ks.nonEmpty,
+            s"graft catalog: empty ${GraftCatalog.MergeKeysProp}")
+          val schema = AtomicPublish.read(spark, path).schema
+          val missing = ks.filterNot(c =>
+            schema.fieldNames.exists(_.equalsIgnoreCase(c)))
+          require(missing.isEmpty,
+            s"graft catalog: ${GraftCatalog.MergeKeysProp} names column(s) " +
+              s"${missing.mkString(", ")} absent from the table schema")
+        }
+        props + (k -> set.value())
+      case (props, rm: TableChange.RemoveProperty) =>
+        require(rm.property() != GraftCatalog.MergeKeysProp ||
+          !props.contains(GraftCatalog.MergeKeysProp),
+          s"graft catalog: ${GraftCatalog.MergeKeysProp} is the table's " +
+            "row identity and cannot be dropped")
+        props - rm.property()
+      case (_, other) => throw new UnsupportedOperationException(
+        s"graft catalog: ALTER TABLE ${other.getClass.getSimpleName} is " +
+          "not supported — schema evolution is admitted at write time " +
+          "(MergeInto.AllowEvolutionKey) and recorded by the segments " +
+          "themselves")
+    }
+    writeProps(path, updated)
+    loadTable(ident)
+  }
 
   /** DROP TABLE deletes the table directory — manifest, version log,
     * retained segments, sidecars. The catalog owns the warehouse

@@ -87,7 +87,7 @@ private[graft] class GraftManagedTable(
   override def capabilities(): JSet[TableCapability] =
     JSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.V1_BATCH_WRITE, TableCapability.OVERWRITE_BY_FILTER,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
 
   /** A pending-merge table's RELATION is a placeholder the DML rule
     * swaps for the reconciled [[AtomicPublish.readOver]] plan at
@@ -104,7 +104,11 @@ private[graft] class GraftManagedTable(
         "spark.sql.extensions=graft.engine.GraftExtensions, fold the " +
         "table (MergeInto.compactMerged), or read via " +
         "AtomicPublish.read")
-    inner.newScanBuilder(options)
+    // the delegating wrapper keeps every batch pushdown surface intact
+    // and adds Scan.toMicroBatchStream — `readStream.table(name)`
+    // tails the manifest (see GraftTableStream.scala)
+    new GraftManagedScanBuilder(inner.newScanBuilder(options),
+      sparkSession, tableRoot, inner.schema, options)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =

@@ -89,6 +89,115 @@ class SqlUtilitySpec extends SparkSpec {
     assert(e.getClass.getName.toLowerCase.contains("parse"), e.toString)
   }
 
+  test("DESCRIBE DETAIL reports the operational summary; ALTER TABLE manages properties") {
+    wh
+    spark.sql("CREATE TABLE util_cat.db.det (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('merge.keys'='k')")
+    spark.sql("INSERT INTO util_cat.db.det VALUES (1,'a'), (2,'b')")
+    spark.sql("MERGE INTO util_cat.db.det t USING (SELECT 1L AS k, 'a2' AS v) " +
+      "s ON t.k = s.k WHEN MATCHED THEN UPDATE SET * " +
+      "WHEN NOT MATCHED THEN INSERT *")
+    val d = spark.sql("DESCRIBE DETAIL util_cat.db.det").collect()(0)
+    assert(d.getString(0) === "graft")
+    assert(d.getLong(2) === 3L)      // create + insert + merge
+    assert(d.getInt(3) === 3 && d.getInt(4) === 1) // one pending upsert
+    assert(d.getString(6) === "k")
+    // late property declaration + removal
+    spark.sql("ALTER TABLE util_cat.db.det SET TBLPROPERTIES ('note'='x')")
+    val d2 = spark.sql("DESCRIBE DETAIL util_cat.db.det").collect()(0)
+    assert(d2.getString(7) === "merge.keys=k;note=x")
+    spark.sql("ALTER TABLE util_cat.db.det UNSET TBLPROPERTIES ('note')")
+    assert(spark.sql("DESCRIBE DETAIL util_cat.db.det").collect()(0)
+      .getString(7) === "merge.keys=k")
+    // the merge identity is immutable: change and drop refuse
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE util_cat.db.det SET TBLPROPERTIES ('merge.keys'='v')")
+    }
+    assert(msgs(e).contains("row identity"), msgs(e))
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE util_cat.db.det UNSET TBLPROPERTIES ('merge.keys')")
+    }
+    assert(msgs(e2).contains("cannot be dropped"), msgs(e2))
+    // late DECLARATION on a keyless table is allowed (validated)
+    spark.sql("CREATE TABLE util_cat.db.late (a BIGINT, b STRING)")
+    spark.sql("ALTER TABLE util_cat.db.late SET TBLPROPERTIES ('merge.keys'='a')")
+    assert(spark.sql("DESCRIBE DETAIL util_cat.db.late").collect()(0)
+      .getString(6) === "a")
+    // SHOW TBLPROPERTIES reads the same sidecar through Spark's own
+    // command (table.properties())
+    val shown = spark.sql("SHOW TBLPROPERTIES util_cat.db.late")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(shown.get("merge.keys").contains("a"), shown.toString)
+    val e3 = intercept[Exception] {
+      spark.sql("ALTER TABLE util_cat.db.late SET TBLPROPERTIES ('merge.keys'='nope')")
+    }
+    assert(msgs(e3).contains("row identity") || msgs(e3).contains("absent"),
+      msgs(e3))
+  }
+
+  test("table_changes accepts timestamp-string bounds") {
+    wh
+    spark.sql("CREATE TABLE util_cat.db.cdft (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO util_cat.db.cdft VALUES (1,'a')")
+    val t0 = System.currentTimeMillis()
+    Thread.sleep(1100) // version-log mtimes are second-granular on some fs
+    spark.sql("INSERT INTO util_cat.db.cdft VALUES (2,'b')")
+    val t1 = System.currentTimeMillis()
+    // from = before-the-commit-at-or-after t0 → includes only the
+    // second insert; to = newest commit at-or-before now
+    val changed = spark.sql(
+      s"SELECT k FROM table_changes('util_cat.db.cdft', '${t0 + 1}', '$t1')")
+      .collect().map(_.getLong(0)).toSeq
+    assert(changed === Seq(2L), changed.toString)
+  }
+
+  test("CONVERT TO GRAFT adopts a parquet directory in place; refusals and crash resume") {
+    import spark.implicits._
+    val t = graft.engine.Scratch.dir("spec_convert")
+    val tp = new org.apache.hadoop.fs.Path(t)
+    val fs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(tp)) fs.delete(tp, true)
+    (1L to 8L).map(k => (k, s"v$k")).toDF("k", "v")
+      .repartition(2).write.parquet(t)
+    val row = spark.sql(s"CONVERT TO GRAFT '$t'").collect()(0)
+    assert(row.getInt(1) === 2 && row.getLong(2) === 1L)
+    assert(AtomicPublish.read(spark, t).count() === 8L)
+    // already a table → refuse
+    val e = intercept[Exception] { spark.sql(s"CONVERT TO GRAFT '$t'") }
+    assert(msgs(e).contains("already a graft table"), msgs(e))
+    // still appendable / taggable like any published table
+    AtomicPublish.appendSegment(spark, t)(p =>
+      Seq((9L, "v9")).toDF("k", "v").write.parquet(p))
+    assert(AtomicPublish.read(spark, t).count() === 9L)
+
+    // partitioned layouts refuse loudly
+    val part = graft.engine.Scratch.dir("spec_convert_part")
+    val pp = new org.apache.hadoop.fs.Path(part)
+    if (fs.exists(pp)) fs.delete(pp, true)
+    (1L to 4L).map(k => (k, k % 2)).toDF("k", "p")
+      .write.partitionBy("p").parquet(part)
+    val e2 = intercept[Exception] { spark.sql(s"CONVERT TO GRAFT '$part'") }
+    assert(msgs(e2).contains("adopted in place"), msgs(e2))
+
+    // crash debris resume: some files moved into a data-* dir, some
+    // still at root, no MANIFEST — a re-run finishes the SAME dir
+    val cr = graft.engine.Scratch.dir("spec_convert_resume")
+    val cp = new org.apache.hadoop.fs.Path(cr)
+    if (fs.exists(cp)) fs.delete(cp, true)
+    (1L to 6L).map(k => (k, s"v$k")).toDF("k", "v")
+      .repartition(3).write.parquet(cr)
+    val partsOnDisk = fs.listStatus(cp).filter(f => !f.isDirectory &&
+      f.getPath.getName.endsWith(".parquet")).map(_.getPath)
+    val half = new org.apache.hadoop.fs.Path(cp, "data-111-1")
+    fs.mkdirs(half)
+    assert(fs.rename(partsOnDisk.head,
+      new org.apache.hadoop.fs.Path(half, partsOnDisk.head.getName)))
+    val resumed = spark.sql(s"CONVERT TO GRAFT '$cr'").collect()(0)
+    assert(resumed.getLong(2) === 1L)
+    assert(AtomicPublish.currentSegments(spark, cr) === Seq("data-111-1"))
+    assert(AtomicPublish.read(spark, cr).count() === 6L)
+  }
+
   test("table_changes TVF: literal args only, exact arity") {
     wh
     spark.sql("CREATE TABLE util_cat.db.cdf (k BIGINT, v STRING) " +
