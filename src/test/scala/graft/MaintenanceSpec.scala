@@ -264,11 +264,15 @@ class MaintenanceSpec extends SparkSpec {
     // stale threshold must leave the heartbeat (staleMs/3 cadence)
     // real slack under full-suite load: at 100 ms a LIVE holder's beat
     // thread scheduled 100 ms late looked dead and its commit got
-    // fenced — an availability flake, not the race this test pins
-    spark.conf.set(AtomicPublish.LockStaleMsKey, "500")
+    // fenced — an availability flake, not the race this test pins.
+    // 500 ms still flaked under the 40-suite parallel run (round 16:
+    // one fenced commit when the suite JVM ran 32-wide); 2 s leaves a
+    // ~670 ms beat cadence that survives full-suite GC/scheduling
+    // stalls while the orphan still ages out in one sleep
+    spark.conf.set(AtomicPublish.LockStaleMsKey, "2000")
     spark.conf.set(AtomicPublish.LockTimeoutMsKey, "30000")
     try {
-      Thread.sleep(650) // age the orphan past the stale threshold
+      Thread.sleep(2200) // age the orphan past the stale threshold
       val writers = 4
       val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
       val threads = (1 to writers).map { i =>
