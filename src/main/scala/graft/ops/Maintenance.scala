@@ -1643,7 +1643,7 @@ object AtomicPublish {
     require(segs.nonEmpty, s"readOver: empty segment list for $tablePath")
     val side = mergeSidecarsFor(spark, tablePath, segs)
     if (side.isEmpty)
-      spark.read.parquet(segs.map(d => s"$tablePath/$d"): _*)
+      segmentScanNoResolve(spark, segs.map(d => s"$tablePath/$d"))
     else {
       val keys = side.values.head._2 // key agreement enforced at write
       val ordCol = "__graft_seg_ord"
@@ -1729,7 +1729,8 @@ object AtomicPublish {
         // evolved segments: per-segment reads union'd BY NAME with null
         // backfill; column order is first-appearance (base order, then
         // additions in commit order)
-        val perSeg = dataSegs.map(d => spark.read.parquet(s"$tablePath/$d"))
+        val perSeg = dataSegs.map(d =>
+          segmentScanNoResolve(spark, Seq(s"$tablePath/$d")))
         val canon = perSeg.foldLeft(Vector.empty[String]) { (acc, df) =>
           acc ++ df.schema.fieldNames.filterNot(n =>
             acc.exists(_.equalsIgnoreCase(n)))
@@ -1741,7 +1742,7 @@ object AtomicPublish {
         val upClaims =
           if (upSegs.isEmpty) None
           else Some(upSegs.map(d =>
-            spark.read.parquet(s"$tablePath/$d")
+            segmentScanNoResolve(spark, Seq(s"$tablePath/$d"))
               .select(keys.map(col): _*)
               .withColumn(ordCol, lit(segOrd(d))))
             .reduce(_ unionByName _))
@@ -1775,13 +1776,15 @@ object AtomicPublish {
       if (b.isEmpty) None else Some(d -> b)
     }.toMap
     val paths = segs.map(d => s"$tablePath/$d")
-    if (zones.isEmpty && blooms.isEmpty) spark.read.parquet(paths: _*)
+    if (zones.isEmpty && blooms.isEmpty) segmentScanNoResolve(spark, paths)
     else {
       // schema from the caller when it already resolved one (schema
       // uniformity is the fast-path precondition), else from ONE
-      // segment's resolution — never a multi-dir re-resolution
+      // segment's FOOTER — never a multi-dir re-resolution, and no
+      // schema-inference job at all in the common footer-stamped case
       val dataSchema = schemaHint.getOrElse(
-        spark.read.parquet(paths.head).schema)
+        segmentSchemaFromFooter(spark, paths.head)
+          .getOrElse(spark.read.parquet(paths.head).schema))
       val idx = new graft.sources.GraftZonePruningFileIndex(spark,
         paths.map(new org.apache.hadoop.fs.Path(_)), Map.empty, None,
         zones, blooms)
@@ -1789,6 +1792,74 @@ object AtomicPublish {
         .parquetDataFrame(spark, idx, dataSchema)
     }
   }
+
+  /** Full Spark schema of a segment from ONE parquet footer's
+    * key-value metadata (Spark stamps its StructType JSON under
+    * `org.apache.spark.sql.parquet.row.metadata` on every write, and
+    * every segment is graft-written). Round-16 optimization: in Spark 4
+    * each `spark.read.parquet(...)` schema resolution launches a
+    * 1-task FOOTER-READING JOB (~30-90 ms of job-launch latency) — a
+    * commit-heavy key pays that job once per snapshot/segment read per
+    * refresh, so the protocol paths resolve schemas driver-side from
+    * the footer instead (KeyStatsProbe: 19 of mv_incremental's 55 jobs
+    * were these). `asNullable` matches the file-source read path, which
+    * relaxes every field. None when the sidecar metadata is absent
+    * (non-Spark parquet) — callers fall back to datasource resolution. */
+  private[graft] def segmentSchemaFromFooter(spark: SparkSession,
+      segPath: String): Option[org.apache.spark.sql.types.StructType] =
+    try {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val sp = new org.apache.hadoop.fs.Path(segPath)
+      val fs = sp.getFileSystem(conf)
+      fs.listStatus(sp)
+        .find(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .flatMap { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(f.getPath, conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try Option(r.getFooter.getFileMetaData.getKeyValueMetaData
+              .get("org.apache.spark.sql.parquet.row.metadata"))
+            .map(json => relaxNullable(
+              org.apache.spark.sql.types.DataType.fromJson(json))
+              .asInstanceOf[org.apache.spark.sql.types.StructType])
+          finally r.close()
+        }
+    } catch { case _: Throwable => None }
+
+  /** File-source reads relax every field to nullable (SPARK-11360);
+    * mirror of the private `asNullable` so footer schemas match what a
+    * datasource resolution would have produced. */
+  private def relaxNullable(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        f.copy(dataType = relaxNullable(f.dataType), nullable = true)))
+      case a: ArrayType =>
+        a.copy(elementType = relaxNullable(a.elementType), containsNull = true)
+      case m: MapType => m.copy(keyType = relaxNullable(m.keyType),
+        valueType = relaxNullable(m.valueType), valueContainsNull = true)
+      case other => other
+    }
+  }
+
+  /** Multi-segment parquet DataFrame WITHOUT a datasource schema
+    * resolution: footer-metadata schema + an InMemoryFileIndex through
+    * the same bridge the pruning index uses. Falls back to
+    * `spark.read.parquet` when the footer carries no Spark schema.
+    * Segments must be schema-uniform (callers establish that — the
+    * fast-path precondition in [[readOver]], or single-segment use). */
+  private def segmentScanNoResolve(spark: SparkSession,
+                                   paths: Seq[String]): DataFrame =
+    segmentSchemaFromFooter(spark, paths.head) match {
+      case Some(schema) =>
+        val idx = new org.apache.spark.sql.execution.datasources.InMemoryFileIndex(
+          spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+          paths.map(new org.apache.hadoop.fs.Path(_)), Map.empty, None)
+        org.apache.spark.sql.graftbridge.GraftSqlBridge
+          .parquetDataFrame(spark, idx, schema)
+      case None => spark.read.parquet(paths: _*)
+    }
 
   /** Column-name list of a segment from ONE parquet footer (segments
     * are single-write, schema-uniform). Milliseconds vs the ~0.1 s a
@@ -2177,7 +2248,7 @@ object AtomicPublish {
     if (!newSegs.exists(side.contains)) {
       // pure appends — every row an insert; no snapshot scan needed
       return newWithVer.map { case (d, v) =>
-        align(spark.read.parquet(s"$tablePath/$d"))
+        align(segmentScanNoResolve(spark, Seq(s"$tablePath/$d")))
           .withColumn(ctCol, lit("insert"))
           .withColumn(cvCol, lit(v))
       }.reduce(_ unionByName _)
@@ -2200,7 +2271,7 @@ object AtomicPublish {
         case Some(_)        => 1
         case None           => 0
       }
-      spark.read.parquet(s"$tablePath/$d")
+      segmentScanNoResolve(spark, Seq(s"$tablePath/$d"))
         .select(kCols: _*).filter(!anyKeyNull).distinct()
         .withColumn(ordCol, lit(segOrdTo(d)))
         .withColumn(kindCol, lit(kind))
@@ -2221,7 +2292,7 @@ object AtomicPublish {
       .filter(col(ctCol).isNotNull)
       .select(kCols :+ col(ordCol) :+ col(kindCol) :+ col(ctCol): _*)
     val perSeg: Seq[DataFrame] = newWithVer.map { case (d, v) =>
-      val raw = spark.read.parquet(s"$tablePath/$d")
+      val raw = segmentScanNoResolve(spark, Seq(s"$tablePath/$d"))
       side.get(d).map(_._1) match {
         case None => // plain append: all rows insert
           align(raw).withColumn(ctCol, lit("insert"))

@@ -206,48 +206,101 @@ object MaterializedView {
       } else fromSnapshot.join(broadcast(changedKeys), meta.keys, "left_semi"),
       meta.joins)
       .select(gCols: _*).distinct()
-    val affected = postGroups.unionByName(preGroups).distinct().cache()
-    try {
-      refuseNullGroups(affected, meta.groupCols, "refresh")
-      val nAffected = affected.count()
-      if (nAffected == 0)
-        { writeMeta(spark, mvPath, meta.copy(sourceVersion = toV))
-          return RefreshStats(meta.sourceVersion, toV, 0L, 0L, 0L) }
-      // recompute ONLY the affected groups from the current source
-      // (dims joined first — a dim-derived group filter pushes to the
-      // broadcast build side; the fact side still scans its slice)
+    val affected = postGroups.unionByName(preGroups).distinct()
+    val inListMax = spark.conf.getOption(InListMaxKey)
+      .map(_.toInt).getOrElse(InListMaxDefault)
+    // ONE bounded collect replaces the pre-round-16 null-check count +
+    // count + collect triple (three actions, each re-running the feed's
+    // broadcast builds — at ≤1000 group rows the driver round-trip is
+    // the cheap side of a Spark job launch; guide §5: the driver should
+    // do almost no data work, but a refresh is JOB-LAUNCH-bound at the
+    // margin, ~30 ms/job × 3 jobs per refresh per micro-batch). The
+    // limit+1 row, if present, proves the set exceeded the ceiling —
+    // the big-refresh fallback below then re-derives it distributed.
+    val affectedRows = affected.limit(inListMax + 1).collect()
+    if (affectedRows.isEmpty)
+      { writeMeta(spark, mvPath, meta.copy(sourceVersion = toV))
+        return RefreshStats(meta.sourceVersion, toV, 0L, 0L, 0L) }
+    if (affectedRows.length <= inListMax) {
+      // the COMPLETE affected-group set is in hand: null-check it
+      // driver-side, slice the source by literal IN (single group col —
+      // pushes to the scan, zonemaps/row-groups prune) or a broadcast
+      // local-relation semi-join, and resolve vanished groups by set
+      // difference against the recomputed groups — no left_anti job
+      require(!affectedRows.exists(r => (0 until r.length).exists(r.isNullAt)),
+        s"materialized view (refresh): group(s) with NULL key values — " +
+          "null groups cannot be incrementally merged; coalesce the group " +
+          "columns in the source first")
+      val nAffected = affectedRows.length.toLong
       val source = withDims(spark,
         AtomicPublish.readAt(spark, meta.sourceTable, toV), meta.joins)
-      val inListMax = spark.conf.getOption(InListMaxKey)
-        .map(_.toInt).getOrElse(InListMaxDefault)
+      val affectedLocal = spark.createDataFrame(
+        java.util.Arrays.asList(affectedRows: _*),
+        org.apache.spark.sql.types.StructType(
+          meta.groupCols.map(c => affected.schema(c))))
       val sourceSlice =
-        if (meta.groupCols.size == 1 && nAffected <= inListMax) {
-          // literal IN: pushes to the scan — zonemaps/row-groups prune
-          val vals = affected.collect().map(_.get(0))
+        if (meta.groupCols.size == 1) {
+          val vals = affectedRows.map(_.get(0))
           source.filter(col(meta.groupCols.head).isin(vals.toIndexedSeq: _*))
-        } else source.join(broadcast(affected), meta.groupCols, "left_semi")
+        } else source.join(broadcast(affectedLocal), meta.groupCols, "left_semi")
       val recomputed = computeGroups(sourceSlice, meta.groupCols, meta.aggs)
-        .cache()
+      // ONE action executes the recompute: the result is ≤ nAffected ≤
+      // inListMax group rows (key + a few aggregates) — the same
+      // conf-capped bound that admitted the IN-list. The merge then
+      // upserts a LOCAL relation, so the commit's staging write neither
+      // re-scans the source nor re-builds its broadcasts.
+      val recRows = recomputed.collect()
+      val recSet = recRows.map(r => meta.groupCols
+        .map(c => r.get(r.fieldIndex(c))).toVector).toSet
+      val vanishedRows = affectedRows.filterNot(r =>
+        recSet.contains(meta.groupCols.indices.map(r.get).toVector))
+      if (vanishedRows.nonEmpty)
+        MergeInto.deleteFrom(spark, mvPath, spark.createDataFrame(
+          java.util.Arrays.asList(vanishedRows: _*), affectedLocal.schema),
+          meta.groupCols)
+      if (recRows.nonEmpty)
+        MergeInto.upsertInto(spark, mvPath, spark.createDataFrame(
+          java.util.Arrays.asList(recRows: _*), recomputed.schema),
+          meta.groupCols)
+      // record LAST: crash anywhere above re-runs this refresh, and
+      // recompute-and-replace converges
+      writeMeta(spark, mvPath, meta.copy(sourceVersion = toV))
+      RefreshStats(meta.sourceVersion, toV, nAffected,
+        recRows.length.toLong, vanishedRows.length.toLong)
+    } else {
+      // BIG-REFRESH fallback (> inListMax affected groups): the
+      // pre-round-16 distributed path — counts and joins over a cached
+      // affected set; the extra jobs are noise once the recompute
+      // itself is group-set-sized
+      val affectedBig = affected.cache()
       try {
-        val nRows = recomputed.count()
-        // groups that vanished entirely (every source row deleted)
-        val vanished = affected.join(recomputed, meta.groupCols, "left_anti")
+        refuseNullGroups(affectedBig, meta.groupCols, "refresh")
+        val nAffected = affectedBig.count()
+        val source = withDims(spark,
+          AtomicPublish.readAt(spark, meta.sourceTable, toV), meta.joins)
+        val sourceSlice =
+          source.join(broadcast(affectedBig), meta.groupCols, "left_semi")
+        val recomputed = computeGroups(sourceSlice, meta.groupCols, meta.aggs)
           .cache()
-        val nVanished =
-          try {
-            val n = vanished.count()
-            if (n > 0)
-              MergeInto.deleteFrom(spark, mvPath, vanished, meta.groupCols)
-            n
-          } finally { vanished.unpersist(); () }
-        if (nRows > 0)
-          MergeInto.upsertInto(spark, mvPath, recomputed, meta.groupCols)
-        // record LAST: crash anywhere above re-runs this refresh, and
-        // recompute-and-replace converges
-        writeMeta(spark, mvPath, meta.copy(sourceVersion = toV))
-        RefreshStats(meta.sourceVersion, toV, nAffected, nRows, nVanished)
-      } finally { recomputed.unpersist(); () }
-    } finally { affected.unpersist(); () }
+        try {
+          val nRows = recomputed.count()
+          // groups that vanished entirely (every source row deleted)
+          val vanished = affectedBig
+            .join(recomputed, meta.groupCols, "left_anti").cache()
+          val nVanished =
+            try {
+              val n = vanished.count()
+              if (n > 0)
+                MergeInto.deleteFrom(spark, mvPath, vanished, meta.groupCols)
+              n
+            } finally { vanished.unpersist(); () }
+          if (nRows > 0)
+            MergeInto.upsertInto(spark, mvPath, recomputed, meta.groupCols)
+          writeMeta(spark, mvPath, meta.copy(sourceVersion = toV))
+          RefreshStats(meta.sourceVersion, toV, nAffected, nRows, nVanished)
+        } finally { recomputed.unpersist(); () }
+      } finally { affectedBig.unpersist(); () }
+    }
     } finally { changes.unpersist(); () }
   }
 

@@ -53,9 +53,23 @@ object KeyStatsProbe {
     val taskTimeMs = new AtomicLong(0L)
     val shufRead = new AtomicLong(0L)
     val shufWrite = new AtomicLong(0L)
+    // SPARK_GRAFT_PROBE_JOBLOG=1: print one line per job with its call
+    // site + description — attributes a job-count-bound key's jobs to
+    // the driver actions that launch them.
+    val jobLog = sys.env.get("SPARK_GRAFT_PROBE_JOBLOG").contains("1")
+    val logging = new AtomicInteger(0) // 1 while a timed run is active
     val listener = new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit =
-        { jobs.incrementAndGet(); () }
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet()
+        if (jobLog && logging.get == 1) {
+          val cs = j.stageInfos.lastOption.map(_.name).getOrElse("?")
+          val desc = Option(j.properties)
+            .flatMap(p => Option(p.getProperty("spark.job.description")))
+            .getOrElse("")
+          println(s"  job ${j.jobId} [${j.stageInfos.size} st] $cs | $desc")
+        }
+        ()
+      }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
         { stages.incrementAndGet(); () }
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
@@ -85,8 +99,10 @@ object KeyStatsProbe {
         Thread.sleep(300) // let the listener bus drain (private API in Spark 4)
         jobs.set(0); stages.set(0); tasks.set(0)
         taskTimeMs.set(0); shufRead.set(0); shufWrite.set(0)
+        logging.set(1)
         val wall = run()
         Thread.sleep(300) // let the listener bus drain (private API in Spark 4)
+        logging.set(0)
         val shufMb = (shufRead.get + shufWrite.get) / 1e6
         println(f"$name%-34s $wall%8.3f ${jobs.get}%5d ${stages.get}%6d ${tasks.get}%6d ${taskTimeMs.get / 1e3}%8.2f $shufMb%7.1f")
       } catch {
