@@ -835,7 +835,11 @@ object AtomicPublish {
       val entry = Staged(staging, s"data-$stamp", marker,
         Map.empty, Map.empty)
       staged += entry
-      write(fs.makeQualified(staging).toString)
+      graft.engine.JobLabel(spark,
+        s"graft: stage ${marker.map(_._1).getOrElse("append")} segment " +
+          root.getName) {
+        write(fs.makeQualified(staging).toString)
+      }
       marker.foreach { case (tag, keys) =>
         checkMergeContract(spark, tablePath, fs, root,
           fs.makeQualified(staging).toString, tag, keys)
@@ -1100,9 +1104,11 @@ object AtomicPublish {
       val stamp = s"${System.currentTimeMillis()}-${counter.incrementAndGet()}"
       val staging = new org.apache.hadoop.fs.Path(root, s".compact-$stamp")
       val dataDir = s"data-$stamp"
-      try write(observed.map(d => s"$tablePath/$d"),
-        fs.makeQualified(staging).toString)
-      catch { case t: Throwable => fs.delete(staging, true); throw t }
+      try graft.engine.JobLabel(spark,
+          s"graft: cas rewrite ${root.getName}") {
+        write(observed.map(d => s"$tablePath/$d"),
+          fs.makeQualified(staging).toString)
+      } catch { case t: Throwable => fs.delete(staging, true); throw t }
       val zones = ZoneMaps.harvestSegment(spark,
         fs.makeQualified(staging).toString)
       val blooms = BloomMaps.harvestSegment(spark,
@@ -1849,8 +1855,8 @@ object AtomicPublish {
     * `spark.read.parquet` when the footer carries no Spark schema.
     * Segments must be schema-uniform (callers establish that — the
     * fast-path precondition in [[readOver]], or single-segment use). */
-  private def segmentScanNoResolve(spark: SparkSession,
-                                   paths: Seq[String]): DataFrame =
+  private[ops] def segmentScanNoResolve(spark: SparkSession,
+                                        paths: Seq[String]): DataFrame =
     segmentSchemaFromFooter(spark, paths.head) match {
       case Some(schema) =>
         val idx = new org.apache.spark.sql.execution.datasources.InMemoryFileIndex(
@@ -1865,7 +1871,7 @@ object AtomicPublish {
     * are single-write, schema-uniform). Milliseconds vs the ~0.1 s a
     * full datasource resolution costs — the difference between a
     * per-commit constant and a per-commit scan of the planner. */
-  private def segmentFieldNames(spark: SparkSession, segPath: String): Seq[String] = {
+  private[ops] def segmentFieldNames(spark: SparkSession, segPath: String): Seq[String] = {
     import scala.jdk.CollectionConverters._
     val conf = spark.sparkContext.hadoopConfiguration
     val sp = new org.apache.hadoop.fs.Path(segPath)
@@ -2158,6 +2164,41 @@ object AtomicPublish {
     * content in ways the log cannot express as row deltas) and a
     * window whose pre-fold segments aged past the retention window
     * ([[segmentsAt]] raises). */
+  /** The segment directories ADDED across `(fromVersion, toVersion]`,
+    * version order, with FOLD commits skipped (a fold is
+    * content-preserving: it contributes no changes, only replaces the
+    * base the later commits extend). METADATA-ONLY — version-log and
+    * manifest reads, no Spark job. Returns None when the window
+    * contains a NON-fold break (restore/republish): those windows
+    * cannot be expressed as row deltas, and callers fall back to
+    * [[changesBetween]], which refuses with the documented message.
+    *
+    * This is the cheap window decomposition [[MaterializedView]]'s
+    * refresh derives its affected groups from: for group derivation the
+    * classified change feed is equivalent to (all rows of the new
+    * non-delete segments) + (all keys of the new upsert/delete
+    * segments probed against the fromVersion snapshot) — the
+    * classification only removes keys that provably match nothing —
+    * so the refresh skips the feed's snapshot key-scan + window
+    * classification entirely. */
+  def addedSegmentsBetween(spark: SparkSession, tablePath: String,
+                           fromVersion: Long, toVersion: Long)
+      : Option[Seq[String]] = {
+    require(fromVersion <= toVersion,
+      s"addedSegmentsBetween: need fromVersion <= toVersion, got " +
+        s"$fromVersion > $toVersion")
+    if (fromVersion == toVersion) return Some(Nil)
+    val lists: Map[Long, Seq[String]] = (fromVersion to toVersion)
+      .map(v => v -> segmentsAt(spark, tablePath, v)).toMap
+    val breaks = ((fromVersion + 1) to toVersion).filter { v =>
+      lists(v).take(lists(v - 1).length) != lists(v - 1)
+    }.toSet
+    if (breaks.exists(v => !isFoldVersion(spark, tablePath, v))) None
+    else Some(((fromVersion + 1) to toVersion).toSeq
+      .filterNot(breaks.contains)
+      .flatMap(v => lists(v).drop(lists(v - 1).length)))
+  }
+
   def changesBetween(spark: SparkSession, tablePath: String,
                      fromVersion: Long, toVersion: Long): DataFrame = {
     require(fromVersion < toVersion,

@@ -151,6 +151,33 @@ object MaterializedView {
   def read(spark: SparkSession, mvPath: String): DataFrame =
     AtomicPublish.read(spark, mvPath)
 
+  /** Run `f` with AQE off, restoring the session conf after. AQE
+    * materializes every exchange as its own scheduler job round to
+    * re-optimize downstream stages; for the refresh's BOUNDED queries
+    * (outputs conf-capped at [[InListMaxKey]] rows, inputs ∝ the
+    * change batch by construction) those rounds buy nothing — there is
+    * no skew to split and nothing worth coalescing in a ≤1000-row
+    * shuffle — while each round costs a job launch, the dominant term
+    * of a per-micro-batch refresh. The big-refresh fallback (outputs
+    * unbounded) keeps AQE. */
+  private def withoutAqe[A](spark: SparkSession)(f: => A): A = {
+    // limit.initialNumPartitions: a non-AQE `limit(n).collect()` pays
+    // take-SCALING — one job over 1 partition, then 4, 16, … until n
+    // rows are in hand; these queries rarely satisfy the cap from one
+    // partition, so the scaling rounds are pure job-launch overhead.
+    // All-partitions-in-one-job is right when the per-partition output
+    // is a handful of group rows.
+    val keys = Seq("spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.limit.initialNumPartitions" -> Int.MaxValue.toString)
+    val old = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f
+    finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   /** Advance the view to the source's current version via the change
     * feed + partial recompute. No-op (and zero scans) when the source
     * hasn't committed since the last refresh. */
@@ -166,26 +193,58 @@ object MaterializedView {
         s"but the source is at $toV — the source was restored/rebuilt " +
         "behind the view; fullRefresh to re-base")
     val gCols = meta.groupCols.map(col)
-    // the feed is consumed by TWO independent actions below (post-image
-    // groups; changed keys) — uncached, each re-derives the window,
-    // re-paying every fold-free run's key-pruned snapshot scan. Changes
-    // are ∝ the batch, so the cache is batch-sized by construction.
-    val changes = AtomicPublish.changesBetween(spark, meta.sourceTable,
-      meta.sourceVersion, toV)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-    // groups of the POST-images (inserts + update landing sides) —
-    // group columns may live on a DIM side, so the changes join the
+    // AFFECTED-GROUP DERIVATION from the window's ADDED SEGMENTS
+    // (round-16 optimization, guide §1.2/§2.4): the pre-round-16 path
+    // materialized the full classified change feed (a reconciled
+    // fromVersion key-scan + a per-key lag window + per-segment
+    // classification joins — ~7 Spark jobs per refresh) only to derive
+    // group sets the raw segments already determine:
+    //   post groups  = groups of ALL rows of the new non-delete
+    //                  segments (every upsert row is an insert or an
+    //                  update landing side; plain appends are inserts);
+    //   changed keys = ALL keys of the new upsert/delete segments —
+    //                  a SUPERSET of the feed's update/delete keys
+    //                  whose extras (pure inserts, re-deletes) probe
+    //                  the fromVersion snapshot and match NOTHING, so
+    //                  the derived pre-group set is identical.
+    // Fold commits contribute no segments (content-preserving);
+    // restore/republish windows fall back to changesBetween's
+    // documented loud refusal. MaterializedViewSpec pins refreshed ≡
+    // recomputed across upserts/deletes/moves/folds.
+    val added = AtomicPublish.addedSegmentsBetween(spark, meta.sourceTable,
+      meta.sourceVersion, toV).getOrElse {
+      AtomicPublish.changesBetween(spark, meta.sourceTable,
+        meta.sourceVersion, toV) // throws the documented refusal
+      sys.error("unreachable: addedSegmentsBetween refused a window " +
+        "changesBetween accepts")
+    }
+    val side = AtomicPublish.mergeSidecarsFor(spark, meta.sourceTable, added)
+    val dataDirs = added.filterNot(d => side.get(d).exists(_._1 == "delete"))
+    val mergeDirs = added.filter(side.contains)
+    def scanSegs(dirs: Seq[String]): DataFrame = {
+      val paths = dirs.map(d => s"${meta.sourceTable}/$d")
+      val fields = paths.map(p => AtomicPublish.segmentFieldNames(spark, p))
+      if (fields.forall(_ == fields.head))
+        AtomicPublish.segmentScanNoResolve(spark, paths)
+      else paths.map(p => AtomicPublish.segmentScanNoResolve(spark, Seq(p)))
+        .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+    }
+    // group columns may live on a DIM side, so post-image rows join the
     // dims (broadcast) before projecting
-    val postGroups = withDims(spark,
-        changes.filter(col("_change_type") =!= "delete"), meta.joins)
-      .select(gCols: _*).distinct()
-    // groups the changed KEYS belonged to at fromVersion (update
-    // departure sides + delete victims): one key-pruned snapshot scan,
-    // the changed-key set broadcast into it
-    val changedKeys = changes
-      .filter(col("_change_type").isin("update_postimage", "delete"))
-      .select(meta.keys.map(col): _*).distinct()
+    // no inner distinct: `affected` below distincts the union once —
+    // a distinct per input leg is one extra exchange per refresh each
+    val postGroups =
+      if (dataDirs.isEmpty) None
+      else Some(withDims(spark, scanSegs(dataDirs), meta.joins)
+        .select(gCols: _*))
+    val keyNotNull = meta.keys.map(col(_).isNotNull).reduce(_ && _)
+    val changedKeys =
+      if (mergeDirs.isEmpty) None
+      else Some(mergeDirs
+        .map(d => AtomicPublish.segmentScanNoResolve(
+          spark, Seq(s"${meta.sourceTable}/$d"))
+          .select(meta.keys.map(col): _*))
+        .reduce(_ unionByName _).filter(keyNotNull).distinct())
     val inListMax0 = spark.conf.getOption(InListMaxKey)
       .map(_.toInt).getOrElse(InListMaxDefault)
     val fromSnapshot = AtomicPublish.readAt(spark, meta.sourceTable,
@@ -196,17 +255,23 @@ object MaterializedView {
     // against a broadcast — the difference between touching the few
     // segments holding the changed keys and the corpus
     val changedKeyRows =
-      if (meta.keys.size == 1) changedKeys.limit(inListMax0 + 1).collect()
+      if (meta.keys.size == 1 && changedKeys.nonEmpty)
+        graft.engine.JobLabel(spark, "mv refresh: changed keys") {
+          withoutAqe(spark) { changedKeys.get.limit(inListMax0 + 1).collect() }
+        }
       else Array.empty[org.apache.spark.sql.Row]
     val preGroups = withDims(spark,
-      if (meta.keys.size == 1 && changedKeyRows.length <= inListMax0) {
+      if (changedKeys.isEmpty) fromSnapshot.limit(0)
+      else if (meta.keys.size == 1 && changedKeyRows.length <= inListMax0) {
         if (changedKeyRows.isEmpty) fromSnapshot.limit(0)
         else fromSnapshot.filter(col(meta.keys.head)
           .isin(changedKeyRows.map(_.get(0)).toIndexedSeq: _*))
-      } else fromSnapshot.join(broadcast(changedKeys), meta.keys, "left_semi"),
+      } else fromSnapshot.join(broadcast(changedKeys.get), meta.keys,
+        "left_semi"),
       meta.joins)
-      .select(gCols: _*).distinct()
-    val affected = postGroups.unionByName(preGroups).distinct()
+      .select(gCols: _*)
+    val affected = postGroups.map(_.unionByName(preGroups))
+      .getOrElse(preGroups).distinct()
     val inListMax = spark.conf.getOption(InListMaxKey)
       .map(_.toInt).getOrElse(InListMaxDefault)
     // ONE bounded collect replaces the pre-round-16 null-check count +
@@ -217,7 +282,10 @@ object MaterializedView {
     // margin, ~30 ms/job × 3 jobs per refresh per micro-batch). The
     // limit+1 row, if present, proves the set exceeded the ceiling —
     // the big-refresh fallback below then re-derives it distributed.
-    val affectedRows = affected.limit(inListMax + 1).collect()
+    val affectedRows = graft.engine.JobLabel(spark,
+      "mv refresh: affected groups") {
+      withoutAqe(spark) { affected.limit(inListMax + 1).collect() }
+    }
     if (affectedRows.isEmpty)
       { writeMeta(spark, mvPath, meta.copy(sourceVersion = toV))
         return RefreshStats(meta.sourceVersion, toV, 0L, 0L, 0L) }
@@ -249,7 +317,9 @@ object MaterializedView {
       // conf-capped bound that admitted the IN-list. The merge then
       // upserts a LOCAL relation, so the commit's staging write neither
       // re-scans the source nor re-builds its broadcasts.
-      val recRows = recomputed.collect()
+      val recRows = graft.engine.JobLabel(spark, "mv refresh: recompute") {
+        withoutAqe(spark) { recomputed.collect() }
+      }
       val recSet = recRows.map(r => meta.groupCols
         .map(c => r.get(r.fieldIndex(c))).toVector).toSet
       val vanishedRows = affectedRows.filterNot(r =>
@@ -301,7 +371,6 @@ object MaterializedView {
         } finally { recomputed.unpersist(); () }
       } finally { affectedBig.unpersist(); () }
     }
-    } finally { changes.unpersist(); () }
   }
 
   /** Re-base the view with a full recompute — the recovery path when

@@ -69,8 +69,10 @@ object FileReplay {
       (lo + k * width, math.min(lo + (k + 1) * width, hi + 1))
     }.filter(r => r._1 < r._2)
     def land(r: (Long, Long)): Unit =
-      src.filter(col(orderCol) >= r._1 && col(orderCol) < r._2)
-        .write.mode("append").parquet(dir)
+      graft.engine.JobLabel(spark, s"replay: land chunk [${r._1},${r._2})") {
+        src.filter(col(orderCol) >= r._1 && col(orderCol) < r._2)
+          .write.mode("append").parquet(dir)
+      }
     land(ranges.head)
     // schema from the landed files, not src.schema: the files are the
     // contract the source reads (nullability normalized by parquet)
