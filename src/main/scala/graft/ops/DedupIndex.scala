@@ -550,8 +550,14 @@ object DedupIndex {
         .withColumn("fv", array_to_vector(col("e")))
       // the SHARED quantizer fit (sample-capped at scale) — one
       // implementation with AnnSearch.ivfTopK so the ≡-pin between the
-      // indexed and recompute twins can never drift
-      val model = AnnSearch.fitIvfModel(spark, base, nlist, seed)
+      // indexed and recompute twins can never drift. Memoized per
+      // (source stamp, spec) exactly like ensurePqIndex's fit: a
+      // rebuild of a grown table re-assigns (the data changed) but
+      // must not re-run Lloyd when the CORPUS identity is unchanged —
+      // the fit is deterministic per data+params, so the memo cannot
+      // change results.
+      val model = AnnSearch.ivfModelFor(spark, base, nlist, seed,
+        cacheKey = Some(s"ivfidx:$sourcePath:$spec:${stamp.hashCode}"))
       val p = spark.sessionState.conf.numShufflePartitions
       val assigned = model.transform(base)
         .select(col("id"), col("e"), col("cell"))

@@ -1342,9 +1342,15 @@ object LlmQueries extends QueryGroup {
         val cand = graft.ops.MinHashDedup.candidatePairs(
             docs, "doc_id", "text", numHashes = 16, bands = 4)
           .select($"id_a", $"id_b")
-        truth.join(cand, Seq("id_a", "id_b"), "left_semi")
-          .agg(count(lit(1)).as("n_hit"))
-          .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+        // ONE pass over the expensive truth subtree: left-join the
+        // unique-keyed candidate set and count rows + hits together —
+        // the previous semi-join + crossJoin(truth.agg) form evaluated
+        // the brute-force truth ranking TWICE per run (guide §7.2:
+        // duplicated subtrees). Same numbers: candidates are exactly
+        // once per pair, so the left join never multiplies truth rows.
+        truth.join(cand.withColumn("__hit", lit(1)),
+            Seq("id_a", "id_b"), "left")
+          .agg(count(lit(1)).as("n_truth"), count($"__hit").as("n_hit"))
           .select($"n_truth",
             ($"n_hit".cast("double") / $"n_truth" >= lit(0.9)).as("recall_ok"))
       },
@@ -1478,9 +1484,11 @@ object LlmQueries extends QueryGroup {
           .select($"q_id", $"neighbor_id")
         val ann = AnnSearch.lshTopK(s, emb, "vec_id", "e", $"id" < 5, k = 10)
           .select($"q_id", $"neighbor_id")
-        truth.join(ann, Seq("q_id", "neighbor_id"), "left_semi")
-          .agg(count(lit(1)).as("n_hit"))
-          .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+        // one truth evaluation (see dedup_minhash_recall): top-k rows
+        // are unique per (q_id, neighbor_id), so left-join + two counts
+        truth.join(ann.withColumn("__hit", lit(1)),
+            Seq("q_id", "neighbor_id"), "left")
+          .agg(count(lit(1)).as("n_truth"), count($"__hit").as("n_hit"))
           .select($"n_truth",
             ($"n_hit".cast("double") / $"n_truth" >= lit(0.8)).as("recall_ok"))
       },
@@ -1518,9 +1526,9 @@ object LlmQueries extends QueryGroup {
         val ivf = AnnSearch.ivfTopK(s, emb, "vec_id", "e", $"id" < 5, k = 10,
             cacheKey = Some(s"embeddings:$dir"))
           .select($"q_id", $"neighbor_id")
-        truth.join(ivf, Seq("q_id", "neighbor_id"), "left_semi")
-          .agg(count(lit(1)).as("n_hit"))
-          .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+        truth.join(ivf.withColumn("__hit", lit(1)),
+            Seq("q_id", "neighbor_id"), "left")
+          .agg(count(lit(1)).as("n_truth"), count($"__hit").as("n_hit"))
           .select($"n_truth",
             ($"n_hit".cast("double") / $"n_truth" >= lit(0.3)).as("recall_ok"))
       },
@@ -1563,9 +1571,9 @@ object LlmQueries extends QueryGroup {
         val ivf = DedupIndex.ivfTopKIndexed(s, table,
             emb.filter($"vec_id" < 5), "vec_id", "e", k = 10)
           .select($"q_id", $"neighbor_id")
-        truth.join(ivf, Seq("q_id", "neighbor_id"), "left_semi")
-          .agg(count(lit(1)).as("n_hit"))
-          .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+        truth.join(ivf.withColumn("__hit", lit(1)),
+            Seq("q_id", "neighbor_id"), "left")
+          .agg(count(lit(1)).as("n_truth"), count($"__hit").as("n_hit"))
           .select($"n_truth",
             ($"n_hit".cast("double") / $"n_truth" >= lit(0.3)).as("recall_ok"))
       },
@@ -1620,9 +1628,9 @@ object LlmQueries extends QueryGroup {
           val got = DedupIndex.ivfTopKIndexed(s, table, queries,
               "vec_id", "e", k = 10)
             .select($"q_id", $"neighbor_id")
-          truth.join(got, Seq("q_id", "neighbor_id"), "left_semi")
-            .agg(count(lit(1)).as("n_hit"))
-            .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+          truth.join(got.withColumn("__hit", lit(1)),
+              Seq("q_id", "neighbor_id"), "left")
+            .agg(count(lit(1)).as("n_truth"), count($"__hit").as("n_hit"))
             .select(lit(day).as("day"), $"n_truth",
               ($"n_hit".cast("double") / $"n_truth" >= lit(0.3))
                 .as("recall_ok"))
@@ -2831,9 +2839,9 @@ object LlmQueries extends QueryGroup {
           .select($"q_id", $"neighbor_id".as("id"))
         val short = PqSearch.pqShortlist(s, emb, "vec_id", "e",
           $"id" < 20, model, shortlist = 100).select($"q_id", $"id")
-        truth.join(short, Seq("q_id", "id"), "left_semi")
-          .agg(count(lit(1)).as("n_hit"))
-          .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+        truth.join(short.withColumn("__hit", lit(1)),
+            Seq("q_id", "id"), "left")
+          .agg(count(lit(1)).as("n_truth"), count($"__hit").as("n_hit"))
           .select($"n_truth",
             ($"n_hit".cast("double") / $"n_truth" >= lit(0.9)).as("recall_ok"))
       },
@@ -2878,9 +2886,9 @@ object LlmQueries extends QueryGroup {
         val short = PqSearch.ivfPqShortlist(s, emb, "vec_id", "e",
           $"id" < 20, model, nlist = 16, nprobe = 10, shortlist = 100,
           cacheKey = Some(s"embeddings:$dir")).select($"q_id", $"id")
-        truth.join(short, Seq("q_id", "id"), "left_semi")
-          .agg(count(lit(1)).as("n_hit"))
-          .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+        truth.join(short.withColumn("__hit", lit(1)),
+            Seq("q_id", "id"), "left")
+          .agg(count(lit(1)).as("n_truth"), count($"__hit").as("n_hit"))
           .select($"n_truth",
             ($"n_hit".cast("double") / $"n_truth" >= lit(0.85)).as("recall_ok"))
       },
@@ -2921,9 +2929,9 @@ object LlmQueries extends QueryGroup {
         val short = DedupIndex.pqShortlistIndexed(s, table,
             emb.filter($"vec_id" < 20), "vec_id", "e", shortlist = 100)
           .select($"q_id", $"id")
-        truth.join(short, Seq("q_id", "id"), "left_semi")
-          .agg(count(lit(1)).as("n_hit"))
-          .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+        truth.join(short.withColumn("__hit", lit(1)),
+            Seq("q_id", "id"), "left")
+          .agg(count(lit(1)).as("n_truth"), count($"__hit").as("n_hit"))
           .select($"n_truth",
             ($"n_hit".cast("double") / $"n_truth" >= lit(0.9)).as("recall_ok"))
       },
@@ -2977,9 +2985,9 @@ object LlmQueries extends QueryGroup {
           val short = DedupIndex.pqShortlistIndexed(s, table, queries,
               "vec_id", "e", shortlist = 100)
             .select($"q_id", $"id")
-          truth.join(short, Seq("q_id", "id"), "left_semi")
-            .agg(count(lit(1)).as("n_hit"))
-            .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+          truth.join(short.withColumn("__hit", lit(1)),
+              Seq("q_id", "id"), "left")
+            .agg(count(lit(1)).as("n_truth"), count($"__hit").as("n_hit"))
             .select(lit(day).as("day"), $"n_truth",
               ($"n_hit".cast("double") / $"n_truth" >= lit(0.85))
                 .as("recall_ok"))
