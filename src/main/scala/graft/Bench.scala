@@ -103,8 +103,13 @@ object Bench {
     "dedup_incremental_minhash_cycle" -> true,
     "dedup_incremental_cycle" -> true,
     "dedup_incremental_minhash_lsm" -> true,
-    "sim_search_ivf_indexed" -> false,
-    "sim_search_ivf_cycle" -> false,
+    // true since the round-16 single-pass recall rewrite: the verdict's
+    // left join lets count() eliminate the candidate leaf scan, so the
+    // bench must materialize these keys' own plans to time the real
+    // work (the unpinned recall keys re-probe live and switch the same
+    // way automatically)
+    "sim_search_ivf_indexed" -> true,
+    "sim_search_ivf_cycle" -> true,
     // eager builders (publish + MERGE / fold / appends at build time);
     // their aggregate or reconciled-read tails survive count(), but
     // the probe would re-run the whole commit cycle untimed — pin

@@ -186,24 +186,24 @@ object DedupIndex {
         ("compactedFrom" -> segs.size.toString)
       meta("kind") match {
         case "minhash" =>
-          spark.read.parquet(segs: _*).write.parquet(staging)
+          scanFooter(spark, segs).write.parquet(staging)
           writeMeta(spark, staging, carried)
         case "semantic" | "ivf" =>
           val parts = spark.sessionState.conf.numShufflePartitions
-          spark.read.parquet(segs.map(s => s"$s/assign"): _*)
+          scanFooter(spark, segs.map(s => s"$s/assign"))
             .repartitionByRange(parts, col("cell"))
             .sortWithinPartitions(col("cell"))
             .write.parquet(s"$staging/assign")
-          spark.read.parquet(s"${segs.head}/model")
+          scanFooter(spark, Seq(s"${segs.head}/model"))
             .coalesce(1).write.parquet(s"$staging/model")
           writeMeta(spark, staging, carried)
         case "pq" =>
           // the coded table has no range layout to restore — the ADC
           // scan is sequential over ALL codes; the collapse just
           // removes per-day footer overhead
-          spark.read.parquet(segs.map(s => s"$s/codes"): _*)
+          scanFooter(spark, segs.map(s => s"$s/codes"))
             .write.parquet(s"$staging/codes")
-          spark.read.parquet(s"${segs.head}/model")
+          scanFooter(spark, Seq(s"${segs.head}/model"))
             .coalesce(1).write.parquet(s"$staging/model")
           writeMeta(spark, staging, carried)
         case other => throw new IllegalStateException(
@@ -242,22 +242,32 @@ object DedupIndex {
       throw new IllegalStateException(s"no published index at $tablePath"))
     meta("kind") match {
       case "minhash" =>
-        spark.read.parquet(segmentPaths(spark, tablePath): _*)
+        scanFooter(spark, segmentPaths(spark, tablePath))
           .createOrReplaceTempView(prefix)
       case "semantic" | "ivf" =>
-        spark.read.parquet(segmentPaths(spark, tablePath).map(p => s"$p/assign"): _*)
+        scanFooter(spark, segmentPaths(spark, tablePath).map(p => s"$p/assign"))
           .createOrReplaceTempView(s"${prefix}_assign")
-        spark.read.parquet(s"${dataPathOf(spark, tablePath)}/model")
+        scanFooter(spark, Seq(s"${dataPathOf(spark, tablePath)}/model"))
           .createOrReplaceTempView(s"${prefix}_model")
       case "pq" =>
-        spark.read.parquet(segmentPaths(spark, tablePath).map(p => s"$p/codes"): _*)
+        scanFooter(spark, segmentPaths(spark, tablePath).map(p => s"$p/codes"))
           .createOrReplaceTempView(s"${prefix}_codes")
-        spark.read.parquet(s"${dataPathOf(spark, tablePath)}/model")
+        scanFooter(spark, Seq(s"${dataPathOf(spark, tablePath)}/model"))
           .createOrReplaceTempView(s"${prefix}_model")
       case other => throw new IllegalStateException(
         s"registerIndexViews: unknown index kind `$other` at $tablePath")
     }
   }
+
+  /** Footer-schema parquet scan (no datasource-resolution job). Every
+    * `spark.read.parquet` schema resolution launches a one-task Spark
+    * job in Spark 4; index dirs are all graft-written, so their footers
+    * carry the exact Spark schema and the resolution is free
+    * driver-side metadata ([[AtomicPublish.segmentScanNoResolve]]).
+    * The daily-cycle keys construct these plans per day, so the
+    * resolution job was a recurring per-batch constant. */
+  private def scanFooter(spark: SparkSession, paths: Seq[String]): DataFrame =
+    AtomicPublish.segmentScanNoResolve(spark, paths)
 
   private def dataPathOf(spark: SparkSession, tablePath: String): String =
     s"$tablePath/${AtomicPublish.currentDataDir(spark, tablePath).getOrElse(
@@ -331,7 +341,7 @@ object DedupIndex {
     val numHashes = meta("numHashes").toInt
     val bands = meta("bands").toInt
     val idCol = meta("idCol"); val textCol = meta("textCol")
-    val idx = spark.read.parquet(segmentPaths(spark, tablePath): _*)
+    val idx = scanFooter(spark, segmentPaths(spark, tablePath))
       .select(col("id").as("c_id"), col("bhs").as("bhs_c"))
       .select(col("c_id"), col("bhs_c"),
         posexplode(col("bhs_c")).as(Seq("band", "bh")))
@@ -421,7 +431,7 @@ object DedupIndex {
       throw new IllegalStateException(s"no published minhash index at $tablePath"))
     require(meta.get("kind").contains("minhash"),
       s"index at $tablePath is kind=${meta.get("kind")}, expected minhash")
-    spark.read.parquet(segmentPaths(spark, tablePath): _*)
+    scanFooter(spark, segmentPaths(spark, tablePath))
       .select(col("id"), posexplode(col("bhs")).as(Seq("band", "bh")))
       .groupBy(col("band"), col("bh"))
       .agg(min(col("id")).as("first_id"))
@@ -446,7 +456,7 @@ object DedupIndex {
     require(meta.get("kind").contains("semantic"),
       s"index at $tablePath is kind=${meta.get("kind")}, expected semantic")
     import spark.implicits._
-    spark.read.parquet(segmentPaths(spark, tablePath).map(p => s"$p/assign"): _*)
+    scanFooter(spark, segmentPaths(spark, tablePath).map(p => s"$p/assign"))
       .select(col("cell").cast("int").as("cell"), col("id"), col("e"))
       .as[(Int, Long, Array[Double])]
       .groupByKey(_._1)
@@ -509,7 +519,7 @@ object DedupIndex {
     require(meta.get("kind").contains("semantic"),
       s"index at $tablePath is kind=${meta.get("kind")}, expected semantic")
     val dim = meta("dim").toInt
-    val rows = spark.read.parquet(s"${dataPathOf(spark, tablePath)}/model")
+    val rows = scanFooter(spark, Seq(s"${dataPathOf(spark, tablePath)}/model"))
       .orderBy(col("cell")).collect()
     val k = rows.length
     val cents = new Array[Double](k * dim)
@@ -593,7 +603,7 @@ object DedupIndex {
       throw new IllegalStateException(s"no published ivf index at $tablePath"))
     require(meta.get("kind").contains("ivf"),
       s"index at $tablePath is kind=${meta.get("kind")}, expected ivf")
-    val centRows = spark.read.parquet(s"${dataPathOf(spark, tablePath)}/model")
+    val centRows = scanFooter(spark, Seq(s"${dataPathOf(spark, tablePath)}/model"))
       .orderBy(col("cell")).collect()
     val centroids = centRows.map(r => r.getSeq[Double](1).toArray)
     // Caller-owned cache (see dailyMinHashCandidates); error paths —
@@ -610,8 +620,8 @@ object DedupIndex {
       require(rawCells.length <= maxCells,
         s"query set probes > $maxCells cells ($MaxBatchCellsKey): " +
           "this is not a query batch — raise the cap or search in shards")
-      val idx = spark.read.parquet(
-          segmentPaths(spark, tablePath).map(p => s"$p/assign"): _*)
+      val idx = scanFooter(spark,
+          segmentPaths(spark, tablePath).map(p => s"$p/assign"))
         .filter(col("cell").isInCollection(rawCells.distinct.toSeq))
       val cand = idx.join(broadcast(q), Seq("cell"))
         .filter(col("id") =!= col("q_id"))
@@ -670,7 +680,7 @@ object DedupIndex {
       throw new IllegalStateException(s"no published ivf index at $tablePath"))
     require(meta.get("kind").contains("ivf"),
       s"index at $tablePath is kind=${meta.get("kind")}, expected ivf")
-    val centroids = spark.read.parquet(s"${dataPathOf(spark, tablePath)}/model")
+    val centroids = scanFooter(spark, Seq(s"${dataPathOf(spark, tablePath)}/model"))
       .orderBy(col("cell")).collect()
       .map(r => r.getSeq[Double](1).toArray)
     val idCol = meta("idCol"); val eCol = meta("eCol")
@@ -747,7 +757,7 @@ object DedupIndex {
       s"index at $tablePath is kind=${meta.get("kind")}, expected pq")
     val m = meta("m").toInt; val k = meta("k").toInt
     val dsub = meta("dsub").toInt
-    val rows = spark.read.parquet(s"${dataPathOf(spark, tablePath)}/model")
+    val rows = scanFooter(spark, Seq(s"${dataPathOf(spark, tablePath)}/model"))
       .orderBy(col("j"), col("c")).collect()
     require(rows.length == m * k,
       s"pq model at $tablePath has ${rows.length} centroids, want ${m * k}")
@@ -792,8 +802,8 @@ object DedupIndex {
                          queries: DataFrame, idCol: String, eCol: String,
                          shortlist: Int = 100): DataFrame = {
     val model = loadPqModel(spark, tablePath)
-    val coded = spark.read.parquet(
-      segmentPaths(spark, tablePath).map(p => s"$p/codes"): _*)
+    val coded = scanFooter(spark,
+      segmentPaths(spark, tablePath).map(p => s"$p/codes"))
     PqSearch.pqShortlistCoded(spark, coded,
       queries.select(col(idCol).as("q_id"), col(eCol).as("qe")),
       model, shortlist)
@@ -836,8 +846,8 @@ object DedupIndex {
           "this is not a daily batch — dedup it as a corpus (blockedPairs) " +
           "or raise the cap")
       val batchCells = rawCells.distinct
-      val idx = spark.read.parquet(
-          segmentPaths(spark, tablePath).map(p => s"$p/assign"): _*)
+      val idx = scanFooter(spark,
+          segmentPaths(spark, tablePath).map(p => s"$p/assign"))
         .filter(col("cell").isInCollection(batchCells.toSeq))
         .select(col("id").as("c_id"), col("e").as("ce"), col("cell"))
       idx.join(broadcast(b), Seq("cell"))

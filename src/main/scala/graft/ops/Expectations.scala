@@ -266,9 +266,24 @@ object Expectations {
     }
   }
 
-  /** Row count of a just-committed segment — a metadata-only count
-    * (parquet footers) over the one new directory. */
+  /** Row count of a just-committed segment, straight from the parquet
+    * footers on the driver — the previous `read.parquet(...).count()`
+    * was metadata-only in bytes but still paid a schema-resolution job
+    * plus a count job per checked commit. */
   private def segmentRows(spark: SparkSession, tablePath: String,
-                          dataDir: String): Long =
-    spark.read.parquet(s"$tablePath/$dataDir").count()
+                          dataDir: String): Long = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val sp = new org.apache.hadoop.fs.Path(s"$tablePath/$dataDir")
+    val fs = sp.getFileSystem(conf)
+    fs.listStatus(sp)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(f.getPath, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+        finally r.close()
+      }.sum
+  }
 }

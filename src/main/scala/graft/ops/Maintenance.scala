@@ -2837,7 +2837,7 @@ object MergeInto {
         AtomicPublish.readOver(spark, tablePath, dirs).filter(keepRow)
           .write.parquet(s"$staging/seg-00000")
       else paths.zipWithIndex.foreach { case (p, i) =>
-        spark.read.parquet(p).filter(keepRow)
+        AtomicPublish.segmentScanNoResolve(spark, Seq(p)).filter(keepRow)
           .write.parquet(f"$staging/seg-$i%05d")
       }
       aligned.write.parquet(f"$staging/seg-${paths.length}%05d")
@@ -3014,7 +3014,8 @@ object MergeInto {
         transform(AtomicPublish.readOver(spark, tablePath, dirs))
           .write.parquet(s"$staging/seg-00000")
       else paths.zipWithIndex.foreach { case (p, i) =>
-        transform(spark.read.parquet(p)).write.parquet(f"$staging/seg-$i%05d")
+        transform(AtomicPublish.segmentScanNoResolve(spark, Seq(p)))
+          .write.parquet(f"$staging/seg-$i%05d")
       }
     }
     outcome match {
