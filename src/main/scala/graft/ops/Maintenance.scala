@@ -1871,7 +1871,7 @@ object AtomicPublish {
     * are single-write, schema-uniform). Milliseconds vs the ~0.1 s a
     * full datasource resolution costs — the difference between a
     * per-commit constant and a per-commit scan of the planner. */
-  private[ops] def segmentFieldNames(spark: SparkSession, segPath: String): Seq[String] = {
+  private[graft] def segmentFieldNames(spark: SparkSession, segPath: String): Seq[String] = {
     import scala.jdk.CollectionConverters._
     val conf = spark.sparkContext.hadoopConfiguration
     val sp = new org.apache.hadoop.fs.Path(segPath)

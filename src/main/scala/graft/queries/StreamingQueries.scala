@@ -866,20 +866,33 @@ object StreamingQueries extends QueryGroup {
           .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
             val b = batch.persist()
             try {
-              // a batch may span several commits: apply in commit order
-              val versions = b.select($"_commit_version").distinct()
-                .collect().map(_.getLong(0)).sorted
-              versions.foreach { v =>
+              // a batch may span several commits: apply in commit
+              // order. ONE grouped collect yields the version list AND
+              // each version's upsert/delete presence — the previous
+              // distinct().collect() plus two isEmpty probes per
+              // version paid three job launches for what one
+              // commit-count-sized aggregate answers.
+              val versions = b.groupBy($"_commit_version")
+                .agg(count(when($"_change_type" === "delete", 1))
+                    .as("nd"),
+                  count(when($"_change_type" =!= "delete", 1))
+                    .as("nu"))
+                .collect()
+                .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+                .sortBy(_._1)
+              versions.foreach { case (v, nDels, nUps) =>
                 val rows = b.filter($"_commit_version" === v)
-                val dels = rows.filter($"_change_type" === "delete")
-                  .select($"c_custkey")
-                val upserts = rows.filter($"_change_type" =!= "delete")
-                  .drop("_change_type", "_commit_version")
-                if (!upserts.isEmpty) {
-                  MergeInto.upsertInto(s, down, upserts, Seq("c_custkey")); ()
+                if (nUps > 0) {
+                  MergeInto.upsertInto(s, down,
+                    rows.filter($"_change_type" =!= "delete")
+                      .drop("_change_type", "_commit_version"),
+                    Seq("c_custkey")); ()
                 }
-                if (!dels.isEmpty) {
-                  MergeInto.deleteFrom(s, down, dels, Seq("c_custkey")); ()
+                if (nDels > 0) {
+                  MergeInto.deleteFrom(s, down,
+                    rows.filter($"_change_type" === "delete")
+                      .select($"c_custkey"),
+                    Seq("c_custkey")); ()
                 }
               }
             } finally { b.unpersist(); () }

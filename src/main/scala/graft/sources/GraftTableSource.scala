@@ -141,13 +141,31 @@ class GraftTableSource extends ParquetDataSourceV2 {
     }.toMap
   }
 
+  /** Schema from the first segment's parquet footer when ALL resolved
+    * segments agree on field names — saves the one-task datasource
+    * inference job every table bind otherwise launches (Spark 4), and
+    * matches what inference would return for a schema-uniform table
+    * (graft segments are all Spark-written, footers carry the exact
+    * schema). Mixed-schema segment lists fall back to inference,
+    * preserving the previous behavior exactly. */
+  private def footerSchemaIfUniform(paths: Seq[String])
+      : Option[org.apache.spark.sql.types.StructType] = {
+    if (paths.isEmpty) return None
+    val fields = paths.map(p =>
+      graft.ops.AtomicPublish.segmentFieldNames(sparkSession, p))
+    if (fields.nonEmpty && fields.forall(_ == fields.head))
+      graft.ops.AtomicPublish.segmentSchemaFromFooter(sparkSession, paths.head)
+    else None
+  }
+
   override def getTable(options: CaseInsensitiveStringMap)
       : org.apache.spark.sql.connector.catalog.Table = {
     val paths = getPaths(options)
     val tableName = getTableName(options, paths)
     val optionsWithoutPaths = getOptionsWithoutPaths(options)
     new GraftReadOnlyTable(tableName, sparkSession, optionsWithoutPaths,
-      paths, None, fallbackFileFormat, loadZones(options), loadBlooms(options))
+      paths, footerSchemaIfUniform(paths), fallbackFileFormat,
+      loadZones(options), loadBlooms(options))
   }
 
   override def getTable(options: CaseInsensitiveStringMap,
@@ -218,7 +236,8 @@ class GraftTableSource extends ParquetDataSourceV2 {
       if (b.isEmpty) None else Some(d -> b)
     }.toMap
     val inner = new GraftReadOnlyTable(tableName, sparkSession,
-      optionsWithoutPaths, paths, userSpecifiedSchema = None,
+      optionsWithoutPaths, paths,
+      userSpecifiedSchema = footerSchemaIfUniform(paths),
       fallbackFileFormat, zones, blooms)
     new GraftManagedTable(inner, sparkSession, tableRoot, mergeKeys, props,
       pendingMor)
