@@ -75,8 +75,12 @@ object FileReplay {
       }
     land(ranges.head)
     // schema from the landed files, not src.schema: the files are the
-    // contract the source reads (nullability normalized by parquet)
-    val schema = spark.read.parquet(dir).schema
+    // contract the source reads (nullability normalized by parquet).
+    // Footer-read on the driver — the chunks are Spark-written, so the
+    // footer carries the exact schema and the datasource-inference
+    // job every replay otherwise launches is pure overhead.
+    val schema = graft.ops.AtomicPublish.segmentSchemaFromFooter(spark, dir)
+      .getOrElse(spark.read.parquet(dir).schema)
     val q = start(spark.readStream.schema(schema).parquet(dir))
     try {
       q.processAllAvailable()
