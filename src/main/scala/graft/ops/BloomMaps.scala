@@ -72,7 +72,10 @@ object BloomMaps {
       .map(_.toDouble).getOrElse(BloomFppDefault)
     val maxRows = spark.conf.getOption(BloomMaxRowsKey)
       .map(_.toLong).getOrElse(BloomMaxRowsDefault)
-    val df = spark.read.parquet(segPath)
+    // footer-schema scan: the staged segment is graft-written, so the
+    // datasource resolution job spark.read.parquet pays is pure
+    // overhead on every bloom-harvesting commit
+    val df = AtomicPublish.segmentScanNoResolve(spark, Seq(segPath))
     val rows = parquetRows(spark, segPath)
     if (rows == 0L || rows > maxRows) return Map.empty
     cols.flatMap { c =>

@@ -626,7 +626,12 @@ object SourceQueries extends QueryGroup {
           cust.filter($"c_custkey" % 2 === 1).write.parquet(p))
         graft.ops.AtomicPublish.compactSegments(s, table) {
           (paths, staging) =>
-            s.read.parquet(paths: _*).write.parquet(staging)
+            // readOver resolves the segment schemas from their footers
+            // (no datasource-resolution job; plain segments take its
+            // one-scan fast path)
+            graft.ops.AtomicPublish.readOver(s, table,
+                paths.map(p => p.substring(p.lastIndexOf('/') + 1)))
+              .write.parquet(staging)
         }
         s.conf.set(graft.ops.AtomicPublish.RetentionMsKey, "0")
         try graft.ops.AtomicPublish.vacuum(s, table)
