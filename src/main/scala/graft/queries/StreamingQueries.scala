@@ -386,8 +386,13 @@ object StreamingQueries extends QueryGroup {
             .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
               // the MERGE references its source twice (distinct keys +
               // union); persist the micro-batch so the state-store
-              // output is not re-planned per reference
-              val b = batch.persist()
+              // output is not re-planned per reference. coalesce(1)
+              // first (guide §6 output sizing): update mode emits ≤ the
+              // batch's distinct keys (≤100 rows here), and without it
+              // each commit staged 32 state-store shard files — 32
+              // write tasks plus 32 footer reads of commit machinery
+              // per segment for a few KB of data
+              val b = batch.coalesce(1).persist()
               try (0 until 2).foreach { _ => // simulated redelivery
                 MergeInto.upsertInto(s, table, b, Seq("user_id")); ()
               } finally { b.unpersist(); () }
@@ -439,7 +444,9 @@ object StreamingQueries extends QueryGroup {
         graft.streaming.FileReplay.replay(s, events, "__ord", 3) { in =>
           in.writeStream.outputMode("append")
             .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-              MergeInto.upsertInto(s, fact, batch.drop("__ord"),
+              // batch-sized merge source: one staged file, not one per
+              // input partition (guide §6 — file sizing at the writer)
+              MergeInto.upsertInto(s, fact, batch.drop("__ord").coalesce(1),
                 Seq("event_id"))
               val st = MaterializedView.refresh(s, mv)
               require(st.toVersion == st.fromVersion + 1,
