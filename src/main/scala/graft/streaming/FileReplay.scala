@@ -68,14 +68,47 @@ object FileReplay {
     val ranges = (0 until nChunks).map { k =>
       (lo + k * width, math.min(lo + (k + 1) * width, hi + 1))
     }.filter(r => r._1 < r._2)
-    def land(r: (Long, Long)): Unit =
-      graft.engine.JobLabel(spark, s"replay: land chunk [${r._1},${r._2})") {
-        src.filter(col(orderCol) >= r._1 && col(orderCol) < r._2)
-          .write.mode("append").parquet(dir)
+    // ONE staging pass for ALL chunks (round 17, guide §1.2): the
+    // pre-round-17 shape ran one filter+write job PER CHUNK — n jobs
+    // scanning the source n times for disjoint slices. Here a single
+    // write partitioned by chunk ordinal stages every slice in one
+    // source pass (partitionBy adds no shuffle — each task writes its
+    // rows to their chunk directory), and "landing" chunk k for the
+    // file-source query becomes a driver-side RENAME of k's files into
+    // the watched directory — zero jobs, same files, same strict
+    // range-order arrival the dedup semantics key on. File names are
+    // prefixed with the chunk ordinal: two chunk directories written by
+    // one task share a part-file name, and the flat watched dir must
+    // never collide.
+    val stageRoot = java.nio.file.Files
+      .createTempDirectory("graft_replay_stage").toString
+    val stageDir = s"$stageRoot/chunks"
+    val chunkCol = "__graft_replay_chunk"
+    graft.engine.JobLabel(spark,
+      s"replay: stage ${ranges.length} chunk(s) of [$lo,$hi]") {
+      // `div` = exact integral division (a double `/` would round past
+      // 2^53); orderCol >= lo always, so the quotient is the 0-based
+      // range ordinal of the ceil-split above
+      src.withColumn(chunkCol,
+          expr(s"(CAST(`$orderCol` AS BIGINT) - ${lo}L) div ${width}L"))
+        .write.partitionBy(chunkCol).parquet(stageDir)
+    }
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def land(k: Int): Unit = {
+      val from = new org.apache.hadoop.fs.Path(stageDir, s"$chunkCol=$k")
+      if (fs.exists(from)) fs.listStatus(from).foreach { f =>
+        val n = f.getPath.getName
+        if (f.isFile && !n.startsWith("_") && !n.startsWith("."))
+          require(fs.rename(f.getPath,
+            new org.apache.hadoop.fs.Path(dir, s"c$k-$n")),
+            s"replay: failed to land $n into $dir")
       }
-    land(ranges.head)
+    }
+    land(0)
     // schema from the landed files, not src.schema: the files are the
-    // contract the source reads (nullability normalized by parquet).
+    // contract the source reads (nullability normalized by parquet; the
+    // chunk ordinal is a partition column, absent from the data files).
     // Footer-read on the driver — the chunks are Spark-written, so the
     // footer carries the exact schema and the datasource-inference
     // job every replay otherwise launches is pure overhead.
@@ -84,7 +117,7 @@ object FileReplay {
     val q = start(spark.readStream.schema(schema).parquet(dir))
     try {
       q.processAllAvailable()
-      ranges.tail.foreach { r => land(r); q.processAllAvailable() }
+      (1 until ranges.length).foreach { k => land(k); q.processAllAvailable() }
     } finally {
       q.stop()
       // the staged chunks exist only to feed this query; every caller
@@ -92,8 +125,10 @@ object FileReplay {
       // target / published table), so reclaim the scratch now instead
       // of leaking a stream-sized copy per run
       try {
-        val p = new org.apache.hadoop.fs.Path(dir)
-        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+        for (d <- Seq(dir, stageRoot)) {
+          val p = new org.apache.hadoop.fs.Path(d)
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+        }
         ()
       } catch { case _: java.io.IOException => () }
     }
