@@ -1712,9 +1712,12 @@ object AtomicPublish {
       // resolution below costs ~0.1 s PER SEGMENT of driver time —
       // a per-micro-batch MERGE sink constructs this plan on every
       // commit, so construction cost is a recurring constant worth
-      // engineering down.
+      // engineering down. Uniformity compares the TYPED footer
+      // signature (names + types), not names alone: a same-name
+      // type-evolved segment must take the per-segment path below,
+      // whose unionByName casts or refuses like inference would.
       val fieldsPerSeg = dataSegs.map(d =>
-        segmentFieldNames(spark, s"$tablePath/$d"))
+        segmentSchemaSignature(spark, s"$tablePath/$d"))
       if (fieldsPerSeg.nonEmpty && fieldsPerSeg.forall(_ == fieldsPerSeg.head)) {
         // zonemap/bloom-aware scan: a pushed predicate skips whole DATA
         // segments even while merges are pending (the claims join only
@@ -1887,6 +1890,33 @@ object AtomicPublish {
         finally r.close()
       }
   }
+
+  /** TYPED schema signature of a segment from ONE parquet footer — what
+    * the schema-uniformity fast paths compare (round 17, VERDICT r16
+    * hardening): names alone would pin the FIRST segment's types onto a
+    * list whose later segments evolved a column's type (float-array day
+    * on a double-array base), where datasource inference would have
+    * merged or refused. The Spark-stamped StructType (nullability
+    * relaxed, matching the file-source read path) when present, else
+    * the raw parquet message type — both carry name AND type, so any
+    * type divergence breaks signature equality and the caller falls
+    * back to per-segment resolution / inference. */
+  private[graft] def segmentSchemaSignature(spark: SparkSession,
+                                            segPath: String): String =
+    segmentSchemaFromFooter(spark, segPath).map(_.json).getOrElse {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val sp = new org.apache.hadoop.fs.Path(segPath)
+      val fs = sp.getFileSystem(conf)
+      fs.listStatus(sp)
+        .find(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .map { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(f.getPath, conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getFooter.getFileMetaData.getSchema.toString
+          finally r.close()
+        }.getOrElse("")
+    }
 
   // -----------------------------------------------------------------
   // Time travel

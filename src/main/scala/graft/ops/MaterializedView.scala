@@ -222,8 +222,10 @@ object MaterializedView {
     val dataDirs = added.filterNot(d => side.get(d).exists(_._1 == "delete"))
     val mergeDirs = added.filter(side.contains)
     def scanSegs(dirs: Seq[String]): DataFrame = {
+      // typed signature, not names (round 17): a same-name type-evolved
+      // segment must take the per-segment union below
       val paths = dirs.map(d => s"${meta.sourceTable}/$d")
-      val fields = paths.map(p => AtomicPublish.segmentFieldNames(spark, p))
+      val fields = paths.map(p => AtomicPublish.segmentSchemaSignature(spark, p))
       if (fields.forall(_ == fields.head))
         AtomicPublish.segmentScanNoResolve(spark, paths)
       else paths.map(p => AtomicPublish.segmentScanNoResolve(spark, Seq(p)))

@@ -142,18 +142,21 @@ class GraftTableSource extends ParquetDataSourceV2 {
   }
 
   /** Schema from the first segment's parquet footer when ALL resolved
-    * segments agree on field names — saves the one-task datasource
-    * inference job every table bind otherwise launches (Spark 4), and
-    * matches what inference would return for a schema-uniform table
-    * (graft segments are all Spark-written, footers carry the exact
-    * schema). Mixed-schema segment lists fall back to inference,
-    * preserving the previous behavior exactly. */
+    * segments agree on the TYPED footer signature (names + types,
+    * nullability relaxed like the file-source read path — round 17
+    * hardened from names-only, which would have pinned the first
+    * segment's types onto a same-name type-evolved list) — saves the
+    * one-task datasource inference job every table bind otherwise
+    * launches (Spark 4), and matches what inference would return for a
+    * schema-uniform table (graft segments are all Spark-written,
+    * footers carry the exact schema). Mixed-schema segment lists fall
+    * back to inference, preserving the previous behavior exactly. */
   private def footerSchemaIfUniform(paths: Seq[String])
       : Option[org.apache.spark.sql.types.StructType] = {
     if (paths.isEmpty) return None
-    val fields = paths.map(p =>
-      graft.ops.AtomicPublish.segmentFieldNames(sparkSession, p))
-    if (fields.nonEmpty && fields.forall(_ == fields.head))
+    val sigs = paths.map(p =>
+      graft.ops.AtomicPublish.segmentSchemaSignature(sparkSession, p))
+    if (sigs.nonEmpty && sigs.forall(_ == sigs.head))
       graft.ops.AtomicPublish.segmentSchemaFromFooter(sparkSession, paths.head)
     else None
   }

@@ -106,6 +106,33 @@ class MaintenanceSpec extends SparkSpec {
     }
   }
 
+  test("same-name TYPE-evolved segment list falls back to per-segment " +
+      "resolution (round 17: uniformity compares types, not names)") {
+    import spark.implicits._
+    val table = graft.engine.Scratch.dir("spec_type_evolved")
+    // base: v is DOUBLE; appended day: v is FLOAT — identical names.
+    // A names-only uniformity check pinned the base's double schema
+    // over the float files (vectorized-reader type error or misread);
+    // the typed signature must route this list through the per-segment
+    // union, which casts float -> double like inference's merge would.
+    AtomicPublish.publish(spark, table)(p =>
+      Seq((1L, 1.5d), (2L, 2.5d)).toDF("id", "v").write.parquet(p))
+    AtomicPublish.appendSegment(spark, table)(p =>
+      Seq((3L, 3.5f)).toDF("id", "v").write.parquet(p))
+    val got = AtomicPublish.read(spark, table)
+      .select(col("id"), col("v").cast("double"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    assert(got === Array((1L, 1.5d), (2L, 2.5d), (3L, 3.5d)))
+    // the DSv2 path door must fall back to inference the same way: the
+    // bind must not pin the base footer's double type onto the floats
+    spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW spec_type_evolved_v
+                  USING graft OPTIONS (path '$table')""")
+    val sqlGot = spark.sql(
+      """SELECT id, CAST(v AS DOUBLE) AS v FROM spec_type_evolved_v
+         ORDER BY id""").collect()
+    assert(sqlGot.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+  }
+
   test("publish is atomic: a reader mid-rewrite sees old or new, never a mix") {
     import spark.implicits._
     import graft.ops.AtomicPublish
