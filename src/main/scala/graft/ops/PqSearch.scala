@@ -106,6 +106,21 @@ object PqSearch {
     }
   }
 
+  /** [[fit]] with the memo keyed on the FULL staleness stamp and prior
+    * stamps of the same corpus EVICTED (round 17, ADVICE r16 — same
+    * hardening as [[AnnSearch.ivfModelForStamped]]). */
+  private[ops] def fitStamped(spark: SparkSession, emb: DataFrame,
+                              idCol: String, eCol: String,
+                              m: Int, k: Int, seed: Long,
+                              prefix: String, stamp: String): PqModel = {
+    val key = s"$prefix:$stamp:$m:$k:$seed"
+    if (!models.contains(key))
+      models.keys.filter(kk => kk.startsWith(s"$prefix:") && kk != key)
+        .foreach(models.remove)
+    models.getOrElseUpdate(key,
+      fit(spark, emb, idCol, eCol, m, k, seed, cacheKey = None))
+  }
+
   private def bookLit(model: PqModel, j: Int): Column =
     typedLit(model.codebooks(j).map(_.toSeq).toSeq)
 
