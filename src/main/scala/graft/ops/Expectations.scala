@@ -269,16 +269,23 @@ object Expectations {
   /** Row count of a just-committed segment, straight from the parquet
     * footers on the driver — the previous `read.parquet(...).count()`
     * was metadata-only in bytes but still paid a schema-resolution job
-    * plus a count job per checked commit. */
+    * plus a count job per checked commit. An EMPTY or nested listing
+    * falls back to the loud Spark count (round 17, ADVICE r16: a
+    * silent 0 from an unexpectedly-shaped segment would let a
+    * malformed quarantine commit satisfy rows==0 expectations; every
+    * graft-written segment has top-level part files, so the fallback
+    * never fires on the protocol's own writes). */
   private def segmentRows(spark: SparkSession, tablePath: String,
                           dataDir: String): Long = {
     import scala.jdk.CollectionConverters._
     val conf = spark.sparkContext.hadoopConfiguration
     val sp = new org.apache.hadoop.fs.Path(s"$tablePath/$dataDir")
     val fs = sp.getFileSystem(conf)
-    fs.listStatus(sp)
+    val parts = fs.listStatus(sp)
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      .map { f =>
+    if (parts.isEmpty)
+      return spark.read.parquet(s"$tablePath/$dataDir").count()
+    parts.map { f =>
         val in = org.apache.parquet.hadoop.util.HadoopInputFile
           .fromPath(f.getPath, conf)
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)

@@ -386,13 +386,14 @@ object StreamingQueries extends QueryGroup {
             .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
               // the MERGE references its source twice (distinct keys +
               // union); persist the micro-batch so the state-store
-              // output is not re-planned per reference. coalesce(1)
-              // first (guide §6 output sizing): update mode emits ≤ the
-              // batch's distinct keys (≤100 rows here), and without it
-              // each commit staged 32 state-store shard files — 32
-              // write tasks plus 32 footer reads of commit machinery
-              // per segment for a few KB of data
-              val b = batch.coalesce(1).persist()
+              // output is not re-planned per reference. Size-aware
+              // coalesce first (guide §6 output sizing): update mode
+              // emits ≤ the batch's distinct keys (≤100 rows here), and
+              // without it each commit staged 32 state-store shard
+              // files — 32 write tasks plus 32 footer reads of commit
+              // machinery per segment for a few KB of data; an
+              // oversized batch keeps its parallelism (round 17)
+              val b = graft.engine.Sizing.coalesceForStaging(batch).persist()
               try (0 until 2).foreach { _ => // simulated redelivery
                 MergeInto.upsertInto(s, table, b, Seq("user_id")); ()
               } finally { b.unpersist(); () }
@@ -445,8 +446,11 @@ object StreamingQueries extends QueryGroup {
           in.writeStream.outputMode("append")
             .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
               // batch-sized merge source: one staged file, not one per
-              // input partition (guide §6 — file sizing at the writer)
-              MergeInto.upsertInto(s, fact, batch.drop("__ord").coalesce(1),
+              // input partition (guide §6 — file sizing at the writer);
+              // size-conditional since round 17 so a large micro-batch
+              // never serializes its staging write through one task
+              MergeInto.upsertInto(s, fact,
+                graft.engine.Sizing.coalesceForStaging(batch.drop("__ord")),
                 Seq("event_id"))
               val st = MaterializedView.refresh(s, mv)
               require(st.toVersion == st.fromVersion + 1,

@@ -46,4 +46,21 @@ class EngineContractSpec extends SparkSpec {
       graft.engine.Tables.normalizeTs(bad)
     }
   }
+
+  test("staging coalesce is size-conditional (round 17: a large batch " +
+      "keeps its parallelism; a small one stages as one file)") {
+    import graft.engine.Sizing
+    // small: well under the 128 MB default -> one partition
+    val small = spark.range(0, 1000, 1, 8).toDF("id")
+    assert(Sizing.coalesceForStaging(small).rdd.getNumPartitions === 1)
+    // large: range's 8 B/row estimate puts 100M rows at ~800 MB, past
+    // the ceiling -> partitioning untouched
+    val big = spark.range(0, 100000000L, 1, 8).toDF("id")
+    assert(Sizing.coalesceForStaging(big).rdd.getNumPartitions === 8)
+    // ceiling is conf-driven (scale-parameterised, round rules): lower
+    // it and the small frame stops coalescing too
+    spark.conf.set(Sizing.StagingCoalesceBytesKey, "1")
+    try assert(Sizing.coalesceForStaging(small).rdd.getNumPartitions === 8)
+    finally spark.conf.unset(Sizing.StagingCoalesceBytesKey)
+  }
 }
