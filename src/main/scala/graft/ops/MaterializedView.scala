@@ -117,8 +117,17 @@ object MaterializedView {
     val snapshot = computeGroups(
       withDims(spark, AtomicPublish.readAt(spark, sourceTable, v), joins),
       groupCols, aggs)
-    refuseNullGroups(snapshot, groupCols, "create")
-    AtomicPublish.publish(spark, mvPath)(p => snapshot.write.parquet(p))
+    // null-group refusal from the STAGED parquet footers (round 17,
+    // guide §7.2): the pre-round-17 shape ran refuseNullGroups as a
+    // count() action BEFORE publishing — a second full evaluation of
+    // the corpus group-by just to prove no group key is null. The
+    // footer null counts answer the same question driver-side for
+    // free; a violation throws inside the publish callback, so the
+    // staging is reclaimed and nothing is ever published.
+    AtomicPublish.publish(spark, mvPath) { p =>
+      snapshot.write.parquet(p)
+      refuseNullGroupsStaged(spark, p, groupCols, "create")
+    }
     writeMeta(spark, mvPath,
       MvMeta(sourceTable, keys, groupCols, aggs, v, joins))
   }
@@ -147,11 +156,59 @@ object MaterializedView {
         "columns in the source first")
   }
 
+  /** [[refuseNullGroups]] over a JUST-WRITTEN staged directory, from
+    * the parquet footers' per-column null counts — zero Spark jobs.
+    * Spark-written files always carry statistics; a file without them
+    * (never the case for our own staging writes) falls back to the
+    * loud count. */
+  private def refuseNullGroupsStaged(spark: SparkSession, stagedPath: String,
+                                     groupCols: Seq[String],
+                                     where: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val sp = new org.apache.hadoop.fs.Path(stagedPath)
+    val fs = sp.getFileSystem(conf)
+    val wanted = groupCols.map(_.toLowerCase).toSet
+    var nNull = 0L
+    var statless = false
+    fs.listStatus(sp)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .foreach { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(f.getPath, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getFooter.getBlocks.asScala.foreach { b =>
+          b.getColumns.asScala.foreach { c =>
+            val top = c.getPath.toArray.headOption.map(_.toLowerCase)
+            if (top.exists(wanted.contains)) {
+              val st = c.getStatistics
+              if (st == null || !st.isNumNullsSet) statless = true
+              else nNull += st.getNumNulls
+            }
+          }
+        } finally r.close()
+      }
+    if (statless)
+      nNull = spark.read.parquet(stagedPath)
+        .filter(groupCols.map(col(_).isNull).reduce(_ || _)).count()
+    require(nNull == 0,
+      s"materialized view ($where): $nNull group(s) with NULL key values " +
+        "— null groups cannot be incrementally merged; coalesce the group " +
+        "columns in the source first")
+  }
+
   /** The view's current contents (reconciles its pending merges). */
   def read(spark: SparkSession, mvPath: String): DataFrame =
     AtomicPublish.read(spark, mvPath)
 
-  /** Run `f` with AQE off, restoring the session conf after. AQE
+  /** Run `f` with AQE off, restoring the session conf after.
+    *
+    * CONCURRENCY CONTRACT (documented per ADVICE r16): the toggle is
+    * session-global, so refresh assumes no OTHER query runs on the
+    * same SparkSession during its (sub-second) collect windows — the
+    * maintenance-loop shape every caller in this repo has. Concurrent
+    * multi-tenant sessions should refresh through their own session
+    * (`spark.newSession`), which shares the data but not the conf. AQE
     * materializes every exchange as its own scheduler job round to
     * re-optimize downstream stages; for the refresh's BOUNDED queries
     * (outputs conf-capped at [[InListMaxKey]] rows, inputs ∝ the

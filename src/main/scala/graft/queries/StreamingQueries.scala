@@ -551,7 +551,11 @@ object StreamingQueries extends QueryGroup {
           .withColumn("cells", graft.ops.SemDedup.probeCells(model, $"e", 2))
           .select($"vec_id", explode($"cells").as("cell"), $"e")
         val name = s"ssd_${StreamingQueries.sinkCounter.incrementAndGet()}"
-        graft.streaming.FileReplay.replay(s, probes, "vec_id", 3) { in =>
+        // bounds over the raw ids: the probe frame's generator (cell
+        // explode) defeats column pruning, so computing min/max on it
+        // would re-pay the probe projection (round 17, FileReplay)
+        graft.streaming.FileReplay.replay(s, probes, "vec_id", 3,
+            boundsOver = Some(emb.select($"vec_id"))) { in =>
           SemDedupStream.verdicts(in.as[VecProbe], minCosine = 0.45)
             .writeStream.format("memory").queryName(name)
             .outputMode("update").start()
@@ -592,7 +596,8 @@ object StreamingQueries extends QueryGroup {
           .select($"vec_id", explode($"cells").as("cell"), $"e",
             timestamp_seconds(lit(1735689600L) + $"vec_id").as("ts"))
         val name = s"ssdt_${StreamingQueries.sinkCounter.incrementAndGet()}"
-        graft.streaming.FileReplay.replay(s, probes, "vec_id", 3) { in =>
+        graft.streaming.FileReplay.replay(s, probes, "vec_id", 3,
+            boundsOver = Some(emb.select($"vec_id"))) { in =>
           SemDedupStream.verdictsTtl(
               in.withWatermark("ts", "10 seconds").as[VecProbeT],
               minCosine = 0.45, ttlMs = 120000L)
@@ -648,7 +653,9 @@ object StreamingQueries extends QueryGroup {
             graft.ops.SemDedup.assignCells(s, model, $"e", effProbes))
           .select($"vec_id", explode($"cells").as("cell"), $"e")
         val name = s"ssds_${StreamingQueries.sinkCounter.incrementAndGet()}"
-        graft.streaming.FileReplay.replay(s, probes, "vec_id", 3) { in =>
+        graft.streaming.FileReplay.replay(s, probes, "vec_id", 3,
+            boundsOver = Some(emb.filter($"vec_id" < 100)
+              .select($"vec_id"))) { in =>
           SemDedupStream.verdictsSeeded(in.as[VecProbe], seeds,
               minCosine = 0.45)
             .writeStream.format("memory").queryName(name)
@@ -684,7 +691,12 @@ object StreamingQueries extends QueryGroup {
             Tables(s, dir, "documents"), "doc_id", "text")
           .select($"id".as("doc_id"), $"band", $"bh")
         val name = s"smh_${StreamingQueries.sinkCounter.incrementAndGet()}"
-        graft.streaming.FileReplay.replay(s, probes, "doc_id", 3) { in =>
+        // bounds over the raw doc ids: min/max on the banded probes
+        // would re-run the full corpus MinHash signature pass (the
+        // band explode blocks pruning) just to learn the id span
+        graft.streaming.FileReplay.replay(s, probes, "doc_id", 3,
+            boundsOver = Some(Tables(s, dir, "documents")
+              .select($"doc_id"))) { in =>
           MinHashStream.verdicts(in.as[BandProbe])
             .writeStream.format("memory").queryName(name)
             .outputMode("update").start()
@@ -721,7 +733,9 @@ object StreamingQueries extends QueryGroup {
             numHashes = 32, bands = 8)
           .select($"id".as("doc_id"), $"band", $"bh")
         val name = s"smhs_${StreamingQueries.sinkCounter.incrementAndGet()}"
-        graft.streaming.FileReplay.replay(s, probes, "doc_id", 3) { in =>
+        graft.streaming.FileReplay.replay(s, probes, "doc_id", 3,
+            boundsOver = Some(docs.filter($"doc_id" < 100)
+              .select($"doc_id"))) { in =>
           MinHashStream.verdictsSeeded(in.as[BandProbe], seeds)
             .writeStream.format("memory").queryName(name)
             .outputMode("update").start()

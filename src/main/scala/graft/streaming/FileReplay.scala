@@ -33,9 +33,24 @@ object FileReplay {
     * numeric id), start the query `start` builds over the staged
     * directory's file source, and drain one micro-batch per chunk in
     * range order. The query is stopped before returning. Driver-side
-    * data: ONE (min, max) row — never the stream. */
+    * data: ONE (min, max) row — never the stream.
+    *
+    * `boundsOver` (round 17): an optional CHEAP frame to compute the
+    * chunk bounds on instead of `src`. The bounds pass only needs
+    * min/max of the order column, but when `src` carries an expensive
+    * generator projection (minhash signatures exploded to band rows,
+    * embedding probe cells), column pruning cannot remove the generator
+    * and the bounds job re-paid the full projection — for the minhash
+    * stream keys that was a SECOND corpus signature pass. Callers pass
+    * the pre-projection id source (same ids or a superset range);
+    * every staged row still lands in exactly one chunk (verified by
+    * the staged-partition check below, which also catches NULL order
+    * values), and the stateful keys' outputs are chunk-boundary
+    * invariant by construction (within-batch order-independent,
+    * monotone across batches — the spec-pinned property). */
   def replay(spark: SparkSession, src: DataFrame, orderCol: String,
-             nChunks: Int)(start: DataFrame => StreamingQuery): Unit = {
+             nChunks: Int, boundsOver: Option[DataFrame] = None)
+            (start: DataFrame => StreamingQuery): Unit = {
     require(nChunks >= 1, s"nChunks must be >= 1: $nChunks")
     // INTEGRAL order column required up front: the chunk bounds are
     // computed on a long cast but the range filters apply to the RAW
@@ -51,16 +66,10 @@ object FileReplay {
           "timestamps) so range chunking is exact")
     }
     val dir = java.nio.file.Files.createTempDirectory("graft_replay").toString
-    val mm = src.agg(min(col(orderCol)).cast("long"),
-      max(col(orderCol)).cast("long"),
-      count(lit(1)), count(col(orderCol))).collect().head
+    val mm = boundsOver.getOrElse(src)
+      .agg(min(col(orderCol)).cast("long"),
+        max(col(orderCol)).cast("long")).collect().head
     require(!mm.isNullAt(0), s"replay source is empty (no $orderCol values)")
-    // range filters are null-false: a NULL order value would be staged
-    // into NO chunk and silently vanish from the stream — refuse loudly
-    require(mm.getLong(2) == mm.getLong(3),
-      s"replay order column `$orderCol` has ${mm.getLong(2) - mm.getLong(3)} " +
-        "NULL value(s): range chunking would silently drop those rows — " +
-        "filter or default them first")
     val lo = mm.getLong(0); val hi = mm.getLong(1)
     // ceil-split the id span into contiguous [from, to) ranges; the last
     // range is closed at max+1 so every row lands in exactly one chunk
@@ -95,6 +104,20 @@ object FileReplay {
     }
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // LOSS-PROOF staging check (replaces the pre-round-17 count-based
+    // null probe, and is strictly stronger): every row lands in SOME
+    // partition directory — a NULL order value lands in the Hive
+    // default partition and an id outside the declared bounds lands in
+    // an out-of-range chunk ordinal; either is a row the range-ordered
+    // landing loop below would silently never deliver, so refuse loudly.
+    fs.listStatus(new org.apache.hadoop.fs.Path(stageDir))
+      .filter(_.isDirectory).foreach { d =>
+        val k = d.getPath.getName.stripPrefix(s"$chunkCol=").toLongOption
+        require(k.exists(kk => kk >= 0 && kk < ranges.length),
+          s"replay: staged rows outside every declared chunk " +
+            s"(${d.getPath.getName}) — NULL `$orderCol` values or bounds " +
+            "narrower than the data; filter/default them first")
+      }
     def land(k: Int): Unit = {
       val from = new org.apache.hadoop.fs.Path(stageDir, s"$chunkCol=$k")
       if (fs.exists(from)) fs.listStatus(from).foreach { f =>
