@@ -535,8 +535,11 @@ object DedupIndex {
     require(meta.get("kind").contains("semantic"),
       s"index at $tablePath is kind=${meta.get("kind")}, expected semantic")
     val dim = meta("dim").toInt
+    // no orderBy: rows index into the centroid array by their own cell
+    // value, and a distributed sort of an nlist-row table costs a
+    // sample + shuffle round per load (round 17)
     val rows = scanFooter(spark, Seq(s"${dataPathOf(spark, tablePath)}/model"))
-      .orderBy(col("cell")).collect()
+      .collect()
     val k = rows.length
     val cents = new Array[Double](k * dim)
     rows.foreach { r =>
@@ -619,11 +622,13 @@ object DedupIndex {
 
   /** The published IVF coarse centroids, cell-ordered, from the base
     * segment's `model/` parquet — bit-exact (doubles round-trip
-    * parquet exactly), shared by the query, append and rebuild paths. */
+    * parquet exactly), shared by the query, append and rebuild paths.
+    * Sorted on the DRIVER: the model is nlist rows, and a distributed
+    * orderBy of it costs a sample + shuffle round per load (round 17). */
   private def loadIvfCentroids(spark: SparkSession,
                                tablePath: String): Array[Array[Double]] =
     scanFooter(spark, Seq(s"${dataPathOf(spark, tablePath)}/model"))
-      .orderBy(col("cell")).collect()
+      .collect().sortBy(_.getInt(0))
       .map(r => r.getSeq[Double](1).toArray)
 
   /** IVF top-k against a published index — NO corpus argument, NO
@@ -801,8 +806,9 @@ object DedupIndex {
       s"index at $tablePath is kind=${meta.get("kind")}, expected pq")
     val m = meta("m").toInt; val k = meta("k").toInt
     val dsub = meta("dsub").toInt
+    // no orderBy: rows index into books by their own (j, c) values
     val rows = scanFooter(spark, Seq(s"${dataPathOf(spark, tablePath)}/model"))
-      .orderBy(col("j"), col("c")).collect()
+      .collect()
     require(rows.length == m * k,
       s"pq model at $tablePath has ${rows.length} centroids, want ${m * k}")
     val books = Array.ofDim[Array[Double]](m, k)
