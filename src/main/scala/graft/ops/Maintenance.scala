@@ -2555,8 +2555,14 @@ object MergeInto {
     val mode = spark.conf.getOption(ModeKey).getOrElse(ModeDefault)
     mode match {
       case "mor" =>
+        // batch-sized staged segment: a driver-local MERGE source (an
+        // MV refresh's ≤inListMax recomputed groups) otherwise
+        // parallelizes to defaultParallelism write tasks — 32 files +
+        // 32 writer inits for a handful of rows, paid again by every
+        // downstream reconcile read of the segment (guide §6). Size-
+        // conditional: a large batch keeps its write parallelism.
         AtomicPublish.appendUpsertSegment(spark, tablePath, keys) { p =>
-          source.write.parquet(p)
+          graft.engine.Sizing.coalesceForStaging(source).write.parquet(p)
         }
         maybeAutoFold(spark, tablePath)
       case "cow" =>
@@ -2606,7 +2612,8 @@ object MergeInto {
       s"upsertIntoTxn requires $ModeKey=mor (exactly-once marks ride " +
         "merge-on-read segments); cow rewrites have no per-batch segment")
     val applied = AtomicPublish.appendUpsertSegmentTxn(
-      spark, tablePath, keys, appId, version)(p => source.write.parquet(p))
+      spark, tablePath, keys, appId, version)(p =>
+        graft.engine.Sizing.coalesceForStaging(source).write.parquet(p))
       .isDefined
     if (applied) maybeAutoFold(spark, tablePath)
     applied
@@ -2638,8 +2645,10 @@ object MergeInto {
     val mode = spark.conf.getOption(ModeKey).getOrElse(ModeDefault)
     mode match {
       case "mor" =>
+        // tombstone sets are key-sized; same writer-sizing rule as the
+        // upsert staging above
         AtomicPublish.appendDeleteSegment(spark, tablePath, keys) { p =>
-          tombstones.write.parquet(p)
+          graft.engine.Sizing.coalesceForStaging(tombstones).write.parquet(p)
         }
         maybeAutoFold(spark, tablePath)
       case "cow" =>

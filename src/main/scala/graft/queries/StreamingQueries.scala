@@ -386,16 +386,25 @@ object StreamingQueries extends QueryGroup {
             .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
               // the MERGE references its source twice (distinct keys +
               // union); persist the micro-batch so the state-store
-              // output is not re-planned per reference. Size-aware
-              // coalesce first (guide §6 output sizing): update mode
-              // emits ≤ the batch's distinct keys (≤100 rows here), and
-              // without it each commit staged 32 state-store shard
-              // files — 32 write tasks plus 32 footer reads of commit
-              // machinery per segment for a few KB of data; an
-              // oversized batch keeps its parallelism (round 17)
-              val b = graft.engine.Sizing.coalesceForStaging(batch).persist()
-              try (0 until 2).foreach { _ => // simulated redelivery
-                MergeInto.upsertInto(s, table, b, Seq("user_id")); ()
+              // output is not re-planned per reference, and MATERIALIZE
+              // it at the state stage's own parallelism before anything
+              // coalesces: the round-16 shape coalesced ABOVE the
+              // stateful aggregation, so the first commit's single
+              // staging task computed (and cached) every state-store
+              // partition serially — ~2.5 s of state machinery on one
+              // core (guide §2.6: don't leave the cluster idle behind a
+              // narrow dep). Staged-file sizing is the commit path's
+              // job now: upsertInto applies the size-conditional
+              // coalesce to the CACHED batch, so each commit still
+              // stages one file, without re-running the state stage.
+              val b = batch.persist()
+              try {
+                graft.engine.JobLabel(s, "foreach_merge: land state batch") {
+                  b.count(); ()
+                }
+                (0 until 2).foreach { _ => // simulated redelivery
+                  MergeInto.upsertInto(s, table, b, Seq("user_id")); ()
+                }
               } finally { b.unpersist(); () }
             }
             .start()

@@ -58,6 +58,12 @@ object KeyStatsProbe {
     // the driver actions that launch them.
     val jobLog = sys.env.get("SPARK_GRAFT_PROBE_JOBLOG").contains("1")
     val logging = new AtomicInteger(0) // 1 while a timed run is active
+    // stageId -> jobId so per-job task counts/time can be attributed
+    // (JOBLOG prints them at job END, after its tasks have reported)
+    val stageJob = new java.util.concurrent.ConcurrentHashMap[Int, Int]()
+    val jobTasks = new java.util.concurrent.ConcurrentHashMap[Int, AtomicInteger]()
+    val jobTimeMs = new java.util.concurrent.ConcurrentHashMap[Int, AtomicLong]()
+    val jobLine = new java.util.concurrent.ConcurrentHashMap[Int, String]()
     val listener = new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = {
         jobs.incrementAndGet()
@@ -66,7 +72,19 @@ object KeyStatsProbe {
           val desc = Option(j.properties)
             .flatMap(p => Option(p.getProperty("spark.job.description")))
             .getOrElse("")
-          println(s"  job ${j.jobId} [${j.stageInfos.size} st] $cs | $desc")
+          j.stageInfos.foreach(si => stageJob.put(si.stageId, j.jobId))
+          jobTasks.put(j.jobId, new AtomicInteger(0))
+          jobTimeMs.put(j.jobId, new AtomicLong(0L))
+          jobLine.put(j.jobId,
+            s"  job ${j.jobId} [${j.stageInfos.size} st] $cs | $desc")
+        }
+        ()
+      }
+      override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        if (jobLog && jobLine.containsKey(e.jobId)) {
+          val n = Option(jobTasks.get(e.jobId)).map(_.get).getOrElse(0)
+          val ms = Option(jobTimeMs.get(e.jobId)).map(_.get).getOrElse(0L)
+          println(f"${jobLine.remove(e.jobId)} [$n%d tasks, ${ms / 1e3}%.2f task_s]")
         }
         ()
       }
@@ -79,6 +97,10 @@ object KeyStatsProbe {
           taskTimeMs.addAndGet(m.executorRunTime)
           shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
           shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          Option(stageJob.get(t.stageId)).foreach { jid =>
+            Option(jobTasks.get(jid)).foreach(_.incrementAndGet())
+            Option(jobTimeMs.get(jid)).foreach(_.addAndGet(m.executorRunTime))
+          }
         }
         ()
       }
